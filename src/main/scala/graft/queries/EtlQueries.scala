@@ -1,0 +1,351 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.etl.{Filenames, Lookups, Manifest}
+
+/** ETL-parity queries — the reference's data-processing surface
+  * (SURVEY.md §2, `Q:` tags) re-expressed as declarative DataFrame plans
+  * over the deterministic manifest, each with a DuckDB oracle.
+  *
+  * Plan-shape invariants (checked in specs / by `.explain`):
+  *   - every dim decode is a BroadcastHashJoin (16–17-row dims);
+  *   - the files×regions product is a BroadcastNestedLoopJoin with the
+  *     region side broadcast — no shuffle;
+  *   - the only exchanges in this module are the `groupBy(base_name)`
+  *     hash aggregations (SRC-2 / SNK-3), which partial-aggregate
+  *     map-side first.
+  */
+object EtlQueries {
+
+  private def manifestAsc(spark: SparkSession, dir: String): DataFrame =
+    Manifest.build(spark, dir).filter(col("file_name").endsWith(".asc"))
+
+  /** Distinct base_name + decoded fields (PRJ-1). */
+  private def decodedBases(spark: SparkSession, dir: String): DataFrame =
+    Manifest.build(spark, dir)
+      .select("base_name").distinct()
+      .withColumn("parameter_code", Filenames.parameterCode(col("base_name")))
+      .withColumn("statistic", Filenames.statistic(col("base_name")))
+      .withColumn("period_token", Filenames.periodToken(col("base_name")))
+
+  /** Distinct (base_name, new_file_name) after the decode joins (PRJ-2). */
+  private def renamed(spark: SparkSession, dir: String): DataFrame = {
+    val pDim = broadcast(Lookups.parameterDim(spark)
+      .select(col("code").as("parameter_code"), col("name").as("parameter_name")))
+    val tDim = broadcast(Lookups.periodDim(spark)
+      .select(col("code").as("period_token"), col("name").as("period_name")))
+    decodedBases(spark, dir)
+      .join(pDim, "parameter_code")
+      .join(tDim, "period_token")
+      .withColumn("new_file_name",
+        Filenames.newFileName(col("parameter_name"), col("statistic"), col("period_name")))
+  }
+
+  private val sidecarExts = Seq(".tif", ".tfw", ".tif.aux.xml", ".tif.ovr", ".tif.lock")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // SRC-1: recursive scan with suffix predicate (ETL.py:198–200).
+    "q_scan_filter_files" -> ((s, dir) =>
+      manifestAsc(s, dir)
+        .select("file_id", "region_code", "base_name", "path")
+        .orderBy("file_id")),
+
+    // SRC-2/AGG-1: group files by base name, accumulate paths (ETL.py:201–208).
+    "q_group_collect" -> ((s, dir) =>
+      manifestAsc(s, dir)
+        .groupBy("base_name")
+        .agg(count(lit(1)).as("n_files"),
+          array_join(sort_array(collect_list(col("path"))), ",").as("paths"))
+        .orderBy("base_name")),
+
+    // PRJ-1: positional filename decode (ETL.py:243–248).
+    "q_parse_filename" -> ((s, dir) =>
+      decodedBases(s, dir).orderBy("base_name")),
+
+    // PRJ-2/JOIN-2: code→name decode + recompose (ETL.py:248–255).
+    "q_rename_lookup" -> ((s, dir) =>
+      renamed(s, dir).select("base_name", "new_file_name").orderBy("base_name")),
+
+    // JOIN-2 full surface: all three broadcast dim decodes + PRJ-8
+    // region-from-path (ETL.py:234, 248, 251, 275).
+    "q_broadcast_lookup_join" -> ((s, dir) => {
+      val pDim = broadcast(Lookups.parameterDim(s)
+        .select(col("code").as("parameter_code"), col("name").as("parameter_name")))
+      val tDim = broadcast(Lookups.periodDim(s)
+        .select(col("code").as("period_token"), col("name").as("period_name")))
+      val rDim = broadcast(Lookups.regionDim(s)
+        .select(col("code").as("region_code"), col("name").as("region_name")))
+      Manifest.build(s, dir)
+        .withColumn("parameter_code", Filenames.parameterCode(col("base_name")))
+        .withColumn("period_token", Filenames.periodToken(col("base_name")))
+        .withColumn("region_code", Filenames.regionCodeFromPath(col("path")))
+        .join(pDim, "parameter_code")
+        .join(tDim, "period_token")
+        .join(rDim, "region_code")
+        .select("file_id", "parameter_name", "period_name", "region_code", "region_name")
+        .orderBy("file_id")
+    }),
+
+    // PRJ-3: region "99" skip (ETL.py:272–273).
+    "q_filter_region" -> ((s, dir) => {
+      val rDim = broadcast(Lookups.regionDim(s)
+        .select(col("code").as("region_code"), col("name").as("region_name")))
+      Manifest.build(s, dir)
+        .filter(col("region_code") =!= "99")
+        .join(rDim, "region_code")
+        .select("file_id", "region_code", "region_name")
+        .orderBy("file_id")
+    }),
+
+    // PRJ-4: region title normalization (ETL.py:276–279), exercised over
+    // feature-layer-style raw titles rebuilt from the region dim.
+    "q_title_normalize" -> ((s, dir) => {
+      Lookups.regionDim(s)
+        .select(col("code").as("region_code"),
+          when(col("code") === "99", lit("Area Outside Region"))
+            .otherwise(concat(translate(col("name"), "-", " "), lit(" Region")))
+            .as("raw_title"))
+        .withColumn("title", Filenames.normalizeTitle(col("raw_title")))
+        .orderBy("region_code")
+    }),
+
+    // PRJ-6: dash→space character translation (ETL.py:421).
+    "q_dash_to_space" -> ((s, dir) =>
+      Lookups.parameterDim(s)
+        .select(col("code").as("param_code"), col("name").as("parameter_name"),
+          Filenames.dashToSpace(col("name")).as("display_name"))
+        .orderBy("param_code")),
+
+    // JOIN-1: the files × regions cross product at the heart of the
+    // pipeline (ETL.py:229–310) — region side broadcast once, not
+    // re-fetched per file like the reference.
+    "q_cross_join_regions" -> ((s, dir) => {
+      val regions = broadcast(Lookups.regionDim(s)
+        .filter(col("code") =!= "99")
+        .select(col("code").as("region_code"), col("name").as("region_name")))
+      renamed(s, dir).select("new_file_name").distinct()
+        .crossJoin(regions)
+        .withColumn("clipped_name",
+          Filenames.clippedName(col("new_file_name"), col("region_name")))
+        .select("new_file_name", "region_code", "region_name", "clipped_name")
+        .orderBy("new_file_name", "region_code")
+    }),
+
+    // PRJ-9/SNK-5: S3 object-key construction incl. slash stripping
+    // (ETL.py:389–393); prefix variants cycle through the edge cases.
+    "q_s3_key" -> ((s, dir) =>
+      Manifest.build(s, dir)
+        .withColumn("prefix",
+          when(col("file_id") % 4 === 0, lit("/climate/grids/"))
+            .when(col("file_id") % 4 === 1, lit("climate/grids"))
+            .when(col("file_id") % 4 === 2, lit("/"))
+            .otherwise(lit("")))
+        .withColumn("zip_name", concat(col("base_name"), lit(".zip")))
+        .select(col("file_id"), col("prefix"),
+          Filenames.s3Key(col("prefix"), col("zip_name")).as("object_key"))
+        .orderBy("file_id")),
+
+    // SNK-3/PRJ-5: sidecar grouping for zip packaging with lockfile
+    // exclusion (ETL.py:315–346). The zip I/O itself is a sink
+    // (graft.sinks); the queryable grouping semantics live here.
+    "q_zip_group" -> ((s, dir) =>
+      manifestAsc(s, dir).select("base_name").distinct()
+        .crossJoin(explodedSidecars(s))
+        .withColumn("entry", concat(col("base_name"), col("sidecar_ext")))
+        .filter(!col("entry").endsWith(".lock"))
+        .groupBy(concat(col("base_name"), lit(".zip")).as("zip_name"))
+        .agg(count(lit(1)).as("n_entries"),
+          array_join(sort_array(collect_list(col("entry"))), ",").as("entries"))
+        .orderBy("zip_name")),
+
+    // §7.4 flagship: the product catalog — decode → rename → filter 99 →
+    // cross join regions → metadata fields (ETL.py:417–425, 474–489),
+    // re-parsing the output filename convention exactly like the
+    // reference's create_json_file does (PRJ-7).
+    "q_product_catalog" -> ((s, dir) => productCatalog(s, dir)),
+  )
+
+  private def explodedSidecars(s: SparkSession): DataFrame = {
+    import s.implicits._
+    sidecarExts.toDF("sidecar_ext")
+  }
+
+  private def productCatalog(s: SparkSession, dir: String): DataFrame = {
+    val regions = broadcast(Lookups.regionDim(s)
+      .filter(col("code") =!= "99")
+      .select(col("code").as("region_code"), col("name").as("region_name")))
+    val catalog = renamed(s, dir).select("new_file_name").distinct()
+      .crossJoin(regions)
+      .withColumn("file_name",
+        Filenames.clippedName(col("new_file_name"), col("region_name")))
+    // PRJ-7: re-parse the output naming convention (ETL.py:417–425).
+    val comps = split(col("file_name"), "_")
+    val typeParam = Filenames.dashToSpace(element_at(comps, 1))
+    val statistic = element_at(comps, 2)
+    val period = element_at(comps, 3)
+    val monthSeason = element_at(comps, 4)
+    val regionStem = element_at(split(element_at(comps, -1), "\\."), 1)
+    val regionTitle = Filenames.dashToSpace(regionStem)
+    val fileStem = element_at(split(col("file_name"), "\\."), 1)
+    val prefix = lit("climate/grids")
+    catalog.select(
+      col("file_name"),
+      concat(lit("/"), prefix, lit("/"), fileStem, lit(".zip")).as("src"),
+      prefix.as("product_ref"),
+      concat(lit("Climatology Grid "), typeParam, lit(" (1991-2020), "),
+        monthSeason, lit(", Region: "), regionTitle).as("title"),
+      concat(lit("This dataset comprises a 500m resolution grid of climatologic normals (averages) for: Parameter: "),
+        typeParam, lit("; Statistic: "), statistic, lit("; Period: "), period,
+        lit("; "), monthSeason, lit("; Region: "), regionTitle).as("description"),
+      typeParam.as("parameter"),
+      monthSeason.as("period"),
+      statistic.as("statistic"),
+      regionTitle.as("region"),
+      lit("1991-01-01T00:00:00Z").as("date_min"),
+      lit("2020-12-31T00:00:00Z").as("date_max"),
+    ).orderBy("file_name")
+  }
+
+  // ------------------------------------------------------------------
+  // DuckDB oracles (driver runs these on the same parquet fixtures).
+  // ------------------------------------------------------------------
+
+  private val W = s"WITH ${Manifest.cte}"
+
+  private val renamedSql =
+    """renamed AS (
+      |  SELECT DISTINCT m.base_name,
+      |         pd.name || '_' || split_part(m.base_name, '_', 5) || '_1991-2020_' || td.name AS new_file_name
+      |  FROM manifest m
+      |  JOIN parameter_dim pd ON pd.code = split_part(m.base_name, '_', 2)
+      |  JOIN period_dim td ON td.code = split_part(m.base_name, '_', 7)
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_scan_filter_files" ->
+      s"""$W
+         |SELECT file_id, region_code, base_name, path FROM manifest
+         |WHERE file_name LIKE '%.asc' ORDER BY file_id""".stripMargin,
+
+    "q_group_collect" ->
+      s"""$W
+         |SELECT base_name, COUNT(*) AS n_files,
+         |       string_agg(path, ',' ORDER BY path) AS paths
+         |FROM manifest WHERE file_name LIKE '%.asc'
+         |GROUP BY base_name ORDER BY base_name""".stripMargin,
+
+    "q_parse_filename" ->
+      s"""$W
+         |SELECT DISTINCT base_name,
+         |       split_part(base_name, '_', 2) AS parameter_code,
+         |       split_part(base_name, '_', 5) AS statistic,
+         |       split_part(base_name, '_', 7) AS period_token
+         |FROM manifest ORDER BY base_name""".stripMargin,
+
+    "q_rename_lookup" ->
+      s"""$W, $renamedSql
+         |SELECT base_name, new_file_name FROM renamed ORDER BY base_name""".stripMargin,
+
+    "q_broadcast_lookup_join" ->
+      s"""$W
+         |SELECT m.file_id, pd.name AS parameter_name, td.name AS period_name,
+         |       split_part(m.path, '/', 4) AS region_code, rd.name AS region_name
+         |FROM manifest m
+         |JOIN parameter_dim pd ON pd.code = split_part(m.base_name, '_', 2)
+         |JOIN period_dim td ON td.code = split_part(m.base_name, '_', 7)
+         |JOIN region_dim rd ON rd.code = split_part(m.path, '/', 4)
+         |ORDER BY m.file_id""".stripMargin,
+
+    "q_filter_region" ->
+      s"""$W
+         |SELECT m.file_id, m.region_code, rd.name AS region_name
+         |FROM manifest m JOIN region_dim rd ON rd.code = m.region_code
+         |WHERE m.region_code <> '99' ORDER BY m.file_id""".stripMargin,
+
+    "q_title_normalize" ->
+      s"""$W
+         |SELECT region_code, raw_title,
+         |       CASE WHEN split_part(raw_title, ' Region', 1) LIKE 'Area%'
+         |            THEN 'Chatham Islands'
+         |            ELSE split_part(raw_title, ' Region', 1) END AS title
+         |FROM (
+         |  SELECT code AS region_code,
+         |         CASE WHEN code = '99' THEN 'Area Outside Region'
+         |              ELSE replace(name, '-', ' ') || ' Region' END AS raw_title
+         |  FROM region_dim
+         |) ORDER BY region_code""".stripMargin,
+
+    "q_dash_to_space" ->
+      s"""$W
+         |SELECT code AS param_code, name AS parameter_name,
+         |       replace(name, '-', ' ') AS display_name
+         |FROM parameter_dim ORDER BY param_code""".stripMargin,
+
+    "q_cross_join_regions" ->
+      s"""$W, $renamedSql
+         |SELECT r.new_file_name, rd.code AS region_code, rd.name AS region_name,
+         |       r.new_file_name || '_' || rd.name || '.tif' AS clipped_name
+         |FROM (SELECT DISTINCT new_file_name FROM renamed) r
+         |CROSS JOIN (SELECT code, name FROM region_dim WHERE code <> '99') rd
+         |ORDER BY r.new_file_name, region_code""".stripMargin,
+
+    "q_s3_key" ->
+      s"""$W
+         |SELECT file_id, prefix,
+         |       CASE WHEN prefix <> '' THEN trim(prefix, '/') || '/' || zip_name
+         |            ELSE zip_name END AS object_key
+         |FROM (
+         |  SELECT file_id,
+         |         CASE CAST(file_id % 4 AS INT)
+         |           WHEN 0 THEN '/climate/grids/'
+         |           WHEN 1 THEN 'climate/grids'
+         |           WHEN 2 THEN '/'
+         |           ELSE '' END AS prefix,
+         |         base_name || '.zip' AS zip_name
+         |  FROM manifest
+         |) ORDER BY file_id""".stripMargin,
+
+    "q_zip_group" ->
+      s"""$W
+         |SELECT b.base_name || '.zip' AS zip_name, COUNT(*) AS n_entries,
+         |       string_agg(b.base_name || e.sidecar_ext, ',' ORDER BY b.base_name || e.sidecar_ext) AS entries
+         |FROM (SELECT DISTINCT base_name FROM manifest WHERE file_name LIKE '%.asc') b
+         |CROSS JOIN (SELECT unnest(${sidecarExts.mkString("['", "','", "']")}) AS sidecar_ext) e
+         |WHERE b.base_name || e.sidecar_ext NOT LIKE '%.lock'
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_product_catalog" ->
+      s"""$W, $renamedSql,
+         |catalog AS (
+         |  SELECT r.new_file_name || '_' || rd.name || '.tif' AS file_name
+         |  FROM (SELECT DISTINCT new_file_name FROM renamed) r
+         |  CROSS JOIN (SELECT code, name FROM region_dim WHERE code <> '99') rd
+         |),
+         |parsed AS (
+         |  SELECT file_name,
+         |         replace(split_part(file_name, '_', 1), '-', ' ') AS type_param,
+         |         split_part(file_name, '_', 2) AS statistic,
+         |         split_part(file_name, '_', 3) AS period_range,
+         |         split_part(file_name, '_', 4) AS month_season,
+         |         replace(split_part(split_part(file_name, '_', 5), '.', 1), '-', ' ') AS region_title,
+         |         split_part(file_name, '.', 1) AS file_stem
+         |  FROM catalog
+         |)
+         |SELECT file_name,
+         |       '/climate/grids/' || file_stem || '.zip' AS src,
+         |       'climate/grids' AS product_ref,
+         |       'Climatology Grid ' || type_param || ' (1991-2020), ' || month_season
+         |         || ', Region: ' || region_title AS title,
+         |       'This dataset comprises a 500m resolution grid of climatologic normals (averages) for: Parameter: '
+         |         || type_param || '; Statistic: ' || statistic || '; Period: ' || period_range
+         |         || '; ' || month_season || '; Region: ' || region_title AS description,
+         |       type_param AS parameter,
+         |       month_season AS period,
+         |       statistic AS statistic,
+         |       region_title AS region,
+         |       '1991-01-01T00:00:00Z' AS date_min,
+         |       '2020-12-31T00:00:00Z' AS date_max
+         |FROM parsed ORDER BY file_name""".stripMargin,
+  )
+}
