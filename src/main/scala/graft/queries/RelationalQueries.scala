@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Standard relational operator coverage (SURVEY.md §2.4–2.7: the
+  * categories the reference lacks entirely — equi/semi/anti joins,
+  * window functions, sorts/top-k, set operations, grouping sets,
+  * distinct aggregation) over the TPC-H-ish fixtures.
+  *
+  * Cross-engine determinism rules used throughout:
+  *   - double aggregates are `round(_, 2)` (both engines sum the same
+  *     IEEE doubles; rounding absorbs association-order ulps);
+  *   - every ORDER BY ends in a unique key;
+  *   - grouping-set null indicators are `coalesce`d to '(all)' so null
+  *     ordering semantics never differ;
+  *   - window frames are spelled out as ROWS, never left to the
+  *     RANGE default.
+  *
+  * Scale posture: all aggregations here are partial-aggregate (map-side
+  * combine) before the shuffle; joins against nation/region/supplier
+  * broadcast (dims); the only sort-heavy plans are the explicit top-k
+  * queries, which Spark executes as TakeOrderedAndProject (no global
+  * sort materialization).
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: wide hash aggregation with partial combine.
+    "q_agg_pricing" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_quantity")), 4).as("avg_qty"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // TPC-H Q3 shape: two equi joins + agg + top-k by revenue.
+    "q_join_topk" -> ((s, dir) => {
+      val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+        .join(li, ord("o_orderkey") === li("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Left semi join: suppliers that appear in lineitem (EXISTS).
+    "q_semi_join" -> ((s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val li = t(s, dir, "lineitem").select(col("l_suppkey"))
+      sup.join(li, sup("s_suppkey") === li("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
+    }),
+
+    // Left anti join: customers who never placed a large order
+    // (NOT EXISTS; the fixtures are dense, so plain "no orders" would be
+    // empty — the price predicate keeps the anti side non-degenerate).
+    "q_anti_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .select(col("o_custkey"))
+      cust.join(ord, cust("c_custkey") === ord("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .orderBy("c_custkey")
+    }),
+
+    // Window ranking with a deterministic tie-break; top-5 per group.
+    "q_window_rank" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast("bigint"))
+        .filter(col("rn") <= 5)
+        .select(col("o_orderpriority"), col("rn"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderpriority", "rn")
+    }),
+
+    // Sliding-frame running aggregate per partition (explicit ROWS frame).
+    "q_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 20)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(sum(col("l_quantity")).over(w), 2).as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
+    // ROLLUP over a dim-decoded join (nation is a broadcast dim).
+    "q_rollup" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation"))
+      val ord = t(s, dir, "orders")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .rollup(col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .select(
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("total_price"))
+        .orderBy("nation", "priority")
+    }),
+
+    // CUBE over lineitem flags.
+    "q_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("(all)")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("returnflag", "linestatus")),
+
+    // Exact distinct aggregation.
+    "q_count_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")),
+
+    // Approximate distinct (HLL) — algorithms differ across engines, so
+    // no SQL oracle; correctness bounded in the spec instead.
+    "q_approx_distinct" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+          approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+
+    // UNION / INTERSECT / EXCEPT in one result, tagged per branch.
+    "q_set_ops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+      val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+      val e = cn.except(sn).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e)
+        .select("op", "nationkey")
+        .orderBy("op", "nationkey")
+    }),
+
+    // Global top-k (TakeOrderedAndProject — no full sort at scale).
+    "q_orderby_limit" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .limit(20)),
+
+    // §2.7 date/time scalar surface incl. the reference's ISO-Z format
+    // (ETL.py:454–468) expressed natively.
+    "q_date_functions" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("bigint").as("order_year"),
+          month(col("o_orderdate")).cast("bigint").as("order_month"),
+          dayofmonth(col("o_orderdate")).cast("bigint").as("order_day"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("order_iso_z"))
+        .groupBy("order_year", "order_month")
+        .agg(count(lit(1)).as("n"), min(col("order_iso_z")).as("first_iso"))
+        .orderBy("order_year", "order_month")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_topk" ->
+      """SELECT o.o_orderkey, o.o_orderdate, o.o_orderpriority,
+        |       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+        |FROM customer c
+        |JOIN orders o ON c.c_custkey = o.o_custkey
+        |JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        |GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+        |ORDER BY revenue DESC, o.o_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_semi_join" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM supplier s
+        |WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin,
+
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name, c_nationkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o
+        |                  WHERE o.o_custkey = c.c_custkey
+        |                    AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_window_rank" ->
+      """SELECT o_orderpriority, rn, o_orderkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders
+        |)
+        |WHERE rn <= 5
+        |ORDER BY o_orderpriority, rn""".stripMargin,
+
+    "q_window_running" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       round(sum(l_quantity) OVER (
+        |         PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 20
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT coalesce(n_name, '(all)') AS nation,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS total_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY ROLLUP (n_name, o_orderpriority)
+        |ORDER BY nation, priority""".stripMargin,
+
+    "q_cube" ->
+      """SELECT coalesce(l_returnflag, '(all)') AS returnflag,
+        |       coalesce(l_linestatus, '(all)') AS linestatus,
+        |       count(*) AS n,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+
+    "q_count_distinct" ->
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT * FROM (
+        |  SELECT 'union' AS op, nationkey FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    UNION SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'intersect' AS op, nationkey FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    INTERSECT SELECT s_nationkey FROM supplier)
+        |  UNION ALL
+        |  SELECT 'except' AS op, nationkey FROM (
+        |    SELECT c_nationkey AS nationkey FROM customer
+        |    EXCEPT SELECT s_nationkey FROM supplier)
+        |) ORDER BY op, nationkey""".stripMargin,
+
+    "q_orderby_limit" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_date_functions" ->
+      """SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+        |       EXTRACT(month FROM o_orderdate) AS order_month,
+        |       count(*) AS n,
+        |       min(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')) AS first_iso
+        |FROM orders
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+  )
+}
