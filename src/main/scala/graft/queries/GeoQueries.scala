@@ -1,0 +1,149 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.GeoUdfs
+
+/** Geospatial operator queries (SURVEY.md §2.8) over deterministic
+  * synthetic NZTM geometries derived from the nation/customer keys, so
+  * the DuckDB oracle can recompute every figure arithmetically while
+  * the Spark side exercises the real JTS machinery (WKT parse,
+  * envelope, containment, ring walk).
+  *
+  * Geometry synthesis (both engines):
+  *   - per nation k: triangle A=(x0,y0), B=(x0+w, y0+h/2),
+  *     C=(x0+1000+100k, y0+h), with x0=1600000+9000k, y0=5000000+7000k,
+  *     w=3000+500k, h=2000+400k  (all integer-valued doubles → exact);
+  *   - per customer c: probe point (1600000 + (37c mod 250000) + 0.5,
+  *     5000000 + (53c mod 180000) + 0.5) — the 0.5 offsets guarantee no
+  *     point ever lies on an integer envelope boundary, so JTS's strict
+  *     interior semantics and the oracle's strict inequalities agree.
+  *
+  * Scale posture: regions are a broadcast dim (16–25 rows), so the
+  * spatial join is a BroadcastNestedLoopJoin with a cheap per-pair
+  * predicate — the same shape the parity pipeline needs (JOIN-3). For
+  * region counts beyond broadcast reach, the documented path is a grid
+  * cell key (floor(x/cell), floor(y/cell)) on both sides + equi-join on
+  * cell then exact predicate — turning the cross product into a
+  * shuffle-partitioned join (SURVEY.md §7.6.4); not needed at parity
+  * cardinalities.
+  */
+object GeoQueries {
+
+  /** nation rows + triangle vertex/envelope columns (closed form). */
+  private def nationTriangles(s: SparkSession, dir: String): DataFrame = {
+    val k = col("n_nationkey").cast("double")
+    s.read.parquet(s"$dir/nation.parquet")
+      .withColumn("x0", lit(1600000.0) + lit(9000.0) * k)
+      .withColumn("y0", lit(5000000.0) + lit(7000.0) * k)
+      .withColumn("w", lit(3000.0) + lit(500.0) * k)
+      .withColumn("h", lit(2000.0) + lit(400.0) * k)
+      .withColumn("apex_x", col("x0") + lit(1000.0) + lit(100.0) * k)
+      .withColumn("wkt", concat(
+        lit("POLYGON (("),
+        format_string("%.1f %.1f", col("x0"), col("y0")), lit(", "),
+        format_string("%.1f %.1f", col("x0") + col("w"), col("y0") + col("h") / 2), lit(", "),
+        format_string("%.1f %.1f", col("apex_x"), col("y0") + col("h")), lit(", "),
+        format_string("%.1f %.1f", col("x0"), col("y0")),
+        lit("))")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // OP-SP-4: envelope of each triangle via JTS (ETL.py:281).
+    "q_extent_envelope" -> ((s, dir) =>
+      nationTriangles(s, dir)
+        .withColumn("env", GeoUdfs.st_envelope(col("wkt")))
+        .select(col("n_nationkey"), col("n_name"),
+          col("env._1").as("xmin"), col("env._2").as("ymin"),
+          col("env._3").as("xmax"), col("env._4").as("ymax"))
+        .orderBy("n_nationkey")),
+
+    // OP-SP-6 + ETL.py:438: envelope→polygon→GeoJSON ring document.
+    "q_geojson_polygon" -> ((s, dir) =>
+      nationTriangles(s, dir)
+        .select(col("n_nationkey"),
+          GeoUdfs.st_envelope_geojson(col("wkt")).as("geojson"))
+        .orderBy("n_nationkey")),
+
+    // OP-SP-5: NZTM2000 → WGS84 corner reprojection. Not DuckDB-
+    // expressible (trig series) → no oracle; bounds asserted in
+    // TransformSpec against round-trip and NZ geography.
+    "q_reproject_4326" -> ((s, dir) =>
+      nationTriangles(s, dir)
+        .withColumn("env", GeoUdfs.st_envelope(col("wkt")))
+        .withColumn("ll", GeoUdfs.st_reproject_bbox(
+          col("env._1"), col("env._2"), col("env._3"), col("env._4")))
+        .select(col("n_nationkey"),
+          col("ll._1").as("lat_min"), col("ll._2").as("lon_min"),
+          col("ll._3").as("lat_max"), col("ll._4").as("lon_max"))
+        .orderBy("n_nationkey")),
+
+    // JOIN-3: spatial containment join — customer probe points ×
+    // broadcast nation triangles (BroadcastNestedLoopJoin, no shuffle).
+    "q_spatial_join" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          (lit(1600000.0) + (col("c_custkey") * 37 % 250000).cast("double") + lit(0.5)).as("px"),
+          (lit(5000000.0) + (col("c_custkey") * 53 % 180000).cast("double") + lit(0.5)).as("py"))
+      val tris = broadcast(nationTriangles(s, dir).select(col("n_nationkey"), col("wkt")))
+      pts.crossJoin(tris)
+        .filter(GeoUdfs.st_contains_point(col("wkt"), col("px"), col("py")))
+        .select(col("c_custkey"), col("n_nationkey"), col("px"), col("py"))
+        .orderBy("c_custkey", "n_nationkey")
+    }),
+  )
+
+  // Envelope corner ring order follows JTS GeometryFactory.toGeometry:
+  // (minX,minY) → (minX,maxY) → (maxX,maxY) → (maxX,minY) → close.
+  private val geojsonSql =
+    """'{"type": "Polygon", "coordinates": [[' ||
+      |  '[' || CAST(CAST(x0 AS DECIMAL(12,1)) AS VARCHAR) || ', ' || CAST(CAST(y0 AS DECIMAL(12,1)) AS VARCHAR) || '], ' ||
+      |  '[' || CAST(CAST(x0 AS DECIMAL(12,1)) AS VARCHAR) || ', ' || CAST(CAST(y0 + h AS DECIMAL(12,1)) AS VARCHAR) || '], ' ||
+      |  '[' || CAST(CAST(x0 + w AS DECIMAL(12,1)) AS VARCHAR) || ', ' || CAST(CAST(y0 + h AS DECIMAL(12,1)) AS VARCHAR) || '], ' ||
+      |  '[' || CAST(CAST(x0 + w AS DECIMAL(12,1)) AS VARCHAR) || ', ' || CAST(CAST(y0 AS DECIMAL(12,1)) AS VARCHAR) || '], ' ||
+      |  '[' || CAST(CAST(x0 AS DECIMAL(12,1)) AS VARCHAR) || ', ' || CAST(CAST(y0 AS DECIMAL(12,1)) AS VARCHAR) || ']' ||
+      |  ']]}'""".stripMargin
+
+  private val triCte =
+    """tri AS (
+      |  SELECT n_nationkey, n_name,
+      |         1600000.0 + 9000.0 * n_nationkey AS x0,
+      |         5000000.0 + 7000.0 * n_nationkey AS y0,
+      |         3000.0 + 500.0 * n_nationkey AS w,
+      |         2000.0 + 400.0 * n_nationkey AS h
+      |  FROM nation
+      |)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_extent_envelope" ->
+      s"""WITH $triCte
+         |SELECT n_nationkey, n_name, x0 AS xmin, y0 AS ymin,
+         |       x0 + w AS xmax, y0 + h AS ymax
+         |FROM tri ORDER BY n_nationkey""".stripMargin,
+
+    "q_geojson_polygon" ->
+      s"""WITH $triCte
+         |SELECT n_nationkey, $geojsonSql AS geojson
+         |FROM tri ORDER BY n_nationkey""".stripMargin,
+
+    "q_spatial_join" ->
+      s"""WITH $triCte,
+         |pts AS (
+         |  SELECT c_custkey,
+         |         1600000.0 + (c_custkey * 37 % 250000) + 0.5 AS px,
+         |         5000000.0 + (c_custkey * 53 % 180000) + 0.5 AS py
+         |  FROM customer
+         |)
+         |SELECT p.c_custkey, t.n_nationkey, p.px, p.py
+         |FROM pts p CROSS JOIN tri t
+         |WHERE -- strict point-in-triangle via half-plane sign tests
+         |      -- vertices: A=(x0,y0) B=(x0+w, y0+h/2) C=(x0+1000+100*n_nationkey, y0+h)
+         |      ((t.x0 + t.w - t.x0) * (p.py - t.y0) - (t.y0 + t.h/2 - t.y0) * (p.px - t.x0)) > 0
+         |  AND ((t.x0 + 1000 + 100*t.n_nationkey - (t.x0 + t.w)) * (p.py - (t.y0 + t.h/2))
+         |       - (t.y0 + t.h - (t.y0 + t.h/2)) * (p.px - (t.x0 + t.w))) > 0
+         |  AND ((t.x0 - (t.x0 + 1000 + 100*t.n_nationkey)) * (p.py - (t.y0 + t.h))
+         |       - (t.y0 - (t.y0 + t.h)) * (p.px - (t.x0 + 1000 + 100*t.n_nationkey))) > 0
+         |ORDER BY p.c_custkey, t.n_nationkey""".stripMargin,
+  )
+}
