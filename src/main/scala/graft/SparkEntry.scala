@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, GeoQueries, RelationalQueries}
+import graft.queries.{EtlQueries, GeoQueries, RasterQueries, RelationalQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,6 +17,7 @@ object SparkEntry {
       (EtlQueries.queries, EtlQueries.oracles),
       (RelationalQueries.queries, RelationalQueries.oracles),
       (GeoQueries.queries, GeoQueries.oracles),
+      (RasterQueries.queries, RasterQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.geo.Jts
+import graft.raster.{AsciiGrid, GridGen, RasterOps}
+
+/** Raster kernel queries (OP-SP-2/3, AGG-2): ASCII-grid parsing, per-
+  * grid statistics, and polygon clip-mask — the reference's
+  * CopyRaster/Clip pipeline re-expressed as typed columnar operators.
+  *
+  * Each query *parses grid text inside the plan* (GridGen.genText →
+  * AsciiGrid.parse in a UDF), exactly the shape a
+  * `spark.read.format("binaryFile")` source produces at scale: one
+  * row per raster, pixel work distributed per-file, no driver-side
+  * loops. The clip is one task per (grid × region) pair — the
+  * embarrassing parallelism the reference runs serially
+  * (BASELINE.md: 4 352 serial clip tasks).
+  */
+object RasterQueries {
+
+  private val statsUdf = udf { (text: String) =>
+    val s = RasterOps.stats(AsciiGrid.parse(text))
+    (s.nValid, s.nNodata, s.min, s.max, s.mean, s.stddev, s.sum)
+  }
+
+  private val clipStatsUdf = udf { (text: String, wkt: String) =>
+    val clipped = RasterOps.clip(AsciiGrid.parse(text), Jts.parseWkt(wkt))
+    val s = RasterOps.stats(clipped)
+    (clipped.ncols, clipped.nrows, s.nValid, s.nNodata, s.sum)
+  }
+
+  private val genTextUdf = udf { (k: Int) => GridGen.genText(k) }
+
+  /** nation + grid text + clip triangle WKT (same triangles as
+    * GeoQueries, same anchor as the grid).
+    */
+  private def gridsWithRegions(s: SparkSession, dir: String): DataFrame = {
+    val k = col("n_nationkey").cast("double")
+    s.read.parquet(s"$dir/nation.parquet")
+      .withColumn("grid_text", genTextUdf(col("n_nationkey")))
+      .withColumn("x0", lit(1600000.0) + lit(9000.0) * k)
+      .withColumn("y0", lit(5000000.0) + lit(7000.0) * k)
+      .withColumn("w", lit(3000.0) + lit(500.0) * k)
+      .withColumn("h", lit(2000.0) + lit(400.0) * k)
+      .withColumn("apex_x", col("x0") + lit(1000.0) + lit(100.0) * k)
+      .withColumn("wkt", concat(
+        lit("POLYGON (("),
+        format_string("%.1f %.1f", col("x0"), col("y0")), lit(", "),
+        format_string("%.1f %.1f", col("x0") + col("w"), col("y0") + col("h") / 2), lit(", "),
+        format_string("%.1f %.1f", col("apex_x"), col("y0") + col("h")), lit(", "),
+        format_string("%.1f %.1f", col("x0"), col("y0")),
+        lit("))")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // AGG-2: per-raster statistics (parse → single-pass stats).
+    "q_raster_stats" -> ((s, dir) =>
+      gridsWithRegions(s, dir)
+        .withColumn("st", statsUdf(col("grid_text")))
+        .select(col("n_nationkey"),
+          col("st._1").as("n_valid"), col("st._2").as("n_nodata"),
+          col("st._3").as("vmin"), col("st._4").as("vmax"),
+          round(col("st._5"), 4).as("vmean"),
+          round(col("st._6"), 4).as("vstddev"),
+          round(col("st._7"), 2).as("vsum"))
+        .orderBy("n_nationkey")),
+
+    // OP-SP-3: clip grid by triangle — crop to envelope, NODATA-mask
+    // cells whose center is outside the polygon interior.
+    "q_clip_raster" -> ((s, dir) =>
+      gridsWithRegions(s, dir)
+        .withColumn("cl", clipStatsUdf(col("grid_text"), col("wkt")))
+        .select(col("n_nationkey"),
+          col("cl._1").cast("bigint").as("ncols_out"),
+          col("cl._2").cast("bigint").as("nrows_out"),
+          col("cl._3").as("n_valid"), col("cl._4").as("n_nodata"),
+          round(col("cl._5"), 2).as("sum_valid"))
+        .orderBy("n_nationkey")),
+
+    // Cells as a relation: parse → posexplode → per-cell coordinates.
+    // The exploded form is what a grid-partitioned 100 TB spatial join
+    // keys on (cell → partition), so it's a first-class query.
+    "q_grid_cells" -> ((s, dir) => {
+      val parseCells = udf { (text: String) =>
+        val g = AsciiGrid.parse(text)
+        (0 until g.nrows * g.ncols).map { i =>
+          val r = i / g.ncols; val c = i % g.ncols
+          (i, g.centerX(c), g.centerY(r), g.value(r, c))
+        }
+      }
+      gridsWithRegions(s, dir)
+        .withColumn("cell", explode(parseCells(col("grid_text"))))
+        .select(col("n_nationkey"), col("cell._1").cast("bigint").as("cell_idx"),
+          col("cell._2").as("cx"), col("cell._3").as("cy"),
+          col("cell._4").as("value"))
+        .filter(col("value") =!= GridGen.Nodata)
+        .orderBy("n_nationkey", "cell_idx")
+    }),
+  )
+
+  /** Shared oracle CTE: the same cells by pure arithmetic. */
+  private val cellsCte =
+    """dims AS (
+      |  SELECT n_nationkey,
+      |         8 + n_nationkey % 5 AS nc,
+      |         6 + n_nationkey % 4 AS nr,
+      |         1600000.0 + 9000.0 * n_nationkey AS xll,
+      |         5000000.0 + 7000.0 * n_nationkey AS yll,
+      |         3000.0 + 500.0 * n_nationkey AS w,
+      |         2000.0 + 400.0 * n_nationkey AS h,
+      |         1000.0 + 100.0 * n_nationkey AS apex_off
+      |  FROM nation
+      |),
+      |cells AS (
+      |  SELECT n_nationkey, nc, nr, xll, yll, w, h, apex_off, i,
+      |         xll + ((i % nc) + 0.5) * 500.0 AS cx,
+      |         yll + (nr - (i // nc) - 0.5) * 500.0 AS cy,
+      |         CASE WHEN (13 * i + 7 * n_nationkey) % 11 = 0 THEN -9999.0
+      |              ELSE CAST((37 * i + 17 * n_nationkey) % 1000 AS DOUBLE) END AS value
+      |  FROM (SELECT *, unnest(generate_series(0, nc * nr - 1)) AS i FROM dims)
+      |)""".stripMargin
+
+  // strict half-plane point-in-triangle (same triangle as GeoQueries):
+  // A=(xll,yll) B=(xll+w, yll+h/2) C=(xll+apex_off, yll+h)
+  private val inTriangle =
+    """(  (w) * (cy - yll) - (h/2) * (cx - xll) > 0
+      |  AND (apex_off - w) * (cy - (yll + h/2)) - (h/2) * (cx - (xll + w)) > 0
+      |  AND (-apex_off) * (cy - (yll + h)) + h * (cx - (xll + apex_off)) > 0 )""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_raster_stats" ->
+      s"""WITH $cellsCte
+         |SELECT n_nationkey,
+         |       count(*) FILTER (WHERE value <> -9999.0) AS n_valid,
+         |       count(*) FILTER (WHERE value = -9999.0) AS n_nodata,
+         |       min(value) FILTER (WHERE value <> -9999.0) AS vmin,
+         |       max(value) FILTER (WHERE value <> -9999.0) AS vmax,
+         |       round(avg(value) FILTER (WHERE value <> -9999.0), 4) AS vmean,
+         |       round(stddev_samp(value) FILTER (WHERE value <> -9999.0), 4) AS vstddev,
+         |       round(sum(value) FILTER (WHERE value <> -9999.0), 2) AS vsum
+         |FROM cells GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
+    "q_clip_raster" ->
+      s"""WITH $cellsCte,
+         |cropped AS (
+         |  SELECT * FROM cells
+         |  WHERE cx > xll AND cx < xll + w AND cy > yll AND cy < yll + h
+         |)
+         |SELECT n_nationkey,
+         |       count(DISTINCT cx) AS ncols_out,
+         |       count(DISTINCT cy) AS nrows_out,
+         |       count(*) FILTER (WHERE value <> -9999.0 AND $inTriangle) AS n_valid,
+         |       count(*) - count(*) FILTER (WHERE value <> -9999.0 AND $inTriangle) AS n_nodata,
+         |       round(coalesce(sum(value) FILTER (WHERE value <> -9999.0 AND $inTriangle), 0.0), 2) AS sum_valid
+         |FROM cropped GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin,
+
+    "q_grid_cells" ->
+      s"""WITH $cellsCte
+         |SELECT n_nationkey, i AS cell_idx, cx, cy, value
+         |FROM cells WHERE value <> -9999.0
+         |ORDER BY n_nationkey, cell_idx""".stripMargin,
+  )
+}
