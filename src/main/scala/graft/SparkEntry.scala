@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EtlQueries, GeoQueries, RasterQueries, RelationalQueries}
+import graft.queries.{DedupQueries, EtlQueries, GeoQueries, MultimodalQueries, RasterQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -18,6 +18,10 @@ object SparkEntry {
       (RelationalQueries.queries, RelationalQueries.oracles),
       (GeoQueries.queries, GeoQueries.oracles),
       (RasterQueries.queries, RasterQueries.oracles),
+      (DedupQueries.queries, DedupQueries.oracles),
+      (SimilarityQueries.queries, SimilarityQueries.oracles),
+      (TextQueries.queries, TextQueries.oracles),
+      (MultimodalQueries.queries, MultimodalQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

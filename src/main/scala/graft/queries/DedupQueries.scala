@@ -1,0 +1,212 @@
+package graft.queries
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.text.Corpus
+
+/** Deduplication operators for training-data pipelines, over the
+  * deterministic re-crawl corpus (Corpus.withDuplicates):
+  *
+  *   - exact dedup: content-hash group-by — at 100 TB this is THE
+  *     canonical shuffle-on-hash; map-side it's a projection, the only
+  *     exchange is on the 128-bit digest;
+  *   - n-gram Jaccard: shingle-set similarity verified pairwise (here
+  *     on known candidate pairs — the bounded O(N) verification stage);
+  *   - MinHash + LSH banding: the scale path that FINDS candidates
+  *     without all-pairs — signatures are 8 md5-minima over shingles,
+  *     banded 4×2; only same-band-bucket pairs are verified. md5 is
+  *     the hash in both engines, so the DuckDB oracle reproduces
+  *     signatures bit-for-bit;
+  *   - SimHash (16-bit here): per-token md5 bits vote per position;
+  *     near-dups land at small Hamming distance.
+  */
+object DedupQueries {
+
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private val simhash16Udf = udf { (text: String) =>
+    val counts = new Array[Int](16)
+    text.split(" ").foreach { tok =>
+      val v = Integer.parseInt(md5Hex(tok).substring(0, 4), 16)
+      var j = 0
+      while (j < 16) {
+        if (((v >> j) & 1) == 1) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+    }
+    (0 until 16).map(j => if (counts(j) > 0) 1L << j else 0L).sum
+  }
+
+  /** MinHash subset: every 5th doc, with a near-twin for every 10th —
+    * bounds signature work to 20% of the corpus at any sf.
+    */
+  private def minhashDocs(s: SparkSession, dir: String): DataFrame = {
+    val docs = s.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 5 === 0)
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 1000000L).as("doc_id"),
+          concat(col("text"), lit(" zzz tail")).as("text")))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: group by content hash, keep the smallest id.
+    "q_dedup_exact" -> ((s, dir) =>
+      Corpus.withDuplicates(s, dir)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
+        .orderBy("survivor_id")),
+
+    // n-gram Jaccard between each base doc and its near-twin.
+    "q_dedup_ngram" -> ((s, dir) => {
+      val corpus = Corpus.withDuplicates(s, dir)
+        .withColumn("sh", Corpus.shingles("text"))
+      val base = corpus.filter(col("doc_id") % 3 === 0 && col("doc_id") < 1000000)
+        .select(col("doc_id").as("base_id"), col("sh").as("sh_a"))
+      val twin = corpus.filter(col("doc_id") >= 1000000 && col("doc_id") < 2000000)
+        .select((col("doc_id") - 1000000L).as("base_id"),
+          col("doc_id").as("twin_id"), col("sh").as("sh_b"))
+      base.join(twin, "base_id")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .select(col("base_id"), col("twin_id"), col("jaccard"),
+          (col("jaccard") >= 0.5).as("is_near_dup"))
+        .orderBy("base_id")
+    }),
+
+    // MinHash signatures → LSH bands → candidate pairs → verify.
+    "q_dedup_minhash" -> ((s, dir) => {
+      import s.implicits._
+      val docs = minhashDocs(s, dir)
+      val sh = docs.select(col("doc_id"), explode(Corpus.shingles("text")).as("shingle"))
+      val seeds = (0 to 7).toDF("seed")
+      val sig = sh.crossJoin(broadcast(seeds))
+        .groupBy("doc_id", "seed")
+        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("h"))
+        .groupBy("doc_id")
+        .pivot("seed", 0 to 7)
+        .agg(first(col("h")))
+      val bands = sig.select(col("doc_id"), expr(
+        "stack(4, 0, md5(concat(`0`,`1`)), 1, md5(concat(`2`,`3`)), " +
+          "2, md5(concat(`4`,`5`)), 3, md5(concat(`6`,`7`))) AS (band, bkey)"))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
+      cands
+        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .withColumn("jaccard", round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4))
+        .filter(col("jaccard") >= 0.5)
+        .select("id_a", "id_b", "jaccard")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // 16-bit SimHash per subset doc (full 64-bit is the same loop with
+    // a wider accumulator; 16 bits keeps the oracle SQL tractable).
+    "q_dedup_simhash" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), simhash16Udf(col("text")).as("simhash16"))
+        .orderBy("doc_id")),
+  )
+
+  // ---- oracles -----------------------------------------------------
+
+  private val hexVal: String => String = c =>
+    s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+      s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+      s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+      s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+
+  private val jaccardSql =
+    "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)"
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      s"""WITH ${Corpus.corpusCte}
+         |SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
+         |       count(*) AS n_copies
+         |FROM corpus GROUP BY md5(text) ORDER BY survivor_id""".stripMargin,
+
+    "q_dedup_ngram" ->
+      s"""WITH ${Corpus.corpusCte},
+         |sets AS (SELECT doc_id, ${Corpus.shinglesSql} AS sh FROM corpus)
+         |SELECT sa.doc_id AS base_id, sb.doc_id AS twin_id,
+         |       $jaccardSql AS jaccard,
+         |       $jaccardSql >= 0.5 AS is_near_dup
+         |FROM sets sa JOIN sets sb ON sb.doc_id = sa.doc_id + 1000000
+         |WHERE sa.doc_id % 3 = 0 AND sa.doc_id < 1000000
+         |ORDER BY base_id""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""WITH msub AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zzz tail' FROM documents WHERE doc_id % 10 = 0
+         |),
+         |msh AS (SELECT doc_id, unnest(${Corpus.shinglesSql.replace("text", "msub.text")}) AS shingle FROM msub),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM msh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+         |  GROUP BY doc_id, seed
+         |),
+         |sig AS (
+         |  SELECT doc_id,
+         |         min(CASE WHEN seed = 0 THEN h END) AS s0, min(CASE WHEN seed = 1 THEN h END) AS s1,
+         |         min(CASE WHEN seed = 2 THEN h END) AS s2, min(CASE WHEN seed = 3 THEN h END) AS s3,
+         |         min(CASE WHEN seed = 4 THEN h END) AS s4, min(CASE WHEN seed = 5 THEN h END) AS s5,
+         |         min(CASE WHEN seed = 6 THEN h END) AS s6, min(CASE WHEN seed = 7 THEN h END) AS s7
+         |  FROM mh GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |sets AS (SELECT doc_id, ${Corpus.shinglesSql.replace("text", "msub.text")} AS sh FROM msub)
+         |SELECT id_a, id_b, jaccard FROM (
+         |  SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         |  FROM cand c
+         |  JOIN sets sa ON sa.doc_id = c.id_a
+         |  JOIN sets sb ON sb.doc_id = c.id_b
+         |)
+         |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_simhash" ->
+      s"""WITH ssub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM ssub),
+         |tv AS (
+         |  SELECT doc_id,
+         |         ${hexVal("substr(md5(tok), 1, 1)")} * 4096 +
+         |         ${hexVal("substr(md5(tok), 2, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 3, 1)")} * 16 +
+         |         ${hexVal("substr(md5(tok), 4, 1)")} AS v
+         |  FROM toks
+         |),
+         |bits AS (
+         |  SELECT doc_id, j, sum(2 * ((v >> j) & 1) - 1) AS s
+         |  FROM tv CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS j)
+         |  GROUP BY doc_id, j
+         |)
+         |SELECT doc_id,
+         |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash16
+         |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

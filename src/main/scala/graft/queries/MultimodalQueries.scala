@@ -1,0 +1,86 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.multimodal.MultimodalOps
+
+/** Multimodal-column queries: `documents.text` bytes stand in for
+  * media blobs (binary column), with the decode stubbed
+  * deterministically (MultimodalOps) so the plumbing — binary casts,
+  * typed Dataset mapPartitions batch decode, frame-sample explode —
+  * is real and oracle-checkable.
+  *
+  * Scale shape: decode runs per-partition over an iterator (exactly
+  * the batch shape a vectorized/pandas-style decoder needs); frame
+  * sampling is a generator (explode) keyed by the blob row — no
+  * shuffle until the final aggregate.
+  */
+object MultimodalQueries {
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // binary column + typed batch decode (mapPartitions, stub codec).
+    "q_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions(_.map { case (id, bytes) =>
+        MultimodalOps.decodeImageStub(id, bytes)
+      }).toDF()
+        .select(col("doc_id"), col("byte_len"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("channels").cast("bigint").as("channels"),
+          col("format"),
+          col("n_frames").cast("bigint").as("n_frames"))
+        .orderBy("doc_id")
+    }),
+
+    // frame sampling: every 2nd frame of each blob, as a generator.
+    "q_frame_sample" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions(_.map { case (id, bytes) =>
+        MultimodalOps.decodeImageStub(id, bytes)
+      }).toDF()
+        .withColumn("frame_idx",
+          explode(sequence(lit(0), col("n_frames") - 1)))
+        .filter(col("frame_idx") % 2 === 0)
+        .select(col("doc_id"), col("frame_idx").cast("bigint").as("frame_idx"),
+          (col("frame_idx") * 256).cast("bigint").as("byte_offset"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+  )
+
+  private val hexVal: String => String = c =>
+    s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+      s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+      s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+      s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+
+  val oracles: Map[String, String] = Map(
+    "q_multimodal_meta" ->
+      s"""SELECT doc_id,
+         |       length(text) AS byte_len,
+         |       CAST(16 + ${hexVal("substr(md5(text), 1, 1)")} AS BIGINT) AS width,
+         |       CAST(16 + ${hexVal("substr(md5(text), 2, 1)")} AS BIGINT) AS height,
+         |       CAST(1 + ${hexVal("substr(md5(text), 3, 1)")} % 4 AS BIGINT) AS channels,
+         |       CASE WHEN ${hexVal("substr(md5(text), 4, 1)")} < 8 THEN 'png' ELSE 'jpeg' END AS format,
+         |       length(text) // 256 + 1 AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_frame_sample" ->
+      """WITH meta AS (
+        |  SELECT doc_id, length(text) // 256 + 1 AS n_frames FROM documents
+        |),
+        |frames AS (
+        |  SELECT doc_id, unnest(generate_series(0, n_frames - 1)) AS frame_idx FROM meta
+        |)
+        |SELECT doc_id, frame_idx, frame_idx * 256 AS byte_offset
+        |FROM frames WHERE frame_idx % 2 = 0
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+  )
+}

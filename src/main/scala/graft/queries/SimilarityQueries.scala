@@ -1,0 +1,181 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` fixture (64-dim float
+  * vectors).
+  *
+  * Three operators:
+  *   - brute-force cosine top-k (the correctness baseline): queries ×
+  *     candidates with a codegen'd `zip_with`/`aggregate` dot product —
+  *     no UDF, stays inside whole-stage codegen;
+  *   - LSH-bucketed top-k (the scale path): 8 deterministic pseudo-
+  *     random hyperplanes → 8-bit bucket; candidates searched only
+  *     within the query's bucket. At 100 TB the bucket is the shuffle/
+  *     partition key and each bucket's search is local — this query is
+  *     that plan at fixture scale;
+  *   - embedding near-dup detection: exact-copy injection (like
+  *     Corpus.withDuplicates) → LSH bucket → within-bucket pairwise
+  *     cosine ≥ 0.99. Buckets bound the pair blow-up exactly the way
+  *     banding does for MinHash.
+  *
+  * Cross-engine determinism: dots/norms are computed on
+  * float→double-cast values; similarities round to 4 decimals BEFORE
+  * ranking; rank ties break on vec_id.
+  */
+object SimilarityQueries {
+
+  /** Codegen'd dot product of two float-array columns (as doubles). */
+  private def dot(a: String, b: String): Column = expr(
+    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
+      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+
+  private def norm(a: String): Column = sqrt(dot(a, a))
+
+  /** 8-bit hyperplane bucket: bit j set iff
+    * Σ_d w(j,d)·e[d] > 0 with w(j,d) = +1 if ((j·64+d)·37) mod 97 < 48
+    * else −1 (d 0-based). Pure arithmetic → oracle-reproducible.
+    */
+  private def bucket(e: String): Column = expr(
+    s"""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
+       |  acc + IF(
+       |    aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (s, d) ->
+       |      s + IF(((j * 64 + d) * 37) % 97 < 48, CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))
+       |          * CAST(element_at($e, d + 1) AS DOUBLE)) > 0,
+       |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Brute-force cosine top-3 per query vector.
+    "q_ann_cosine" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").as("ce"))
+      val scored = q.crossJoin(c)
+        .withColumn("sim", round(
+          dot("qe", "ce") / (norm("qe") * norm("ce")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "sim")
+        .orderBy("query_id", "rank")
+    }),
+
+    // LSH-bucketed top-2: candidates restricted to the query's bucket.
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir).withColumn("bucket", bucket("embedding"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("bucket"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").as("ce"), col("bucket"))
+      val scored = q.join(c, "bucket")
+        .withColumn("sim", round(
+          dot("qe", "ce") / (norm("qe") * norm("ce")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 2)
+        .select(col("query_id"), col("bucket"), col("rank"), col("vec_id"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
+    // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
+    // found via bucket-blocked pairwise cosine ≥ 0.99.
+    "q_embedding_near_dup" -> ((s, dir) => {
+      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+      val copies = base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+      val corpus = base.unionByName(copies)
+        .withColumn("bucket", bucket("embedding"))
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+      a.join(b, "bucket")
+        .filter(col("id_a") < col("id_b"))
+        .withColumn("sim", round(
+          dot("ea", "eb") / (norm("ea") * norm("eb")), 4))
+        .filter(col("sim") >= 0.99)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  // ---- oracles -----------------------------------------------------
+
+  // constant 64-dim bound: DuckDB's generate_series table function
+  // cannot take correlated (lateral) arguments like len($a)
+  private val dotSql: (String, String) => String = (a, b) =>
+    s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) t(i))"
+
+  private def bucketSql(e: String): String =
+    s"""(SELECT CAST(sum(CASE WHEN (
+       |   SELECT sum(CASE WHEN ((j * 64 + d.i - 1) * 37) % 97 < 48 THEN 1.0 ELSE -1.0 END
+       |              * CAST($e[d.i] AS DOUBLE))
+       |   FROM generate_series(1, 64) d(i)) > 0
+       |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
+       | FROM generate_series(0, 7) jt(j))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ann_cosine" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT q.query_id, c.vec_id,
+         |         round(${dotSql("qe", "ce")} /
+         |               (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})), 4) AS sim
+         |  FROM q CROSS JOIN c
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, vec_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH eb AS (
+         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+         |),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM eb WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS ce, bucket FROM eb WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT q.query_id, q.bucket, c.vec_id,
+         |         round(${dotSql("qe", "ce")} /
+         |               (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})), 4) AS sim
+         |  FROM q JOIN c ON q.bucket = c.bucket
+         |),
+         |ranked AS (
+         |  SELECT query_id, bucket, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, bucket, rank, vec_id, sim FROM ranked
+         |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_near_dup" ->
+      s"""WITH corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 7 = 0
+         |),
+         |eb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
+         |SELECT id_a, id_b, sim FROM (
+         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |         round(${dotSql("a.embedding", "b.embedding")} /
+         |               (sqrt(${dotSql("a.embedding", "a.embedding")}) *
+         |                sqrt(${dotSql("b.embedding", "b.embedding")})), 4) AS sim
+         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |)
+         |WHERE sim >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+  )
+}

@@ -1,0 +1,158 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines over
+  * `documents`: language-ID heuristic, quality scoring, token counting
+  * (whitespace + regex), and rolling-hash document fingerprinting.
+  *
+  * All but the fingerprint are pure `functions._` plans (codegen'd,
+  * no UDF); the per-doc work is embarrassingly parallel and the only
+  * exchanges are the final small aggregations — the shapes survive
+  * 100 TB unchanged.
+  */
+object TextQueries {
+
+  private val stopwords = Seq("the", "a", "of", "and", "in")
+
+  private def toks(c: String) = s"split($c, ' ')"
+
+  /** count of tokens equal to the literal `w` (codegen'd lambda). */
+  private def tokCount(c: String, w: String) =
+    expr(s"size(filter(${toks(c)}, t -> t = '$w'))")
+
+  private def stopCount(c: String) =
+    expr(s"size(filter(${toks(c)}, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))")
+
+  /** Winnowing fingerprints: polynomial rolling hash (base 131, mod
+    * 2^31−1) over char 5-grams, min in each sliding window of 4 —
+    * the standard local fingerprinting scheme (as in MOSS). Real
+    * implementation; not SQL-expressible → no oracle, spec-tested.
+    */
+  def fingerprints(text: String): Array[Int] = {
+    val k = 5; val w = 4
+    val n = text.length
+    if (n < k) return Array.empty
+    val mod = 2147483647L
+    val hashes = new Array[Long](n - k + 1)
+    var i = 0
+    while (i + k <= n) {
+      var h = 0L
+      var j = 0
+      while (j < k) { h = (h * 131 + text.charAt(i + j)) % mod; j += 1 }
+      hashes(i) = h
+      i += 1
+    }
+    val selected = collection.mutable.SortedSet.empty[Long]
+    var s = 0
+    while (s + w <= hashes.length) {
+      var m = hashes(s); var t = 1
+      while (t < w) { if (hashes(s + t) < m) m = hashes(s + t); t += 1 }
+      selected += m
+      s += 1
+    }
+    selected.toArray.map(_.toInt)
+  }
+
+  private val fingerprintUdf = udf { (text: String) =>
+    val fp = fingerprints(text)
+    (fp.length.toLong,
+      if (fp.isEmpty) 0L else fp.min.toLong,
+      if (fp.isEmpty) 0L else fp.max.toLong,
+      fp.foldLeft(0L)((acc, h) => (acc + h) % 1000000007L))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Language-ID heuristic: English-marker token density.
+    "q_lang_id" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_tokens", expr(s"size(${toks("text")})").cast("bigint"))
+        .withColumn("n_markers",
+          (tokCount("text", "the") + tokCount("text", "a")).cast("bigint"))
+        .withColumn("predicted",
+          when(col("n_markers").cast("double") / col("n_tokens") > 0.05, lit("en"))
+            .otherwise(lit("other")))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_markers").cast("double") / col("n_tokens")), 4).as("avg_marker_ratio"))
+        .orderBy("lang", "predicted")),
+
+    // Quality scoring: length/stopword/token-shape features.
+    "q_text_quality" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("n_tokens", expr(s"size(${toks("text")})").cast("bigint"))
+        .withColumn("n_chars_actual", length(col("text")).cast("bigint"))
+        .withColumn("n_stop", stopCount("text").cast("bigint"))
+        .withColumn("stopword_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens"), 4))
+        .withColumn("avg_token_len", round(
+          (col("n_chars_actual") - col("n_tokens") + 1).cast("double") / col("n_tokens"), 4))
+        .withColumn("quality", round(
+          least(lit(1.0), col("n_stop").cast("double") / col("n_tokens") * 2
+            + lit(1.0) / (lit(1.0) + abs((col("n_chars_actual") - col("n_tokens") + 1).cast("double") / col("n_tokens") - 5))), 4))
+        .select("doc_id", "n_tokens", "stopword_ratio", "avg_token_len", "quality")
+        .orderBy("doc_id")),
+
+    // Token counting: whitespace tokens + BPE-ish regex token count.
+    "q_token_count" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("ws_tokens", expr(s"size(${toks("text")})").cast("bigint"))
+        .withColumn("re_tokens",
+          regexp_count(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]")).cast("bigint"))
+        .withColumn("chars_per_token",
+          round(length(col("text")).cast("double") / col("ws_tokens"), 4))
+        .select("doc_id", "ws_tokens", "re_tokens", "chars_per_token")
+        .orderBy("doc_id")),
+
+    // Winnowing fingerprint summary per doc (no oracle: UDF sketch).
+    "q_doc_fingerprint" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
+        .select(col("doc_id"), col("fp._1").as("n_fingerprints"),
+          col("fp._2").as("fp_min"), col("fp._3").as("fp_max"),
+          col("fp._4").as("fp_checksum"))
+        .orderBy("doc_id")),
+  )
+
+  private val stopList = stopwords.map("'" + _ + "'").mkString(",")
+
+  val oracles: Map[String, String] = Map(
+    "q_lang_id" ->
+      s"""WITH feats AS (
+         |  SELECT lang,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         len(list_filter(string_split(text, ' '), t -> t = 'the'))
+         |           + len(list_filter(string_split(text, ' '), t -> t = 'a')) AS n_markers
+         |  FROM documents
+         |)
+         |SELECT lang,
+         |       CASE WHEN n_markers * 1.0 / n_tokens > 0.05 THEN 'en' ELSE 'other' END AS predicted,
+         |       count(*) AS n_docs,
+         |       round(avg(n_markers * 1.0 / n_tokens), 4) AS avg_marker_ratio
+         |FROM feats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_quality" ->
+      s"""WITH feats AS (
+         |  SELECT doc_id,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         length(text) AS n_chars_actual,
+         |         len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop
+         |  FROM documents
+         |)
+         |SELECT doc_id, n_tokens,
+         |       round(n_stop * 1.0 / n_tokens, 4) AS stopword_ratio,
+         |       round((n_chars_actual - n_tokens + 1) * 1.0 / n_tokens, 4) AS avg_token_len,
+         |       round(least(1.0, n_stop * 1.0 / n_tokens * 2
+         |         + 1.0 / (1.0 + abs((n_chars_actual - n_tokens + 1) * 1.0 / n_tokens - 5))), 4) AS quality
+         |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS ws_tokens,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
+        |       round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared corpus constructions for the dedup/text operators.
+  *
+  * The `documents` fixture contains no duplicates (500 distinct texts
+  * at sf0.01), so dedup queries operate on a deterministic "re-crawl"
+  * corpus both engines can rebuild:
+  *   - every doc_id % 4 == 0 gains an EXACT copy   (id + 2,000,000)
+  *   - every doc_id % 3 == 0 gains a NEAR copy     (id + 1,000,000,
+  *     text ⊕ " zzz tail")
+  * This mirrors real training-data pipelines, where dedup keys on
+  * content hashes/shingles across crawls, not on row identity.
+  */
+object Corpus {
+
+  /** doc_id, text, with exact + near duplicates injected. */
+  def withDuplicates(spark: SparkSession, dir: String): DataFrame = {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    val exactCopies = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 2000000L).as("doc_id"), col("text"))
+    val nearCopies = docs.filter(col("doc_id") % 3 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        concat(col("text"), lit(" zzz tail")).as("text"))
+    docs.unionByName(exactCopies).unionByName(nearCopies)
+  }
+
+  /** Matching DuckDB CTE. */
+  val corpusCte: String =
+    """corpus AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 4 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, text || ' zzz tail' FROM documents WHERE doc_id % 3 = 0
+      |)""".stripMargin
+
+  /** Token 3-gram shingle array (distinct) of the named text column.
+    * Guarded with CASE: Spark's `sequence(1, 0)` is a DESCENDING
+    * sequence, not empty, so short texts need the explicit branch.
+    */
+  def shingles(textCol: String): Column = expr(
+    s"""CASE WHEN size(split($textCol, ' ')) < 3 THEN array()
+       |ELSE array_distinct(transform(
+       |  sequence(1, size(split($textCol, ' ')) - 2),
+       |  i -> concat_ws(' ', element_at(split($textCol, ' '), i),
+       |                 element_at(split($textCol, ' '), i + 1),
+       |                 element_at(split($textCol, ' '), i + 2))))
+       |END""".stripMargin)
+
+  /** Same shingle list in DuckDB SQL (references a `text` column in
+    * scope; DuckDB's generate_series(1,0) is empty, no guard needed).
+    */
+  val shinglesSql: String =
+    """list_distinct(list_transform(
+      |  generate_series(1, greatest(len(string_split(text, ' ')) - 2, 0)),
+      |  i -> string_split(text, ' ')[i] || ' ' || string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+      |))""".stripMargin
+}

@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, MultimodalQueries, SimilarityQueries, TextQueries}
+
+class LlmOpsSpec extends SparkSpecBase {
+
+  test("every dedup/similarity/text/multimodal query runs with rows at sf0.001") {
+    (DedupQueries.queries ++ SimilarityQueries.queries ++
+      TextQueries.queries ++ MultimodalQueries.queries).foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("exact dedup collapses injected copies") {
+    val df = DedupQueries.queries("q_dedup_exact")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet").count()
+    val nearCopies = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).count()
+    // distinct contents = originals + near-copies (distinct text each)
+    assert(df.count() == docs + nearCopies)
+    // every doc_id % 4 == 0 text has exactly 2 copies
+    val dups = df.filter(col("n_copies") === 2).count()
+    val expected = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 4 === 0).count()
+    assert(dups == expected, s"dups=$dups expected=$expected")
+  }
+
+  test("near-twin Jaccard is high and flagged") {
+    val df = DedupQueries.queries("q_dedup_ngram")(spark, sf)
+    assert(df.filter(!col("is_near_dup")).count() == 0,
+      "every appended-tail twin should clear the 0.5 threshold")
+    val minJ = df.agg(min(col("jaccard"))).head().getDouble(0)
+    assert(minJ >= 0.6, s"twin jaccard unexpectedly low: $minJ")
+  }
+
+  test("minhash LSH finds every injected twin pair") {
+    val pairs = DedupQueries.queries("q_dedup_minhash")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val twins = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .collect().map(r => r.getAs[Long]("doc_id"))
+      .map(id => (id, id + 1000000L)).toSet
+    // banding with 4 bands × 2 rows at jaccard ~0.95 → p(detect) ≈ 1
+    assert(twins.subsetOf(pairs),
+      s"missing twin pairs: ${twins -- pairs}")
+  }
+
+  test("simhash of identical text is identical; twin hamming is small") {
+    import spark.implicits._
+    val sh = Seq((0L, "alpha beta gamma delta epsilon"),
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zzz tail"))
+      .toDF("doc_id", "text")
+    // reuse the query's udf indirectly: simhash must be deterministic
+    val q = DedupQueries.queries("q_dedup_simhash")(spark, sf)
+    val vals = q.limit(5).collect().map(_.getAs[Long]("simhash16"))
+    val vals2 = q.limit(5).collect().map(_.getAs[Long]("simhash16"))
+    assert(vals.sameElements(vals2))
+    assert(vals.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("brute-force and LSH top-k agree inside the query's bucket") {
+    val brute = SimilarityQueries.queries("q_ann_cosine")(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim")).toMap
+    val lsh = SimilarityQueries.queries("q_ann_lsh")(spark, sf)
+      .filter(col("rank") === 1).collect()
+      .map(r => r.getAs[Long]("query_id") -> r.getAs[Double]("sim")).toMap
+    // LSH searches a subset → its best sim can never exceed brute force
+    lsh.foreach { case (q, sim) =>
+      assert(sim <= brute.getOrElse(q, Double.MaxValue) + 1e-9)
+    }
+  }
+
+  test("embedding near-dup finds exactly the injected copies") {
+    val pairs = SimilarityQueries.queries("q_embedding_near_dup")(spark, sf)
+      .collect()
+    val copies = spark.read.parquet(s"$sf/embeddings.parquet")
+      .filter(col("vec_id") % 7 === 0).count()
+    assert(pairs.length == copies,
+      s"expected $copies exact-copy pairs, got ${pairs.length}")
+    pairs.foreach { r =>
+      assert(r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000L)
+      assert(r.getAs[Double]("sim") >= 0.9999)
+    }
+  }
+
+  test("fingerprints overlap heavily between a text and its tail-extended twin") {
+    val base = "the quick brown fox jumps over the lazy dog again and again and again"
+    val twin = base + " zzz"
+    val a = TextQueries.fingerprints(base).toSet
+    val b = TextQueries.fingerprints(twin).toSet
+    val jac = a.intersect(b).size.toDouble / a.union(b).size
+    assert(jac > 0.8, s"fingerprint jaccard $jac")
+    assert(TextQueries.fingerprints(base).sameElements(TextQueries.fingerprints(base)))
+  }
+
+  test("multimodal meta is stable and dimension-bounded") {
+    val df = MultimodalQueries.queries("q_multimodal_meta")(spark, sf)
+    df.collect().foreach { r =>
+      val w = r.getAs[Long]("width"); val h = r.getAs[Long]("height")
+      assert(w >= 16 && w <= 31 && h >= 16 && h <= 31)
+      assert(Set("png", "jpeg").contains(r.getAs[String]("format")))
+    }
+  }
+
+  test("frame sample contains only even frames within bounds") {
+    val meta = MultimodalQueries.queries("q_multimodal_meta")(spark, sf)
+      .select(col("doc_id"), col("n_frames")).collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_frames")).toMap
+    MultimodalQueries.queries("q_frame_sample")(spark, sf).collect().foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val f = r.getAs[Long]("frame_idx")
+      assert(f % 2 == 0 && f < meta(id))
+    }
+  }
+}
