@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{DedupQueries, EtlQueries, GeoQueries, MultimodalQueries, RasterQueries, RelationalQueries, SimilarityQueries, TextQueries}
+import graft.queries.{DedupQueries, EtlQueries, EventQueries, GeoQueries, MultimodalQueries, RasterQueries, RelationalQueries, SimilarityQueries, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,6 +22,7 @@ object SparkEntry {
       (SimilarityQueries.queries, SimilarityQueries.oracles),
       (TextQueries.queries, TextQueries.oracles),
       (MultimodalQueries.queries, MultimodalQueries.oracles),
+      (EventQueries.queries, EventQueries.oracles),
     )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

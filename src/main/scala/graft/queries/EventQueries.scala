@@ -1,0 +1,99 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Event-time windowed aggregations over `events` (SURVEY.md §2.9 —
+  * absent from the reference; §7.5 extension surface): tumbling,
+  * sliding, and session windows, batch-first (the same `window()`/
+  * `session_window()` operators run unchanged under Structured
+  * Streaming — see graft.streaming and StreamingSpec).
+  *
+  * Cross-engine note: the fixture's timestamps carry real NANOsecond
+  * components; Spark truncates parquet ns → µs while DuckDB keeps ns.
+  * Raw timestamps therefore never appear in output — windows are
+  * emitted as epoch-second longs (truncation by <1 µs can never cross
+  * a whole-second boundary, so both engines agree).
+  */
+object EventQueries {
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    graft.sources.EventSource.batch(s, dir)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Tumbling 1-hour windows per event type.
+    "q_window_tumbling" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start_s"),
+          col("event_type"), col("n"), col("sum_value"))
+        .orderBy("window_start_s", "event_type")),
+
+    // Sliding 2-hour windows every hour (each event lands in 2 windows).
+    // Emits the DECIMAL-exact sum, not the mean: fixture values have 2
+    // decimals, so per-window means land EXACTLY on .xxx5 rounding
+    // boundaries where Spark's and DuckDB's round() legitimately
+    // disagree (seen at sf0.01: 47.07075 → 47.0707 vs 47.0708).
+    "q_window_sliding" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(24,6)")).cast("double").as("sum_value"))
+        .select(unix_timestamp(col("w.start")).as("window_start_s"),
+          col("n"), col("sum_value"))
+        .orderBy("window_start_s")),
+
+    // Session windows: 30-minute inactivity gap per user.
+    "q_window_session" -> ((s, dir) =>
+      ev(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("w.start")).as("session_start_s"),
+          (unix_timestamp(col("w.end")) - 1800).as("session_end_s"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_s")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_window_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_window_sliding" ->
+      """WITH assigned AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 - off AS BIGINT) AS window_start_s,
+        |         value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 3600]) AS off)
+        |)
+        |SELECT window_start_s, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // gaps-and-islands sessionization: new session when the gap from
+    // the previous event (per user) exceeds 30 minutes
+    "q_window_session" ->
+      """WITH ordered AS (
+        |  SELECT user_id, ts, value,
+        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE OR
+        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS is_new
+        |  FROM events
+        |),
+        |sess AS (
+        |  SELECT user_id, ts, value,
+        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM ordered
+        |)
+        |SELECT user_id,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
+  )
+}

@@ -1,0 +1,74 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming surface (SURVEY.md §2.9/§7.5 stretch): the
+  * batch event-time operators re-run as streams, plus a custom
+  * stateful operator via mapGroupsWithState.
+  *
+  * Design: every builder takes a *source* DataFrame, so the identical
+  * plan runs batch (read.parquet) or streaming (readStream.parquet) —
+  * that equivalence is the correctness check (StreamingSpec runs both
+  * with Trigger-less processAllAvailable and compares).
+  */
+object EventStreams {
+
+  /** Streaming source over the events parquet directory (ns-timestamp
+    * handling centralized in EventSource).
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame =
+    graft.sources.EventSource.stream(spark, dir)
+
+  /** Tumbling 1-hour counts per event type; with a 1-hour watermark
+    * when the source is streaming.
+    */
+  def tumblingCounts(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+  }
+
+  final case class UserEvent(user_id: Long, value: Double)
+  final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
+
+  /** Custom stateful operator: per-user running totals via
+    * mapGroupsWithState (KeyValueGroupedDataset) — the §2.10 surface
+    * Spark's built-ins don't cover. In batch mode Spark executes the
+    * same function with per-group state confined to the batch, so
+    * batch output == streaming output after processAllAvailable on a
+    * static source.
+    */
+  def userTotals(events: DataFrame): Dataset[UserTotals] = {
+    import events.sparkSession.implicits._
+    val typed = events.select(col("user_id"), col("value")).as[UserEvent]
+    typed.groupByKey(_.user_id)
+      .mapGroupsWithState[UserTotals, UserTotals](GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[UserEvent], state: GroupState[UserTotals]) =>
+          val prev = state.getOption.getOrElse(UserTotals(uid, 0L, 0.0))
+          var n = prev.n_events
+          var tot = prev.total_value
+          rows.foreach { e => n += 1; tot += e.value }
+          val next = UserTotals(uid, n, math.rint(tot * 100) / 100)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Run a streaming DataFrame to completion against a static source
+    * and return the materialized result (memory sink).
+    */
+  def runToCompletion(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val q = df.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode(outputMode)
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    df.sparkSession.table(name)
+  }
+}
