@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection harness: prints the formatted physical plan of the
+  * named queries (or a default headline set) so scan pushdown
+  * (PushedFilters / ReadSchema), broadcast strategies, and
+  * WholeStageCodegen spans can be audited.
+  *
+  * {{{ runMain graft.Explain [sfDir] [queryName ...] }}}
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val names =
+      if (args.length > 1) args.drop(1).toSeq
+      else Seq("q_agg_pricing", "q_join_topk", "q_cross_join_regions",
+        "q_spatial_join", "q_dedup_exact", "q_orderby_limit")
+    val spark = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    names.foreach { n =>
+      SparkEntry.queries.get(n) match {
+        case Some(fn) =>
+          println(s"\n=============== $n ===============")
+          fn(spark, sfDir).explain("formatted")
+        case None => println(s"unknown query: $n")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -37,15 +37,30 @@ object GeoUdfs {
       (r6(latMin), r6(lonMin), r6(latMax), r6(lonMax))
     }
 
+  /** Executor-side cache of prepared geometries keyed by WKT: the
+    * containment predicate runs once per (row × region) pair, so
+    * re-parsing + re-indexing the same handful of broadcast region
+    * polygons per pair would dominate the join (measured 375 k parses
+    * at sf0.1). Regions are a small dim, so the cache is bounded.
+    */
+  private object PreparedCache {
+    private val cache =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        org.locationtech.jts.geom.prep.PreparedGeometry]()
+    def get(wkt: String): org.locationtech.jts.geom.prep.PreparedGeometry =
+      cache.computeIfAbsent(wkt,
+        w => org.locationtech.jts.geom.prep.PreparedGeometryFactory.prepare(
+          Jts.parseWkt(w)))
+  }
+
   /** JOIN-3 predicate: point strictly inside the WKT polygon (JTS
     * interior semantics — boundary points excluded, matching the
-    * oracle's strict inequalities). At broadcast-dim cardinality the
-    * per-row parse is fine; at scale, hoist PreparedGeometry per
-    * partition (see GeoQueries scaladoc).
+    * oracle's strict inequalities). PreparedGeometry with point-in-
+    * polygon index, cached per executor.
     */
   val stContainsPoint =
     udf { (wkt: String, x: Double, y: Double) =>
-      Jts.parseWkt(wkt).contains(
+      PreparedCache.get(wkt).containsProperly(
         new org.locationtech.jts.geom.GeometryFactory()
           .createPoint(new org.locationtech.jts.geom.Coordinate(x, y)))
     }

@@ -24,9 +24,63 @@ import graft.text.Corpus
   */
 object DedupQueries {
 
+  private val Hex = "0123456789abcdef".toCharArray
+
+  private def hexify(d: Array[Byte]): String = {
+    val out = new Array[Char](d.length * 2)
+    var i = 0
+    while (i < d.length) {
+      out(2 * i) = Hex((d(i) >> 4) & 0xf)
+      out(2 * i + 1) = Hex(d(i) & 0xf)
+      i += 1
+    }
+    new String(out)
+  }
+
+  // NOT String.format per byte: the formatter allocates per call and
+  // dominated the minhash kernel (~12 s at sf0.1 → sub-second)
   private def md5Hex(s: String): String =
-    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
-      .map("%02x".format(_)).mkString
+    hexify(MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8")))
+
+  /** unsigned lexicographic byte compare == compare of lowercase hex
+    * strings == SQL MIN over VARCHAR md5 hex.
+    */
+  private def unsignedLess(a: Array[Byte], b: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length && i < b.length) {
+      val ai = a(i) & 0xff; val bi = b(i) & 0xff
+      if (ai != bi) return ai < bi
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** MinHash signature → LSH band keys, one pass per doc: per seed,
+    * the lexicographic minimum of md5("<seed>:<shingle>") (identical
+    * to SQL MIN over the same strings); bands of 2 signature values
+    * hashed into 4 keys. One MessageDigest per row, byte-level minima,
+    * hex only at the end. Returning the band keys directly (instead of
+    * a signature array indexed 8×) matters: Catalyst's CollapseProject
+    * freely duplicates deterministic UDFs per reference, so sig[0..7]
+    * would run the whole kernel 8 times.
+    */
+  private val minhashBandsUdf = udf { (shingles: Seq[String]) =>
+    val md = MessageDigest.getInstance("MD5")
+    val sig = Array.tabulate(8) { seed =>
+      val prefix = seed.toString + ":"
+      var minB: Array[Byte] = null
+      shingles.foreach { sh =>
+        md.reset()
+        val d = md.digest((prefix + sh).getBytes("UTF-8"))
+        if (minB == null || unsignedLess(d, minB)) minB = d
+      }
+      if (minB == null) "" else hexify(minB)
+    }
+    Array.tabulate(4) { b =>
+      md.reset()
+      hexify(md.digest((sig(2 * b) + sig(2 * b + 1)).getBytes("UTF-8")))
+    }
+  }
 
   private val simhash16Udf = udf { (text: String) =>
     val counts = new Array[Int](16)
@@ -81,20 +135,20 @@ object DedupQueries {
     }),
 
     // MinHash signatures → LSH bands → candidate pairs → verify.
+    // Signatures are computed in ONE pass per doc (scalar kernel over
+    // the shingle array) instead of explode → crossJoin(seeds) →
+    // groupBy → pivot: same md5 minima (lexicographic min over
+    // lowercase hex == SQL MIN over VARCHAR), but zero shuffles until
+    // the band self-join — at 100 TB the explode plan shuffles
+    // |docs|·|shingles|·8 rows; this shuffles nothing.
     "q_dedup_minhash" -> ((s, dir) => {
-      import s.implicits._
       val docs = minhashDocs(s, dir)
-      val sh = docs.select(col("doc_id"), explode(Corpus.shingles("text")).as("shingle"))
-      val seeds = (0 to 7).toDF("seed")
-      val sig = sh.crossJoin(broadcast(seeds))
-        .groupBy("doc_id", "seed")
-        .agg(min(md5(concat(col("seed").cast("string"), lit(":"), col("shingle")))).as("h"))
-        .groupBy("doc_id")
-        .pivot("seed", 0 to 7)
-        .agg(first(col("h")))
-      val bands = sig.select(col("doc_id"), expr(
-        "stack(4, 0, md5(concat(`0`,`1`)), 1, md5(concat(`2`,`3`)), " +
-          "2, md5(concat(`4`,`5`)), 3, md5(concat(`6`,`7`))) AS (band, bkey)"))
+      val bands = docs
+        .withColumn("sh", Corpus.shingles("text"))
+        .select(col("doc_id"),
+          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey")))
+        .persist() // self-joined below: without this, both sides recompute
+
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -86,8 +86,17 @@ object GeoQueries {
         .select(col("c_custkey"),
           (lit(1600000.0) + (col("c_custkey") * 37 % 250000).cast("double") + lit(0.5)).as("px"),
           (lit(5000000.0) + (col("c_custkey") * 53 % 180000).cast("double") + lit(0.5)).as("py"))
-      val tris = broadcast(nationTriangles(s, dir).select(col("n_nationkey"), col("wkt")))
+      // closed-form bbox prefilter: eliminates ~99% of pairs with a
+      // codegen'd comparison before the (cached-prepared-geometry) UDF
+      // runs; the bbox is a superset of the triangle, so semantics are
+      // unchanged
+      val tris = broadcast(nationTriangles(s, dir).select(
+        col("n_nationkey"), col("wkt"),
+        col("x0"), col("y0"), (col("x0") + col("w")).as("x1"),
+        (col("y0") + col("h")).as("y1")))
       pts.crossJoin(tris)
+        .filter(col("px") > col("x0") && col("px") < col("x1") &&
+          col("py") > col("y0") && col("py") < col("y1"))
         .filter(GeoUdfs.st_contains_point(col("wkt"), col("px"), col("py")))
         .select(col("c_custkey"), col("n_nationkey"), col("px"), col("py"))
         .orderBy("c_custkey", "n_nationkey")

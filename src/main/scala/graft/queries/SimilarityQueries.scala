@@ -50,16 +50,20 @@ object SimilarityQueries {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
-    // Brute-force cosine top-3 per query vector.
+    // Brute-force cosine top-3 per query vector. Norms are computed
+    // ONCE per vector before the join (a projection), not per pair —
+    // at N×M pair counts that's the difference between O(N+M) and
+    // O(N·M) norm work.
     "q_ann_cosine" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"))
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          norm("embedding").as("qn"))
       val c = e.filter(col("vec_id") >= 5)
-        .select(col("vec_id"), col("embedding").as("ce"))
+        .select(col("vec_id"), col("embedding").as("ce"),
+          norm("embedding").as("cn"))
       val scored = q.crossJoin(c)
-        .withColumn("sim", round(
-          dot("qe", "ce") / (norm("qe") * norm("ce")), 4))
+        .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -71,15 +75,17 @@ object SimilarityQueries {
 
     // LSH-bucketed top-2: candidates restricted to the query's bucket.
     "q_ann_lsh" -> ((s, dir) => {
-      val e = emb(s, dir).withColumn("bucket", bucket("embedding"))
+      // persisted: the query/candidate branches below would otherwise
+      // each re-evaluate the 8×64-term bucket expression over all rows
+      val e = emb(s, dir).withColumn("bucket", bucket("embedding")).persist()
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          col("bucket"))
+          norm("embedding").as("qn"), col("bucket"))
       val c = e.filter(col("vec_id") >= 5)
-        .select(col("vec_id"), col("embedding").as("ce"), col("bucket"))
+        .select(col("vec_id"), col("embedding").as("ce"),
+          norm("embedding").as("cn"), col("bucket"))
       val scored = q.join(c, "bucket")
-        .withColumn("sim", round(
-          dot("qe", "ce") / (norm("qe") * norm("ce")), 4))
+        .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
@@ -97,12 +103,15 @@ object SimilarityQueries {
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = base.unionByName(copies)
         .withColumn("bucket", bucket("embedding"))
-      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"), col("bucket"))
-      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"), col("bucket"))
+        .withColumn("nrm", norm("embedding"))
+        .persist() // self-joined: avoid re-evaluating bucket+norm per branch
+      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("bucket"))
+      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("bucket"))
       a.join(b, "bucket")
         .filter(col("id_a") < col("id_b"))
-        .withColumn("sim", round(
-          dot("ea", "eb") / (norm("ea") * norm("eb")), 4))
+        .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
         .filter(col("sim") >= 0.99)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")

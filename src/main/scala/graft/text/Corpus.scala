@@ -39,17 +39,26 @@ object Corpus {
       |)""".stripMargin
 
   /** Token 3-gram shingle array (distinct) of the named text column.
-    * Guarded with CASE: Spark's `sequence(1, 0)` is a DESCENDING
-    * sequence, not empty, so short texts need the explicit branch.
+    *
+    * Two non-obvious constraints shape the expression:
+    *   - Spark's `sequence(1, 0)` is a DESCENDING sequence, not empty,
+    *     so short texts need the explicit CASE branch;
+    *   - `split($text)` must be bound ONCE via the outer lambda
+    *     variable (`transform(array(split(..)), toks -> …)`), not
+    *     referenced inside the per-element lambda — codegen does not
+    *     hoist loop-invariant subexpressions out of higher-order
+    *     function bodies, so the inline form re-splits the text per
+    *     shingle element (~180× per row; measured seconds at sf0.1).
     */
   def shingles(textCol: String): Column = expr(
-    s"""CASE WHEN size(split($textCol, ' ')) < 3 THEN array()
-       |ELSE array_distinct(transform(
-       |  sequence(1, size(split($textCol, ' ')) - 2),
-       |  i -> concat_ws(' ', element_at(split($textCol, ' '), i),
-       |                 element_at(split($textCol, ' '), i + 1),
-       |                 element_at(split($textCol, ' '), i + 2))))
-       |END""".stripMargin)
+    s"""element_at(transform(array(split($textCol, ' ')), toks ->
+       |  CASE WHEN size(toks) < 3 THEN array()
+       |  ELSE array_distinct(transform(
+       |    sequence(1, size(toks) - 2),
+       |    i -> concat_ws(' ', element_at(toks, i),
+       |                   element_at(toks, i + 1),
+       |                   element_at(toks, i + 2))))
+       |  END), 1)""".stripMargin)
 
   /** Same shingle list in DuckDB SQL (references a `text` column in
     * scope; DuckDB's generate_series(1,0) is empty, no guard needed).
