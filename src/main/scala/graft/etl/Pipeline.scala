@@ -160,6 +160,10 @@ object Pipeline {
       }
     }
 
+    // SNK-1 analog: the converted store is columnar parquet (grid text
+    // + product metadata per row), replacing the reference's COG files.
+    catalog.write.mode("overwrite").parquet(s"$outDir/catalog.parquet")
+
     Result(catalog)
   }
 

@@ -110,4 +110,12 @@ object Transform {
     val lam = lam0 + math.atan2(sinhEtaP, cosXiP)
     (math.toDegrees(phi), math.toDegrees(lam))
   }
+
+  /** Array form for generated code (graft.plans.NztmToWgs84's codegen
+    * calls this via the object's static forwarder): [lat, lon].
+    */
+  def inverseArr(easting: Double, northing: Double): Array[Double] = {
+    val (lat, lon) = inverse(easting, northing)
+    Array(lat, lon)
+  }
 }

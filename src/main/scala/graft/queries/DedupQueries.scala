@@ -166,6 +166,21 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Corpus-level MinHash sketch per source via the typed Aggregator
+    // (graft.text.MinHashAgg): per seed, min md5 over every shingle of
+    // every doc in the group — partial sketches merge elementwise, so
+    // this is a true map-side-combine aggregate.
+    "q_source_minhash" -> ((s, dir) => {
+      val sketch = udaf(graft.text.MinHashAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[String]]())
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("sh", Corpus.shingles("text"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(sketch(col("sh")), ",").as("sketch"))
+        .orderBy("source")
+    }),
+
     // 16-bit SimHash per subset doc (full 64-bit is the same loop with
     // a wider accumulator; 16 bits keeps the oracle SQL tractable).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -242,6 +257,21 @@ object DedupQueries {
          |  JOIN sets sb ON sb.doc_id = c.id_b
          |)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_source_minhash" ->
+      s"""WITH sh AS (
+         |  SELECT source, doc_id, unnest(${Corpus.shinglesSql.replace("text", "documents.text")}) AS shingle
+         |  FROM documents
+         |),
+         |mins AS (
+         |  SELECT source, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+         |  GROUP BY source, seed
+         |),
+         |counts AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source)
+         |SELECT c.source, c.n_docs,
+         |       (SELECT string_agg(h, ',' ORDER BY seed) FROM mins m WHERE m.source = c.source) AS sketch
+         |FROM counts c ORDER BY c.source""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH ssub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -66,18 +66,24 @@ object GeoQueries {
           GeoUdfs.st_envelope_geojson(col("wkt")).as("geojson"))
         .orderBy("n_nationkey")),
 
-    // OP-SP-5: NZTM2000 → WGS84 corner reprojection. Not DuckDB-
-    // expressible (trig series) → no oracle; bounds asserted in
-    // TransformSpec against round-trip and NZ geography.
-    "q_reproject_4326" -> ((s, dir) =>
+    // OP-SP-5: NZTM2000 → WGS84 corner reprojection via the NATIVE
+    // Catalyst expression nztm_to_wgs84 (graft.plans.NztmToWgs84,
+    // codegen'd — no UDF boundary). Not DuckDB-expressible (trig
+    // series) → no oracle; bounds asserted in TransformSpec /
+    // NativeExprSpec.
+    "q_reproject_4326" -> ((s, dir) => {
+      graft.plans.NztmToWgs84.register(s)
       nationTriangles(s, dir)
         .withColumn("env", GeoUdfs.st_envelope(col("wkt")))
-        .withColumn("ll", GeoUdfs.st_reproject_bbox(
-          col("env._1"), col("env._2"), col("env._3"), col("env._4")))
+        .withColumn("llmin", expr("nztm_to_wgs84(env._1, env._2)"))
+        .withColumn("llmax", expr("nztm_to_wgs84(env._3, env._4)"))
         .select(col("n_nationkey"),
-          col("ll._1").as("lat_min"), col("ll._2").as("lon_min"),
-          col("ll._3").as("lat_max"), col("ll._4").as("lon_max"))
-        .orderBy("n_nationkey")),
+          round(col("llmin.lat"), 6).as("lat_min"),
+          round(col("llmin.lon"), 6).as("lon_min"),
+          round(col("llmax.lat"), 6).as("lat_max"),
+          round(col("llmax.lon"), 6).as("lon_max"))
+        .orderBy("n_nationkey")
+    }),
 
     // JOIN-3: spatial containment join — customer probe points ×
     // broadcast nation triangles (BroadcastNestedLoopJoin, no shuffle).

@@ -161,6 +161,30 @@ object RelationalQueries {
         .orderBy("op", "nationkey")
     }),
 
+    // Skew-handling pattern: a 3-hot-key fact joined to a tiny dim by
+    // SALTING — fact rows carry a deterministic salt, the dim side is
+    // exploded ×8, and the join key becomes (key, salt), spreading each
+    // hot key over 8 partitions. Results are identical to the unsalted
+    // join (the oracle joins plainly); this is the manual fallback when
+    // AQE skew-join can't fire (e.g. a broadcast-unfriendly dim at
+    // 100 TB with extreme key skew).
+    "q_skew_join_salted" -> ((s, dir) => {
+      val fact = t(s, dir, "lineitem")
+        .select((col("l_orderkey") % 3).as("hot_key"),
+          (col("l_linenumber") % 8).as("salt"),
+          col("l_quantity"))
+      val dim = t(s, dir, "region")
+        .filter(col("r_regionkey") < 3)
+        .select(col("r_regionkey").cast("bigint").as("hot_key"),
+          col("r_name").as("label"))
+        .withColumn("salt", explode(sequence(lit(0), lit(7))))
+        .withColumn("salt", col("salt").cast("int"))
+      fact.join(dim, Seq("hot_key", "salt"))
+        .groupBy("hot_key", "label")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+        .orderBy("hot_key")
+    }),
+
     // Global top-k (TakeOrderedAndProject — no full sort at scale).
     "q_orderby_limit" -> ((s, dir) =>
       t(s, dir, "orders")
@@ -283,6 +307,13 @@ object RelationalQueries {
         |    SELECT c_nationkey AS nationkey FROM customer
         |    EXCEPT SELECT s_nationkey FROM supplier)
         |) ORDER BY op, nationkey""".stripMargin,
+
+    "q_skew_join_salted" ->
+      """SELECT l.l_orderkey % 3 AS hot_key, r.r_name AS label,
+        |       count(*) AS n, round(sum(l.l_quantity), 2) AS sum_qty
+        |FROM lineitem l JOIN region r ON r.r_regionkey = l.l_orderkey % 3
+        |WHERE r.r_regionkey < 3
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     "q_orderby_limit" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice

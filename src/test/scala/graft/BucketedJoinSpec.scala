@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale pattern: bucketing co-locates both join sides on the join key
+  * at WRITE time, so the join itself needs no shuffle — the plan the
+  * 100 TB path relies on for repeated large-large joins.
+  */
+class BucketedJoinSpec extends AnyFunSuite {
+
+  private lazy val warehouse = Files.createTempDirectory("graft-wh").toString
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .appName("graft-bucket-test")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.warehouse.dir", warehouse)
+    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("bucketed tables join without a shuffle exchange") {
+    val sf = "/root/testdata/sf0.001"
+    spark.read.parquet(s"$sf/orders.parquet")
+      .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_b")
+    spark.read.parquet(s"$sf/customer.parquet")
+      .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("customer_b")
+
+    val joined = spark.table("orders_b")
+      .join(spark.table("customer_b"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+
+    assert(!plan.contains("Exchange"),
+      s"bucketed join should be shuffle-free:\n$plan")
+    assert(joined.count() ==
+      spark.read.parquet(s"$sf/orders.parquet").count())
+  }
+
+  test("unbucketed equivalent does shuffle (control)") {
+    val sf = "/root/testdata/sf0.001"
+    val joined = spark.read.parquet(s"$sf/orders.parquet")
+      .join(spark.read.parquet(s"$sf/customer.parquet"),
+        col("o_custkey") === col("c_custkey"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("Exchange"), s"expected shuffles in:\n$plan")
+  }
+}

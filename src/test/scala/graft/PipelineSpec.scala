@@ -97,6 +97,13 @@ class PipelineSpec extends SparkSpecBase {
     assert(g.values.sameElements(expected.values))
   }
 
+  test("catalog is also written as parquet") {
+    result.catalog.count()
+    val cat = spark.read.parquet(s"$work/out/catalog.parquet")
+    assert(cat.count() == 48)
+    assert(cat.columns.contains("clipped_text") && cat.columns.contains("metadata_json"))
+  }
+
   test("zips exist with the three sidecar entries") {
     // force sinks to have run
     result.catalog.count()
