@@ -14,7 +14,9 @@ import java.security.MessageDigest
   */
 object MultimodalOps {
 
-  /** Typed metadata a real decoder would produce. */
+  /** Typed metadata a real decoder would produce (resized_w/h: the
+    * aspect-fit thumbnail dims a feature-extraction stage consumes).
+    */
   final case class MediaMeta(
       doc_id: Long,
       byte_len: Long,
@@ -22,7 +24,9 @@ object MultimodalOps {
       height: Int,
       channels: Int,
       format: String,
-      n_frames: Int)
+      n_frames: Int,
+      resized_w: Int,
+      resized_h: Int)
 
   private def md5Hex(bytes: Array[Byte]): String =
     MessageDigest.getInstance("MD5").digest(bytes)
@@ -37,25 +41,34 @@ object MultimodalOps {
     * width = 16 + hex0(md5), height = 16 + hex1(md5),
     * channels = 1 + hex2(md5) % 4, n_frames = len/256 + 1.
     */
+  val ResizeMaxSide = 24
+
   def decodeImageStub(docId: Long, content: Array[Byte]): MediaMeta = {
     val h = md5Hex(content)
+    val width = 16 + hexVal(h.charAt(0))
+    val height = 16 + hexVal(h.charAt(1))
+    val (rw, rh) = resizeStub(width, height, ResizeMaxSide)
     MediaMeta(
       doc_id = docId,
       byte_len = content.length.toLong,
-      width = 16 + hexVal(h.charAt(0)),
-      height = 16 + hexVal(h.charAt(1)),
+      width = width,
+      height = height,
       channels = 1 + hexVal(h.charAt(2)) % 4,
       format = if (hexVal(h.charAt(3)) < 8) "png" else "jpeg",
-      n_frames = (content.length / 256 + 1).toInt)
+      n_frames = (content.length / 256 + 1).toInt,
+      resized_w = rw,
+      resized_h = rh)
   }
 
   /** STUB resize — a real kernel would rescale pixel data; the stub
-    * keeps the metadata arithmetic (aspect-preserving fit) real.
+    * keeps the metadata arithmetic (aspect-preserving fit) real. Uses
+    * FLOOR (integer) arithmetic so the SQL oracle reproduces it with
+    * integer division — no float-rounding boundary between engines.
     */
-  def resizeStub(m: MediaMeta, maxSide: Int): (Int, Int) = {
-    val scale = maxSide.toDouble / math.max(m.width, m.height)
-    if (scale >= 1.0) (m.width, m.height)
-    else (math.max(1, math.rint(m.width * scale).toInt),
-      math.max(1, math.rint(m.height * scale).toInt))
+  def resizeStub(width: Int, height: Int, maxSide: Int): (Int, Int) = {
+    val longSide = math.max(width, height)
+    if (longSide <= maxSide) (width, height)
+    else (math.max(1, width * maxSide / longSide),
+      math.max(1, height * maxSide / longSide))
   }
 }

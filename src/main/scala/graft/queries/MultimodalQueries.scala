@@ -33,7 +33,9 @@ object MultimodalQueries {
           col("height").cast("bigint").as("height"),
           col("channels").cast("bigint").as("channels"),
           col("format"),
-          col("n_frames").cast("bigint").as("n_frames"))
+          col("n_frames").cast("bigint").as("n_frames"),
+          col("resized_w").cast("bigint").as("resized_w"),
+          col("resized_h").cast("bigint").as("resized_h"))
         .orderBy("doc_id")
     }),
 
@@ -69,8 +71,17 @@ object MultimodalQueries {
          |       CAST(16 + ${hexVal("substr(md5(text), 2, 1)")} AS BIGINT) AS height,
          |       CAST(1 + ${hexVal("substr(md5(text), 3, 1)")} % 4 AS BIGINT) AS channels,
          |       CASE WHEN ${hexVal("substr(md5(text), 4, 1)")} < 8 THEN 'png' ELSE 'jpeg' END AS format,
-         |       length(text) // 256 + 1 AS n_frames
-         |FROM documents ORDER BY doc_id""".stripMargin,
+         |       length(text) // 256 + 1 AS n_frames,
+         |       CAST(CASE WHEN greatest(w, h) <= 24 THEN w
+         |            ELSE greatest(1, (w * 24) // greatest(w, h)) END AS BIGINT) AS resized_w,
+         |       CAST(CASE WHEN greatest(w, h) <= 24 THEN h
+         |            ELSE greatest(1, (h * 24) // greatest(w, h)) END AS BIGINT) AS resized_h
+         |FROM (
+         |  SELECT doc_id, text,
+         |         16 + ${hexVal("substr(md5(text), 1, 1)")} AS w,
+         |         16 + ${hexVal("substr(md5(text), 2, 1)")} AS h
+         |  FROM documents
+         |) ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->
       """WITH meta AS (

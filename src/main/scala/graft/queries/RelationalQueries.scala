@@ -193,6 +193,29 @@ object RelationalQueries {
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .limit(20)),
 
+    // Exact interpolated percentiles (type-7, matching quantile_cont).
+    "q_percentiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
+        .orderBy("l_returnflag")),
+
+    // lag/lead window navigation with a deterministic order.
+    "q_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(col("l_quantity"), 2).as("qty"),
+          round(lag(col("l_quantity"), 1).over(w), 2).as("prev_qty"),
+          round(lead(col("l_quantity"), 1).over(w), 2).as("next_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
     // §2.7 date/time scalar surface incl. the reference's ISO-Z format
     // (ETL.py:454–468) expressed natively.
     "q_date_functions" -> ((s, dir) =>
@@ -318,6 +341,24 @@ object RelationalQueries {
     "q_orderby_limit" ->
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_window_lag" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       round(l_quantity, 2) AS qty,
+        |       round(lag(l_quantity, 1) OVER w, 2) AS prev_qty,
+        |       round(lead(l_quantity, 1) OVER w, 2) AS next_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     "q_date_functions" ->
       """SELECT EXTRACT(year FROM o_orderdate) AS order_year,

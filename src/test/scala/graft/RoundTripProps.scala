@@ -1,0 +1,63 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import graft.geo.Transform
+import graft.raster.AsciiGrid
+import graft.etl.Lookups
+
+/** Property-based suites (SURVEY.md §5.2): round-trips and grammar
+  * totality under generated inputs (ScalaCheck runs these via sbt's
+  * native framework support, alongside the ScalaTest specs).
+  */
+object RoundTripProps extends Properties("graft") {
+
+  private val nzLat = Gen.choose(-47.5, -34.0)
+  private val nzLon = Gen.choose(166.0, 179.0)
+
+  property("transform.forwardInverseIdentity") = Prop.forAll(nzLat, nzLon) {
+    (lat, lon) =>
+      val (e, n) = Transform.forward(lat, lon)
+      val (lat2, lon2) = Transform.inverse(e, n)
+      math.abs(lat2 - lat) < 1e-9 && math.abs(lon2 - lon) < 1e-9
+  }
+
+  private val gridGen: Gen[AsciiGrid] = for {
+    ncols <- Gen.choose(1, 12)
+    nrows <- Gen.choose(1, 10)
+    xll <- Gen.choose(1000000.0, 2000000.0)
+    yll <- Gen.choose(4800000.0, 6200000.0)
+    cell <- Gen.oneOf(100.0, 250.0, 500.0)
+    values <- Gen.listOfN(ncols * nrows,
+      Gen.oneOf(Gen.choose(-100.0, 3000.0), Gen.const(-9999.0)))
+  } yield AsciiGrid(ncols, nrows, xll, yll, cell, -9999.0, values.toArray)
+
+  property("asciiGrid.writeParseIdentity") = Prop.forAll(gridGen) { g =>
+    val g2 = AsciiGrid.parse(AsciiGrid.write(g))
+    g2.ncols == g.ncols && g2.nrows == g.nrows &&
+      g2.xllcorner == g.xllcorner && g2.yllcorner == g.yllcorner &&
+      g2.cellsize == g.cellsize && g2.nodata == g.nodata &&
+      g2.values.sameElements(g.values)
+  }
+
+  private val grammarGen: Gen[String] = for {
+    p <- Gen.oneOf(Lookups.parameters.map(_._1))
+    stat <- Gen.oneOf(Lookups.statistics)
+    t <- Gen.oneOf(Lookups.periods.map(_._1))
+  } yield s"grid_${p}_NZ_norm_${stat}_1991-2020_$t"
+
+  property("filenameGrammar.decodeTotality") = Prop.forAll(grammarGen) { base =>
+    // every grammar-conforming name decodes to known dim keys
+    val parts = base.split("_")
+    val pc = parts(1); val stat = parts(4); val tok = parts.last
+    Lookups.parameters.exists(_._1 == pc) &&
+      Lookups.statistics.contains(stat) &&
+      Lookups.periods.exists(_._1 == tok)
+  }
+
+  property("transform.monotoneEastingWithLongitude") =
+    Prop.forAll(nzLat, nzLon, Gen.choose(0.001, 0.5)) { (lat, lon, d) =>
+      val (e1, _) = Transform.forward(lat, lon)
+      val (e2, _) = Transform.forward(lat, lon + d)
+      e2 > e1
+    }
+}
