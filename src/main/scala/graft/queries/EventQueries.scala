@@ -45,6 +45,20 @@ object EventQueries {
           col("n"), col("sum_value"))
         .orderBy("window_start_s")),
 
+    // The SAME tumbling aggregation executed as a Structured Streaming
+    // query (readStream → watermark → window → memory sink, drained
+    // with processAllAvailable) — putting the streaming engine itself
+    // under the DuckDB oracle: its result must equal the batch SQL.
+    "q_stream_tumbling" -> ((s, dir) => {
+      val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.runToCompletion(
+        graft.streaming.EventStreams.tumblingCounts(
+          graft.sources.EventSource.stream(s, dir)),
+        name,
+        org.apache.spark.sql.streaming.OutputMode.Complete())
+        .orderBy("window_start_s", "event_type")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_window_session" -> ((s, dir) =>
       ev(s, dir)
@@ -59,6 +73,11 @@ object EventQueries {
 
   val oracles: Map[String, String] = Map(
     "q_window_tumbling" ->
+      """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,

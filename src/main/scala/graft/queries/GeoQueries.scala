@@ -48,6 +48,11 @@ object GeoQueries {
         lit("))")))
   }
 
+  /** Grid cell size for the partitioned spatial join (meters). Chosen
+    * so a triangle bbox overlaps ≤ ~9 cells at fixture scale.
+    */
+  private val CellM = 8192.0
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // OP-SP-4: envelope of each triangle via JTS (ETL.py:281).
@@ -107,6 +112,38 @@ object GeoQueries {
         .select(col("c_custkey"), col("n_nationkey"), col("px"), col("py"))
         .orderBy("c_custkey", "n_nationkey")
     }),
+
+    // JOIN-3 at 100 TB: the GRID-PARTITIONED spatial join (SURVEY.md
+    // §7.6.4). Both sides get a space-grid cell key — points one cell,
+    // polygons every cell their bbox overlaps — the join becomes a
+    // plain shuffle equi-join on the cell, and only same-cell pairs
+    // run the exact predicate. No broadcast required, so it scales to
+    // region counts far beyond autoBroadcastJoinThreshold; results are
+    // identical to q_spatial_join (deduped, since a pair can meet in
+    // one cell only — points live in exactly one cell).
+    "q_spatial_join_grid" -> ((s, dir) => {
+      val pts = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey"),
+          (lit(1600000.0) + (col("c_custkey") * 37 % 250000).cast("double") + lit(0.5)).as("px"),
+          (lit(5000000.0) + (col("c_custkey") * 53 % 180000).cast("double") + lit(0.5)).as("py"))
+        .withColumn("cx", floor(col("px") / CellM).cast("bigint"))
+        .withColumn("cy", floor(col("py") / CellM).cast("bigint"))
+      val tris = nationTriangles(s, dir)
+        .select(col("n_nationkey"), col("wkt"), col("x0"), col("y0"),
+          (col("x0") + col("w")).as("x1"), (col("y0") + col("h")).as("y1"))
+        .withColumn("cx", explode(sequence(
+          floor(col("x0") / CellM).cast("bigint"),
+          floor(col("x1") / CellM).cast("bigint"))))
+        .withColumn("cy", explode(sequence(
+          floor(col("y0") / CellM).cast("bigint"),
+          floor(col("y1") / CellM).cast("bigint"))))
+      pts.join(tris, Seq("cx", "cy"))
+        .filter(col("px") > col("x0") && col("px") < col("x1") &&
+          col("py") > col("y0") && col("py") < col("y1"))
+        .filter(GeoUdfs.st_contains_point(col("wkt"), col("px"), col("py")))
+        .select(col("c_custkey"), col("n_nationkey"), col("px"), col("py"))
+        .orderBy("c_custkey", "n_nationkey")
+    }),
   )
 
   // Envelope corner ring order follows JTS GeometryFactory.toGeometry:
@@ -155,6 +192,25 @@ object GeoQueries {
          |WHERE -- strict point-in-triangle via half-plane sign tests
          |      -- vertices: A=(x0,y0) B=(x0+w, y0+h/2) C=(x0+1000+100*n_nationkey, y0+h)
          |      ((t.x0 + t.w - t.x0) * (p.py - t.y0) - (t.y0 + t.h/2 - t.y0) * (p.px - t.x0)) > 0
+         |  AND ((t.x0 + 1000 + 100*t.n_nationkey - (t.x0 + t.w)) * (p.py - (t.y0 + t.h/2))
+         |       - (t.y0 + t.h - (t.y0 + t.h/2)) * (p.px - (t.x0 + t.w))) > 0
+         |  AND ((t.x0 - (t.x0 + 1000 + 100*t.n_nationkey)) * (p.py - (t.y0 + t.h))
+         |       - (t.y0 - (t.y0 + t.h)) * (p.px - (t.x0 + 1000 + 100*t.n_nationkey))) > 0
+         |ORDER BY p.c_custkey, t.n_nationkey""".stripMargin,
+
+    // identical RESULT to q_spatial_join — the grid keying is a pure
+    // execution-strategy change, which is exactly the point
+    "q_spatial_join_grid" ->
+      s"""WITH $triCte,
+         |pts AS (
+         |  SELECT c_custkey,
+         |         1600000.0 + (c_custkey * 37 % 250000) + 0.5 AS px,
+         |         5000000.0 + (c_custkey * 53 % 180000) + 0.5 AS py
+         |  FROM customer
+         |)
+         |SELECT p.c_custkey, t.n_nationkey, p.px, p.py
+         |FROM pts p CROSS JOIN tri t
+         |WHERE ((t.x0 + t.w - t.x0) * (p.py - t.y0) - (t.y0 + t.h/2 - t.y0) * (p.px - t.x0)) > 0
          |  AND ((t.x0 + 1000 + 100*t.n_nationkey - (t.x0 + t.w)) * (p.py - (t.y0 + t.h/2))
          |       - (t.y0 + t.h - (t.y0 + t.h/2)) * (p.px - (t.x0 + t.w))) > 0
          |  AND ((t.x0 - (t.x0 + 1000 + 100*t.n_nationkey)) * (p.py - (t.y0 + t.h))
