@@ -161,6 +161,42 @@ object RelationalQueries {
         .orderBy("op", "nationkey")
     }),
 
+    // Left outer join with null-extension semantics: every customer,
+    // with their large-order aggregate where one exists.
+    "q_outer_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val big = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 300000)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_big"), round(sum(col("o_totalprice")), 2).as("big_total"))
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("n_big"), lit(0L)).as("n_big"),
+          coalesce(col("big_total"), lit(0.0)).as("big_total"))
+        .orderBy("c_custkey")
+    }),
+
+    // Pivot: order counts per nation × priority as columns (manual
+    // conditional aggregation in the oracle — the portable form).
+    "q_pivot" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation"))
+      val ord = t(s, dir, "orders")
+      val priorities = Seq("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupBy(col("n_name"))
+        .pivot("o_orderpriority", priorities)
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .select(col("n_name"),
+          col("`1-URGENT`").as("urgent"), col("`2-HIGH`").as("high"),
+          col("`3-MEDIUM`").as("medium"),
+          col("`4-NOT SPECIFIED`").as("not_specified"),
+          col("`5-LOW`").as("low"))
+        .orderBy("n_name")
+    }),
+
     // Skew-handling pattern: a 3-hot-key fact joined to a tiny dim by
     // SALTING — fact rows carry a deterministic salt, the dim side is
     // exploded ×8, and the join key becomes (key, salt), spreading each
@@ -330,6 +366,30 @@ object RelationalQueries {
         |    SELECT c_nationkey AS nationkey FROM customer
         |    EXCEPT SELECT s_nationkey FROM supplier)
         |) ORDER BY op, nationkey""".stripMargin,
+
+    "q_outer_join" ->
+      """SELECT c.c_custkey,
+        |       coalesce(b.n_big, 0) AS n_big,
+        |       coalesce(b.big_total, 0.0) AS big_total
+        |FROM customer c
+        |LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS n_big,
+        |         round(sum(o_totalprice), 2) AS big_total
+        |  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
+        |) b ON b.o_custkey = c.c_custkey
+        |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT n.n_name,
+        |       count(*) FILTER (WHERE o.o_orderpriority = '1-URGENT') AS urgent,
+        |       count(*) FILTER (WHERE o.o_orderpriority = '2-HIGH') AS high,
+        |       count(*) FILTER (WHERE o.o_orderpriority = '3-MEDIUM') AS medium,
+        |       count(*) FILTER (WHERE o.o_orderpriority = '4-NOT SPECIFIED') AS not_specified,
+        |       count(*) FILTER (WHERE o.o_orderpriority = '5-LOW') AS low
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
 
     "q_skew_join_salted" ->
       """SELECT l.l_orderkey % 3 AS hot_key, r.r_name AS label,
