@@ -82,6 +82,40 @@ object DedupQueries {
     }
   }
 
+  /** 64-bit SimHash as four 16-bit band words (low word first): per
+    * token, the first 16 md5 hex chars form words w0..w3 (4 hex chars
+    * each, nibble-big-endian like simhash16); bit j of the final hash
+    * lives in word j/16 at position j%16 and is 1 iff the per-token
+    * vote sum over that bit is > 0. Band words double as the LSH
+    * blocking key for the Hamming pairing query.
+    */
+  private val simhash64Udf = udf { (text: String) =>
+    val counts = new Array[Int](64)
+    text.split(" ").foreach { tok =>
+      val hex = md5Hex(tok)
+      var w = 0
+      while (w < 4) {
+        val v = Integer.parseInt(hex.substring(4 * w, 4 * w + 4), 16)
+        var b = 0
+        while (b < 16) {
+          val j = 16 * w + b
+          if (((v >> b) & 1) == 1) counts(j) += 1 else counts(j) -= 1
+          b += 1
+        }
+        w += 1
+      }
+    }
+    (0 until 4).map { w =>
+      var word = 0L
+      var b = 0
+      while (b < 16) {
+        if (counts(16 * w + b) > 0) word |= (1L << b)
+        b += 1
+      }
+      word
+    }
+  }
+
   private val simhash16Udf = udf { (text: String) =>
     val counts = new Array[Int](16)
     text.split(" ").foreach { tok =>
@@ -181,6 +215,36 @@ object DedupQueries {
         .orderBy("source")
     }),
 
+    // SimHash near-dup detection end-to-end: 64-bit hashes banded into
+    // 4×16-bit words; pairs sharing ANY band word are candidates
+    // (standard Hamming-LSH blocking — a pair within Hamming distance
+    // 3 of 64 must agree on some band, and the appended-tail twins are
+    // far tighter than that); candidates verified by exact Hamming
+    // distance ≤ 12. Same shuffle shape as MinHash banding: the band
+    // word is the partition key.
+    "q_dedup_simhash_pairs" -> ((s, dir) => {
+      val docs = minhashDocs(s, dir)
+      val words = docs
+        .select(col("doc_id"), simhash64Udf(col("text")).as("w"))
+        .persist()
+      val bands = words.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("band", "bv")))
+      val cands = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cands
+        .join(words.select(col("doc_id").as("id_a"), col("w").as("wa")), "id_a")
+        .join(words.select(col("doc_id").as("id_b"), col("w").as("wb")), "id_b")
+        .withColumn("hamming", expr(
+          "bit_count(wa[0] ^ wb[0]) + bit_count(wa[1] ^ wb[1]) + " +
+            "bit_count(wa[2] ^ wb[2]) + bit_count(wa[3] ^ wb[3])").cast("bigint"))
+        .filter(col("hamming") <= 12)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    }),
+
     // 16-bit SimHash per subset doc (full 64-bit is the same loop with
     // a wider accumulator; 16 bits keeps the oracle SQL tractable).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -272,6 +336,58 @@ object DedupQueries {
          |SELECT c.source, c.n_docs,
          |       (SELECT string_agg(h, ',' ORDER BY seed) FROM mins m WHERE m.source = c.source) AS sketch
          |FROM counts c ORDER BY c.source""".stripMargin,
+
+    "q_dedup_simhash_pairs" ->
+      s"""WITH msub AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zzz tail' FROM documents WHERE doc_id % 10 = 0
+         |),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM msub),
+         |tw AS (
+         |  SELECT doc_id,
+         |         ${hexVal("substr(md5(tok), 1, 1)")} * 4096 + ${hexVal("substr(md5(tok), 2, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 3, 1)")} * 16 + ${hexVal("substr(md5(tok), 4, 1)")} AS v0,
+         |         ${hexVal("substr(md5(tok), 5, 1)")} * 4096 + ${hexVal("substr(md5(tok), 6, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 7, 1)")} * 16 + ${hexVal("substr(md5(tok), 8, 1)")} AS v1,
+         |         ${hexVal("substr(md5(tok), 9, 1)")} * 4096 + ${hexVal("substr(md5(tok), 10, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 11, 1)")} * 16 + ${hexVal("substr(md5(tok), 12, 1)")} AS v2,
+         |         ${hexVal("substr(md5(tok), 13, 1)")} * 4096 + ${hexVal("substr(md5(tok), 14, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 15, 1)")} * 16 + ${hexVal("substr(md5(tok), 16, 1)")} AS v3
+         |  FROM toks
+         |),
+         |votes AS (
+         |  SELECT doc_id, j,
+         |         sum(2 * ((CASE j // 16 WHEN 0 THEN v0 WHEN 1 THEN v1
+         |                   WHEN 2 THEN v2 ELSE v3 END >> (j % 16)) & 1) - 1) AS s
+         |  FROM tw CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |  GROUP BY doc_id, j
+         |),
+         |words AS (
+         |  SELECT doc_id, j // 16 AS band,
+         |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % 16)) ELSE 0 END) AS BIGINT) AS bv
+         |  FROM votes GROUP BY doc_id, j // 16
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM words a JOIN words b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |),
+         |wp AS (
+         |  SELECT doc_id,
+         |         min(CASE WHEN band = 0 THEN bv END) AS w0,
+         |         min(CASE WHEN band = 1 THEN bv END) AS w1,
+         |         min(CASE WHEN band = 2 THEN bv END) AS w2,
+         |         min(CASE WHEN band = 3 THEN bv END) AS w3
+         |  FROM words GROUP BY doc_id
+         |)
+         |SELECT id_a, id_b, hamming FROM (
+         |  SELECT c.id_a, c.id_b,
+         |         CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
+         |              bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS BIGINT) AS hamming
+         |  FROM cand c JOIN wp a ON a.doc_id = c.id_a JOIN wp b ON b.doc_id = c.id_b
+         |)
+         |WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH ssub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

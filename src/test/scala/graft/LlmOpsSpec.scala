@@ -61,6 +61,21 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(vals.forall(v => v >= 0 && v < 65536))
   }
 
+  test("simhash banding recalls most twins; hamming verifies") {
+    val pairs = DedupQueries.queries("q_dedup_simhash_pairs")(spark, sf)
+      .collect()
+    val twinPairs = pairs.filter(r =>
+      r.getAs[Long]("id_b") == r.getAs[Long]("id_a") + 1000000L)
+    val nTwins = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0).count()
+    // 4×16 banding guarantees recall only for hamming ≤ 3; appended-
+    // tail twins land around 0–10 → high-but-not-total recall (the
+    // MinHash pass has 100% recall on the same twins)
+    assert(twinPairs.length >= 0.8 * nTwins,
+      s"twin recall ${twinPairs.length}/$nTwins")
+    twinPairs.foreach(r => assert(r.getAs[Long]("hamming") <= 12))
+  }
+
   test("brute-force and LSH top-k agree inside the query's bucket") {
     val brute = SimilarityQueries.queries("q_ann_cosine")(spark, sf)
       .filter(col("rank") === 1).collect()
