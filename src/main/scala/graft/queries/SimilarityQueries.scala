@@ -95,6 +95,31 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF-style top-k: the label column plays the coarse-quantizer
+    // cell id (as if assigned by a trained k-means); each query probes
+    // ONLY its own cell. At scale the cell id is the partition key and
+    // each cell's posting list is searched locally — the inverted-file
+    // counterpart to the hyperplane-LSH variant above.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          norm("embedding").as("qn"), col("label"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").as("ce"),
+          norm("embedding").as("cn"), col("label"))
+      val scored = q.join(c, "label")
+        .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("label").cast("bigint").as("cell"),
+          col("rank"), col("vec_id"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
     // found via bucket-blocked pairwise cosine ≥ 0.99.
     "q_embedding_near_dup" -> ((s, dir) => {
@@ -170,6 +195,23 @@ object SimilarityQueries {
          |)
          |SELECT query_id, bucket, rank, vec_id, sim FROM ranked
          |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_ivf" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS ce, label FROM embeddings WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT q.query_id, CAST(q.label AS BIGINT) AS cell, c.vec_id,
+         |         round(${dotSql("qe", "ce")} /
+         |               (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})), 4) AS sim
+         |  FROM q JOIN c ON q.label = c.label
+         |),
+         |ranked AS (
+         |  SELECT query_id, cell, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, cell, rank, vec_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_near_dup" ->
       s"""WITH corpus AS (
