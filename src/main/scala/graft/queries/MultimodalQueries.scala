@@ -39,6 +39,25 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // feature extraction: per-blob normalized byte-class histogram —
+    // the deterministic stand-in for a pooled feature vector (a real
+    // extractor would emit e.g. CLIP embeddings through the same
+    // mapPartitions batch path as the decoder).
+    "q_multimodal_features" -> ((s, dir) => {
+      val text = col("text")
+      def classRatio(pattern: String) =
+        round((length(text) - length(regexp_replace(text, pattern, "")))
+          .cast("double") / length(text), 4)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          length(text).cast("bigint").as("byte_len"),
+          classRatio("[aeiou]").as("f_vowel"),
+          classRatio("[0-9]").as("f_digit"),
+          classRatio(" ").as("f_space"),
+          classRatio("[a-z]").as("f_alpha"))
+        .orderBy("doc_id")
+    }),
+
     // frame sampling: every 2nd frame of each blob, as a generator.
     "q_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -82,6 +101,15 @@ object MultimodalQueries {
          |         16 + ${hexVal("substr(md5(text), 2, 1)")} AS h
          |  FROM documents
          |) ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id,
+        |       length(text) AS byte_len,
+        |       round((length(text) - length(regexp_replace(text, '[aeiou]', '', 'g'))) * 1.0 / length(text), 4) AS f_vowel,
+        |       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / length(text), 4) AS f_digit,
+        |       round((length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 1.0 / length(text), 4) AS f_space,
+        |       round((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) * 1.0 / length(text), 4) AS f_alpha
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->
       """WITH meta AS (
