@@ -27,8 +27,10 @@ object TextQueries {
 
   /** Winnowing fingerprints: polynomial rolling hash (base 131, mod
     * 2^31−1) over char 5-grams, min in each sliding window of 4 —
-    * the standard local fingerprinting scheme (as in MOSS). Real
-    * implementation; not SQL-expressible → no oracle, spec-tested.
+    * the standard local fingerprinting scheme (as in MOSS). The oracle
+    * reconstructs it in SQL (per-position polynomial mod, window-min
+    * frame, distinct minima); stepwise `(h·131+c) mod m` equals the
+    * full-sum mod, so both formulations agree exactly.
     */
   def fingerprints(text: String): Array[Int] = {
     val k = 5; val w = 4
@@ -127,7 +129,7 @@ object TextQueries {
         .select("doc_id", "ws_tokens", "re_tokens", "chars_per_token")
         .orderBy("doc_id")),
 
-    // Winnowing fingerprint summary per doc (no oracle: UDF sketch).
+    // Winnowing fingerprint summary per doc (oracle: SQL window-min).
     "q_doc_fingerprint" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
@@ -186,6 +188,41 @@ object TextQueries {
          |       round(least(1.0, n_stop * 1.0 / n_tokens * 2
          |         + 1.0 / (1.0 + abs((n_chars_actual - n_tokens + 1) * 1.0 / n_tokens - 5))), 4) AS quality
          |FROM feats ORDER BY doc_id""".stripMargin,
+
+    // polynomial hash of the 5-gram at i, all terms exact in BIGINT
+    // (127·131^4 ≈ 3.7e10, sum < 2^53) with one final mod — equal to
+    // the kernel's stepwise mod; window-min over ORDER BY i mirrors
+    // the winnowing pass; DISTINCT mirrors the SortedSet
+    "q_doc_fingerprint" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(1, length(text) - 4)) AS i
+        |  FROM documents
+        |),
+        |hashes AS (
+        |  SELECT doc_id, i, length(text) AS len,
+        |         (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 294499921
+        |          + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 2248091
+        |          + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 17161
+        |          + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 131
+        |          + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT)) % 2147483647 AS h
+        |  FROM pos
+        |),
+        |wins AS (
+        |  SELECT doc_id, i, len,
+        |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+        |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        |  FROM hashes
+        |),
+        |selected AS (
+        |  SELECT DISTINCT doc_id, wmin FROM wins WHERE i <= len - 7
+        |)
+        |SELECT doc_id,
+        |       count(*) AS n_fingerprints,
+        |       min(wmin) AS fp_min,
+        |       max(wmin) AS fp_max,
+        |       CAST(sum(wmin) % 1000000007 AS BIGINT) AS fp_checksum
+        |FROM selected GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,
