@@ -36,14 +36,30 @@ object SimilarityQueries {
   /** 8-bit hyperplane bucket: bit j set iff
     * Σ_d w(j,d)·e[d] > 0 with w(j,d) = +1 if ((j·64+d)·37) mod 97 < 48
     * else −1 (d 0-based). Pure arithmetic → oracle-reproducible.
+    *
+    * Compiled kernel rather than a higher-order-function expression:
+    * HOF lambdas evaluate interpreted per element (8×64 = 512 lambda
+    * evals/row dominated the bucketed queries); the loop does the
+    * identical double arithmetic in the identical order.
     */
-  private def bucket(e: String): Column = expr(
-    s"""aggregate(sequence(0, 7), CAST(0 AS BIGINT), (acc, j) ->
-       |  acc + IF(
-       |    aggregate(sequence(0, 63), CAST(0 AS DOUBLE), (s, d) ->
-       |      s + IF(((j * 64 + d) * 37) % 97 < 48, CAST(1 AS DOUBLE), CAST(-1 AS DOUBLE))
-       |          * CAST(element_at($e, d + 1) AS DOUBLE)) > 0,
-       |    shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))""".stripMargin)
+  private val bucketUdf = udf { (e: Seq[Float]) =>
+    var bucket = 0L
+    var j = 0
+    while (j < 8) {
+      var s = 0.0
+      var d = 0
+      while (d < 64) {
+        val w = if (((j * 64 + d) * 37) % 97 < 48) 1.0 else -1.0
+        s += w * e(d).toDouble
+        d += 1
+      }
+      if (s > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  private def bucket(e: String): Column = bucketUdf(col(e))
 
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
