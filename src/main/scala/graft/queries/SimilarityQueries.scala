@@ -6,10 +6,11 @@ import org.apache.spark.sql.functions._
 /** Similarity search over the `embeddings` fixture (64-dim float
   * vectors).
   *
-  * Three operators:
+  * Operators:
   *   - brute-force cosine top-k (the correctness baseline): queries ×
-  *     candidates with a codegen'd `zip_with`/`aggregate` dot product —
-  *     no UDF, stays inside whole-stage codegen;
+  *     candidates with a compiled dot-product kernel (higher-order
+  *     function expressions evaluate interpreted per element — a loop
+  *     with identical accumulation order is ~2× faster and bit-equal);
   *   - LSH-bucketed top-k (the scale path): 8 deterministic pseudo-
   *     random hyperplanes → 8-bit bucket; candidates searched only
   *     within the query's bucket. At 100 TB the bucket is the shuffle/
@@ -26,10 +27,21 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** Codegen'd dot product of two float-array columns (as doubles). */
-  private def dot(a: String, b: String): Column = expr(
-    s"aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), " +
-      s"CAST(0 AS DOUBLE), (acc, v) -> acc + v)")
+  /** Dot product of two float-array columns as doubles — a compiled
+    * kernel summing in index order (the same order the equivalent
+    * `aggregate(zip_with(...))` expression uses, so similarities are
+    * bit-identical; higher-order-function lambdas are interpreted per
+    * element, which at pair-count × 64 dims dominated these queries).
+    */
+  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
+    var s = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+    s
+  }
+
+  private def dot(a: String, b: String): Column = dotUdf(col(a), col(b))
 
   private def norm(a: String): Column = sqrt(dot(a, a))
 
