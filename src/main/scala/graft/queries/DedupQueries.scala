@@ -133,8 +133,13 @@ object DedupQueries {
     * bounds signature work to 20% of the corpus at any sf.
     */
   private def minhashDocs(s: SparkSession, dir: String): DataFrame = {
+    // repartition: the fixture is one row group → one scan partition;
+    // the signature kernel below is the cost center and must spread
+    // across cores (the same redistribute that balances a real
+    // cluster's skewed post-filter partitioning before a heavy kernel)
     val docs = s.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
+      .repartition(col("doc_id"))
     docs.filter(col("doc_id") % 5 === 0)
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
@@ -250,6 +255,7 @@ object DedupQueries {
     "q_dedup_simhash" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 5 === 0)
+        .repartition(col("doc_id")) // single-row-group scan → spread the hash kernel
         .select(col("doc_id"), simhash16Udf(col("text")).as("simhash16"))
         .orderBy("doc_id")),
   )

@@ -51,13 +51,79 @@ object EventQueries {
     // under the DuckDB oracle: its result must equal the batch SQL.
     "q_stream_tumbling" -> ((s, dir) => {
       val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.runToCompletion(
-        graft.streaming.EventStreams.tumblingCounts(
-          graft.sources.EventSource.stream(s, dir)),
-        name,
-        org.apache.spark.sql.streaming.OutputMode.Complete())
-        .orderBy("window_start_s", "event_type")
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        graft.streaming.EventStreams.runToCompletion(
+          graft.streaming.EventStreams.tumblingCounts(
+            graft.sources.EventSource.stream(s, dir)),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }.orderBy("window_start_s", "event_type")
     }),
+
+    // The custom stateful operator (mapGroupsWithState per-user running
+    // totals) under the oracle gate: drained against the static source,
+    // its final state must equal the batch GROUP BY. Update-mode memory
+    // sinks append each batch's emissions, so the last emission per
+    // user (the one with the highest n_events — totals are monotone) is
+    // selected; with the whole file in one trigger that's the only row.
+    "q_stream_user_totals" -> ((s, dir) => {
+      val name = s"stream_user_totals_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        graft.streaming.EventStreams.runToCompletion(
+          graft.streaming.EventStreams.userTotals(
+            graft.sources.EventSource.stream(s, dir)).toDF(),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Update())
+      }
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("n_events"), col("total_value"))).as("m"))
+        .select(col("user_id"), col("m.n_events").as("n_events"),
+          col("m.total_value").as("total_value"))
+        .orderBy("user_id")
+    }),
+
+    // As-of join: each purchase matched to the latest click of the
+    // same user at-or-before its timestamp. Implemented as the
+    // union-merge pattern — tag both sides, one shuffle on user_id, one
+    // sort by (ts, side, id), carry the last-seen click forward with
+    // last(_, ignoreNulls) over a running ROWS frame. This is the plan
+    // that scales: no per-row subquery, no range self-join; exactly one
+    // exchange + sort regardless of side sizes (how you'd as-of 100 TB
+    // of trades against quotes).
+    "q_asof_join" -> ((s, dir) => {
+      val e = ev(s, dir).filter(col("event_type").isin("click", "purchase"))
+      val tagged = e.select(
+        col("event_id"), col("user_id"), col("ts"),
+        (col("event_type") === "purchase").cast("int").as("is_p"),
+        when(col("event_type") === "click", col("event_id")).as("click_id"),
+        when(col("event_type") === "click", col("ts")).as("click_ts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("is_p"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      tagged
+        .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+        .withColumn("asof_click_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+        .filter(col("is_p") === 1)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("purchase_ts_s"),
+          col("asof_click_id"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("asof_click_ts"))).as("gap_s"))
+        .orderBy("purchase_id")
+    }),
+
+    // Semi-structured props: parse the JSON payload column with
+    // from_json (schema'd struct extraction, codegen'd — no UDF) and
+    // aggregate the extracted field.
+    "q_json_props" -> ((s, dir) =>
+      ev(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"), lit("k INT")).getField("k").cast("bigint").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+        .orderBy("event_type")),
 
     // Session windows: 30-minute inactivity gap per user.
     "q_window_session" -> ((s, dir) =>
@@ -81,6 +147,43 @@ object EventQueries {
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_stream_user_totals" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    // ns-vs-µs note: ordering inside a user compares full-precision ns
+    // in DuckDB vs µs-truncated in Spark; event timestamps are random
+    // over a month, so sub-µs ordering collisions are not a concern
+    "q_asof_join" ->
+      """WITH tagged AS (
+        |  SELECT event_id, user_id, ts,
+        |         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        |         CASE WHEN event_type = 'click' THEN event_id END AS click_id,
+        |         CASE WHEN event_type = 'click' THEN ts END AS click_ts
+        |  FROM events WHERE event_type IN ('click', 'purchase')
+        |),
+        |carried AS (
+        |  SELECT *,
+        |         last_value(click_id IGNORE NULLS) OVER w AS asof_click_id,
+        |         last_value(click_ts IGNORE NULLS) OVER w AS asof_click_ts
+        |  FROM tagged
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |)
+        |SELECT event_id AS purchase_id, user_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT) AS purchase_ts_s,
+        |       asof_click_id,
+        |       CAST(floor(epoch(ts)) AS BIGINT)
+        |         - CAST(floor(epoch(asof_click_ts)) AS BIGINT) AS gap_s
+        |FROM carried WHERE is_p = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+        |       min(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS min_k,
+        |       max(CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_window_sliding" ->
       """WITH assigned AS (

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geo.GeoUdfs
 
@@ -144,6 +144,32 @@ object GeoQueries {
         .select(col("c_custkey"), col("n_nationkey"), col("px"), col("py"))
         .orderBy("c_custkey", "n_nationkey")
     }),
+
+    // Z-order (Morton) spatial partition key: interleave the bits of
+    // the 10-bit grid coordinates via the classic shift-mask spreading
+    // (5 codegen'd integer ops per axis, no UDF, no loop). zcell
+    // (a prefix of the curve) is the partition/sort key that keeps
+    // spatially-near points in the same partition — the layout key
+    // you'd repartitionByRange + sortWithinPartitions on before
+    // writing 100 TB of points, so bbox queries prune file ranges.
+    "q_zorder_key" -> ((s, dir) => {
+      def spread(c: Column): Column = {
+        val a = c.bitwiseAND(lit(65535L))
+        val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))
+        val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))
+        val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(858993459L))
+        e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
+      }
+      s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey"),
+          (col("c_custkey") * 37 % 1024).as("gx"),
+          (col("c_custkey") * 53 % 1024).as("gy"))
+        .withColumn("zkey", spread(col("gx"))
+          .bitwiseOR(shiftleft(spread(col("gy")), 1)))
+        .withColumn("zcell", shiftright(col("zkey"), 10))
+        .orderBy("c_custkey")
+    }),
   )
 
   // Envelope corner ring order follows JTS GeometryFactory.toGeometry:
@@ -216,5 +242,32 @@ object GeoQueries {
          |  AND ((t.x0 - (t.x0 + 1000 + 100*t.n_nationkey)) * (p.py - (t.y0 + t.h))
          |       - (t.y0 - (t.y0 + t.h)) * (p.px - (t.x0 + 1000 + 100*t.n_nationkey))) > 0
          |ORDER BY p.c_custkey, t.n_nationkey""".stripMargin,
+
+    "q_zorder_key" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         (c_custkey * 37) % 1024 AS gx, (c_custkey * 53) % 1024 AS gy
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |),
+        |s1 AS (
+        |  SELECT *, ((gx | (gx << 8)) & 16711935) AS ax,
+        |            ((gy | (gy << 8)) & 16711935) AS ay FROM pts
+        |),
+        |s2 AS (
+        |  SELECT *, ((ax | (ax << 4)) & 252645135) AS bx,
+        |            ((ay | (ay << 4)) & 252645135) AS by_ FROM s1
+        |),
+        |s3 AS (
+        |  SELECT *, ((bx | (bx << 2)) & 858993459) AS cx,
+        |            ((by_ | (by_ << 2)) & 858993459) AS cy FROM s2
+        |),
+        |s4 AS (
+        |  SELECT *, ((cx | (cx << 1)) & 1431655765) AS dx,
+        |            ((cy | (cy << 1)) & 1431655765) AS dy FROM s3
+        |)
+        |SELECT c_custkey, gx, gy,
+        |       (dx | (dy << 1)) AS zkey,
+        |       ((dx | (dy << 1)) >> 10) AS zcell
+        |FROM s4 ORDER BY c_custkey""".stripMargin,
   )
 }

@@ -265,6 +265,103 @@ object RelationalQueries {
         .groupBy("order_year", "order_month")
         .agg(count(lit(1)).as("n"), min(col("order_iso_z")).as("first_iso"))
         .orderBy("order_year", "order_month")),
+
+    // Range (interval) join, bucketed: overlapping price bands × parts.
+    // The scale pattern for non-equi interval predicates: quantize the
+    // range dimension into fixed buckets, expand each band to the
+    // buckets it overlaps (explode — tiny side), join on the bucket
+    // EQUI key, then re-check the exact predicate. The nested-loop
+    // O(N·M) becomes a hash join on bucket with per-bucket candidates;
+    // at 100 TB the bucket is the shuffle key and AQE balances it.
+    "q_range_join" -> ((s, dir) => {
+      import s.implicits._
+      val bands = Seq(("low", 900.0, 930.0), ("mid", 920.0, 960.0), ("high", 950.0, 1000.0))
+        .toDF("band", "lo", "hi")
+        .withColumn("bucket", explode(sequence(
+          floor(col("lo") / 10).cast("int"), floor((col("hi") - 0.01) / 10).cast("int"))))
+      val parts = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"),
+          floor(col("p_retailprice") / 10).cast("int").as("bucket"))
+      parts.join(broadcast(bands), "bucket")
+        .filter(col("p_retailprice") >= col("lo") && col("p_retailprice") < col("hi"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_parts"),
+          round(sum(col("p_retailprice")), 2).as("sum_price"))
+        .orderBy("band")
+    }),
+
+    // ntile / percent_rank / cume_dist per market segment (all three
+    // rank-family functions over one sorted partition pass; exact
+    // rational formulas — (rank−1)/(n−1) etc. — are single IEEE
+    // divisions, bit-equal across engines).
+    "q_ntile_window" -> ((s, dir) => {
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("c_acctbal"), col("c_custkey"))
+      t(s, dir, "customer")
+        .select(col("c_mktsegment"), col("c_custkey"),
+          round(col("c_acctbal"), 2).as("acctbal"),
+          ntile(4).over(w).cast("bigint").as("quartile"),
+          round(percent_rank().over(w), 6).as("pct_rank"),
+          round(cume_dist().over(w), 6).as("cume"))
+        .filter(col("c_custkey") % 10 === 0)
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
+    // Explicit GROUPING SETS (beyond rollup/cube): nation totals,
+    // priority totals, and the grand total in one pass.
+    "q_grouping_sets" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation"))
+      val ord = t(s, dir, "orders")
+      ord.join(cust, ord("o_custkey") === cust("c_custkey"))
+        .join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .groupingSets(
+          Seq(Seq(col("n_name")), Seq(col("o_orderpriority")), Seq()),
+          col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total_price"))
+        .select(
+          coalesce(col("n_name"), lit("(all)")).as("nation"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+          col("n_orders"), col("total_price"))
+        .orderBy("nation", "priority")
+    }),
+
+    // Null-safe equi join (<=>): both sides carry NULL keys derived
+    // via nullif; NULL matches NULL (IS NOT DISTINCT FROM), unlike `=`.
+    "q_null_safe_join" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), nullif(col("c_nationkey") % 7, lit(3)).as("k"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey"), nullif(col("s_nationkey") % 7, lit(3)).as("k"))
+      cust.join(sup, cust("k") <=> sup("k"))
+        .groupBy(coalesce(cust("k"), lit(-1)).cast("bigint").as("key_c"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("c_custkey")).as("n_cust"),
+          countDistinct(col("s_suppkey")).as("n_supp"))
+        .orderBy("key_c")
+    }),
+
+    // Deterministic stratified sampling: per-stratum rates decided by a
+    // content hash (md5 of the row key), not rand() — reproducible
+    // across engines and runs, the property a training-data sampling
+    // step actually needs. One pass, conditional (filtered) aggregation.
+    "q_stratified_sample" -> ((s, dir) => {
+      val h2 = conv(substring(md5(concat_ws("_",
+        col("l_orderkey"), col("l_linenumber"))), 1, 2), 16, 10).cast("int")
+      val thr = when(col("l_returnflag") === "A", 64)
+        .when(col("l_returnflag") === "N", 32)
+        .otherwise(128)
+      t(s, dir, "lineitem")
+        .withColumn("keep", h2 < thr)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_sampled"),
+          round(sum(when(col("keep"), col("l_quantity")).otherwise(0.0)), 2).as("sampled_qty"))
+        .withColumn("sample_rate",
+          round(col("n_sampled").cast("double") / col("n_total"), 4))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -427,5 +524,65 @@ object RelationalQueries {
         |       min(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')) AS first_iso
         |FROM orders
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // oracle states the interval predicate plainly — the bucketing in
+    // the Spark plan must be invisible in the result
+    "q_range_join" ->
+      """WITH bands(band, lo, hi) AS (
+        |  VALUES ('low', 900.0, 930.0), ('mid', 920.0, 960.0), ('high', 950.0, 1000.0)
+        |)
+        |SELECT band, count(*) AS n_parts, round(sum(p_retailprice), 2) AS sum_price
+        |FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+        |GROUP BY band ORDER BY band""".stripMargin,
+
+    "q_ntile_window" ->
+      """SELECT c_mktsegment, c_custkey, round(c_acctbal, 2) AS acctbal,
+        |       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+        |       round(percent_rank() OVER w, 6) AS pct_rank,
+        |       round(cume_dist() OVER w, 6) AS cume
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |QUALIFY c_custkey % 10 = 0
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT coalesce(n_name, '(all)') AS nation,
+        |       coalesce(o_orderpriority, '(all)') AS priority,
+        |       count(*) AS n_orders, round(sum(o_totalprice), 2) AS total_price
+        |FROM orders o
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |GROUP BY GROUPING SETS ((n_name), (o_orderpriority), ())
+        |ORDER BY nation, priority""".stripMargin,
+
+    "q_null_safe_join" ->
+      """WITH ck AS (SELECT c_custkey, nullif(c_nationkey % 7, 3) AS k FROM customer),
+        |sk AS (SELECT s_suppkey, nullif(s_nationkey % 7, 3) AS k FROM supplier)
+        |SELECT CAST(coalesce(ck.k, -1) AS BIGINT) AS key_c,
+        |       count(*) AS n_pairs,
+        |       count(DISTINCT c_custkey) AS n_cust,
+        |       count(DISTINCT s_suppkey) AS n_supp
+        |FROM ck JOIN sk ON ck.k IS NOT DISTINCT FROM sk.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_stratified_sample" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val h2 = s"(${hv("substr(md5(l_orderkey || '_' || l_linenumber), 1, 1)")} * 16 + " +
+        s"${hv("substr(md5(l_orderkey || '_' || l_linenumber), 2, 1)")})"
+      s"""WITH tagged AS (
+         |  SELECT l_returnflag, l_quantity,
+         |         $h2 < (CASE l_returnflag WHEN 'A' THEN 64 WHEN 'N' THEN 32 ELSE 128 END) AS keep
+         |  FROM lineitem
+         |)
+         |SELECT l_returnflag, count(*) AS n_total,
+         |       CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+         |       round(sum(CASE WHEN keep THEN l_quantity ELSE 0.0 END), 2) AS sampled_qty,
+         |       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS sample_rate
+         |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
+    },
   )
 }

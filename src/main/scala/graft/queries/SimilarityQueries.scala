@@ -73,8 +73,14 @@ object SimilarityQueries {
 
   private def bucket(e: String): Column = bucketUdf(col(e))
 
+  /** The fixture is a single row group → a single scan partition, so
+    * the dot/bucket kernels downstream would run on one core. A
+    * round-robin redistribute after the skinny scan spreads the
+    * compute; on a real cluster the scan is already many-split and the
+    * exchange is a no-op cost next to the kernel work it balances.
+    */
   private def emb(s: SparkSession, dir: String): DataFrame =
-    s.read.parquet(s"$dir/embeddings.parquet")
+    s.read.parquet(s"$dir/embeddings.parquet").repartition(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -137,6 +137,80 @@ object TextQueries {
           col("fp._2").as("fp_min"), col("fp._3").as("fp_max"),
           col("fp._4").as("fp_checksum"))
         .orderBy("doc_id")),
+
+    // Document chunking for training pipelines: sliding token windows
+    // of 20 with stride 10 (50% overlap). posexplode of the start
+    // offsets + slice — a generator projection, no shuffle until the
+    // final sort; chunk identity is (doc_id, chunk_id), content is the
+    // md5 of the joined window.
+    "q_chunk_tokens" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), col("toks"),
+          explode(expr("sequence(0, greatest(size(toks) - 1, 0), 10)")).as("start"))
+        .select(col("doc_id"),
+          expr("start div 10").cast("bigint").as("chunk_id"),
+          expr("slice(toks, start + 1, 20)").as("chunk"))
+        .select(col("doc_id"), col("chunk_id"),
+          size(col("chunk")).cast("bigint").as("n_tokens"),
+          md5(concat_ws(" ", col("chunk"))).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // TF-IDF top terms per doc, rational-idf variant: score =
+    // tf · (N+1)/(df+1). Deliberately no ln(): +,−,×,÷ are exactly
+    // rounded IEEE ops, so scores are bit-identical across engines
+    // (ln is not and would make cross-engine ranking flaky at ties).
+    // Shape: explode → two hash aggs (doc-term tf, term df) → join →
+    // per-doc top-k window. df is vocabulary-sized → the join is the
+    // only real shuffle at scale.
+    "q_tfidf" -> ((s, dir) => {
+      val sub = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 25 === 0)
+        .select(col("doc_id"), col("text"))
+      val tf = sub
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("doc_id", "term")
+        .agg(count(lit(1)).as("tf"))
+      val dfx = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = sub.agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id"))
+        .orderBy(col("score_exact").desc, col("term"))
+      tf.join(dfx, "term")
+        .crossJoin(broadcast(n))
+        .withColumn("score_exact",
+          col("tf") * ((col("n_docs") + 1.0) / (col("df") + 1.0)))
+        .withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+          round(col("score_exact"), 4).as("score"))
+        .orderBy("doc_id", "rank")
+    }),
+
+    // PII scrubbing: regex redaction of emails and phone numbers with
+    // replacement markers + per-row redaction counts. The contact
+    // strings are synthesized deterministically from the orders table
+    // so the oracle rebuilds the identical input (the fixtures contain
+    // no real PII). Patterns avoid backslash classes ([0-9], [a-z])
+    // so the exact same regex text runs in both engines.
+    "q_pii_redact" -> ((s, dir) => {
+      val emailRe = "[a-z0-9]+@[a-z0-9.]+[a-z]"
+      val phoneRe = "[+][0-9]{2}-[0-9]{2}-[0-9]{7}"
+      s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderkey") % 100 === 0)
+        .select(col("o_orderkey"),
+          concat(lit("contact user"), col("o_custkey"),
+            lit(" at user"), col("o_custkey"), lit("@example.com or +64-21-"),
+            lpad(col("o_orderkey") % 10000000, 7, "0"),
+            lit(" re order "), col("o_orderkey")).as("raw"))
+        .select(col("o_orderkey"),
+          regexp_count(col("raw"), lit(emailRe)).cast("bigint").as("n_emails"),
+          regexp_count(col("raw"), lit(phoneRe)).cast("bigint").as("n_phones"),
+          regexp_replace(regexp_replace(col("raw"), emailRe, "[EMAIL]"),
+            phoneRe, "[PHONE]").as("redacted"))
+        .orderBy("o_orderkey")
+    }),
   )
 
   private val stopList = stopwords.map("'" + _ + "'").mkString(",")
@@ -230,5 +304,56 @@ object TextQueries {
         |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS re_tokens,
         |       round(length(text) * 1.0 / len(string_split(text, ' ')), 4) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_chunk_tokens" ->
+      """WITH docs AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id % 10 = 0
+        |),
+        |starts AS (
+        |  SELECT doc_id, toks,
+        |         unnest(generate_series(0, greatest(len(toks) - 1, 0), 10)) AS start
+        |  FROM docs
+        |)
+        |SELECT doc_id, start // 10 AS chunk_id,
+        |       len(toks[start + 1 : start + 20]) AS n_tokens,
+        |       md5(array_to_string(toks[start + 1 : start + 20], ' ')) AS chunk_md5
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+
+    "q_tfidf" ->
+      """WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM sub),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfx AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM sub),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+        |         tf.tf * ((n.n_docs + 1.0) / (dfx.df + 1.0)) AS score_exact
+        |  FROM tf JOIN dfx USING (term) CROSS JOIN n
+        |),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score_exact,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY score_exact DESC, term) AS rank
+        |  FROM scored
+        |)
+        |SELECT doc_id, rank, term, tf, df, round(score_exact, 4) AS score
+        |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_pii_redact" ->
+      """WITH raws AS (
+        |  SELECT o_orderkey,
+        |         'contact user' || o_custkey || ' at user' || o_custkey ||
+        |         '@example.com or +64-21-' ||
+        |         lpad(CAST(o_orderkey % 10000000 AS VARCHAR), 7, '0') ||
+        |         ' re order ' || o_orderkey AS raw
+        |  FROM orders WHERE o_orderkey % 100 = 0
+        |)
+        |SELECT o_orderkey,
+        |       len(regexp_extract_all(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]')) AS n_emails,
+        |       len(regexp_extract_all(raw, '[+][0-9]{2}-[0-9]{2}-[0-9]{7}')) AS n_phones,
+        |       regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
+        |                      '[+][0-9]{2}-[0-9]{2}-[0-9]{7}', '[PHONE]', 'g') AS redacted
+        |FROM raws ORDER BY o_orderkey""".stripMargin,
   )
 }

@@ -53,9 +53,10 @@ object EventStreams {
           var n = prev.n_events
           var tot = prev.total_value
           rows.foreach { e => n += 1; tot += e.value }
-          val next = UserTotals(uid, n, math.rint(tot * 100) / 100)
-          state.update(next)
-          next
+          // state keeps the exact running sum; rounding happens only on
+          // emission (rounding state would compound across batches)
+          state.update(UserTotals(uid, n, tot))
+          UserTotals(uid, n, math.rint(tot * 100) / 100)
       }
   }
 
@@ -70,5 +71,21 @@ object EventStreams {
       .start()
     try q.processAllAvailable() finally q.stop()
     df.sparkSession.table(name)
+  }
+
+  /** Stateful streaming queries pay a per-state-partition cost every
+    * micro-batch (one HDFS-backed store instance + commit each): with
+    * the session's CPU-count shuffle partitions that overhead dwarfs
+    * the actual aggregation at fixture group counts. Pin the state
+    * partitioning to a small constant while a streaming query starts —
+    * state cardinality, not input size, is what this knob should track
+    * (on a cluster you'd size it to peak state, set once per query at
+    * first start; it is frozen into the checkpoint thereafter).
+    */
+  def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, n.toString)
+    try body finally s.conf.set(key, prev)
   }
 }
