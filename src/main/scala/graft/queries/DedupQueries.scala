@@ -250,6 +250,42 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Dedup clustering: connected components over a candidate-pair
+    // graph by iterative min-label propagation — the step that turns
+    // pairwise near-dup hits into survivor groups. The graph here is a
+    // deterministic chain construction (nodes = customer keys; edges
+    // (c, c+1) for c % 10 ∈ {1,2,3} → components of ≤ 4 nodes), so the
+    // oracle has a closed form while the Spark side runs the real
+    // fixed-point loop: each iteration is one shuffle-join round
+    // (label ← min(label, neighbor labels)); chains of diameter 3
+    // converge in exactly 3 rounds. At 100 TB this is the standard
+    // large-star/small-star shape: iterations of hash joins, no
+    // driver-side state.
+    "q_dedup_cluster" -> ((s, dir) => {
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      val fwd = nodes.filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        // keep only edges whose endpoint exists (chain truncation at max key)
+        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val edges = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to 3) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nbr_label")).as("min_nbr"))
+        labels = labels.join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+      }
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy("cluster_id")
+    }),
+
     // 16-bit SimHash per subset doc (full 64-bit is the same loop with
     // a wider accumulator; 16 bits keeps the oracle SQL tractable).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -394,6 +430,20 @@ object DedupQueries {
          |  FROM cand c JOIN wp a ON a.doc_id = c.id_a JOIN wp b ON b.doc_id = c.id_b
          |)
          |WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
+
+    // closed form: nodes c%10∈{1..4} belong to the chain rooted at
+    // c − c%10 + 1 (edges exist iff both endpoints ≤ max key, which the
+    // CASE respects because membership follows the surviving nodes)
+    "q_dedup_cluster" ->
+      """WITH comp AS (
+        |  SELECT c_custkey AS id,
+        |         CASE WHEN c_custkey % 10 BETWEEN 1 AND 4
+        |              THEN c_custkey - (c_custkey % 10) + 1
+        |              ELSE c_custkey END AS cluster_id
+        |  FROM customer
+        |)
+        |SELECT cluster_id, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
+        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH ssub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

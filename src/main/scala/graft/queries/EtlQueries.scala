@@ -164,6 +164,46 @@ object EtlQueries {
     // re-parsing the output filename convention exactly like the
     // reference's create_json_file does (PRJ-7).
     "q_product_catalog" -> ((s, dir) => productCatalog(s, dir)),
+
+    // SNK-4/D5: the full nested metadata document (ETL.py:474–498) —
+    // Mongo-extended $date wrappers, GeoJSON Polygon footprint (the
+    // envelope ring, closed, in JTS corner order), catalog strings —
+    // serialized with to_json(struct(...)). updatedAt is pinned
+    // (SURVEY §7.6.3); the bbox derives from the region dim idx so the
+    // oracle rebuilds the byte-identical JSON.
+    "q_metadata_json" -> ((s, dir) => {
+      val regions = broadcast(Lookups.regionDim(s)
+        .filter(col("code") =!= "99")
+        .select(col("idx").cast("double").as("ridx"),
+          col("code").as("region_code"), col("name").as("region_name")))
+      val params = Lookups.parameterDim(s)
+        .select(col("code").as("param_code"), col("name").as("param_name"))
+      val x0 = lit(1600000.0) + lit(9000.0) * col("ridx")
+      val y0 = lit(5000000.0) + lit(7000.0) * col("ridx")
+      val x1 = x0 + lit(3000.0) + lit(500.0) * col("ridx")
+      val y1 = y0 + lit(2000.0) + lit(400.0) * col("ridx")
+      val coords = array(array(
+        array(x0, y0), array(x0, y1), array(x1, y1), array(x1, y0), array(x0, y0)))
+      val typeParam = Filenames.dashToSpace(col("param_name"))
+      val regionTitle = Filenames.dashToSpace(col("region_name"))
+      val fileStem = concat(col("param_name"), lit("_Mean_1991-2020_Annual_"),
+        col("region_name"))
+      params.crossJoin(regions)
+        .select(col("param_code"), col("region_code"),
+          graft.etl.MetadataJson.doc(
+            prefix = lit("climate/grids"),
+            fileStem = fileStem,
+            title = graft.etl.MetadataJson.title(typeParam, lit("Annual"), regionTitle),
+            description = graft.etl.MetadataJson.description(
+              typeParam, lit("Mean"), lit("1991-2020"), lit("Annual"), regionTitle),
+            coords = coords,
+            parameter = typeParam,
+            period = lit("Annual"),
+            statistic = lit("Mean"),
+            region = regionTitle,
+            updatedAt = lit("2026-01-01T00:00:00Z")).as("metadata_json"))
+        .orderBy("param_code", "region_code")
+    }),
   )
 
   private def explodedSidecars(s: SparkSession): DataFrame = {
@@ -347,5 +387,47 @@ object EtlQueries {
          |       '1991-01-01T00:00:00Z' AS date_min,
          |       '2020-12-31T00:00:00Z' AS date_max
          |FROM parsed ORDER BY file_name""".stripMargin,
+
+    // byte-identical reconstruction of to_json(struct(...)): compact
+    // separators, struct field order, "1600000.0"-style doubles
+    // (DECIMAL(12,1) cast), $date wrappers
+    "q_metadata_json" -> {
+      val n = (c: String) => s"CAST(CAST($c AS DECIMAL(12,1)) AS VARCHAR)"
+      val pt = (xc: String, yc: String) => s"'[' || ${n(xc)} || ',' || ${n(yc)} || ']'"
+      s"""WITH ${Lookups.parameterCte}, ${Lookups.regionCte},
+         |base AS (
+         |  SELECT p.code AS param_code, r.code AS region_code,
+         |         replace(p.name, '-', ' ') AS type_param,
+         |         replace(r.name, '-', ' ') AS region_title,
+         |         p.name || '_Mean_1991-2020_Annual_' || r.name AS file_stem,
+         |         1600000.0 + 9000.0 * r.idx AS x0,
+         |         5000000.0 + 7000.0 * r.idx AS y0,
+         |         1600000.0 + 9000.0 * r.idx + 3000.0 + 500.0 * r.idx AS x1,
+         |         5000000.0 + 7000.0 * r.idx + 2000.0 + 400.0 * r.idx AS y1
+         |  FROM parameter_dim p CROSS JOIN region_dim r
+         |  WHERE r.code <> '99'
+         |)
+         |SELECT param_code, region_code,
+         |       '{"src":"/climate/grids/' || file_stem || '.zip",' ||
+         |       '"productRef":"climate/grids",' ||
+         |       '"metadata":{' ||
+         |       '"title":"Climatology Grid ' || type_param || ' (1991-2020), Annual, Region: ' || region_title || '",' ||
+         |       '"description":"This dataset comprises a 500m resolution grid of climatologic normals (averages) for: Parameter: ' ||
+         |         type_param || '; Statistic: Mean; Period: 1991-2020; Annual; Region: ' || region_title || '",' ||
+         |       '"geojson":{"type":"Polygon","coordinates":[[' ||
+         |         ${pt("x0", "y0")} || ',' || ${pt("x0", "y1")} || ',' ||
+         |         ${pt("x1", "y1")} || ',' || ${pt("x1", "y0")} || ',' ||
+         |         ${pt("x0", "y0")} ||
+         |       ']]},' ||
+         |       '"dateMin":{"$$date":"1991-01-01T00:00:00Z"},' ||
+         |       '"dateMax":{"$$date":"2020-12-31T00:00:00Z"},' ||
+         |       '"version":"1.0",' ||
+         |       '"updatedAt":{"$$date":"2026-01-01T00:00:00Z"},' ||
+         |       '"parameter":"' || type_param || '",' ||
+         |       '"period":"Annual",' ||
+         |       '"statistic":"Mean",' ||
+         |       '"region":"' || region_title || '"}}' AS metadata_json
+         |FROM base ORDER BY param_code, region_code""".stripMargin
+    },
   )
 }

@@ -125,6 +125,25 @@ object EventQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // RANGE-frame window: per user, the trailing-1-hour event count and
+    // value sum at every event — a true RANGE frame over epoch seconds
+    // (peers at the same second share a frame), distinct from the ROWS
+    // running frame of q_window_running.
+    "q_window_range" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts_s"))
+        .rangeBetween(-3600, 0)
+      ev(s, dir)
+        .select(col("event_id"), col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"), col("value"))
+        .withColumn("n_1h", count(lit(1)).over(w))
+        .withColumn("sum_1h", round(sum(col("value")).over(w), 2))
+        .filter(col("event_id") % 20 === 0)
+        .select("event_id", "user_id", "ts_s", "n_1h", "sum_1h")
+        .orderBy("event_id")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_window_session" -> ((s, dir) =>
       ev(s, dir)
@@ -177,6 +196,21 @@ object EventQueries {
         |       CAST(floor(epoch(ts)) AS BIGINT)
         |         - CAST(floor(epoch(asof_click_ts)) AS BIGINT) AS gap_s
         |FROM carried WHERE is_p = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q_window_range" ->
+      """WITH es AS (
+        |  SELECT event_id, user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+        |  FROM events
+        |)
+        |SELECT event_id, user_id, ts_s,
+        |       count(*) OVER w AS n_1h,
+        |       round(sum(value) OVER w, 2) AS sum_1h
+        |FROM es
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts_s
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |QUALIFY event_id % 20 = 0
+        |ORDER BY event_id""".stripMargin,
 
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,

@@ -154,6 +154,27 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Int8 quantization of the embedding column — the storage/transfer
+    // compression step real vector indexes apply before ANN search.
+    // scale = 127/max|v|; q_d = round(v_d · scale) — every step is an
+    // exactly-rounded IEEE op (max, div, mul, round-half-away), so the
+    // quantized vectors are bit-identical cross-engine. Pure
+    // higher-order-function expressions (no UDF): 64 elements/row keeps
+    // interpreted lambda cost trivial here.
+    "q_embedding_quantize" -> ((s, dir) =>
+      emb(s, dir)
+        .filter(col("vec_id") % 5 === 0)
+        .withColumn("maxabs", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("qvec", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT))"))
+        .select(col("vec_id"),
+          round(col("maxabs"), 4).as("maxabs"),
+          expr("aggregate(qvec, CAST(0 AS BIGINT), (a, q) -> a + q)").as("q_sum"),
+          expr("CAST(size(filter(qvec, q -> abs(q) >= 100)) AS BIGINT)").as("n_large"),
+          expr("CAST(size(filter(qvec, q -> q = 0)) AS BIGINT)").as("n_zero"))
+        .orderBy("vec_id")),
+
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
     // found via bucket-blocked pairwise cosine ≥ 0.99.
     "q_embedding_near_dup" -> ((s, dir) => {
@@ -246,6 +267,25 @@ object SimilarityQueries {
          |)
          |SELECT query_id, cell, rank, vec_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_embedding_quantize" ->
+      s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+         |ma AS (
+         |  SELECT vec_id, embedding,
+         |         (SELECT max(abs(CAST(embedding[i] AS DOUBLE)))
+         |          FROM generate_series(1, 64) t(i)) AS maxabs
+         |  FROM sub
+         |),
+         |q AS (
+         |  SELECT vec_id, maxabs, i,
+         |         CAST(round(CAST(embedding[i] AS DOUBLE) * (127.0 / maxabs)) AS BIGINT) AS qv
+         |  FROM ma CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+         |)
+         |SELECT vec_id, round(maxabs, 4) AS maxabs,
+         |       CAST(sum(qv) AS BIGINT) AS q_sum,
+         |       CAST(sum(CASE WHEN abs(qv) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
+         |       CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+         |FROM q GROUP BY vec_id, maxabs ORDER BY vec_id""".stripMargin,
 
     "q_embedding_near_dup" ->
       s"""WITH corpus AS (

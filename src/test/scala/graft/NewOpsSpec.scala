@@ -1,0 +1,108 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, EventQueries, RelationalQueries, SimilarityQueries, TextQueries}
+
+/** Semantics checks for the round-2 operator batch, independent of the
+  * DuckDB oracle (which checks cross-engine equality, not meaning).
+  */
+class NewOpsSpec extends SparkSpecBase {
+
+  test("as-of join: every matched click precedes or equals its purchase") {
+    val rows = EventQueries.queries("q_asof_join")(spark, sf)
+      .filter(col("asof_click_id").isNotNull)
+      .select("gap_s").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getLong(0) >= 0L))
+  }
+
+  test("as-of join: purchases with no prior click carry nulls") {
+    // the earliest purchase of at least one user should precede any click
+    val df = EventQueries.queries("q_asof_join")(spark, sf)
+    val total = df.count()
+    val matched = df.filter(col("asof_click_id").isNotNull).count()
+    assert(total > 0 && matched <= total)
+  }
+
+  test("connected components: labels equal the closed-form chain root") {
+    val got = DedupQueries.queries("q_dedup_cluster")(spark, sf)
+    // every cluster's min_id must equal its label, and chain clusters
+    // have ≤ 4 members with contiguous ids
+    val bad = got.filter(col("cluster_id") =!= col("min_id")).count()
+    assert(bad === 0)
+    val chains = got.filter(col("n_nodes") > 1)
+    assert(chains.filter(col("n_nodes") > 4).count() === 0)
+    assert(chains.filter(col("max_id") - col("min_id") =!= col("n_nodes") - 1).count() === 0)
+    assert(chains.count() > 0)
+  }
+
+  test("range join via buckets equals the plain interval predicate") {
+    val got = RelationalQueries.queries("q_range_join")(spark, sf).collect()
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+    val bands = Seq(("low", 900.0, 930.0), ("mid", 920.0, 960.0), ("high", 950.0, 1000.0))
+    val expected = bands.map { case (name, lo, hi) =>
+      name -> parts.filter(col("p_retailprice") >= lo && col("p_retailprice") < hi).count()
+    }.toMap
+    got.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_parts")) === expected(r.getString(0)))
+    }
+  }
+
+  test("stratified sample rates track the per-stratum thresholds") {
+    val rows = RelationalQueries.queries("q_stratified_sample")(spark, sf).collect()
+    val expect = Map("A" -> 64.0 / 256, "N" -> 32.0 / 256, "R" -> 128.0 / 256)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val rate = r.getDouble(r.fieldIndex("sample_rate"))
+      assert(math.abs(rate - expect(flag)) < 0.08, s"$flag rate $rate")
+    }
+  }
+
+  test("int8 quantization bounds: |q| <= 127 and scale hits 127 somewhere") {
+    val df = SimilarityQueries.queries("q_embedding_quantize")(spark, sf)
+    // n_large counts |q| >= 100; every vector's max|q| is exactly 127
+    // (the max-abs element quantizes to ±127), so n_large >= 1
+    assert(df.filter(col("n_large") < 1).count() === 0)
+    assert(df.count() > 0)
+  }
+
+  test("chunking covers every token with stride-10 windows") {
+    val chunks = TextQueries.queries("q_chunk_tokens")(spark, sf)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    // chunk count per doc = ceil(n_toks / 10), since starts are 0,10,…,< n
+    val got = chunks.groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))
+      .join(docs, "doc_id")
+      .filter(col("n_chunks") =!= ceil(col("n_toks") / lit(10.0)).cast("long"))
+    assert(got.count() === 0)
+  }
+
+  test("pii redaction removes every email and phone") {
+    val df = TextQueries.queries("q_pii_redact")(spark, sf)
+    assert(df.count() > 0)
+    val leaked = df.filter(col("redacted").rlike("[a-z0-9]+@[a-z0-9.]+") ||
+      col("redacted").rlike("[+][0-9]{2}-[0-9]{2}-[0-9]{7}"))
+    assert(leaked.count() === 0)
+    assert(df.filter(!col("redacted").contains("[EMAIL]") ||
+      !col("redacted").contains("[PHONE]")).count() === 0)
+  }
+
+  test("z-order key interleaves bits: zkey reconstructs gx and gy") {
+    val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val gx = r.getLong(r.fieldIndex("gx"))
+      val gy = r.getLong(r.fieldIndex("gy"))
+      val z = r.getLong(r.fieldIndex("zkey"))
+      var (rx, ry) = (0L, 0L)
+      var j = 0
+      while (j < 16) {
+        rx |= ((z >> (2 * j)) & 1L) << j
+        ry |= ((z >> (2 * j + 1)) & 1L) << j
+        j += 1
+      }
+      assert(rx === gx && ry === gy)
+    }
+  }
+}
