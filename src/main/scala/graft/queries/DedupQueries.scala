@@ -250,6 +250,24 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Incremental (cross-crawl) dedup: only new-crawl docs whose
+    // content hash is absent from the existing index survive — a hash
+    // anti-join, the shape of a daily ingest against a 100 TB corpus
+    // index (shuffle on the digest, or a bloom-filter pre-pass).
+    // Exact re-crawls (+2M ids) are dropped; appended-tail near-dups
+    // (+1M ids) pass — exact hashing deliberately misses them, which is
+    // why the minhash/simhash stages exist downstream.
+    "q_dedup_incremental" -> ((s, dir) => {
+      val crawl = Corpus.withDuplicates(s, dir)
+      val index = s.read.parquet(s"$dir/documents.parquet")
+        .select(md5(col("text")).as("content_hash"))
+      crawl.filter(col("doc_id") >= 1000000)
+        .withColumn("content_hash", md5(col("text")))
+        .join(index, Seq("content_hash"), "left_anti")
+        .select("doc_id", "content_hash")
+        .orderBy("doc_id")
+    }),
+
     // Dedup clustering: connected components over a candidate-pair
     // graph by iterative min-label propagation — the step that turns
     // pairwise near-dup hits into survivor groups. The graph here is a
@@ -430,6 +448,14 @@ object DedupQueries {
          |  FROM cand c JOIN wp a ON a.doc_id = c.id_a JOIN wp b ON b.doc_id = c.id_b
          |)
          |WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_incremental" ->
+      s"""WITH ${Corpus.corpusCte}
+         |SELECT doc_id, md5(text) AS content_hash
+         |FROM corpus
+         |WHERE doc_id >= 1000000
+         |  AND md5(text) NOT IN (SELECT md5(text) FROM documents)
+         |ORDER BY doc_id""".stripMargin,
 
     // closed form: nodes c%10∈{1..4} belong to the chain rooted at
     // c − c%10 + 1 (edges exist iff both endpoints ≤ max key, which the

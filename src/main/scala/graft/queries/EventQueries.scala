@@ -125,6 +125,29 @@ object EventQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // Streaming deduplication: the input stream is deliberately doubled
+    // (two source instances over the same files), then
+    // dropDuplicates("event_id") — Spark's stateful streaming dedup
+    // operator — restores exactly-once rows in append mode; the batch
+    // aggregate over the drained sink must equal plain SQL over the
+    // original table. The state key is the event id, the shape of
+    // at-least-once ingest dedup in production pipelines.
+    "q_stream_dedup" -> ((s, dir) => {
+      val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val doubled = graft.sources.EventSource.stream(s, dir)
+          .unionByName(graft.sources.EventSource.stream(s, dir))
+        graft.streaming.EventStreams.runToCompletion(
+          doubled.dropDuplicates("event_id")
+            .select("event_id", "event_type", "value"),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // RANGE-frame window: per user, the trailing-1-hour event count and
     // value sum at every event — a true RANGE frame over epoch seconds
     // (peers at the same second share a frame), distinct from the ROWS
@@ -196,6 +219,10 @@ object EventQueries {
         |       CAST(floor(epoch(ts)) AS BIGINT)
         |         - CAST(floor(epoch(asof_click_ts)) AS BIGINT) AS gap_s
         |FROM carried WHERE is_p = 1 ORDER BY purchase_id""".stripMargin,
+
+    "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q_window_range" ->
       """WITH es AS (

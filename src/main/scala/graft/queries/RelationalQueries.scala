@@ -342,6 +342,27 @@ object RelationalQueries {
         .orderBy("key_c")
     }),
 
+    // Fixed-size k-per-group sampling: rank rows inside each stratum by
+    // a content hash and keep the first k — the deterministic
+    // counterpart of reservoir sampling (same uniform-without-
+    // replacement property, reproducible across runs and engines).
+    // One window sort per group, no global shuffle of the kept rows.
+    "q_sample_per_group" -> ((s, dir) => {
+      val h = md5(concat_ws("_", col("l_orderkey"), col("l_linenumber")))
+      // lineitem carries exact duplicate (orderkey, linenumber) pairs
+      // whose other columns differ — qty joins the sort so every output
+      // column is ordering-determined (residual ties are full-row
+      // identical and thus output-invariant)
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(h, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      t(s, dir, "lineitem")
+        .withColumn("rk", row_number().over(w).cast("bigint"))
+        .filter(col("rk") <= 5)
+        .select(col("l_returnflag"), col("rk"), col("l_orderkey"),
+          col("l_linenumber"), round(col("l_quantity"), 2).as("qty"))
+        .orderBy("l_returnflag", "rk")
+    }),
+
     // Deterministic stratified sampling: per-stratum rates decided by a
     // content hash (md5 of the row key), not rand() — reproducible
     // across engines and runs, the property a training-data sampling
@@ -564,6 +585,18 @@ object RelationalQueries {
         |       count(DISTINCT s_suppkey) AS n_supp
         |FROM ck JOIN sk ON ck.k IS NOT DISTINCT FROM sk.k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sample_per_group" ->
+      """WITH ranked AS (
+        |  SELECT l_returnflag, l_orderkey, l_linenumber, l_quantity,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |             ORDER BY md5(l_orderkey || '_' || l_linenumber),
+        |                      l_orderkey, l_linenumber, l_quantity) AS rk
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, rk, l_orderkey, l_linenumber,
+        |       round(l_quantity, 2) AS qty
+        |FROM ranked WHERE rk <= 5 ORDER BY l_returnflag, rk""".stripMargin,
 
     "q_stratified_sample" -> {
       val hv: String => String = c =>

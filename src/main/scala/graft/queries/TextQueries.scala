@@ -188,6 +188,34 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // The composite curation pipeline — what a real training-data prep
+    // job chains: language-ID gate → quality gate → length gate →
+    // exact-dedup survivor selection, over the duplicated re-crawl
+    // corpus. One pass of narrow projections, then a single shuffle on
+    // the content hash; every gate is the same expression family the
+    // standalone queries pin down individually.
+    "q_curation_pipeline" -> ((s, dir) => {
+      val feats = graft.text.Corpus.withDuplicates(s, dir)
+        .withColumn("n_tokens", expr(s"size(${toks("text")})").cast("bigint"))
+        .withColumn("n_chars_actual", length(col("text")).cast("bigint"))
+        .withColumn("n_stop", stopCount("text").cast("bigint"))
+        .withColumn("n_markers",
+          (tokCount("text", "the") + tokCount("text", "a")).cast("bigint"))
+        .withColumn("quality", least(lit(1.0),
+          col("n_stop").cast("double") / col("n_tokens") * 2
+            + lit(1.0) / (lit(1.0) + abs((col("n_chars_actual") - col("n_tokens") + 1)
+              .cast("double") / col("n_tokens") - 5))))
+      feats
+        .filter(col("n_markers").cast("double") / col("n_tokens") > 0.05 &&
+          col("quality") >= 0.4 && col("n_tokens") >= 20)
+        .groupBy(md5(col("text")).as("content_hash"))
+        .agg(min(col("doc_id")).as("survivor_id"),
+          min(col("n_tokens")).as("n_tokens"),
+          count(lit(1)).as("n_copies"))
+        .select("survivor_id", "n_tokens", "n_copies")
+        .orderBy("survivor_id")
+    }),
+
     // PII scrubbing: regex redaction of emails and phone numbers with
     // replacement markers + per-row redaction counts. The contact
     // strings are synthesized deterministically from the orders table
@@ -339,6 +367,30 @@ object TextQueries {
         |)
         |SELECT doc_id, rank, term, tf, df, round(score_exact, 4) AS score
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_curation_pipeline" ->
+      s"""WITH ${graft.text.Corpus.corpusCte},
+         |feats AS (
+         |  SELECT doc_id, text,
+         |         len(string_split(text, ' ')) AS n_tokens,
+         |         length(text) AS n_chars_actual,
+         |         len(list_filter(string_split(text, ' '), t -> t IN ($stopList))) AS n_stop,
+         |         len(list_filter(string_split(text, ' '), t -> t = 'the'))
+         |           + len(list_filter(string_split(text, ' '), t -> t = 'a')) AS n_markers
+         |  FROM corpus
+         |),
+         |scored AS (
+         |  SELECT *, least(1.0, n_stop * 1.0 / n_tokens * 2
+         |           + 1.0 / (1.0 + abs((n_chars_actual - n_tokens + 1) * 1.0 / n_tokens - 5))) AS quality
+         |  FROM feats
+         |),
+         |kept AS (
+         |  SELECT * FROM scored
+         |  WHERE n_markers * 1.0 / n_tokens > 0.05 AND quality >= 0.4 AND n_tokens >= 20
+         |)
+         |SELECT min(doc_id) AS survivor_id, min(n_tokens) AS n_tokens,
+         |       count(*) AS n_copies
+         |FROM kept GROUP BY md5(text) ORDER BY survivor_id""".stripMargin,
 
     "q_pii_redact" ->
       """WITH raws AS (
