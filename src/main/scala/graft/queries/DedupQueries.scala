@@ -250,6 +250,25 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Fuzzy matching: edit-distance similarity between adjacent catalog
+    // entries — levenshtein is the classic record-linkage verifier run
+    // AFTER blocking bounds the candidate pairs (here: consecutive
+    // part keys; at scale: the same banding keys the minhash/simhash
+    // stages produce). Both engines implement the identical DP metric,
+    // so distances are exact integers.
+    "q_fuzzy_match" -> ((s, dir) => {
+      val parts = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey"), col("p_name"))
+      val next = parts.select((col("p_partkey") - 1).as("p_partkey"),
+        col("p_name").as("next_name"))
+      parts.filter(col("p_partkey") % 5 === 0)
+        .join(next, "p_partkey")
+        .select(col("p_partkey"),
+          levenshtein(col("p_name"), col("next_name")).cast("bigint").as("edit_dist"),
+          (levenshtein(col("p_name"), col("next_name")) <= 15).as("is_match"))
+        .orderBy("p_partkey")
+    }),
+
     // Incremental (cross-crawl) dedup: only new-crawl docs whose
     // content hash is absent from the existing index survive — a hash
     // anti-join, the shape of a daily ingest against a 100 TB corpus
@@ -448,6 +467,14 @@ object DedupQueries {
          |  FROM cand c JOIN wp a ON a.doc_id = c.id_a JOIN wp b ON b.doc_id = c.id_b
          |)
          |WHERE hamming <= 12 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_fuzzy_match" ->
+      """SELECT a.p_partkey,
+        |       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS edit_dist,
+        |       levenshtein(a.p_name, b.p_name) <= 15 AS is_match
+        |FROM part a JOIN part b ON b.p_partkey = a.p_partkey + 1
+        |WHERE a.p_partkey % 5 = 0
+        |ORDER BY a.p_partkey""".stripMargin,
 
     "q_dedup_incremental" ->
       s"""WITH ${Corpus.corpusCte}

@@ -79,6 +79,39 @@ object RasterQueries {
           round(col("cl._5"), 2).as("sum_valid"))
         .orderBy("n_nationkey")),
 
+    // Pyramid building: 2×2 block downsample (mean of valid cells,
+    // NODATA-aware) — the overview-level generation step every tiled
+    // raster store runs. One task per raster; block means of ≤4
+    // integer-valued cells are exact rationals, so the oracle's
+    // AVG FILTER reproduces them bit-for-bit.
+    "q_raster_downsample" -> ((s, dir) => {
+      val downUdf = udf { (text: String) =>
+        val g = AsciiGrid.parse(text)
+        val bc = (g.ncols + 1) / 2
+        val br = (g.nrows + 1) / 2
+        (0 until br * bc).map { bi =>
+          val r0 = (bi / bc) * 2; val c0 = (bi % bc) * 2
+          var sum = 0.0; var n = 0L
+          var r = r0
+          while (r < math.min(r0 + 2, g.nrows)) {
+            var c = c0
+            while (c < math.min(c0 + 2, g.ncols)) {
+              val v = g.value(r, c)
+              if (v != g.nodata) { sum += v; n += 1 }
+              c += 1
+            }
+            r += 1
+          }
+          (bi, n, if (n == 0) None else Some(sum / n))
+        }
+      }
+      gridsWithRegions(s, dir)
+        .withColumn("blk", explode(downUdf(col("grid_text"))))
+        .select(col("n_nationkey"), col("blk._1").cast("bigint").as("block_idx"),
+          col("blk._2").as("n_valid"), round(col("blk._3"), 4).as("block_mean"))
+        .orderBy("n_nationkey", "block_idx")
+    }),
+
     // Cells as a relation: parse → posexplode → per-cell coordinates.
     // The exploded form is what a grid-partitioned 100 TB spatial join
     // keys on (cell → partition), so it's a first-class query.
@@ -161,5 +194,14 @@ object RasterQueries {
          |SELECT n_nationkey, i AS cell_idx, cx, cy, value
          |FROM cells WHERE value <> -9999.0
          |ORDER BY n_nationkey, cell_idx""".stripMargin,
+
+    "q_raster_downsample" ->
+      s"""WITH $cellsCte
+         |SELECT n_nationkey,
+         |       ((i // nc) // 2) * ((nc + 1) // 2) + (i % nc) // 2 AS block_idx,
+         |       count(*) FILTER (WHERE value <> -9999.0) AS n_valid,
+         |       round(avg(value) FILTER (WHERE value <> -9999.0), 4) AS block_mean
+         |FROM cells
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
   )
 }

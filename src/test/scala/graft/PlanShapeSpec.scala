@@ -35,4 +35,33 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"), s"plan:\n$p")
     assert(p.contains("TakeOrderedAndProject"), s"top-k should avoid a global sort:\n$p")
   }
+
+  test("q_range_join: bucketing turns the interval predicate into a hash join") {
+    val p = plan("q_range_join", RelationalQueries.queries)
+    assert(p.contains("BroadcastHashJoin"), s"bucketed band join should hash-join:\n$p")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"the whole point is avoiding the nested-loop interval join:\n$p")
+  }
+
+  test("q_asof_join: exactly one exchange (the user_id shuffle), no join operator") {
+    val p = plan("q_asof_join", graft.queries.EventQueries.queries)
+    // union-merge as-of: no Join node at all; a single hashpartitioning
+    // exchange feeds the window sort (plus the final presentation sort)
+    assert(!p.contains("Join"), s"as-of should be join-free:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 hash exchange, got $exchanges:\n$p")
+  }
+
+  test("q_dedup_incremental: anti join on the content hash") {
+    val p = plan("q_dedup_incremental", graft.queries.DedupQueries.queries)
+    assert(p.contains("LeftAnti"), s"incremental dedup must anti-join:\n$p")
+  }
+
+  test("q_stratified_sample: single scan, no shuffle before the final agg exchange") {
+    val p = plan("q_stratified_sample", RelationalQueries.queries)
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), s"plan:\n$p")
+    // one exchange for the groupBy, one for the presentation sort
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n$p")
+  }
 }
