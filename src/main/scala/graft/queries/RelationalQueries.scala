@@ -266,6 +266,58 @@ object RelationalQueries {
         .agg(count(lit(1)).as("n"), min(col("order_iso_z")).as("first_iso"))
         .orderBy("order_year", "order_month")),
 
+    // The SQL entry point over registered views: a TPC-H Q5-shaped
+    // 6-table join through spark.sql — the text-SQL surface backed by
+    // the same Catalyst planning (join reordering, broadcast of the
+    // region/nation dims) as the DataFrame API queries.
+    "q_sql_multi_join" -> ((s, dir) => {
+      Seq("region", "nation", "customer", "orders", "lineitem", "supplier")
+        .foreach(n => t(s, dir, n).createOrReplaceTempView(n))
+      s.sql(
+        """SELECT n_name, count(*) AS n_items,
+          |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM customer
+          |JOIN orders ON c_custkey = o_custkey
+          |JOIN lineitem ON l_orderkey = o_orderkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation ON c_nationkey = n_nationkey
+          |JOIN region ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |GROUP BY n_name ORDER BY n_name""".stripMargin)
+    }),
+
+    // Unpivot (melt): wide per-flag aggregates back to long form —
+    // Dataset.unpivot, the inverse of q_pivot.
+    "q_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          round(sum(col("l_tax")), 2).as("sum_tax"))
+        .unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_tax")),
+          "measure", "value")
+        .orderBy("l_returnflag", "measure")),
+
+    // Window navigation: first_value / nth_value / last_value over an
+    // explicit unbounded ROWS frame.
+    "q_window_navigation" -> ((s, dir) => {
+      // qty joins the sort: duplicate (orderkey, linenumber) rows with
+      // differing quantities would otherwise make the boundary values
+      // tie-dependent
+      val w = Window.partitionBy(col("l_suppkey"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "lineitem")
+        .filter(col("l_suppkey") <= 10)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          round(first(col("l_quantity")).over(w), 2).as("first_qty"),
+          round(nth_value(col("l_quantity"), 2).over(w), 2).as("second_qty"),
+          round(last(col("l_quantity")).over(w), 2).as("last_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+    }),
+
     // Range (interval) join, bucketed: overlapping price bands × parts.
     // The scale pattern for non-equi interval predicates: quantize the
     // range dimension into fixed buckets, expand each band to the
@@ -545,6 +597,47 @@ object RelationalQueries {
         |       min(strftime(o_orderdate, '%Y-%m-%dT%H:%M:%SZ')) AS first_iso
         |FROM orders
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_sql_multi_join" ->
+      """SELECT n_name, count(*) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH agg AS (
+        |  SELECT l_returnflag,
+        |         round(sum(l_quantity), 2) AS sum_qty,
+        |         round(sum(l_extendedprice), 2) AS sum_price,
+        |         round(sum(l_tax), 2) AS sum_tax
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, measure, value FROM (
+        |  SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS value FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_price', sum_price FROM agg
+        |  UNION ALL
+        |  SELECT l_returnflag, 'sum_tax', sum_tax FROM agg
+        |)
+        |ORDER BY l_returnflag, measure""".stripMargin,
+
+    "q_window_navigation" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        |       round(first_value(l_quantity) OVER w, 2) AS first_qty,
+        |       round(nth_value(l_quantity, 2) OVER w, 2) AS second_qty,
+        |       round(last_value(l_quantity) OVER w, 2) AS last_qty
+        |FROM lineitem
+        |WHERE l_suppkey <= 10
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
 
     // oracle states the interval predicate plainly — the bucketing in
     // the Spark plan must be invisible in the result

@@ -188,6 +188,19 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Anonymization surface: salted SHA-256 pseudonymous keys (stable
+    // joins without exposing the raw id), digit masking, and numeric
+    // generalization into coarse buckets — the standard k-anonymity-
+    // style prep before a dataset leaves its enclave.
+    "q_anonymize" -> ((s, dir) =>
+      s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 25 === 0)
+        .select(col("c_custkey"),
+          sha2(concat(lit("salt42_"), col("c_custkey")), 256).as("pseudo_id"),
+          regexp_replace(col("c_name"), "[0-9]", "*").as("name_masked"),
+          (floor(col("c_acctbal") / 1000) * 1000).cast("bigint").as("acct_bucket"))
+        .orderBy("c_custkey")),
+
     // The composite curation pipeline — what a real training-data prep
     // job chains: language-ID gate → quality gate → length gate →
     // exact-dedup survivor selection, over the duplicated re-crawl
@@ -367,6 +380,13 @@ object TextQueries {
         |)
         |SELECT doc_id, rank, term, tf, df, round(score_exact, 4) AS score
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_anonymize" ->
+      """SELECT c_custkey,
+        |       sha256('salt42_' || c_custkey) AS pseudo_id,
+        |       regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+        |       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acct_bucket
+        |FROM customer WHERE c_custkey % 25 = 0 ORDER BY c_custkey""".stripMargin,
 
     "q_curation_pipeline" ->
       s"""WITH ${graft.text.Corpus.corpusCte},
