@@ -125,6 +125,19 @@ object EventQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // The sliding-window aggregation as a stream (each event expands
+    // into 2 window groups in streaming state).
+    "q_stream_sliding" -> ((s, dir) => {
+      val name = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        graft.streaming.EventStreams.runToCompletion(
+          graft.streaming.EventStreams.slidingCounts(
+            graft.sources.EventSource.stream(s, dir)),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }.orderBy("window_start_s")
+    }),
+
     // Streaming deduplication: the input stream is deliberately doubled
     // (two source instances over the same files), then
     // dropDuplicates("event_id") — Spark's stateful streaming dedup
@@ -223,6 +236,16 @@ object EventQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 - off AS BIGINT) AS window_start_s,
+        |         value
+        |  FROM events CROSS JOIN (SELECT unnest([0, 3600]) AS off)
+        |)
+        |SELECT window_start_s, count(*) AS n,
+        |       CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) AS sum_value
+        |FROM assigned GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_range" ->
       """WITH es AS (

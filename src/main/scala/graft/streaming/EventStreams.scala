@@ -33,6 +33,19 @@ object EventStreams {
         col("event_type"), col("n"), col("sum_value"))
   }
 
+  /** Sliding 2-hour windows advancing hourly (each event in 2 windows);
+    * DECIMAL-exact sum (see EventQueries q_window_sliding for the
+    * rounding-boundary trap that forces it).
+    */
+  def slidingCounts(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(window(col("ts"), "2 hours", "1 hour").as("w"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(24,6)")).cast("double").as("sum_value"))
+      .select(unix_timestamp(col("w.start")).as("window_start_s"),
+        col("n"), col("sum_value"))
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
