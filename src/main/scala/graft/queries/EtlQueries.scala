@@ -165,6 +165,42 @@ object EtlQueries {
     // reference's create_json_file does (PRJ-7).
     "q_product_catalog" -> ((s, dir) => productCatalog(s, dir)),
 
+    // Standard source-format coverage: the manifest round-trips through
+    // CSV text (header, quoting, typed re-read with an explicit schema)
+    // and must aggregate identically to its parquet origin. A real
+    // engine meets catalogs in whatever format they arrive in; the
+    // explicit schema (never inferSchema at scale — it double-scans)
+    // is the posture that matters.
+    "q_csv_source" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Manifest.build(s, dir)
+        .select("file_id", "region_code", "base_name", "path")
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.option("header", "true")
+        .schema("file_id BIGINT, region_code STRING, base_name STRING, path STRING")
+        .csv(out)
+        .groupBy("region_code")
+        .agg(count(lit(1)).as("n_files"),
+          min(col("base_name")).as("first_base"),
+          max(col("file_id")).as("max_file_id"))
+        .orderBy("region_code")
+    }),
+
+    // Same contract through JSON-lines (schema'd read, no inference).
+    "q_json_source" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Manifest.build(s, dir)
+        .select("file_id", "region_code", "file_name")
+        .write.mode("overwrite").json(out)
+      s.read
+        .schema("file_id BIGINT, region_code STRING, file_name STRING")
+        .json(out)
+        .filter(col("file_name").endsWith(".asc"))
+        .groupBy("region_code")
+        .agg(count(lit(1)).as("n_asc"), min(col("file_name")).as("first_file"))
+        .orderBy("region_code")
+    }),
+
     // SNK-4/D5: the full nested metadata document (ETL.py:474–498) —
     // Mongo-extended $date wrappers, GeoJSON Polygon footprint (the
     // envelope ring, closed, in JTS corner order), catalog strings —
@@ -387,6 +423,18 @@ object EtlQueries {
          |       '1991-01-01T00:00:00Z' AS date_min,
          |       '2020-12-31T00:00:00Z' AS date_max
          |FROM parsed ORDER BY file_name""".stripMargin,
+
+    "q_csv_source" ->
+      s"""$W
+         |SELECT region_code, count(*) AS n_files,
+         |       min(base_name) AS first_base, max(file_id) AS max_file_id
+         |FROM manifest GROUP BY region_code ORDER BY region_code""".stripMargin,
+
+    "q_json_source" ->
+      s"""$W
+         |SELECT region_code, count(*) AS n_asc, min(file_name) AS first_file
+         |FROM manifest WHERE file_name LIKE '%.asc'
+         |GROUP BY region_code ORDER BY region_code""".stripMargin,
 
     // byte-identical reconstruction of to_json(struct(...)): compact
     // separators, struct field order, "1600000.0"-style doubles
