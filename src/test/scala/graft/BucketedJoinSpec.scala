@@ -24,8 +24,30 @@ class BucketedJoinSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  /** getOrCreate reuses whichever suite built the JVM's session first,
+    * and warehouse.dir is a STATIC conf — so the temp warehouse above
+    * only applies if this suite runs first. Clear both the catalog
+    * entry and any stale on-disk location from a previous JVM (the
+    * in-memory catalog dies with the process, the directory does not —
+    * saveAsTable then fails with LOCATION_ALREADY_EXISTS).
+    */
+  private def resetTable(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir"))
+    val dir = new java.io.File(
+      if (wh.getScheme == "file") new java.io.File(wh).toString
+      else wh.toString, name)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     val sf = "/root/testdata/sf0.001"
+    resetTable("orders_b")
+    resetTable("customer_b")
     spark.read.parquet(s"$sf/orders.parquet")
       .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
       .saveAsTable("orders_b")
