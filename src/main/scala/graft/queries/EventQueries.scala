@@ -180,6 +180,52 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Gaps-and-islands: per user, maximal runs of consecutive ACTIVE
+    // HOURS (hours with ≥1 event) — the classic streak analysis via the
+    // row_number difference trick: hour − dense_rank is constant within
+    // a run. Two window passes over one shuffle-by-user partition.
+    "q_gaps_islands" -> ((s, dir) => {
+      val hours = ev(s, dir)
+        .select(col("user_id"),
+          (unix_timestamp(col("ts")) / 3600).cast("bigint").as("hour"))
+        .distinct()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("hour"))
+      hours
+        .withColumn("grp", col("hour") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("run_len"), min(col("hour")).as("run_start"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_runs"),
+          max(col("run_len")).as("longest_run"),
+          min(col("run_start")).as("first_hour"))
+        .orderBy("user_id")
+    }),
+
+    // Conversion funnel: per user, the first click and the first
+    // purchase AFTER that click (strictly ordered stages) — sequential
+    // pattern matching as conditional aggregation, no self-join.
+    "q_funnel" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_timestamp(col("ts")).as("ts_s"), col("event_id"))
+      val firstClick = e.filter(col("event_type") === "click")
+        .groupBy("user_id")
+        .agg(min(col("ts_s")).as("click_ts_s"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_s").as("p_ts_s"))
+      firstClick.join(purchases, Seq("user_id"), "left_outer")
+        .groupBy("user_id", "click_ts_s")
+        .agg(min(when(col("p_ts_s") >= col("click_ts_s"), col("p_ts_s")))
+          .as("first_purchase_ts_s"))
+        .withColumn("converted", col("first_purchase_ts_s").isNotNull)
+        .withColumn("secs_to_convert",
+          col("first_purchase_ts_s") - col("click_ts_s"))
+        .select("user_id", "click_ts_s", "first_purchase_ts_s",
+          "converted", "secs_to_convert")
+        .orderBy("user_id")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_window_session" -> ((s, dir) =>
       ev(s, dir)
@@ -236,6 +282,47 @@ object EventQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_gaps_islands" ->
+      """WITH hours AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour
+        |  FROM events
+        |),
+        |runs AS (
+        |  SELECT user_id, hour,
+        |         hour - row_number() OVER (PARTITION BY user_id ORDER BY hour) AS grp
+        |  FROM hours
+        |),
+        |agg AS (
+        |  SELECT user_id, grp, count(*) AS run_len, min(hour) AS run_start
+        |  FROM runs GROUP BY 1, 2
+        |)
+        |SELECT user_id, count(*) AS n_runs, max(run_len) AS longest_run,
+        |       min(run_start) AS first_hour
+        |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        |  FROM events
+        |),
+        |fc AS (
+        |  SELECT user_id, min(ts_s) AS click_ts_s
+        |  FROM e WHERE event_type = 'click' GROUP BY user_id
+        |),
+        |j AS (
+        |  SELECT fc.user_id, fc.click_ts_s,
+        |         min(CASE WHEN p.ts_s >= fc.click_ts_s THEN p.ts_s END) AS first_purchase_ts_s
+        |  FROM fc LEFT JOIN e p
+        |    ON p.user_id = fc.user_id AND p.event_type = 'purchase'
+        |  GROUP BY fc.user_id, fc.click_ts_s
+        |)
+        |SELECT user_id, click_ts_s, first_purchase_ts_s,
+        |       first_purchase_ts_s IS NOT NULL AS converted,
+        |       first_purchase_ts_s - click_ts_s AS secs_to_convert
+        |FROM j ORDER BY user_id""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH assigned AS (
