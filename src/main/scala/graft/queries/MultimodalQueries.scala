@@ -58,6 +58,26 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // audio-shaped pipeline: blob → fixed-size sample windows →
+    // per-window energy/peak features (a real pipeline decodes PCM and
+    // computes RMS per window through this exact flatMap batch shape;
+    // byte values stand in for samples).
+    "q_audio_energy" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      blobs.mapPartitions(_.flatMap { case (id, bytes) =>
+        bytes.grouped(256).zipWithIndex.map { case (chunk, i) =>
+          (id, i.toLong, chunk.length.toLong,
+            chunk.foldLeft(0L)((a, b) => a + (b & 0xff)),
+            chunk.foldLeft(0L)((a, b) => math.max(a, (b & 0xff).toLong)))
+        }
+      }).toDF("doc_id", "chunk_idx", "n_samples", "energy", "peak")
+        .orderBy("doc_id", "chunk_idx")
+    }),
+
     // frame sampling: every 2nd frame of each blob, as a generator.
     "q_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -110,6 +130,30 @@ object MultimodalQueries {
         |       round((length(text) - length(regexp_replace(text, ' ', '', 'g'))) * 1.0 / length(text), 4) AS f_space,
         |       round((length(text) - length(regexp_replace(text, '[a-z]', '', 'g'))) * 1.0 / length(text), 4) AS f_alpha
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // ASCII fixture text → byte == character code, so SQL ascii() over
+    // substrings reproduces the byte-level kernel exactly
+    "q_audio_energy" ->
+      """WITH sub AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+        |),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, (length(text) - 1) // 256)) AS chunk_idx,
+        |         text
+        |  FROM sub
+        |),
+        |samples AS (
+        |  SELECT doc_id, chunk_idx,
+        |         substr(text, chunk_idx * 256 + 1, 256) AS chunk,
+        |         unnest(generate_series(1, length(substr(text, chunk_idx * 256 + 1, 256)))) AS j
+        |  FROM chunks
+        |)
+        |SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(ascii(substr(chunk, j, 1))) AS BIGINT) AS energy,
+        |       CAST(max(ascii(substr(chunk, j, 1))) AS BIGINT) AS peak
+        |FROM samples GROUP BY doc_id, chunk_idx
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_frame_sample" ->
       """WITH meta AS (
