@@ -4,21 +4,23 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 
 /** Session extension installer (SURVEY.md §7.3): registers graft's
-  * native expressions so any session — including pure-SQL users —
-  * gets them at builder time:
+  * native expressions and plan-level operators so any session —
+  * including pure-SQL users — gets them at builder time:
   *
   * {{{
   * SparkSession.builder()
   *   .withExtensions(new GraftExtensions)
   *   ...
   * spark.sql("SELECT nztm_to_wgs84(e, n) FROM points")
+  * graft.plans.AsOf.join(trades, quotes, "sym", "ts", "sym", "ts", "px")
   * }}}
   *
-  * (Custom Rule/SparkStrategy injection is intentionally absent:
-  * Catalyst's built-in rules cover every rewrite the parity pipeline
-  * needs — SURVEY.md §4.3 — and the reserved slot for a grid-
-  * partitioned spatial-join strategy only pays off beyond broadcast
-  * region cardinalities.)
+  * Two injection levels are used: a native function (codegen'd
+  * Expression) and a whole-operator LogicalPlan + lowering Rule
+  * (AsOfJoinNode). A custom SparkStrategy/SparkPlan is deliberately
+  * NOT used — every graft operator lowers to built-in physical
+  * operators, which keeps Tungsten/AQE in charge of execution
+  * (SURVEY.md §4.3).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -26,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nztm_to_wgs84"),
       NztmToWgs84.info,
       NztmToWgs84.build))
+    ext.injectPostHocResolutionRule(_ => new ResolveAsOfJoin)
   }
 }
