@@ -180,6 +180,39 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // Time-series resample + forward fill (LOCF): per user, an hourly
+    // spine from first to last activity, the hour's last observed value
+    // where one exists (max_by on (second, event_id) — deterministic),
+    // and gaps carried forward with last(_, ignoreNulls). The
+    // spine-join-fill shape is the standard gap-filling plan: one
+    // generator, one shuffle on user_id, one window pass.
+    "q_resample_locf" -> ((s, dir) => {
+      val e = ev(s, dir)
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id"),
+          unix_timestamp(col("ts")).as("ts_s"),
+          (unix_timestamp(col("ts")) / 3600).cast("bigint").as("hour"),
+          col("event_id"), col("value"))
+      // combined key: lexicographic (second, event_id) as one BIGINT
+      // (event_id < 10^7), because DuckDB's arg_max takes scalar keys
+      val hourly = e.groupBy("user_id", "hour")
+        .agg(max_by(col("value"),
+          col("ts_s") * 10000000L + col("event_id")).as("hv"))
+      val spine = e.groupBy("user_id")
+        .agg(min(col("hour")).as("mh"), max(col("hour")).as("xh"))
+        .select(col("user_id"),
+          explode(sequence(col("mh"), col("xh"))).as("hour"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("hour"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hour"), "left_outer")
+        .withColumn("is_gap", col("hv").isNull)
+        .withColumn("v_filled", last(col("hv"), ignoreNulls = true).over(w))
+        .select("user_id", "hour", "is_gap", "v_filled")
+        .orderBy("user_id", "hour")
+    }),
+
     // Gaps-and-islands: per user, maximal runs of consecutive ACTIVE
     // HOURS (hours with ≥1 event) — the classic streak analysis via the
     // row_number difference trick: hour − dense_rank is constant within
@@ -282,6 +315,34 @@ object EventQueries {
     "q_stream_dedup" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_resample_locf" ->
+      """WITH e AS (
+        |  SELECT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour,
+        |         event_id, value
+        |  FROM events WHERE user_id % 10 = 0
+        |),
+        |hourly AS (
+        |  SELECT user_id, hour,
+        |         arg_max(value, ts_s * 10000000 + event_id) AS hv
+        |  FROM e GROUP BY user_id, hour
+        |),
+        |bounds AS (
+        |  SELECT user_id, min(hour) AS mh, max(hour) AS xh FROM e GROUP BY user_id
+        |),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(mh, xh)) AS hour FROM bounds
+        |)
+        |SELECT s.user_id, s.hour,
+        |       h.hv IS NULL AS is_gap,
+        |       last_value(h.hv IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.hour
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        |FROM spine s
+        |LEFT JOIN hourly h ON h.user_id = s.user_id AND h.hour = s.hour
+        |ORDER BY s.user_id, s.hour""".stripMargin,
 
     "q_gaps_islands" ->
       """WITH hours AS (

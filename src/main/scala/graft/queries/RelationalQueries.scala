@@ -394,6 +394,30 @@ object RelationalQueries {
         .orderBy("key_c")
     }),
 
+    // Data-quality audit — the validation pass an ingest pipeline runs
+    // before promoting a batch: row count, duplicate-key groups (the
+    // fixture genuinely has them), null and range violations, and
+    // referential orphans, in one pass plus one anti-join.
+    "q_dq_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val dupGroups = li.groupBy("l_orderkey", "l_linenumber")
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1)
+        .agg(count(lit(1)).as("dup_key_groups"),
+          coalesce(sum(col("n")), lit(0L)).as("rows_in_dup_groups"))
+      val orphans = li.join(
+          t(s, dir, "orders").select(col("o_orderkey")),
+          li("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"))
+      val base = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)).as("null_qty"),
+        sum(when(col("l_quantity") <= 0, 1L).otherwise(0L)).as("nonpositive_qty"),
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L).otherwise(0L))
+          .as("discount_out_of_range"))
+      base.crossJoin(dupGroups).crossJoin(orphans)
+    }),
+
     // Fixed-size k-per-group sampling: rank rows inside each stratum by
     // a content hash and keep the first k — the deterministic
     // counterpart of reservoir sampling (same uniform-without-
@@ -678,6 +702,26 @@ object RelationalQueries {
         |       count(DISTINCT s_suppkey) AS n_supp
         |FROM ck JOIN sk ON ck.k IS NOT DISTINCT FROM sk.k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_dq_audit" ->
+      """WITH dup AS (
+        |  SELECT count(*) AS dup_key_groups,
+        |         CAST(coalesce(sum(n), 0) AS BIGINT) AS rows_in_dup_groups
+        |  FROM (SELECT l_orderkey, l_linenumber, count(*) AS n
+        |        FROM lineitem GROUP BY 1, 2 HAVING count(*) > 1)
+        |),
+        |orph AS (
+        |  SELECT count(*) AS orphan_rows FROM lineitem l
+        |  WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+        |),
+        |base AS (
+        |  SELECT count(*) AS n_rows,
+        |         CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_qty,
+        |         CAST(sum(CASE WHEN l_quantity <= 0 THEN 1 ELSE 0 END) AS BIGINT) AS nonpositive_qty,
+        |         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END) AS BIGINT) AS discount_out_of_range
+        |  FROM lineitem
+        |)
+        |SELECT * FROM base CROSS JOIN dup CROSS JOIN orph""".stripMargin,
 
     "q_sample_per_group" ->
       """WITH ranked AS (

@@ -175,6 +175,34 @@ object SimilarityQueries {
           expr("CAST(size(filter(qvec, q -> q = 0)) AS BIGINT)").as("n_zero"))
         .orderBy("vec_id")),
 
+    // ANN over the QUANTIZED vectors: int8 dot products are exact
+    // 64-bit integer arithmetic — the arithmetic real vector stores run
+    // after compression, and (unlike float scores) bit-deterministic by
+    // construction, so ranking needs no rounding guard at all.
+    "q_ann_quantized" -> ((s, dir) => {
+      val quantized = emb(s, dir)
+        .withColumn("maxabs", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT))"))
+        .select(col("vec_id"), col("qv"))
+        .persist() // both branches below
+      val q = quantized.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("qa"))
+      val c = quantized.filter(col("vec_id") >= 5 && col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("qv").as("qb"))
+      val scored = q.crossJoin(c)
+        .withColumn("score", expr(
+          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "score")
+        .orderBy("query_id", "rank")
+    }),
+
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
     // found via bucket-blocked pairwise cosine ≥ 0.99.
     "q_embedding_near_dup" -> ((s, dir) => {
@@ -266,6 +294,34 @@ object SimilarityQueries {
          |  FROM scored
          |)
          |SELECT query_id, cell, rank, vec_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_quantized" ->
+      s"""WITH ma AS (
+         |  SELECT vec_id, embedding,
+         |         (SELECT max(abs(CAST(embedding[i] AS DOUBLE)))
+         |          FROM generate_series(1, 64) t(i)) AS maxabs
+         |  FROM embeddings WHERE vec_id < 5 OR vec_id % 5 = 0
+         |),
+         |qz AS (
+         |  SELECT vec_id, maxabs, i,
+         |         CAST(round(CAST(embedding[i] AS DOUBLE) * (127.0 / maxabs)) AS BIGINT) AS qv
+         |  FROM ma CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+         |),
+         |scored AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id,
+         |         CAST(sum(a.qv * b.qv) AS BIGINT) AS score
+         |  FROM qz a JOIN qz b ON a.i = b.i
+         |  WHERE a.vec_id < 5 AND b.vec_id >= 5 AND b.vec_id % 5 = 0
+         |  GROUP BY 1, 2
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, score,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY score DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, vec_id, score FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_quantize" ->
