@@ -46,6 +46,21 @@ object EventStreams {
         col("n"), col("sum_value"))
   }
 
+  /** Session windows (30-min inactivity gap) per user. Streaming
+    * session aggregation supports update/append only (no Complete);
+    * with the whole static source in one micro-batch, update mode
+    * emits each final session exactly once.
+    */
+  def sessionCounts(events: DataFrame): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", "1 hour") else events
+    src.groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("w.start")).as("session_start_s"),
+        (unix_timestamp(col("w.end")) - 1800).as("session_end_s"),
+        col("n_events"), col("sum_value"))
+  }
+
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 

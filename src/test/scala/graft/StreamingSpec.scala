@@ -72,6 +72,43 @@ class StreamingSpec extends SparkSpecBase {
     assert(out(w1000) == 2L, s"10:00 window should count both on-time events: $out")
   }
 
+  test("session windows stream in append mode: watermark-finalized sessions equal batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import java.sql.Timestamp
+
+    def t(s: String) = Timestamp.valueOf(s)
+    // two users: u1 has two sessions (>30min gap), u2 one session
+    val real = Seq(
+      (t("2024-01-01 10:00:00"), 1L, 1.0),
+      (t("2024-01-01 10:10:00"), 1L, 2.0),
+      (t("2024-01-01 11:30:00"), 1L, 3.0),
+      (t("2024-01-01 10:05:00"), 2L, 4.0))
+
+    val input = MemoryStream[(Timestamp, Long, Double)]
+    val sessions = EventStreams.sessionCounts(
+      input.toDF().toDF("ts", "user_id", "value"))
+    val q = sessions.writeStream.format("memory").queryName("sess_mem")
+      .outputMode("append").start()
+    try {
+      input.addData(real: _*)
+      q.processAllAvailable()
+      // sentinel a day later pushes the watermark past every real
+      // session; append mode then finalizes and emits them
+      input.addData((t("2024-01-02 12:00:00"), 999L, 0.0))
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = spark.table("sess_mem")
+      .filter(col("user_id") =!= 999L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    val batch = EventStreams.sessionCounts(real.toDF("ts", "user_id", "value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).toSet
+    assert(streamed === batch, s"streamed=$streamed batch=$batch")
+    assert(batch.size === 3) // u1 × 2 sessions + u2 × 1
+  }
+
   test("stateful totals agree with a plain aggregation") {
     val fromState = EventStreams.userTotals(batchEvents)
       .collect().map(t => t.user_id -> t.n_events).toMap
