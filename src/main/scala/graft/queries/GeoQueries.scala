@@ -145,6 +145,28 @@ object GeoQueries {
         .orderBy("c_custkey", "n_nationkey")
     }),
 
+    // Measurement functions over the JTS kernel: planar area (shoelace),
+    // perimeter, centroid — per-feature scalar geometry math, the
+    // ST_Area/ST_Length/ST_Centroid surface. The oracle recomputes each
+    // in closed form from the triangle parameters; all inputs are
+    // integer-valued doubles, keeping both engines' arithmetic exact
+    // enough that 2–4-decimal rounding is stable.
+    "q_geo_measures" -> ((s, dir) => {
+      val measures = udf { (wkt: String) =>
+        val g = graft.geo.Jts.parseWkt(wkt)
+        val c = g.getCentroid
+        (g.getArea, g.getLength, c.getX, c.getY)
+      }
+      nationTriangles(s, dir)
+        .withColumn("m", measures(col("wkt")))
+        .select(col("n_nationkey"),
+          round(col("m._1"), 2).as("area"),
+          round(col("m._2"), 4).as("perimeter"),
+          round(col("m._3"), 4).as("centroid_x"),
+          round(col("m._4"), 4).as("centroid_y"))
+        .orderBy("n_nationkey")
+    }),
+
     // Z-order (Morton) spatial partition key: interleave the bits of
     // the 10-bit grid coordinates via the classic shift-mask spreading
     // (5 codegen'd integer ops per axis, no UDF, no loop). zcell
@@ -242,6 +264,24 @@ object GeoQueries {
          |  AND ((t.x0 - (t.x0 + 1000 + 100*t.n_nationkey)) * (p.py - (t.y0 + t.h))
          |       - (t.y0 - (t.y0 + t.h)) * (p.px - (t.x0 + 1000 + 100*t.n_nationkey))) > 0
          |ORDER BY p.c_custkey, t.n_nationkey""".stripMargin,
+
+    // closed forms for triangle A=(x0,y0) B=(x0+w,y0+h/2)
+    // C=(x0+apex,y0+h): area = (w·h − (h/2)·apex)/2 (shoelace, exact
+    // integer arithmetic in both engines); perimeter sums the segment
+    // sqrts in ring order (sqrt is correctly rounded IEEE → bit-equal);
+    // centroid = vertex mean
+    "q_geo_measures" ->
+      s"""WITH $triCte
+         |SELECT n_nationkey,
+         |       round((w * h - (h / 2) * (1000.0 + 100.0 * n_nationkey)) / 2, 2) AS area,
+         |       round(sqrt(w * w + (h / 2) * (h / 2))
+         |             + sqrt(((1000.0 + 100.0 * n_nationkey) - w) * ((1000.0 + 100.0 * n_nationkey) - w)
+         |                    + (h / 2) * (h / 2))
+         |             + sqrt((1000.0 + 100.0 * n_nationkey) * (1000.0 + 100.0 * n_nationkey) + h * h), 4)
+         |         AS perimeter,
+         |       round(x0 + (w + 1000.0 + 100.0 * n_nationkey) / 3, 4) AS centroid_x,
+         |       round(y0 + h / 2, 4) AS centroid_y
+         |FROM tri ORDER BY n_nationkey""".stripMargin,
 
     "q_zorder_key" ->
       """WITH pts AS (
