@@ -15,7 +15,9 @@ object Explain {
     val names =
       if (args.length > 1) args.drop(1).toSeq
       else Seq("q_agg_pricing", "q_join_topk", "q_cross_join_regions",
-        "q_spatial_join", "q_dedup_exact", "q_orderby_limit")
+        "q_spatial_join", "q_dedup_exact", "q_orderby_limit",
+        "q_asof_join", "q_range_join", "q_sql_multi_join",
+        "q_sample_per_group", "q_curation_pipeline", "q_zorder_key")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -64,4 +64,28 @@ class PlanShapeSpec extends SparkSpecBase {
     val exchanges = "Exchange".r.findAllIn(p).length
     assert(exchanges <= 2, s"expected ≤2 exchanges, got $exchanges:\n$p")
   }
+
+  test("q_sample_per_group: WindowGroupLimit prunes to top-k before the shuffle") {
+    val p = plan("q_sample_per_group", RelationalQueries.queries)
+    // partial (map-side) + final group-limit — only ≤k rows per group
+    // ever cross the exchange
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits >= 2, s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("q_zorder_key: pure projection — no exchange except the presentation sort") {
+    val p = plan("q_zorder_key", graft.queries.GeoQueries.queries)
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1, s"z-order keying must not shuffle, got $exchanges:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"bit interleave should be codegen'd column ops:\n$p")
+  }
+
+  test("q_curation_pipeline: gates fuse into the scan stage before one hash shuffle") {
+    val p = plan("q_curation_pipeline", graft.queries.TextQueries.queries)
+    // filters + hash: a partial aggregate must appear below the exchange
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges <= 1, s"one content-hash shuffle expected, got $exchanges:\n$p")
+  }
 }
