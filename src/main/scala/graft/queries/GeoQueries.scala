@@ -215,7 +215,108 @@ object GeoQueries {
       |  FROM nation
       |)""".stripMargin
 
+  /** DuckDB oracle for the inverse Krüger transform: the same series as
+    * graft.geo.Transform.inverse, operation for operation, with every
+    * derived constant computed HERE by the identical Scala arithmetic
+    * and inlined as a shortest-repr double literal (round-trips to the
+    * same IEEE double in DuckDB's parser). DuckDB has no sinh/cosh/
+    * atanh — inlined exp/ln forms differ from java.lang.Math by ≤ a few
+    * ulp, noise at the 1e-6-degree output rounding. Newton's 7
+    * iterations unroll into chained CTEs.
+    */
+  private val reprojectOracle: String = {
+    val ff = 1.0 / 298.257222101
+    val k0 = 0.9996
+    val e2v = ff * (2 - ff)
+    val e1v = math.sqrt(e2v)
+    val nn = ff / (2 - ff)
+    val n2 = nn * nn; val n3 = n2 * nn; val n4 = n3 * nn
+    val n5 = n4 * nn; val n6 = n5 * nn
+    val bigA = 6378137.0 / (1 + nn) * (1 + n2 / 4 + n4 / 64 + n6 / 256)
+    val beta = Array(
+      nn / 2 - 2.0 / 3 * n2 + 37.0 / 96 * n3 - 1.0 / 360 * n4 - 81.0 / 512 * n5 + 96199.0 / 604800 * n6,
+      1.0 / 48 * n2 + 1.0 / 15 * n3 - 437.0 / 1440 * n4 + 46.0 / 105 * n5 - 1118711.0 / 3870720 * n6,
+      17.0 / 480 * n3 - 37.0 / 840 * n4 - 209.0 / 4480 * n5 + 5569.0 / 90720 * n6,
+      4397.0 / 161280 * n4 - 11.0 / 504 * n5 - 830251.0 / 7257600 * n6,
+      4583.0 / 161280 * n5 - 108847.0 / 3991680 * n6,
+      20648693.0 / 638668800 * n6)
+    val k0A = k0 * bigA
+    val lam0 = math.toRadians(173.0)
+    val pi = math.Pi
+
+    def lit(d: Double): String = {
+      val s = d.toString
+      if (s.contains('.') || s.contains('E') || s.contains('e')) s else s + ".0"
+    }
+    def sinhS(x: String) = s"((exp($x) - exp(-($x))) / 2)"
+    def coshS(x: String) = s"((exp($x) + exp(-($x))) / 2)"
+    def atanhS(x: String) = s"(0.5 * ln((1 + $x) / (1 - $x)))"
+
+    val xipTerms = (1 to 6).map(j =>
+      s" - (${lit(beta(j - 1))} * sin(${2 * j} * xi) * ${coshS(s"${2 * j} * eta")})").mkString
+    val etapTerms = (1 to 6).map(j =>
+      s" - (${lit(beta(j - 1))} * cos(${2 * j} * xi) * ${sinhS(s"${2 * j} * eta")})").mkString
+
+    val iters = (1 to 7).map { i =>
+      val p = s"tau${i - 1}"
+      val sg = sinhS(s"${lit(e1v)} * ${atanhS(s"${lit(e1v)} * $p / sqrt(1 + $p * $p)")}")
+      s"""it$i AS (
+         |  SELECT n_nationkey, corner, sinh_etap, cos_xip, taup,
+         |         $p + (taup - tp$i) * (1 + ${lit(1 - e2v)} * $p * $p) /
+         |           (${lit(1 - e2v)} * sqrt(1 + $p * $p) * sqrt(1 + tp$i * tp$i)) AS tau$i
+         |  FROM (
+         |    SELECT n_nationkey, corner, sinh_etap, cos_xip, taup, $p,
+         |           $p * sqrt(1 + sg$i * sg$i) - sg$i * sqrt(1 + $p * $p) AS tp$i
+         |    FROM (SELECT *, $sg AS sg$i FROM it${i - 1})
+         |  )
+         |)""".stripMargin
+    }.mkString(",\n")
+
+    s"""WITH $triCte,
+       |corners AS (
+       |  SELECT n_nationkey, 0 AS corner, x0 AS e_m, y0 AS n_m FROM tri
+       |  UNION ALL
+       |  SELECT n_nationkey, 1, x0 + w, y0 + h FROM tri
+       |),
+       |k1 AS (
+       |  SELECT n_nationkey, corner,
+       |         (n_m - 10000000.0) / ${lit(k0A)} AS xi,
+       |         (e_m - 1600000.0) / ${lit(k0A)} AS eta
+       |  FROM corners
+       |),
+       |k2 AS (
+       |  SELECT n_nationkey, corner,
+       |         xi$xipTerms AS xip,
+       |         eta$etapTerms AS etap
+       |  FROM k1
+       |),
+       |k3 AS (
+       |  SELECT n_nationkey, corner,
+       |         ${sinhS("etap")} AS sinh_etap, cos(xip) AS cos_xip, sin(xip) AS sin_xip
+       |  FROM k2
+       |),
+       |it0 AS (
+       |  SELECT n_nationkey, corner, sinh_etap, cos_xip, taup,
+       |         taup / ${lit(1 - e2v)} AS tau0
+       |  FROM (SELECT *, sin_xip / sqrt(sinh_etap * sinh_etap + cos_xip * cos_xip) AS taup FROM k3)
+       |),
+       |$iters,
+       |latlon AS (
+       |  SELECT n_nationkey, corner,
+       |         atan(tau7) * 180.0 / ${lit(pi)} AS lat,
+       |         (${lit(lam0)} + atan2(sinh_etap, cos_xip)) * 180.0 / ${lit(pi)} AS lon
+       |  FROM it7
+       |)
+       |SELECT n_nationkey,
+       |       round(min(CASE WHEN corner = 0 THEN lat END), 6) AS lat_min,
+       |       round(min(CASE WHEN corner = 0 THEN lon END), 6) AS lon_min,
+       |       round(min(CASE WHEN corner = 1 THEN lat END), 6) AS lat_max,
+       |       round(min(CASE WHEN corner = 1 THEN lon END), 6) AS lon_max
+       |FROM latlon GROUP BY n_nationkey ORDER BY n_nationkey""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "q_reproject_4326" -> reprojectOracle,
     "q_extent_envelope" ->
       s"""WITH $triCte
          |SELECT n_nationkey, n_name, x0 AS xmin, y0 AS ymin,
