@@ -149,6 +149,30 @@ object RelationalQueries {
         .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
           approx_count_distinct(col("l_partkey")).as("approx_parts"))),
 
+    // KMV (k-minimum-values) distinct sketch — the deterministic
+    // counterpart to HLL: estimate = (k−1)/h_(k) over the k smallest
+    // normalized hash values. Unlike HLL's engine-specific registers,
+    // every step here (md5, hex→fraction, top-k, one division) is
+    // exactly reproducible, so a SKETCH-based estimator sits under the
+    // oracle gate. Merging sketches = merging k-minima — the same
+    // map-side-combine shape HLL uses at scale.
+    "q_approx_distinct_kmv" -> ((s, dir) => {
+      val k = 256
+      val frac = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      val minima = t(s, dir, "lineitem")
+        .select(frac.as("h")).distinct()
+        .orderBy("h").limit(k)
+      val exact = t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      minima.agg(max(col("h")).as("hk"), count(lit(1)).as("k_used"))
+        .crossJoin(exact)
+        .select(col("n_exact"), col("k_used"),
+          round((col("k_used") - 1).cast("double") / col("hk"), 2).as("n_estimate"),
+          round(abs((col("k_used") - 1).cast("double") / col("hk") - col("n_exact"))
+            / col("n_exact"), 4).as("rel_error"))
+    }),
+
     // UNION / INTERSECT / EXCEPT in one result, tagged per branch.
     "q_set_ops" -> ((s, dir) => {
       val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -702,6 +726,28 @@ object RelationalQueries {
         |       count(DISTINCT s_suppkey) AS n_supp
         |FROM ck JOIN sk ON ck.k IS NOT DISTINCT FROM sk.k
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_approx_distinct_kmv" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val hexSum = (1 to 8).map { i =>
+        val mult = math.pow(16, 8 - i).toLong
+        s"CAST(${hv(s"substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)")} AS BIGINT) * $mult"
+      }.mkString(" + ")
+      s"""WITH hs AS (
+         |  SELECT DISTINCT ($hexSum) / 4294967296.0 AS h FROM lineitem
+         |),
+         |mins AS (SELECT h FROM hs ORDER BY h LIMIT 256),
+         |agg AS (SELECT max(h) AS hk, count(*) AS k_used FROM mins),
+         |ex AS (SELECT count(DISTINCT l_orderkey) AS n_exact FROM lineitem)
+         |SELECT n_exact, k_used,
+         |       round((k_used - 1) * 1.0 / hk, 2) AS n_estimate,
+         |       round(abs((k_used - 1) * 1.0 / hk - n_exact) / n_exact, 4) AS rel_error
+         |FROM agg CROSS JOIN ex""".stripMargin
+    },
 
     "q_dq_audit" ->
       """WITH dup AS (
