@@ -125,6 +125,38 @@ object EventQueries {
           min(col("k")).as("min_k"), max(col("k")).as("max_k"))
         .orderBy("event_type")),
 
+    // STREAM-STREAM inner join with an event-time range constraint:
+    // clicks and purchases as two independent streams, joined per user
+    // on purchase_ts ∈ [click_ts, click_ts + 1h]. Both sides carry
+    // watermarks (that bounds join state at scale — expired rows are
+    // dropped from the buffers); inner join emits on match, so draining
+    // the static source yields the complete batch-equal result.
+    "q_stream_stream_join" -> ((s, dir) => {
+      val name = s"stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val clicks = graft.sources.EventSource.stream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = graft.sources.EventSource.stream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"))
+        graft.streaming.EventStreams.runToCompletion(
+          joined.select(col("click_id"), col("purchase_id"), col("user_id"),
+            (unix_timestamp(col("purchase_ts")) - unix_timestamp(col("click_ts")))
+              .as("gap_s")),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }.orderBy("click_id", "purchase_id")
+    }),
+
     // The sliding-window aggregation as a stream (each event expands
     // into 2 window groups in streaming state).
     "q_stream_sliding" -> ((s, dir) => {
@@ -384,6 +416,18 @@ object EventQueries {
         |       first_purchase_ts_s IS NOT NULL AS converted,
         |       first_purchase_ts_s - click_ts_s AS secs_to_convert
         |FROM j ORDER BY user_id""".stripMargin,
+
+    "q_stream_stream_join" ->
+      """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+        |       c.user_id,
+        |       CAST(floor(epoch(p.ts)) AS BIGINT)
+        |         - CAST(floor(epoch(c.ts)) AS BIGINT) AS gap_s
+        |FROM events c
+        |JOIN events p
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_stream_sliding" ->
       """WITH assigned AS (
