@@ -418,6 +418,27 @@ object RelationalQueries {
         .orderBy("key_c")
     }),
 
+    // Order-independent table checksum — how a 100 TB migration is
+    // validated without sorting either side: per-row md5 over a
+    // delimited projection of stable-rendering columns (ints/strings;
+    // doubles format differently across engines), summed exactly. Any
+    // row difference, duplication, or loss changes the sum; partial
+    // aggregation makes it one scan + a scalar.
+    "q_table_checksum" -> ((s, dir) => {
+      def chk(name: String, df: DataFrame, cols: Seq[String]): DataFrame = {
+        val h = conv(substring(md5(concat_ws("|", cols.map(col): _*)), 1, 15), 16, 10)
+          .cast("decimal(20,0)")
+        df.agg(count(lit(1)).as("n_rows"),
+          sum(h).cast("decimal(38,0)").cast("string").as("checksum"))
+          .select(lit(name).as("table_name"), col("n_rows"), col("checksum"))
+      }
+      chk("customer", t(s, dir, "customer"),
+        Seq("c_custkey", "c_name", "c_nationkey", "c_mktsegment"))
+        .unionByName(chk("orders", t(s, dir, "orders"),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")))
+        .orderBy("table_name")
+    }),
+
     // Data-quality audit — the validation pass an ingest pipeline runs
     // before promoting a batch: row count, duplicate-key groups (the
     // fixture genuinely has them), null and range violations, and
@@ -747,6 +768,30 @@ object RelationalQueries {
          |       round((k_used - 1) * 1.0 / hk, 2) AS n_estimate,
          |       round(abs((k_used - 1) * 1.0 / hk - n_exact) / n_exact, 4) AS rel_error
          |FROM agg CROSS JOIN ex""".stripMargin
+    },
+
+    "q_table_checksum" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      def hexSum(row: String): String = (1 to 15).map { i =>
+        val mult = math.pow(16, 15 - i).toLong
+        s"CAST(${hv(s"substr(md5($row), $i, 1)")} AS BIGINT) * $mult"
+      }.mkString(" + ")
+      val cRow = "c_custkey || '|' || c_name || '|' || c_nationkey || '|' || c_mktsegment"
+      val oRow = "o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' || o_orderpriority"
+      s"""SELECT table_name, n_rows, checksum FROM (
+         |  SELECT 'customer' AS table_name, count(*) AS n_rows,
+         |         CAST(sum(${hexSum(cRow)}) AS VARCHAR) AS checksum
+         |  FROM customer
+         |  UNION ALL
+         |  SELECT 'orders', count(*),
+         |         CAST(sum(${hexSum(oRow)}) AS VARCHAR)
+         |  FROM orders
+         |)
+         |ORDER BY table_name""".stripMargin
     },
 
     "q_dq_audit" ->
