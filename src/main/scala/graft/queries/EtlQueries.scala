@@ -165,6 +165,24 @@ object EtlQueries {
     // reference's create_json_file does (PRJ-7).
     "q_product_catalog" -> ((s, dir) => productCatalog(s, dir)),
 
+    // JOIN-2 alternative (SURVEY §1.4): the dictionary decode as a PURE
+    // EXPRESSION — typedLit(Map) + element_at — no join at all. The map
+    // literal ships inside the plan (codegen'd hash lookup per row),
+    // the right call when the dim is tiny and static; the broadcast
+    // join variant (q_broadcast_lookup_join) wins once dims change
+    // independently of code.
+    "q_map_decode" -> ((s, dir) => {
+      val periodMap = typedLit(Lookups.periods.toMap)
+      val paramMap = typedLit(Lookups.parameters.toMap)
+      Manifest.build(s, dir)
+        .withColumn("period_token", Filenames.periodToken(col("base_name")))
+        .withColumn("parameter_code", Filenames.parameterCode(col("base_name")))
+        .select(col("file_id"),
+          element_at(periodMap, col("period_token")).as("period_name"),
+          element_at(paramMap, col("parameter_code")).as("parameter_name"))
+        .orderBy("file_id")
+    }),
+
     // Standard source-format coverage: the manifest round-trips through
     // CSV text (header, quoting, typed re-read with an explicit schema)
     // and must aggregate identically to its parquet origin. A real
@@ -423,6 +441,14 @@ object EtlQueries {
          |       '1991-01-01T00:00:00Z' AS date_min,
          |       '2020-12-31T00:00:00Z' AS date_max
          |FROM parsed ORDER BY file_name""".stripMargin,
+
+    "q_map_decode" ->
+      s"""$W
+         |SELECT m.file_id, td.name AS period_name, pd.name AS parameter_name
+         |FROM manifest m
+         |JOIN period_dim td ON td.code = split_part(m.base_name, '_', 7)
+         |JOIN parameter_dim pd ON pd.code = split_part(m.base_name, '_', 2)
+         |ORDER BY m.file_id""".stripMargin,
 
     "q_csv_source" ->
       s"""$W
