@@ -188,6 +188,39 @@ object TextQueries {
         .orderBy("doc_id", "rank")
     }),
 
+    // Count-min sketch heavy hitters: 4 hash rows × 256 buckets over
+    // the token stream; estimate(term) = min over rows of its bucket
+    // counter — always ≥ the true count, with collisions bounding the
+    // overshoot. The sketch build is 4 small hash aggregations (the
+    // fixed-size state a streaming frequency counter keeps at 100 TB);
+    // md5 bucketing makes every counter — and thus the estimates —
+    // bit-reproducible in the oracle.
+    "q_heavy_hitters" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("term"))
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+      val top = exact.orderBy(col("n_exact").desc, col("term")).limit(10)
+      val rows = (0 until 4).map { r =>
+        val bucket = conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 2), 16, 10)
+          .cast("int")
+        toks.withColumn("bucket", bucket)
+          .groupBy("bucket").agg(count(lit(1)).as(s"c$r"))
+          .withColumn("r", lit(r))
+      }
+      val est = (0 until 4).map { r =>
+        val bucket = conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 2), 16, 10)
+          .cast("int")
+        top.withColumn("bucket", bucket)
+          .join(rows(r).select(col("bucket"), col(s"c$r")), Seq("bucket"))
+          .select(col("term"), col(s"c$r").as("c"))
+      }.reduce(_ unionByName _)
+        .groupBy("term").agg(min(col("c")).as("n_est"))
+      top.join(est, "term")
+        .select(col("term"), col("n_exact"), col("n_est"),
+          (col("n_est") - col("n_exact")).as("overcount"))
+        .orderBy(col("n_exact").desc, col("term"))
+    }),
+
     // Anonymization surface: salted SHA-256 pseudonymous keys (stable
     // joins without exposing the raw id), digit masking, and numeric
     // generalization into coarse buckets — the standard k-anonymity-
@@ -380,6 +413,39 @@ object TextQueries {
         |)
         |SELECT doc_id, rank, term, tf, df, round(score_exact, 4) AS score
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+
+    "q_heavy_hitters" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      def bucket(r: Int): String =
+        s"(${hv(s"substr(md5('$r:' || term), 1, 1)")} * 16 + ${hv(s"substr(md5('$r:' || term), 2, 1)")})"
+      val rowCtes = (0 until 4).map { r =>
+        s"""cms$r AS (
+           |  SELECT ${bucket(r)} AS bucket, count(*) AS c
+           |  FROM toks GROUP BY 1
+           |)""".stripMargin
+      }.mkString(",\n")
+      val estUnion = (0 until 4).map { r =>
+        s"SELECT t.term, c.c FROM top t JOIN cms$r c ON c.bucket = ${bucket(r).replace("term", "t.term")}"
+      }.mkString("\n  UNION ALL\n  ")
+      s"""WITH toks AS (
+         |  SELECT unnest(string_split(text, ' ')) AS term FROM documents
+         |),
+         |exact AS (SELECT term, count(*) AS n_exact FROM toks GROUP BY term),
+         |top AS (SELECT term, n_exact FROM exact ORDER BY n_exact DESC, term LIMIT 10),
+         |$rowCtes,
+         |est AS (
+         |  SELECT term, min(c) AS n_est FROM (
+         |  $estUnion
+         |  ) GROUP BY term
+         |)
+         |SELECT t.term, t.n_exact, e.n_est, e.n_est - t.n_exact AS overcount
+         |FROM top t JOIN est e ON e.term = t.term
+         |ORDER BY t.n_exact DESC, t.term""".stripMargin
+    },
 
     "q_anonymize" ->
       """SELECT c_custkey,
