@@ -125,8 +125,10 @@ object Pipeline {
         updatedAt = lit(updatedAt)))
 
     // the three consumers below (catalog, zips, docs) share one
-    // materialization of the expensive clip+reproject work
+    // materialization of the expensive clip+reproject work; released in
+    // the finally so repeated runs in a shared session don't leak blocks
     withDocs.persist()
+    try {
 
     val catalog = withDocs.select(
       col("base_name"), col("new_file_name"), col("clipped_name"),
@@ -164,7 +166,10 @@ object Pipeline {
     // + product metadata per row), replacing the reference's COG files.
     catalog.write.mode("overwrite").parquet(s"$outDir/catalog.parquet")
 
-    Result(catalog)
+    // hand back the WRITTEN store, not the in-memory lineage: consumers
+    // read the parquet (cheap, pruned) and the cache can be dropped now
+    Result(spark.read.parquet(s"$outDir/catalog.parquet"))
+    } finally withDocs.unpersist(blocking = false)
   }
 
   /** WKT polygon → GeoJSON-style coordinates array

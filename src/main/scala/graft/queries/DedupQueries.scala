@@ -182,11 +182,12 @@ object DedupQueries {
     // |docs|·|shingles|·8 rows; this shuffles nothing.
     "q_dedup_minhash" -> ((s, dir) => {
       val docs = minhashDocs(s, dir)
-      val bands = docs
+      val bands = QueryCaches.cache(docs
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
-          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey")))
-        .persist() // self-joined below: without this, both sides recompute
+          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey"))))
+      // cached (self-joined below: without this, both sides recompute);
+      // released by the harness via QueryCaches.releaseAll
 
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -229,9 +230,8 @@ object DedupQueries {
     // word is the partition key.
     "q_dedup_simhash_pairs" -> ((s, dir) => {
       val docs = minhashDocs(s, dir)
-      val words = docs
-        .select(col("doc_id"), simhash64Udf(col("text")).as("w"))
-        .persist()
+      val words = QueryCaches.cache(docs
+        .select(col("doc_id"), simhash64Udf(col("text")).as("w")))
       val bands = words.select(col("doc_id"),
         posexplode(col("w")).as(Seq("band", "bv")))
       val cands = bands.as("a").join(bands.as("b"),

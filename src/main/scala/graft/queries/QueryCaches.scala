@@ -1,0 +1,35 @@
+package graft.queries
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+
+/** Registry for Datasets persisted inside query builders.
+  *
+  * Several queries persist an intermediate that is self-joined or consumed
+  * by multiple branches (MinHash band table, LSH-bucketed embeddings, …).
+  * The query function cannot unpersist it itself — the returned DataFrame
+  * is consumed lazily by the caller — so builders register the cache here
+  * and the harness (Bench / Verify / specs) calls [[releaseAll]] after each
+  * query is fully consumed. In a long-lived session this is what keeps
+  * per-query caches from accumulating across hundreds of queries.
+  */
+object QueryCaches {
+  private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+
+  /** Persist `ds` (default storage level) and track it for later release. */
+  def cache[T](ds: Dataset[T]): Dataset[T] = synchronized {
+    val p = ds.persist()
+    live += p
+    p
+  }
+
+  /** Unpersist every tracked Dataset. Safe to call when nothing is tracked;
+    * non-blocking so the caller's next query isn't stalled on block eviction.
+    */
+  def releaseAll(spark: SparkSession): Unit = synchronized {
+    live.foreach { ds =>
+      try ds.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    live.clear()
+  }
+}

@@ -111,7 +111,7 @@ object SimilarityQueries {
     "q_ann_lsh" -> ((s, dir) => {
       // persisted: the query/candidate branches below would otherwise
       // each re-evaluate the 8×64-term bucket expression over all rows
-      val e = emb(s, dir).withColumn("bucket", bucket("embedding")).persist()
+      val e = QueryCaches.cache(emb(s, dir).withColumn("bucket", bucket("embedding")))
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
           norm("embedding").as("qn"), col("bucket"))
@@ -186,7 +186,7 @@ object SimilarityQueries {
         .withColumn("qv", expr(
           "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT))"))
         .select(col("vec_id"), col("qv"))
-        .persist() // both branches below
+        .transform(QueryCaches.cache(_)) // both branches below
       val q = quantized.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("qv").as("qa"))
       val c = quantized.filter(col("vec_id") >= 5 && col("vec_id") % 5 === 0)
@@ -212,7 +212,7 @@ object SimilarityQueries {
       val corpus = base.unionByName(copies)
         .withColumn("bucket", bucket("embedding"))
         .withColumn("nrm", norm("embedding"))
-        .persist() // self-joined: avoid re-evaluating bucket+norm per branch
+        .transform(QueryCaches.cache(_)) // self-joined: avoid re-evaluating bucket+norm per branch
       val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na"), col("bucket"))
       val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),

@@ -1,0 +1,50 @@
+package graft
+
+import graft.queries.{DedupQueries, QueryCaches, SimilarityQueries}
+
+/** Caches registered by query builders must be releasable: after consuming
+  * a cache-using query and calling QueryCaches.releaseAll, the session
+  * holds no persistent RDDs (VERDICT r2 item 6 — long-lived sessions were
+  * accumulating band tables / bucketed embeddings per query).
+  */
+class CacheHygieneSpec extends SparkSpecBase {
+
+  private def persistentCount: Int =
+    spark.sparkContext.getPersistentRDDs.count { case (_, rdd) =>
+      rdd.getStorageLevel.useMemory || rdd.getStorageLevel.useDisk
+    }
+
+  test("cache-using queries leave no persistent RDDs after releaseAll") {
+    QueryCaches.releaseAll(spark) // clean slate
+    val before = persistentCount
+    DedupQueries.queries("q_dedup_minhash")(spark, sf).count()
+    SimilarityQueries.queries("q_ann_lsh")(spark, sf).count()
+    assert(persistentCount > before, "expected the queries to register caches")
+    QueryCaches.releaseAll(spark)
+    // unpersist(blocking=false) is async at the block level but the
+    // registry drops the references synchronously and marks the RDDs
+    // non-persistent, which is what getPersistentRDDs reflects
+    assert(persistentCount == before,
+      s"persistent RDDs leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+
+  test("Pipeline.run leaves no persistent RDDs behind") {
+    QueryCaches.releaseAll(spark)
+    val before = persistentCount
+    val work = java.nio.file.Files.createTempDirectory("graft-cache-spec").toString
+    val in = s"$work/in/05"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(in, "grid_02_NZ_norm_Mean_1991-2020_monthly7.asc"),
+      graft.raster.GridGen.genText(0))
+    import spark.implicits._
+    val regions = Seq(("05", "Gisborne", "Gisborne Region",
+      "POLYGON ((1590000 4990000, 1700000 4990000, 1700000 5100000, 1590000 5100000, 1590000 4990000))"))
+      .toDF("code", "name", "raw_title", "wkt")
+    val res = graft.etl.Pipeline.run(spark, s"$work/in", regions,
+      s"$work/out", updatedAt = "2026-01-01T00:00:00Z")
+    assert(res.catalog.count() > 0)
+    assert(persistentCount == before,
+      s"Pipeline leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+  }
+}
