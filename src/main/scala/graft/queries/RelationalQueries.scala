@@ -151,22 +151,29 @@ object RelationalQueries {
 
     // KMV (k-minimum-values) distinct sketch — the deterministic
     // counterpart to HLL: estimate = (k−1)/h_(k) over the k smallest
-    // normalized hash values. Unlike HLL's engine-specific registers,
-    // every step here (md5, hex→fraction, top-k, one division) is
-    // exactly reproducible, so a SKETCH-based estimator sits under the
-    // oracle gate. Merging sketches = merging k-minima — the same
-    // map-side-combine shape HLL uses at scale.
+    // DISTINCT normalized hash values. Unlike HLL's engine-specific
+    // registers, every step here (md5, hex→fraction, bounded k-minima,
+    // one division) is exactly reproducible, so a SKETCH-based estimator
+    // sits under the oracle gate. The k-minima live in a typed
+    // Aggregator (graft.functions.KmvAgg): fixed-size state per
+    // partition, merge = k smallest of both sides — a true
+    // map-side-combine sketch with ONE single-partition exchange, no
+    // full-distinct shuffle and no global sort (the r2 plan
+    // materialized the whole distinct key space first).
     "q_approx_distinct_kmv" -> ((s, dir) => {
       val k = 256
       val frac = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
         .cast("double") / 4294967296.0
-      val minima = t(s, dir, "lineitem")
-        .select(frac.as("h")).distinct()
-        .orderBy("h").limit(k)
+      val kmv = udaf(new graft.functions.KmvAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Double]())
+      val sketch = t(s, dir, "lineitem")
+        .select(frac.as("h"))
+        .agg(kmv(col("h")).as("minima"))
+        .select(element_at(col("minima"), -1).as("hk"),
+          size(col("minima")).cast("bigint").as("k_used"))
       val exact = t(s, dir, "lineitem")
         .agg(countDistinct(col("l_orderkey")).as("n_exact"))
-      minima.agg(max(col("h")).as("hk"), count(lit(1)).as("k_used"))
-        .crossJoin(exact)
+      sketch.crossJoin(exact)
         .select(col("n_exact"), col("k_used"),
           round((col("k_used") - 1).cast("double") / col("hk"), 2).as("n_estimate"),
           round(abs((col("k_used") - 1).cast("double") / col("hk") - col("n_exact"))

@@ -191,29 +191,29 @@ object TextQueries {
     // Count-min sketch heavy hitters: 4 hash rows × 256 buckets over
     // the token stream; estimate(term) = min over rows of its bucket
     // counter — always ≥ the true count, with collisions bounding the
-    // overshoot. The sketch build is 4 small hash aggregations (the
-    // fixed-size state a streaming frequency counter keeps at 100 TB);
-    // md5 bucketing makes every counter — and thus the estimates —
+    // overshoot. All 4 sketch rows are built in ONE aggregation:
+    // posexplode the 4 row-buckets per token → groupBy (row, bucket) —
+    // the fixed 4×256-counter state a streaming frequency counter keeps
+    // at 100 TB, not one pass per row (the r2 plan re-scanned the
+    // unpersisted token explode 5×; the stream is now cached and read
+    // twice: once for the exact side, once for the sketch build). md5
+    // bucketing makes every counter — and thus the estimates —
     // bit-reproducible in the oracle.
     "q_heavy_hitters" -> ((s, dir) => {
-      val toks = s.read.parquet(s"$dir/documents.parquet")
-        .select(explode(split(col("text"), " ")).as("term"))
+      def bucket(r: Int) =
+        conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 2), 16, 10).cast("int")
+      val rowBuckets = array((0 until 4).map(bucket): _*)
+      val toks = QueryCaches.cache(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("term")))
       val exact = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
       val top = exact.orderBy(col("n_exact").desc, col("term")).limit(10)
-      val rows = (0 until 4).map { r =>
-        val bucket = conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 2), 16, 10)
-          .cast("int")
-        toks.withColumn("bucket", bucket)
-          .groupBy("bucket").agg(count(lit(1)).as(s"c$r"))
-          .withColumn("r", lit(r))
-      }
-      val est = (0 until 4).map { r =>
-        val bucket = conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 2), 16, 10)
-          .cast("int")
-        top.withColumn("bucket", bucket)
-          .join(rows(r).select(col("bucket"), col(s"c$r")), Seq("bucket"))
-          .select(col("term"), col(s"c$r").as("c"))
-      }.reduce(_ unionByName _)
+      val counters = toks
+        .select(posexplode(rowBuckets).as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      val est = top
+        .select(col("term"), posexplode(rowBuckets).as(Seq("r", "bucket")))
+        .join(counters, Seq("r", "bucket"))
         .groupBy("term").agg(min(col("c")).as("n_est"))
       top.join(est, "term")
         .select(col("term"), col("n_exact"), col("n_est"),

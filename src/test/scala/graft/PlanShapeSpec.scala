@@ -88,4 +88,34 @@ class PlanShapeSpec extends SparkSpecBase {
     val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(exchanges <= 1, s"one content-hash shuffle expected, got $exchanges:\n$p")
   }
+
+  test("q_heavy_hitters: cached token stream + one posexplode sketch aggregation") {
+    val p = plan("q_heavy_hitters", graft.queries.TextQueries.queries)
+    // the r2 plan re-ran the token explode 5×; now the stream is cached
+    // (exact side + sketch build read memory, the file is scanned once)
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"token stream should be cached and reused:\n$p")
+    // all 4 CMS rows built by ONE aggregation over posexplode'd buckets
+    assert(p.contains("posexplode"), s"sketch rows should posexplode, not loop:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_approx_distinct_kmv: bounded sketch agg — no distinct exchange, no sort") {
+    val p = plan("q_approx_distinct_kmv", RelationalQueries.queries)
+    // the KMV branch is a typed Aggregator: partial ObjectHashAggregate
+    // per partition, ONE single-partition exchange, final merge — the r2
+    // plan's full `.distinct()` shuffle and global `.orderBy().limit(k)`
+    // must both be gone
+    assert(p.contains("ObjectHashAggregate"), s"sketch should be object agg:\n$p")
+    assert(!p.contains("Sort "), s"no global sort of hash values allowed:\n$p")
+    assert(!p.contains("TakeOrderedAndProject"), s"no top-k over distinct keys:\n$p")
+    // remaining shuffles: the sketch's single-partition exchange plus the
+    // exact countDistinct branch (kept only to report rel_error); the
+    // sketch side itself must contribute no hash-partitioned shuffle
+    val shuffles = "Exchange (SinglePartition|hashpartitioning)".r.findAllIn(p).length
+    assert(shuffles <= 3, s"expected ≤3 shuffle exchanges, got $shuffles:\n$p")
+    val distinctShuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(distinctShuffles <= 1,
+      s"only the exact-branch distinct may hash-partition, got $distinctShuffles:\n$p")
+  }
 }
