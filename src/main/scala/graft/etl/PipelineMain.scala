@@ -9,7 +9,8 @@ import org.apache.spark.sql.SparkSession
   * runMain graft.etl.PipelineMain \
   *   --files_input_folder /path/to/asc_tree \
   *   --output_folder_zipped /path/to/out \
-  *   [--regions_json /path/to/regions.json]   // code,name,raw_title,wkt
+  *   [--regions_geojson /path/to/fc.geojson]  // GeoJSON FeatureCollection (SRC-3)
+ *   [--regions_json /path/to/regions.json]   // code,name,raw_title,wkt
   *   [--updated_at 2026-01-01T00:00:00Z]
   * }}}
   *
@@ -40,10 +41,13 @@ object PipelineMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val regions = opts.get("regions_json") match {
-      case Some(path) => spark.read.json(path)
+    val regions = (opts.get("regions_geojson"), opts.get("regions_json")) match {
+      // SRC-3: a GeoJSON FeatureCollection (the feature-service response
+      // shape) — attributes + polygon geometry parsed to the region dim
+      case (Some(path), _) => graft.sources.GeoJsonSource.regions(spark, path)
+      case (_, Some(path)) => spark.read.json(path)
         .select("code", "name", "raw_title", "wkt")
-      case None =>
+      case _ =>
         import spark.implicits._
         // default: reference region dim with synthetic full-cover boxes
         Lookups.regions.map { case (code, name) =>

@@ -219,6 +219,26 @@ object EtlQueries {
         .orderBy("region_code")
     }),
 
+    // SRC-3: the feature-service response parsed as a real GeoJSON
+    // FeatureCollection (ETL.py:184–187, 265–270): nested
+    // features[].properties attributes + features[].geometry.coordinates
+    // polygon rings → one region row each, geometry rewritten to WKT by
+    // pure higher-order-function expressions (no UDF), display name
+    // decoded via the broadcast region dim, region_title derived with
+    // the reference's exact string rules (split " Region", "Area…" →
+    // Chatham Islands, ETL.py:276–280).
+    "q_feature_source" -> ((s, dir) => {
+      val dim = broadcast(Lookups.regionDim(s).select(col("code"), col("name")))
+      graft.sources.GeoJsonSource.features(s, graft.sources.GeoJsonSource.fixturePath)
+        .join(dim, Seq("code"), "left")
+        .select(col("code"), col("name"),
+          when(col("raw_title").startsWith("Area"), lit("Chatham Islands"))
+            .otherwise(split(col("raw_title"), " Region").getItem(0))
+            .as("region_title"),
+          col("gtype"), col("n_rings"), col("n_vertices"), col("wkt"))
+        .orderBy("code")
+    }),
+
     // SNK-4/D5: the full nested metadata document (ETL.py:474–498) —
     // Mongo-extended $date wrappers, GeoJSON Polygon footprint (the
     // envelope ring, closed, in JTS corner order), catalog strings —
@@ -461,6 +481,36 @@ object EtlQueries {
          |SELECT region_code, count(*) AS n_asc, min(file_name) AS first_file
          |FROM manifest WHERE file_name LIKE '%.asc'
          |GROUP BY region_code ORDER BY region_code""".stripMargin,
+
+    // DuckDB reads the SAME FeatureCollection document (extracted to a
+    // stable temp path by GeoJsonSource.fixturePath) and re-derives every
+    // column: unnest(features), struct field access, list HOFs for the
+    // ring→WKT text. Coordinates are half-integer doubles so both
+    // engines print identical shortest-repr literals.
+    "q_feature_source" -> {
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_nz_regional_councils.geojson"
+      s"""WITH ${Lookups.regionCte},
+         |fc AS (SELECT unnest(features) AS f FROM read_json('$path')),
+         |feat AS (
+         |  SELECT f.properties.REGC_code AS code,
+         |         f.properties.REGC_name_ascii AS raw_title,
+         |         f.geometry.type AS gtype,
+         |         CAST(len(f.geometry.coordinates) AS BIGINT) AS n_rings,
+         |         CAST(list_aggr(list_transform(f.geometry.coordinates, r -> len(r)),
+         |              'sum') AS BIGINT) AS n_vertices,
+         |         'POLYGON (' ||
+         |           list_aggr(list_transform(f.geometry.coordinates, ring -> '(' ||
+         |             list_aggr(list_transform(ring, pt -> CAST(pt[1] AS VARCHAR) ||
+         |               ' ' || CAST(pt[2] AS VARCHAR)), 'string_agg', ', ') || ')'),
+         |             'string_agg', ', ') || ')' AS wkt
+         |  FROM fc)
+         |SELECT feat.code, r.name,
+         |       CASE WHEN raw_title LIKE 'Area%' THEN 'Chatham Islands'
+         |            ELSE str_split(raw_title, ' Region')[1] END AS region_title,
+         |       gtype, n_rings, n_vertices, wkt
+         |FROM feat LEFT JOIN region_dim r ON r.code = feat.code
+         |ORDER BY feat.code""".stripMargin
+    },
 
     // byte-identical reconstruction of to_json(struct(...)): compact
     // separators, struct field order, "1600000.0"-style doubles

@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.GeoJsonSource
+
+/** SRC-3: FeatureCollection parse — schema'd read, HOF ring→WKT, region
+  * dim derivation, and the full pipeline running off the GeoJSON dim.
+  */
+class GeoJsonSourceSpec extends SparkSpecBase {
+
+  test("fixture parses to 17 features with closed 5-vertex rings") {
+    val f = GeoJsonSource.features(spark, GeoJsonSource.fixturePath)
+    assert(f.count() == 17)
+    val row = f.filter(col("code") === "01").head()
+    assert(row.getAs[String]("gtype") == "Polygon")
+    assert(row.getAs[Long]("n_rings") == 1L)
+    assert(row.getAs[Long]("n_vertices") == 5L)
+    val wkt = row.getAs[String]("wkt")
+    assert(wkt.startsWith("POLYGON ((") && wkt.endsWith("))"), wkt)
+    // closed ring: first point == last point
+    val pts = wkt.stripPrefix("POLYGON ((").stripSuffix("))").split(", ")
+    assert(pts.head == pts.last)
+    // the WKT is JTS-parseable (feeds the clip path downstream)
+    assert(graft.geo.Jts.parseWkt(wkt).getArea > 0)
+  }
+
+  test("regions() joins the lookup name and keeps service titles") {
+    val r = GeoJsonSource.regions(spark, GeoJsonSource.fixturePath)
+    assert(r.columns.toSeq == Seq("code", "name", "raw_title", "wkt"))
+    val m = r.collect().map(x => x.getString(0) -> (x.getString(1), x.getString(2))).toMap
+    assert(m("06") == ("Hawkes-Bay", "Hawkes Bay Region"))
+    assert(m("99")._2 == "Area Outside Region")
+  }
+
+  test("pipeline runs end-to-end off the GeoJSON region dim") {
+    val work = java.nio.file.Files.createTempDirectory("graft-geojson-pipe").toString
+    val in = java.nio.file.Paths.get(work, "in", "05")
+    java.nio.file.Files.createDirectories(in)
+    java.nio.file.Files.writeString(
+      in.resolve("grid_02_NZ_norm_Mean_1991-2020_monthly7.asc"),
+      graft.raster.GridGen.genText(0))
+    val regions = GeoJsonSource.regions(spark, GeoJsonSource.fixturePath)
+    val res = graft.etl.Pipeline.run(spark, s"$work/in", regions,
+      s"$work/out", updatedAt = "2026-01-01T00:00:00Z")
+    // 16 regions after the code-99 drop; region 18's far-away box clips empty
+    assert(res.catalog.count() == 16)
+    assert(res.catalog.filter(col("region_code") === "18")
+      .head().getAs[Long]("n_valid") == 0L)
+  }
+}
