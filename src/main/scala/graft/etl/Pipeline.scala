@@ -57,6 +57,12 @@ object Pipeline {
   def run(spark: SparkSession, inputDir: String, regions: DataFrame,
       outDir: String, updatedAt: String, prefix: String = "climate/grids"): Result = {
 
+    // SNK-5/6: when the S3 sink is enabled and its target scheme is
+    // usable, all outputs stream straight to the object store; otherwise
+    // degrade to the local root (the reference's missing-boto3 path,
+    // ETL.py:77–92) with a logged warning.
+    val sinkRoot = graft.sinks.S3Sink.resolveRoot(spark, outDir)
+
     // SRC-1: suffix predicate pushed into the file listing itself.
     val files = spark.read.format("binaryFile")
       .option("recursiveFileLookup", "true")
@@ -147,28 +153,33 @@ object Pipeline {
         struct(concat(col("file_stem"), lit(".wld")).as("name"), worldFileUdf(col("clipped_text")).as("content")),
         struct(concat(col("file_stem"), lit(".stats.txt")).as("name"), col("stats_text").as("content")),
       ).as("entries"))
-    ZipSink.write(zips, s"$outDir/zipped")
+    ZipSink.write(zips, s"$sinkRoot/zipped")
 
-    // SNK-4: one metadata .json per product, written partition-side.
+    // SNK-4: one metadata .json per product, written partition-side
+    // through the Hadoop FileSystem API (same writer for file:// and
+    // s3a:// roots; executors rebuild the handle from shipped fs.* conf).
     val docs = withDocs.select(col("file_stem"), col("metadata_json"))
-    val docDir = s"$outDir/zipped"
+    val docDir = s"$sinkRoot/zipped"
+    val fsConf = graft.sinks.S3Sink.fsConfEntries(spark)
     docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-      import java.nio.file.{Files, Paths}
       import java.nio.charset.StandardCharsets
-      Files.createDirectories(Paths.get(docDir))
+      import org.apache.hadoop.fs.Path
+      val fs = graft.sinks.S3Sink.fileSystemFor(docDir, fsConf)
+      fs.mkdirs(new Path(docDir))
       rows.foreach { r =>
-        Files.write(Paths.get(docDir, r.getAs[String]("file_stem") + ".json"),
-          r.getAs[String]("metadata_json").getBytes(StandardCharsets.UTF_8))
+        val out = fs.create(new Path(docDir, r.getAs[String]("file_stem") + ".json"), true)
+        try out.write(r.getAs[String]("metadata_json").getBytes(StandardCharsets.UTF_8))
+        finally out.close()
       }
     }
 
     // SNK-1 analog: the converted store is columnar parquet (grid text
     // + product metadata per row), replacing the reference's COG files.
-    catalog.write.mode("overwrite").parquet(s"$outDir/catalog.parquet")
+    catalog.write.mode("overwrite").parquet(s"$sinkRoot/catalog.parquet")
 
     // hand back the WRITTEN store, not the in-memory lineage: consumers
     // read the parquet (cheap, pruned) and the cache can be dropped now
-    Result(spark.read.parquet(s"$outDir/catalog.parquet"))
+    Result(spark.read.parquet(s"$sinkRoot/catalog.parquet"))
     } finally withDocs.unpersist(blocking = false)
   }
 

@@ -1,10 +1,10 @@
 package graft.sinks
 
-import java.io.{BufferedOutputStream, FileOutputStream}
+import java.io.BufferedOutputStream
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
 import java.util.zip.{ZipEntry, ZipOutputStream}
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, Row}
 
 /** Zip packaging sink (SNK-3; ETL.py:315–346): one .zip per group,
@@ -14,10 +14,10 @@ import org.apache.spark.sql.{DataFrame, Row}
   *
   * Executed with `foreachPartition` semantics: every partition writes
   * its own groups, no driver collection — per-group single-file output
-  * is inherently a sink-side concern (SURVEY.md §7.6.5). Paths are
-  * java.nio against a shared filesystem; at cluster scale the same
-  * writer runs against a Hadoop FileSystem handle (s3a/HDFS) —
-  * one-file-per-group semantics are unchanged.
+  * is inherently a sink-side concern (SURVEY.md §7.6.5). I/O goes
+  * through the Hadoop FileSystem API, so the same writer streams to
+  * file://, hdfs://, or s3a:// roots (SNK-5) — the executor-side
+  * filesystem handle is rebuilt from the driver's `fs.*` conf entries.
   */
 object ZipSink {
 
@@ -25,13 +25,15 @@ object ZipSink {
     * content STRING>>. Writes `outDir/<zip_name>` files.
     */
   def write(df: DataFrame, outDir: String): Unit = {
-    Files.createDirectories(Paths.get(outDir))
+    val fsConf = S3Sink.fsConfEntries(df.sparkSession)
+    S3Sink.fileSystemFor(outDir, fsConf).mkdirs(new Path(outDir))
     df.foreachPartition { rows: Iterator[Row] =>
+      val fs = S3Sink.fileSystemFor(outDir, fsConf)
       rows.foreach { row =>
         val zipName = row.getAs[String]("zip_name")
         val entries = row.getAs[collection.Seq[Row]]("entries")
         val out = new ZipOutputStream(new BufferedOutputStream(
-          new FileOutputStream(Paths.get(outDir, zipName).toFile)))
+          fs.create(new Path(outDir, zipName), true)))
         try {
           entries.foreach { e =>
             out.putNextEntry(new ZipEntry(e.getAs[String]("name")))
