@@ -193,6 +193,42 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Session windows AS A STREAM in append mode — the one mode
+    // session aggregation supports with finalized-only emission. Append
+    // withholds every session still inside the watermark, so a drained
+    // static file alone never emits its tail (memory-noted §2.9 gap);
+    // the fix is the control-stream pattern: union the event stream
+    // with a MemoryStream and, after the files drain, feed one sentinel
+    // event far in the future. The single watermark operator sits above
+    // the union, so the sentinel advances it past every real session
+    // and append mode finalizes them all — exactly how production
+    // pipelines close out sessions at stream end (or use
+    // allowedLateness heartbeats). The sentinel's own session is
+    // withheld/filtered.
+    "q_stream_session" -> ((s, dir) => {
+      val name = s"stream_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val sentinel = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, Long, Double)]
+        val real = graft.sources.EventSource.stream(s, dir)
+          .select(col("ts"), col("user_id"), col("value"))
+        val src = real.unionByName(sentinel.toDF().toDF("ts", "user_id", "value"))
+        val sessions = graft.streaming.EventStreams.sessionCounts(src)
+        val q = sessions.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+            999999999L, 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).filter(col("user_id") =!= 999999999L)
+          .orderBy("user_id", "session_start_s")
+      }
+    }),
+
     // RANGE-frame window: per user, the trailing-1-hour event count and
     // value sum at every event — a true RANGE frame over epoch seconds
     // (peers at the same second share a frame), distinct from the ROWS
@@ -473,25 +509,32 @@ object EventQueries {
 
     // gaps-and-islands sessionization: new session when the gap from
     // the previous event (per user) exceeds 30 minutes
-    "q_window_session" ->
-      """WITH ordered AS (
-        |  SELECT user_id, ts, value,
-        |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-        |                   > INTERVAL 30 MINUTE OR
-        |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-        |              THEN 1 ELSE 0 END AS is_new
-        |  FROM events
-        |),
-        |sess AS (
-        |  SELECT user_id, ts, value,
-        |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
-        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM ordered
-        |)
-        |SELECT user_id,
-        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
-        |       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
-        |       count(*) AS n_events, round(sum(value), 2) AS sum_value
-        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin,
+    "q_window_session" -> SessionSql,
+
+    // the streaming variant must converge to the identical batch
+    // answer once the sentinel-advanced watermark finalizes every
+    // session (append mode emits each exactly once)
+    "q_stream_session" -> SessionSql,
   )
+
+  private lazy val SessionSql: String =
+    """WITH ordered AS (
+      |  SELECT user_id, ts, value,
+      |         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |                   > INTERVAL 30 MINUTE OR
+      |              lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+      |              THEN 1 ELSE 0 END AS is_new
+      |  FROM events
+      |),
+      |sess AS (
+      |  SELECT user_id, ts, value,
+      |         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM ordered
+      |)
+      |SELECT user_id,
+      |       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_s,
+      |       CAST(floor(epoch(max(ts))) AS BIGINT) AS session_end_s,
+      |       count(*) AS n_events, round(sum(value), 2) AS sum_value
+      |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_s""".stripMargin
 }
