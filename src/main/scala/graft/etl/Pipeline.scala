@@ -63,12 +63,13 @@ object Pipeline {
     // ETL.py:77–92) with a logged warning.
     val sinkRoot = graft.sinks.S3Sink.resolveRoot(spark, outDir)
 
-    // SRC-1: suffix predicate pushed into the file listing itself.
-    val files = spark.read.format("binaryFile")
-      .option("recursiveFileLookup", "true")
-      .option("pathGlobFilter", "*.asc")
+    // SRC-1/5: the asciigrid DataSource V2 — recursive .asc listing with
+    // the suffix filter applied in the listing itself, one grid per row,
+    // column pruning down to (path, text) so the scan never tokenizes
+    // cell values the clip UDF re-parses anyway.
+    val files = spark.read.format("asciigrid")
       .load(inputDir)
-      .select(col("path"), col("content").cast("string").as("text"))
+      .select(col("path"), col("text"))
 
     // PRJ-1/2/8 + JOIN-2: decode & rename.
     val pDim = broadcast(Lookups.parameterDim(spark)

@@ -81,6 +81,41 @@ object AsciiGrid {
     AsciiGrid(ncols, nrows, xll, yll, cell, nodata, values)
   }
 
+  /** Header fields only (no cell block). `parseHeader` powers pruned
+    * scans in the asciigrid DataSource V2: a projection that skips the
+    * `values` column reads just the leading header lines and never
+    * tokenizes the (much larger) cell text.
+    */
+  final case class Header(ncols: Int, nrows: Int, xllcorner: Double,
+      yllcorner: Double, cellsize: Double, nodata: Double)
+
+  private val HeaderKeys = Set("ncols", "nrows", "xllcorner", "yllcorner",
+    "xllcenter", "yllcenter", "cellsize", "nodata_value")
+
+  def parseHeader(text: String): Header = {
+    var ncols, nrows = -1
+    var xll, yll, cell = Double.NaN
+    var nodata = -9999.0
+    val lines = text.linesIterator
+    var parsing = true
+    while (parsing && lines.hasNext) {
+      val toks = lines.next().trim.split("\\s+").filter(_.nonEmpty)
+      if (toks.length >= 2 && HeaderKeys.contains(toks(0).toLowerCase)) {
+        toks(0).toLowerCase match {
+          case "ncols"        => ncols = toks(1).toInt
+          case "nrows"        => nrows = toks(1).toInt
+          case "xllcorner"    => xll = toks(1).toDouble
+          case "xllcenter"    => xll = toks(1).toDouble - 0.5 * cell
+          case "yllcorner"    => yll = toks(1).toDouble
+          case "yllcenter"    => yll = toks(1).toDouble - 0.5 * cell
+          case "cellsize"     => cell = toks(1).toDouble
+          case "nodata_value" => nodata = toks(1).toDouble
+        }
+      } else if (toks.nonEmpty) parsing = false
+    }
+    Header(ncols, nrows, xll, yll, cell, nodata)
+  }
+
   /** Render back to the textual format (row-major, one row per line).
     * parse ∘ write == identity (property-tested).
     */
