@@ -193,6 +193,82 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // STREAM-STATIC join: the streaming event feed enriched against a
+    // static dimension table. Stateless — the dim side broadcasts to
+    // every executor once and each micro-batch joins map-side, so there
+    // is NO join state to watermark and append mode emits immediately;
+    // this is the 100 TB enrichment shape (dims broadcast, the stream
+    // never shuffles for the join).
+    "q_stream_static_join" -> ((s, dir) => {
+      val name = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val dim = broadcast(s.read.parquet(s"$dir/nation.parquet")
+          .select(col("n_nationkey").cast("bigint").as("nk"), col("n_name")))
+        graft.streaming.EventStreams.runToCompletion(
+          graft.sources.EventSource.stream(s, dir)
+            .withColumn("nk", col("user_id") % 25)
+            .join(dim, "nk")
+            .select(col("n_name"), col("value")),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("n_name")
+    }),
+
+    // LEFT OUTER stream-stream join: every click, with its in-window
+    // purchases where they exist. Outer results only materialize when
+    // the watermark proves no match can still arrive, so a drained
+    // static file never flushes its tail — each side gets a control
+    // MemoryStream and one far-future sentinel advances both watermarks
+    // (global watermark = min over inputs), forcing every null-extended
+    // row out. Unmatched markers are -1 (not NULL) so cross-engine null
+    // ordering never matters.
+    "q_stream_left_join" -> ((s, dir) => {
+      val name = s"stream_lj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+        val sentC = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val sentP = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val clicks = graft.sources.EventSource.stream(s, dir)
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = graft.sources.EventSource.stream(s, dir)
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+          .unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          sentC.addData((999999999L, 999999999L, far))
+          sentP.addData((999999999L, 999999999L, far))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).filter(col("user_id") =!= 999999999L)
+          .select(col("click_id"), col("user_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+            coalesce(unix_timestamp(col("purchase_ts")) -
+              unix_timestamp(col("click_ts")), lit(-1L)).as("gap_s"))
+          .orderBy("click_id", "purchase_id")
+      }
+    }),
+
     // Session windows AS A STREAM in append mode — the one mode
     // session aggregation supports with finalized-only emission. Append
     // withholds every session still inside the watermark, so a drained
@@ -463,6 +539,23 @@ object EventQueries {
         |  ON p.user_id = c.user_id
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_stream_static_join" ->
+      """SELECT n.n_name, count(*) AS n, round(sum(e.value), 2) AS sum_value
+        |FROM events e JOIN nation n ON n.n_nationkey = e.user_id % 25
+        |GROUP BY n.n_name ORDER BY n.n_name""".stripMargin,
+
+    "q_stream_left_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       coalesce(p.event_id, -1) AS purchase_id,
+        |       coalesce(CAST(floor(epoch(p.ts)) AS BIGINT)
+        |         - CAST(floor(epoch(c.ts)) AS BIGINT), -1) AS gap_s
+        |FROM events c
+        |LEFT JOIN events p
+        |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
+        | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+        |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_stream_sliding" ->

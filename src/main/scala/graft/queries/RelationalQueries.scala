@@ -180,6 +180,62 @@ object RelationalQueries {
             / col("n_exact"), 4).as("rel_error"))
     }),
 
+    // MERGE/upsert semantics — the table-maintenance primitive every
+    // curated dataset needs (apply a change feed of inserts, updates,
+    // and deletes to a base table). Spark has no MERGE INTO against
+    // plain parquet, so the operator is expressed as its relational
+    // core: ONE full-outer join of base × changes on the key, then a
+    // row-wise resolution projection (delete drops, update/insert takes
+    // the change image, otherwise the base survives). One shuffle on
+    // the key — the same plan a Delta/Iceberg MERGE compiles to before
+    // file rewriting; at 100 TB the join is the cost and it partitions
+    // cleanly by key. The change feed is derived deterministically from
+    // customer so the oracle can rebuild it.
+    "q_upsert" -> ((s, dir) => {
+      val base = t(s, dir, "customer")
+        .select(col("c_custkey").as("key"), col("c_name").as("name"),
+          col("c_acctbal").as("acctbal"))
+      val cust = t(s, dir, "customer")
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .select(col("c_custkey").as("key"),
+          concat(col("c_name"), lit(" (updated)")).as("c_name"),
+          round(col("c_acctbal") + 100.25, 2).as("c_acctbal"), lit("U").as("op"))
+      val inserts = cust.filter(col("c_custkey") % 25 === 0)
+        .select((col("c_custkey") + 1000000L).as("key"),
+          concat(lit("NEW "), col("c_name")).as("c_name"),
+          col("c_acctbal").as("c_acctbal"), lit("I").as("op"))
+      val deletes = cust.filter(col("c_custkey") % 7 === 0 && col("c_custkey") % 10 =!= 0)
+        .select(col("c_custkey").as("key"), lit(null).cast("string").as("c_name"),
+          lit(null).cast("double").as("c_acctbal"), lit("D").as("op"))
+      val changes = updates.unionByName(inserts).unionByName(deletes)
+      base.join(changes, Seq("key"), "full_outer")
+        .filter(col("op").isNull || col("op") =!= "D")
+        .select(col("key"),
+          when(col("op").isNotNull, col("c_name")).otherwise(col("name")).as("name"),
+          when(col("op").isNotNull, col("c_acctbal")).otherwise(col("acctbal")).as("acctbal"))
+        .orderBy("key")
+    }),
+
+    // SCD Type-2 dimension build: each customer's order history becomes
+    // effective-dated rows (valid_from = the order date, valid_to = the
+    // next order's date, open-ended tail flagged current) — the
+    // standard way a warehouse tracks attribute history. One window
+    // (lead over the per-key event sequence), one shuffle on the key.
+    "q_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .filter(col("o_custkey") % 20 === 0)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          lead(date_format(col("o_orderdate"), "yyyy-MM-dd"), 1).over(w).as("next_from"))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderstatus"),
+          col("valid_from"),
+          coalesce(col("next_from"), lit("9999-12-31")).as("valid_to"),
+          col("next_from").isNull.cast("int").cast("bigint").as("is_current"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
     // UNION / INTERSECT / EXCEPT in one result, tagged per branch.
     "q_set_ops" -> ((s, dir) => {
       val cn = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
@@ -624,6 +680,37 @@ object RelationalQueries {
         |  FROM orders WHERE o_totalprice > 300000 GROUP BY o_custkey
         |) b ON b.o_custkey = c.c_custkey
         |ORDER BY c.c_custkey""".stripMargin,
+
+    "q_upsert" ->
+      """WITH changes AS (
+        |  SELECT c_custkey AS key, c_name || ' (updated)' AS c_name,
+        |         round(c_acctbal + 100.25, 2) AS c_acctbal, 'U' AS op
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'NEW ' || c_name, c_acctbal, 'I'
+        |  FROM customer WHERE c_custkey % 25 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, NULL, NULL, 'D'
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 10 <> 0
+        |)
+        |SELECT coalesce(c.c_custkey, ch.key) AS key,
+        |       CASE WHEN ch.op IS NOT NULL THEN ch.c_name ELSE c.c_name END AS name,
+        |       CASE WHEN ch.op IS NOT NULL THEN ch.c_acctbal ELSE c.c_acctbal END AS acctbal
+        |FROM customer c FULL OUTER JOIN changes ch ON c.c_custkey = ch.key
+        |WHERE ch.op IS NULL OR ch.op <> 'D'
+        |ORDER BY key""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT o_custkey, o_orderkey, o_orderstatus,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+        |       coalesce(lead(strftime(o_orderdate, '%Y-%m-%d'), 1) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+        |         '9999-12-31') AS valid_to,
+        |       CAST(CASE WHEN lead(o_orderdate, 1) OVER
+        |         (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+        |         THEN 1 ELSE 0 END AS BIGINT) AS is_current
+        |FROM orders WHERE o_custkey % 20 = 0
+        |ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
 
     "q_pivot" ->
       """SELECT n.n_name,

@@ -221,6 +221,33 @@ object TextQueries {
         .orderBy(col("n_exact").desc, col("term"))
     }),
 
+    // Within-document repetition — the quality gate that catches
+    // boilerplate/spam docs (low type-token ratio, one token dominating).
+    // Deliberately a PER-ROW plan: every metric is a function of the
+    // document's own token list, so it's array expressions with ZERO
+    // shuffle — the shape that survives 100 TB (the groupBy(doc, term)
+    // alternative shuffles the entire token stream). Ratios are emitted
+    // as integer per-myriad via `div` (exact cross-engine; a double
+    // division can land on round-half boundaries). The token list is
+    // bound ONCE via the outer-lambda trick — CollapseProject would
+    // otherwise inline split() into every lambda reference.
+    "q_repetition_ratio" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("m", expr(
+          """element_at(transform(array(split(text, ' ')), toks ->
+            |  struct(
+            |    CAST(size(toks) AS BIGINT) AS n_tokens,
+            |    CAST(size(array_distinct(toks)) AS BIGINT) AS n_distinct,
+            |    CAST(aggregate(array_distinct(toks), 0, (m, t) ->
+            |      greatest(m, size(filter(toks, x -> x = t)))) AS BIGINT) AS top_count
+            |  )), 1)""".stripMargin))
+        .select(col("doc_id"),
+          col("m.n_tokens").as("n_tokens"),
+          col("m.n_distinct").as("n_distinct"),
+          expr("(m.n_tokens - m.n_distinct) * 10000 div m.n_tokens").as("rep_pm"),
+          expr("m.top_count * 10000 div m.n_tokens").as("top_pm"))
+        .orderBy("doc_id")),
+
     // Anonymization surface: salted SHA-256 pseudonymous keys (stable
     // joins without exposing the raw id), digit masking, and numeric
     // generalization into coarse buckets — the standard k-anonymity-
@@ -321,6 +348,20 @@ object TextQueries {
          |       round(avg(en_tri_ratio), 4) AS avg_ratio
          |FROM feats GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     },
+
+    "q_repetition_ratio" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |)
+        |SELECT doc_id,
+        |       CAST(len(t) AS BIGINT) AS n_tokens,
+        |       CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct,
+        |       (CAST(len(t) AS BIGINT) - CAST(len(list_distinct(t)) AS BIGINT))
+        |         * 10000 // CAST(len(t) AS BIGINT) AS rep_pm,
+        |       CAST(list_max(list_transform(list_distinct(t),
+        |             x -> len(list_filter(t, y -> y = x)))) AS BIGINT)
+        |         * 10000 // CAST(len(t) AS BIGINT) AS top_pm
+        |FROM toks ORDER BY doc_id""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH feats AS (
