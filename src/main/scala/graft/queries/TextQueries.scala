@@ -1,7 +1,10 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+
+import graft.text.Corpus
 
 /** Text-analysis operators for training-data pipelines over
   * `documents`: language-ID heuristic, quality scoring, token counting
@@ -248,6 +251,91 @@ object TextQueries {
           expr("m.top_count * 10000 div m.n_tokens").as("top_pm"))
         .orderBy("doc_id")),
 
+    // Sequence packing — the concat-and-chunk step that turns a curated
+    // corpus into fixed-size training windows: per SOURCE SHARD (the
+    // unit of parallelism — global packing would serialize the corpus
+    // through one sort), documents line up in doc_id order, a running
+    // token total assigns each doc to the 2048-token window its first
+    // token falls in, and per-window stats come out. One window
+    // function + one aggregation, both partitioned by source — at
+    // 100 TB every shard packs independently.
+    "q_pack_sequences" -> ((s, dir) => {
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), col("doc_id"),
+          size(split(col("text"), " ")).cast("bigint").as("n"))
+        .withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+        .withColumn("seq_id", expr("cum div 2048"))
+        .groupBy("source", "seq_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n")).as("n_tokens"),
+          min(col("doc_id")).as("first_doc"), max(col("doc_id")).as("last_doc"))
+        .orderBy("source", "seq_id")
+    }),
+
+    // Deterministic train/val/test split: the assignment is a pure
+    // function of the stable doc_id hash (byte 0 of md5 → 0..255;
+    // <204 ≈ 80% train, <230 ≈ 10% val, rest test), so re-running the
+    // pipeline or adding shards never reshuffles membership — the
+    // property that keeps eval sets frozen as the corpus grows. Pure
+    // projection + one aggregation; no shuffle before the final
+    // per-split rollup.
+    "q_dataset_split" -> ((s, dir) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 2), 16, 10)
+        .cast("bigint")
+      s.read.parquet(s"$dir/documents.parquet")
+        .withColumn("split",
+          when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " ")).cast("bigint")).as("n_tokens"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"))
+        .orderBy("split")
+    }),
+
+    // Merge-rule mining (the counting core of BPE-style vocab
+    // induction): corpus-wide adjacent-token pair frequencies, top 20.
+    // Bigrams are built per row with the bound-once token list, explode
+    // → one partial-aggregated count shuffle → TakeOrdered top-k; the
+    // 100 TB shape is identical (pair counting is the dominant cost of
+    // every merge round in real BPE trainers).
+    "q_bigram_vocab" -> ((s, dir) => {
+      val bigrams = expr(
+        """element_at(transform(array(split(text, ' ')), toks ->
+          |  CASE WHEN size(toks) < 2 THEN array()
+          |  ELSE transform(sequence(1, size(toks) - 1),
+          |    i -> concat(element_at(toks, i), '_', element_at(toks, i + 1)))
+          |  END), 1)""".stripMargin)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(bigrams).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // Benchmark-contamination check: which eval documents share 3-gram
+    // shingles with the training split? Both sides explode to
+    // (doc, shingle), the join keys on the shingle — the same
+    // banded-candidate shuffle shape as MinHash dedup (never all-pairs)
+    // — and per eval doc the overlap statistics come out. This is the
+    // decontamination pass every serious training corpus runs against
+    // its eval suites.
+    "q_contamination" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), Corpus.shingles("text").as("sh"))
+      val bench = docs.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
+      val train = docs.filter(col("doc_id") % 50 =!= 0)
+        .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
+      bench.join(train, "shingle")
+        .groupBy("bench_id")
+        .agg(countDistinct(col("train_id")).as("n_train_docs"),
+          countDistinct(col("shingle")).as("n_shared_shingles"))
+        .orderBy("bench_id")
+    }),
+
     // Anonymization surface: salted SHA-256 pseudonymous keys (stable
     // joins without exposing the raw id), digit masking, and numeric
     // generalization into coarse buckets — the standard k-anonymity-
@@ -362,6 +450,63 @@ object TextQueries {
         |             x -> len(list_filter(t, y -> y = x)))) AS BIGINT)
         |         * 10000 // CAST(len(t) AS BIGINT) AS top_pm
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH t AS (
+        |  SELECT source, doc_id,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        |  FROM documents
+        |),
+        |c AS (
+        |  SELECT source, doc_id, n,
+        |         CAST(coalesce(sum(n) OVER (PARTITION BY source ORDER BY doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum
+        |  FROM t
+        |)
+        |SELECT source, cum // 2048 AS seq_id, count(*) AS n_docs,
+        |       CAST(sum(n) AS BIGINT) AS n_tokens,
+        |       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        |FROM c GROUP BY source, cum // 2048 ORDER BY source, seq_id""".stripMargin,
+
+    "q_dataset_split" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val bucket = s"(${hv("substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)")} * 16 + " +
+        s"${hv("substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)")})"
+      s"""WITH t AS (
+         |  SELECT CASE WHEN $bucket < 204 THEN 'train'
+         |              WHEN $bucket < 230 THEN 'val' ELSE 'test' END AS split,
+         |         doc_id, n_chars,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT split, count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |       min(doc_id) AS min_doc, max(doc_id) AS max_doc
+         |FROM t GROUP BY split ORDER BY split""".stripMargin
+    },
+
+    "q_bigram_vocab" ->
+      """WITH bg AS (
+        |  SELECT u.bigram
+        |  FROM documents,
+        |       unnest(list_transform(
+        |         generate_series(1, greatest(len(string_split(text, ' ')) - 1, 0)),
+        |         i -> string_split(text, ' ')[i] || '_' ||
+        |              string_split(text, ' ')[i+1])) AS u(bigram)
+        |)
+        |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
+        |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_contamination" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${Corpus.shinglesSql}) AS shingle FROM documents
+         |),
+         |b AS (SELECT doc_id AS bench_id, shingle FROM sh WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id AS train_id, shingle FROM sh WHERE doc_id % 50 <> 0)
+         |SELECT bench_id, count(DISTINCT train_id) AS n_train_docs,
+         |       count(DISTINCT b.shingle) AS n_shared_shingles
+         |FROM b JOIN tr ON tr.shingle = b.shingle
+         |GROUP BY bench_id ORDER BY bench_id""".stripMargin,
 
     "q_text_quality" ->
       s"""WITH feats AS (
