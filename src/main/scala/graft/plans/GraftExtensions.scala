@@ -28,6 +28,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("nztm_to_wgs84"),
       NztmToWgs84.info,
       NztmToWgs84.build))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, "vec_dot"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDot(es(0), es(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_bucket"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecBucket].getName, "vec_bucket"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecBucket(es.head)))
     ext.injectPostHocResolutionRule(_ => new ResolveAsOfJoin)
   }
 }

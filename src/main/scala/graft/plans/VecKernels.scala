@@ -1,0 +1,120 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Static vector kernels shared by interpreted eval and generated code
+  * (Scala objects expose static forwarders, so `doGenCode` can call
+  * these directly). Both operate on catalyst `ArrayData` — no
+  * ArrayData→Seq conversion, no boxing, no encoder boundary; that
+  * per-pair allocation is exactly what the previous ScalaUDF kernels
+  * paid at candidate-pair × 64-dim counts.
+  */
+object VecOps {
+
+  /** Index-order float→double dot product — the same arithmetic and
+    * accumulation order as `aggregate(zip_with(...))`, so similarities
+    * stay bit-identical to the SQL oracle's formulation.
+    */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  /** 8-bit hyperplane LSH bucket: bit j set iff
+    * Σ_d w(j,d)·e[d] > 0 with w(j,d) = +1 if ((j·64+d)·37) mod 97 < 48
+    * else −1 — pure arithmetic, oracle-reproducible.
+    */
+  def bucket(e: ArrayData): Long = {
+    var bucket = 0L
+    var j = 0
+    while (j < 8) {
+      var s = 0.0
+      var d = 0
+      while (d < 64) {
+        val w = if (((j * 64 + d) * 37) % 97 < 48) 1.0 else -1.0
+        s += w * e.getFloat(d).toDouble
+        d += 1
+      }
+      if (s > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+}
+
+/** `vec_dot(a, b)` — native codegen'd dot product over float arrays.
+  * Promotion of the ANN kernels per SURVEY §2.10: HOF lambdas evaluate
+  * interpreted per element and ScalaUDFs convert+box every row; this
+  * expression sits inside the whole-stage-codegen consume loop and
+  * reads the unsafe array data in place.
+  */
+case class VecDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  // ExpectsInputTypes is package-private in Spark 4; self-check instead
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot expects (array<float>, array<float>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecOps.dot($a, $b)")
+
+  override def prettyName: String = "vec_dot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDot =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `vec_bucket(e)` — native codegen'd 8-hyperplane LSH bucket id. */
+case class VecBucket(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_bucket expects array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(e: Any): Any =
+    VecOps.bucket(e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e => s"graft.plans.VecOps.bucket($e)")
+
+  override def prettyName: String = "vec_bucket"
+
+  override protected def withNewChildInternal(newChild: Expression): VecBucket =
+    copy(child = newChild)
+}
+
+object VecKernels {
+  /** Register both kernels as temp functions on a session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_bucket", es => VecBucket(es.head), "scala_udf")
+  }
+}

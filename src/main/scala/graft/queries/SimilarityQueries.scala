@@ -27,51 +27,27 @@ import org.apache.spark.sql.functions._
   */
 object SimilarityQueries {
 
-  /** Dot product of two float-array columns as doubles — a compiled
-    * kernel summing in index order (the same order the equivalent
-    * `aggregate(zip_with(...))` expression uses, so similarities are
-    * bit-identical; higher-order-function lambdas are interpreted per
-    * element, which at pair-count × 64 dims dominated these queries).
+  /** Dot product of two float-array columns as doubles — the native
+    * codegen'd `vec_dot` expression (graft.plans.VecDot): index-order
+    * summation identical to `aggregate(zip_with(...))`, so similarities
+    * are bit-identical to the oracle, but the kernel runs inside the
+    * whole-stage-codegen loop reading ArrayData in place — no per-pair
+    * Seq conversion/boxing (the prior ScalaUDF) and no interpreted
+    * per-element lambdas (the HOF form).
     */
-  private val dotUdf = udf { (a: Seq[Float], b: Seq[Float]) =>
-    var s = 0.0
-    var i = 0
-    val n = math.min(a.length, b.length)
-    while (i < n) { s += a(i).toDouble * b(i).toDouble; i += 1 }
-    s
-  }
-
-  private def dot(a: String, b: String): Column = dotUdf(col(a), col(b))
+  private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   private def norm(a: String): Column = sqrt(dot(a, a))
 
   /** 8-bit hyperplane bucket: bit j set iff
     * Σ_d w(j,d)·e[d] > 0 with w(j,d) = +1 if ((j·64+d)·37) mod 97 < 48
-    * else −1 (d 0-based). Pure arithmetic → oracle-reproducible.
-    *
-    * Compiled kernel rather than a higher-order-function expression:
-    * HOF lambdas evaluate interpreted per element (8×64 = 512 lambda
-    * evals/row dominated the bucketed queries); the loop does the
-    * identical double arithmetic in the identical order.
+    * else −1 (d 0-based). Pure arithmetic → oracle-reproducible; the
+    * native `vec_bucket` expression does the identical double
+    * arithmetic in the identical order, codegen'd (HOF lambdas are
+    * interpreted per element — 8×64 = 512 evals/row dominated the
+    * bucketed queries; the prior ScalaUDF still boxed every array).
     */
-  private val bucketUdf = udf { (e: Seq[Float]) =>
-    var bucket = 0L
-    var j = 0
-    while (j < 8) {
-      var s = 0.0
-      var d = 0
-      while (d < 64) {
-        val w = if (((j * 64 + d) * 37) % 97 < 48) 1.0 else -1.0
-        s += w * e(d).toDouble
-        d += 1
-      }
-      if (s > 0) bucket |= (1L << j)
-      j += 1
-    }
-    bucket
-  }
-
-  private def bucket(e: String): Column = bucketUdf(col(e))
+  private def bucket(e: String): Column = expr(s"vec_bucket($e)")
 
   /** The fixture is a single row group → a single scan partition, so
     * the dot/bucket kernels downstream would run on one core. A
@@ -79,8 +55,10 @@ object SimilarityQueries {
     * compute; on a real cluster the scan is already many-split and the
     * exchange is a no-op cost next to the kernel work it balances.
     */
-  private def emb(s: SparkSession, dir: String): DataFrame =
+  private def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.plans.VecKernels.register(s)
     s.read.parquet(s"$dir/embeddings.parquet").repartition(col("vec_id"))
+  }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -78,4 +78,37 @@ class NativeExprSpec extends AnyFunSuite {
     val r = spark.sql("SELECT nztm_to_wgs84(CAST(NULL AS DOUBLE), 5000000.0D) AS ll").head()
     assert(r.isNullAt(0))
   }
+
+  test("vec_dot / vec_bucket: SQL-available, codegen'd, kernel-equal") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "vec_dot(embedding, embedding) AS d",
+        "vec_bucket(embedding) AS b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"should codegen:\n$plan")
+    assert(plan.contains("vec_dot") && plan.contains("vec_bucket"), s"plan:\n$plan")
+    val rows = df.orderBy("vec_id").limit(5).collect()
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .orderBy("vec_id").limit(5).collect()
+    rows.zip(raw).foreach { case (r, o) =>
+      val e = o.getAs[collection.Seq[Float]]("embedding")
+      val expected = e.foldLeft(0.0)((acc, x) => acc + x.toDouble * x.toDouble)
+      assert(r.getAs[Double]("d") == expected)
+      var bucket = 0L
+      for (j <- 0 until 8) {
+        var s = 0.0
+        for (d <- 0 until 64)
+          s += (if (((j * 64 + d) * 37) % 97 < 48) 1.0 else -1.0) * e(d).toDouble
+        if (s > 0) bucket |= (1L << j)
+      }
+      assert(r.getAs[Long]("b") == bucket)
+    }
+  }
+
+  test("vec_dot rejects non-float-array inputs at analysis") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1, 2), array(3, 4))").head()
+    }
+    assert(e.getMessage.contains("vec_dot") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
 }
