@@ -287,6 +287,34 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // PageRank, 3 unrolled power iterations over a deterministic
+    // 2-regular graph (edges c→(c+1) mod N and c→(2c+7) mod N) — the
+    // iterative-join algorithm class beyond connected components:
+    // each iteration is contribs = edges ⋈ ranks → groupBy(dst) →
+    // nodes left-join, i.e. pure shuffle-join rounds with no driver
+    // state, exactly how link analysis runs on a cluster. Numerics are
+    // BIT-EXACT by construction, not by rounding: out-degree is always
+    // 2 (÷2 exact), damping is dyadic (0.75/0.25), teleport is a
+    // constant — every intermediate is a dyadic rational in double
+    // range, so summation order can never matter and the oracle matches
+    // to the last bit.
+    "q_pagerank" -> ((s, dir) => {
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      val n = nodes.count()
+      val edges = nodes.select(col("id").as("src"), ((col("id") + 1) % n).as("dst"))
+        .unionByName(nodes.select(col("id").as("src"), ((col("id") * 2 + 7) % n).as("dst")))
+      var ranks = nodes.withColumn("r", lit(1.0))
+      for (_ <- 1 to 3) {
+        val contribs = edges.join(ranks, edges("src") === ranks("id"))
+          .groupBy(col("dst")).agg(sum(col("r") / 2.0).as("contrib"))
+        ranks = nodes.join(contribs, nodes("id") === contribs("dst"), "left")
+          .select(col("id"), (lit(0.25) + lit(0.75) * coalesce(col("contrib"), lit(0.0))).as("r"))
+      }
+      ranks.orderBy(col("r").desc, col("id")).limit(20)
+        .select(col("id"), col("r").as("rank"))
+    }),
+
     // The bloom-filter pre-pass in front of incremental dedup — the
     // shape that matters at 100 TB: the historical index collapses to a
     // fixed-size sketch (n·~10 bits at 1% fpp) built by one aggregation
@@ -515,6 +543,33 @@ object DedupQueries {
          |WHERE doc_id >= 1000000
          |  AND md5(text) NOT IN (SELECT md5(text) FROM documents)
          |ORDER BY doc_id""".stripMargin,
+
+    // 3 power iterations unrolled as CTE pairs (contribs, ranks); all
+    // arithmetic dyadic → bit-equal to Spark's join rounds
+    "q_pagerank" -> {
+      val iters = (1 to 3).map { i =>
+        s"""c$i AS (
+           |  SELECT dst, sum(r / 2) AS contrib
+           |  FROM edges JOIN r${i - 1} ON r${i - 1}.id = edges.src GROUP BY dst
+           |),
+           |r$i AS (
+           |  SELECT nodes.id,
+           |         CAST(0.25 AS DOUBLE) + CAST(0.75 AS DOUBLE) *
+           |           coalesce(contrib, CAST(0 AS DOUBLE)) AS r
+           |  FROM nodes LEFT JOIN c$i ON c$i.dst = nodes.id
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nodes AS (SELECT c_custkey AS id FROM customer),
+         |cnt AS (SELECT count(*) AS n FROM customer),
+         |edges AS (
+         |  SELECT id AS src, (id + 1) % (SELECT n FROM cnt) AS dst FROM nodes
+         |  UNION ALL
+         |  SELECT id, (id * 2 + 7) % (SELECT n FROM cnt) FROM nodes
+         |),
+         |r0 AS (SELECT id, CAST(1.0 AS DOUBLE) AS r FROM nodes),
+         |$iters
+         |SELECT id, r AS rank FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
+    },
 
     // identical answer to the exact anti-join — the bloom pre-pass is a
     // plan optimization, never a semantics change

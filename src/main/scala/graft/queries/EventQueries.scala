@@ -193,6 +193,30 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // dropDuplicatesWithinWatermark — the bounded-state variant of
+    // streaming dedup (Spark 3.5+): the dedup key is only held until
+    // the watermark passes it, so state size tracks the lateness bound
+    // instead of growing with total distinct keys — the production
+    // at-least-once ingest dedup for unbounded streams (plain
+    // dropDuplicates state never expires). Doubled source restored to
+    // exactly-once, same oracle as the unbounded variant.
+    "q_stream_dedup_within" -> ((s, dir) => {
+      val name = s"stream_ddw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        val doubled = graft.sources.EventSource.stream(s, dir)
+          .unionByName(graft.sources.EventSource.stream(s, dir))
+          .withWatermark("ts", "2 hours")
+        graft.streaming.EventStreams.runToCompletion(
+          doubled.dropDuplicatesWithinWatermark("event_id")
+            .select("event_id", "event_type", "value"),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     // STREAM-STATIC join: the streaming event feed enriched against a
     // static dimension table. Stateless — the dim side broadcasts to
     // every executor once and each micro-batch joins map-side, so there
@@ -457,6 +481,11 @@ object EventQueries {
         |FROM carried WHERE is_p = 1 ORDER BY purchase_id""".stripMargin,
 
     "q_stream_dedup" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // the watermark-bounded dedup restores the same exactly-once rows
+    "q_stream_dedup_within" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
