@@ -89,6 +89,27 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(exchanges <= 1, s"one content-hash shuffle expected, got $exchanges:\n$p")
   }
 
+  test("q_upsert: one full-outer sort-merge join on the key, no cartesian") {
+    val p = plan("q_upsert", RelationalQueries.queries)
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"),
+      s"MERGE core should be a full-outer SMJ (both sides big at scale):\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+  }
+
+  test("q_pack_sequences: window and aggregation share one source-key exchange") {
+    val p = plan("q_pack_sequences", graft.queries.TextQueries.queries)
+    // partitionBy(source) for the window satisfies the (source, seq_id)
+    // aggregation's clustering too — no second hash exchange
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected ≤1 hash exchange, got $shuffles:\n$p")
+  }
+
+  test("q_contamination: shingle-keyed equi join, never all-pairs") {
+    val p = plan("q_contamination", graft.queries.TextQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"overlap must join on the shingle key:\n$p")
+  }
+
   test("q_heavy_hitters: cached token stream + one posexplode sketch aggregation") {
     val p = plan("q_heavy_hitters", graft.queries.TextQueries.queries)
     // the r2 plan re-ran the token explode 5×; now the stream is cached

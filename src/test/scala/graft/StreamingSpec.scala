@@ -116,4 +116,36 @@ class StreamingSpec extends SparkSpecBase {
       .collect().map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
     assert(fromState == fromAgg)
   }
+
+  test("foreachBatch parquet sink: exactly-once across checkpointed restart") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+    // The streaming SINK side of §2.9: foreachBatch + an idempotent,
+    // batchId-keyed overwrite gives exactly-once file output — a
+    // re-executed micro-batch (crash between write and commit)
+    // overwrites its own directory instead of appending duplicates,
+    // and the checkpoint prevents committed batches from re-running.
+    val work = java.nio.file.Files.createTempDirectory("graft-febatch").toString
+    val input = MemoryStream[(Long, Double)]
+    def start() = input.toDF().toDF("id", "v").writeStream
+      .option("checkpointLocation", s"$work/ckpt")
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, batchId: Long) =>
+        df.write.mode("overwrite").parquet(s"$work/out/batch=$batchId")
+      }
+      .start()
+
+    val q1 = start()
+    input.addData((1L, 1.0), (2L, 2.0))
+    try q1.processAllAvailable() finally q1.stop()
+
+    val q2 = start() // same checkpoint: batch 0 must NOT re-emit
+    input.addData((3L, 3.0))
+    try q2.processAllAvailable() finally q2.stop()
+
+    val out = spark.read.parquet(s"$work/out")
+    assert(out.count() == 3, "each input row lands exactly once")
+    assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+  }
 }
