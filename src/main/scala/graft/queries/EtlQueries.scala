@@ -219,6 +219,43 @@ object EtlQueries {
         .orderBy("region_code")
     }),
 
+    // Same round-trip contract through ORC (the other columnar format
+    // Spark ships natively; schema'd read, no inference).
+    "q_orc_source" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Manifest.build(s, dir)
+        .select("file_id", "region_code", "base_name")
+        .write.mode("overwrite").orc(out)
+      s.read
+        .schema("file_id BIGINT, region_code STRING, base_name STRING")
+        .orc(out)
+        .groupBy("region_code")
+        .agg(count(lit(1)).as("n_files"), max(col("base_name")).as("last_base"))
+        .orderBy("region_code")
+    }),
+
+    // Hive-style partitioned layout: the manifest written partitionBy
+    // region_code, then read back with a partition filter — the filter
+    // must prune at the FILE LISTING level (PartitionFilters in the
+    // scan, directories never opened), which is what makes
+    // region-scoped queries on a 100 TB store touch only their slice.
+    // The partition column comes back from directory names; values are
+    // re-verified by the oracle.
+    "q_partitioned_source" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      Manifest.build(s, dir)
+        .select("file_id", "base_name", "region_code")
+        .write.mode("overwrite").partitionBy("region_code").parquet(out)
+      // explicit schema: partition-type inference would turn the "01"
+      // directory value into INT 1 and break the decode contract
+      s.read.schema("file_id BIGINT, base_name STRING, region_code STRING")
+        .parquet(out)
+        .filter(col("region_code").isin("01", "05", "13"))
+        .groupBy("region_code")
+        .agg(count(lit(1)).as("n_files"), min(col("file_id")).as("min_file_id"))
+        .orderBy("region_code")
+    }),
+
     // SRC-3: the feature-service response parsed as a real GeoJSON
     // FeatureCollection (ETL.py:184–187, 265–270): nested
     // features[].properties attributes + features[].geometry.coordinates
@@ -480,6 +517,17 @@ object EtlQueries {
       s"""$W
          |SELECT region_code, count(*) AS n_asc, min(file_name) AS first_file
          |FROM manifest WHERE file_name LIKE '%.asc'
+         |GROUP BY region_code ORDER BY region_code""".stripMargin,
+
+    "q_orc_source" ->
+      s"""$W
+         |SELECT region_code, count(*) AS n_files, max(base_name) AS last_base
+         |FROM manifest GROUP BY region_code ORDER BY region_code""".stripMargin,
+
+    "q_partitioned_source" ->
+      s"""$W
+         |SELECT region_code, count(*) AS n_files, min(file_id) AS min_file_id
+         |FROM manifest WHERE region_code IN ('01', '05', '13')
          |GROUP BY region_code ORDER BY region_code""".stripMargin,
 
     // DuckDB reads the SAME FeatureCollection document (extracted to a

@@ -110,6 +110,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"overlap must join on the shingle key:\n$p")
   }
 
+  test("q_partitioned_source: region filter prunes at the partition level") {
+    val p = plan("q_partitioned_source", EtlQueries.queries)
+    assert("PartitionFilters: \\[[^\\]]*region_code".r.findFirstIn(p).isDefined,
+      s"partition filter should reach the listing, not the row filter:\n$p")
+  }
+
   test("q_heavy_hitters: cached token stream + one posexplode sketch aggregation") {
     val p = plan("q_heavy_hitters", graft.queries.TextQueries.queries)
     // the r2 plan re-ran the token explode 5×; now the stream is cached
