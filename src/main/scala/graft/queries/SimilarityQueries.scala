@@ -181,6 +181,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVF/k-means centroid update (the M-step): per cell (label), the
+    // elementwise mean of member embeddings — how a vector index's
+    // coarse quantizer is (re)trained. The sum runs in the typed
+    // VecSumAgg Aggregator: one 64-double buffer per cell per
+    // partition, merged elementwise, so only |cells|·dims doubles cross
+    // the shuffle (the posexplode alternative shuffles |vectors|·dims
+    // rows). Mean = sum ÷ count in the projection; round(4) absorbs
+    // summation-order ulps cross-engine.
+    "q_ivf_centroids" -> ((s, dir) => {
+      val vecsum = udaf(graft.functions.VecSumAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      emb(s, dir)
+        .groupBy(col("label").cast("bigint").as("cell"))
+        .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n_members"))
+        .select(col("cell"), col("n_members"),
+          posexplode(col("sums")).as(Seq("d", "sum_d")))
+        .select(col("cell"), col("n_members"),
+          (col("d") + 1).cast("bigint").as("dim"),
+          round(col("sum_d") / col("n_members"), 4).as("centroid"))
+        .orderBy("cell", "dim")
+    }),
+
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
     // found via bucket-blocked pairwise cosine ≥ 0.99.
     "q_embedding_near_dup" -> ((s, dir) => {
@@ -220,6 +242,17 @@ object SimilarityQueries {
        | FROM generate_series(0, 7) jt(j))""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_ivf_centroids" ->
+      """WITH ex AS (
+        |  SELECT CAST(label AS BIGINT) AS cell, t.i AS dim,
+        |         CAST(embedding[t.i] AS DOUBLE) AS x
+        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+        |)
+        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+        |       CAST(dim AS BIGINT) AS dim,
+        |       round(sum(x) / count(*), 4) AS centroid
+        |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+
     "q_ann_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
          |c AS (SELECT vec_id, embedding AS ce FROM embeddings WHERE vec_id >= 5),
