@@ -17,8 +17,10 @@ object Bench {
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
     // (seconds, error-or-null) per query: a broken query must surface as
-    // an "err" entry, never as a near-zero wall time flattering the total
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // an "err" entry, never as a near-zero wall time flattering the total.
+    // Name-sorted so run order (and which query absorbs residual warmup)
+    // is stable across rounds — hash-map order reshuffled per build.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val err =
         try { fn(spark, sfDir).count(); None }
