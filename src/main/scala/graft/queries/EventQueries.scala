@@ -217,6 +217,39 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Session windows AGAIN, but through the custom stateful operator
+    // (flatMapGroupsWithState + EventTimeTimeout) instead of the
+    // built-in session_window — the §2.10 construction for session
+    // semantics built-ins can't express. Sessions merge in per-user
+    // state; a session is emitted exactly once, when the watermark
+    // proves it can no longer grow; the sentinel-advanced watermark
+    // fires the timeout branch that flushes the tail. Must hash-match
+    // the same gaps-and-islands oracle as the built-in variants.
+    "q_stream_custom_session" -> ((s, dir) => {
+      val name = s"stream_csess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val sentinel = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, Long, Double)]
+        val real = graft.sources.EventSource.stream(s, dir)
+          .select(col("ts"), col("user_id"), col("value"))
+        val src = real.unionByName(sentinel.toDF().toDF("ts", "user_id", "value"))
+          .withWatermark("ts", "1 hour")
+        val sessions = graft.streaming.EventStreams.customSessions(src).toDF()
+        val q = sessions.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+            999999999L, 0.0))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).filter(col("user_id") =!= 999999999L)
+          .orderBy("user_id", "session_start_s")
+      }
+    }),
+
     // STREAM-STATIC join: the streaming event feed enriched against a
     // static dimension table. Stateless — the dim side broadcasts to
     // every executor once and each micro-batch joins map-side, so there
@@ -637,6 +670,9 @@ object EventQueries {
     // answer once the sentinel-advanced watermark finalizes every
     // session (append mode emits each exactly once)
     "q_stream_session" -> SessionSql,
+
+    // the hand-rolled flatMapGroupsWithState sessionizer must agree too
+    "q_stream_custom_session" -> SessionSql,
   )
 
   private lazy val SessionSql: String =

@@ -64,6 +64,77 @@ object EventStreams {
   final case class UserEvent(user_id: Long, value: Double)
   final case class UserTotals(user_id: Long, n_events: Long, total_value: Double)
 
+  final case class TsEvent(user_id: Long, ts: java.sql.Timestamp, ts_ms: Long,
+      value: Double)
+  final case class SessionState(start_ms: Long, end_ms: Long, n: Long, sum: Double)
+  final case class SessionOut(user_id: Long, session_start_s: Long,
+      session_end_s: Long, n_events: Long, sum_value: Double)
+
+  /** Hand-rolled session windows via flatMapGroupsWithState +
+    * EventTimeTimeout — the custom-stateful-operator construction of
+    * what `session_window` does built-in (and the §2.10 surface for
+    * arbitrary session semantics built-ins can't express: per-key gap
+    * policies, session caps, mid-session emission…).
+    *
+    * Protocol per group invocation: merge the batch's events into the
+    * gap-separated session list held in state; a session whose
+    * `end + gap ≤ watermark` can never grow again (later events would
+    * be dropped as late), so it is emitted and removed; the rest stay
+    * in state with an event-time timeout at the earliest moment the
+    * watermark could finalize one. The timeout branch (no new rows)
+    * re-runs the same finalize step — that is what flushes everything
+    * when a control-stream sentinel advances the watermark.
+    */
+  def customSessions(events: DataFrame, gapMs: Long = 30 * 60 * 1000L): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    // µs-exact event times (unix_micros = TimestampType's native
+    // precision, the same resolution session_window compares gaps at)
+    val gapUs = gapMs * 1000L
+    // the raw ts column rides along: the watermark tag lives on that
+    // attribute, and flatMapGroupsWithState's event-time timeout check
+    // requires it to survive into the operator's child projection
+    val typed = events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_ms"),
+        col("value"))
+      .as[TsEvent]
+
+    // state fields hold MICROSECONDS (despite the _ms names of the
+    // generic record); the engine's watermark API speaks milliseconds,
+    // so conversions happen exactly at that boundary
+    def mergeSessions(existing: Seq[SessionState], fresh: Seq[TsEvent]): Seq[SessionState] = {
+      val all = (existing ++ fresh.map(e => SessionState(e.ts_ms, e.ts_ms, 1L, e.value)))
+        .sortBy(s => (s.start_ms, s.end_ms))
+      all.foldLeft(Vector.empty[SessionState]) { (acc, s) =>
+        acc.lastOption match {
+          case Some(prev) if s.start_ms - prev.end_ms <= gapUs =>
+            acc.init :+ SessionState(prev.start_ms, math.max(prev.end_ms, s.end_ms),
+              prev.n + s.n, prev.sum + s.sum)
+          case _ => acc :+ s
+        }
+      }
+    }
+
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Seq[SessionState], SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[TsEvent], state: GroupState[Seq[SessionState]]) =>
+          val merged = mergeSessions(state.getOption.getOrElse(Seq.empty), rows.toSeq)
+          val wmMs = state.getCurrentWatermarkMs()
+          val wmUs = wmMs * 1000L
+          val (done, open) = merged.partition(_.end_ms + gapUs <= wmUs)
+          if (open.nonEmpty) {
+            state.update(open)
+            // earliest instant the watermark could close an open session
+            // (ceil to ms); must be strictly past the current watermark
+            val closeMs = (open.map(_.end_ms + gapUs).min + 999L) / 1000L
+            state.setTimeoutTimestamp(math.max(wmMs + 1, closeMs))
+          } else state.remove()
+          done.sortBy(_.start_ms).iterator.map(s => SessionOut(uid,
+            s.start_ms / 1000000L, s.end_ms / 1000000L, s.n,
+            math.rint(s.sum * 100) / 100))
+      }
+  }
+
   /** Custom stateful operator: per-user running totals via
     * mapGroupsWithState (KeyValueGroupedDataset) — the §2.10 surface
     * Spark's built-ins don't cover. In batch mode Spark executes the
