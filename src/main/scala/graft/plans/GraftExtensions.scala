@@ -41,5 +41,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecBucket(es.head)))
     ext.injectPostHocResolutionRule(_ => new ResolveAsOfJoin)
+    ext.injectOptimizerRule(_ => new RewriteRangeJoin)
   }
 }
