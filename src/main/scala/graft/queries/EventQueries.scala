@@ -134,12 +134,15 @@ object EventQueries {
     "q_stream_stream_join" -> ((s, dir) => {
       val name = s"stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       graft.streaming.EventStreams.withStatePartitions(s, 8) {
-        val clicks = graft.sources.EventSource.stream(s, dir)
+        // ONE file source feeds both sides (a streaming self-join reuses
+        // the subscription) instead of two independent listings/scans
+        val base = graft.sources.EventSource.stream(s, dir)
+        val clicks = base
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("click_ts"))
           .withWatermark("click_ts", "2 hours")
-        val purchases = graft.sources.EventSource.stream(s, dir)
+        val purchases = base
           .filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
             col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
@@ -292,13 +295,15 @@ object EventQueries {
           .MemoryStream[(Long, Long, java.sql.Timestamp)]
         val sentP = org.apache.spark.sql.execution.streaming.runtime
           .MemoryStream[(Long, Long, java.sql.Timestamp)]
-        val clicks = graft.sources.EventSource.stream(s, dir)
+        // one shared file source for both sides (self-join subscription)
+        val base = graft.sources.EventSource.stream(s, dir)
+        val clicks = base
           .filter(col("event_type") === "click")
           .select(col("event_id").as("click_id"), col("user_id"),
             col("ts").as("click_ts"))
           .unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
           .withWatermark("click_ts", "2 hours")
-        val purchases = graft.sources.EventSource.stream(s, dir)
+        val purchases = base
           .filter(col("event_type") === "purchase")
           .select(col("event_id").as("purchase_id"),
             col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
