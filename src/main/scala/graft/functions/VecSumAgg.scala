@@ -17,20 +17,25 @@ object VecSumAgg extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
 
   override def zero: Array[Double] = Array.emptyDoubleArray
 
+  // Ragged inputs (mixed dimensionality) are handled by growing the
+  // buffer to the longest vector seen, treating absent trailing
+  // dimensions as 0 — never silently truncating, never indexing past
+  // the shorter side (a first-seen short vector must not crash merge).
+  private def grown(buf: Array[Double], n: Int): Array[Double] =
+    if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+
   override def reduce(buf: Array[Double], v: Seq[Float]): Array[Double] = {
-    val b = if (buf.length == 0) new Array[Double](v.length) else buf
+    val b = grown(buf, v.length)
     var i = 0
-    val n = math.min(b.length, v.length)
-    while (i < n) { b(i) += v(i).toDouble; i += 1 }
+    while (i < v.length) { b(i) += v(i).toDouble; i += 1 }
     b
   }
 
   override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
-    if (a.length == 0) return b
-    if (b.length == 0) return a
+    val out = grown(a, b.length)
     var i = 0
-    while (i < a.length) { a(i) += b(i); i += 1 }
-    a
+    while (i < b.length) { out(i) += b(i); i += 1 }
+    out
   }
 
   override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq

@@ -101,8 +101,14 @@ class RewriteRangeJoin extends Rule[LogicalPlan] {
               // zone it stays unresolved and fails plan validation
               val seq = new Sequence(bin(lo), bin(hi), Some(Literal(1L)))
                 .withTimeZone(conf.sessionLocalTimeZone)
+              // inverted interval (lo > hi): the naive join matches
+              // nothing, but Sequence with step 1 THROWS — guard with an
+              // empty bin list so semantics stay match-nothing
+              val safeSeq = If(LessThanOrEqual(bin(lo), bin(hi)), seq,
+                Literal.create(Seq.empty[Long],
+                  org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)))
               val gen = Generate(
-                Explode(seq),
+                Explode(safeSeq),
                 unrequiredChildIndex = Nil, outer = false, qualifier = None,
                 generatorOutput = Seq(binAttr), child = intervalSide)
               val newCond = And(EqualTo(binAttr, bin(x)), cond)

@@ -331,10 +331,14 @@ object DedupQueries {
     "q_dedup_bloom" -> ((s, dir) => {
       val index = s.read.parquet(s"$dir/documents.parquet")
         .select(md5(col("text")).as("content_hash"))
-      // size from the index cardinality (table stats at scale)
+      // sized from the table's row count — an unfiltered parquet count()
+      // is a footer-metadata aggregate, not a data scan, so the only full
+      // pass over the index is the bloom build itself
       val bloom = index.stat.bloomFilter("content_hash",
-        math.max(index.count(), 1000L), 0.01)
-      val bc = s.sparkContext.broadcast(bloom)
+        math.max(s.read.parquet(s"$dir/documents.parquet").count(), 1000L), 0.01)
+      // registered for release: a long-lived session would otherwise
+      // accumulate one driver broadcast per run (the r2 cache-leak class)
+      val bc = QueryCaches.broadcast(s.sparkContext.broadcast(bloom))
       val mightContain = udf((h: String) => bc.value.mightContainString(h))
       val fresh = Corpus.withDuplicates(s, dir)
         .filter(col("doc_id") >= 1000000)

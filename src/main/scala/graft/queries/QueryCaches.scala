@@ -14,6 +14,8 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   */
 object QueryCaches {
   private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
+  private val liveBroadcasts =
+    scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
 
   /** Persist `ds` (default storage level) and track it for later release. */
   def cache[T](ds: Dataset[T]): Dataset[T] = synchronized {
@@ -22,8 +24,13 @@ object QueryCaches {
     p
   }
 
-  /** Unpersist every tracked Dataset. Safe to call when nothing is tracked;
-    * non-blocking so the caller's next query isn't stalled on block eviction.
+  /** Track a driver-built broadcast (bloom sketches, …) for release. */
+  def broadcast[T](b: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] =
+    synchronized { liveBroadcasts += b; b }
+
+  /** Unpersist every tracked Dataset and broadcast. Safe to call when
+    * nothing is tracked; non-blocking so the caller's next query isn't
+    * stalled on block eviction.
     */
   def releaseAll(spark: SparkSession): Unit = synchronized {
     live.foreach { ds =>
@@ -31,5 +38,10 @@ object QueryCaches {
       catch { case _: Throwable => () }
     }
     live.clear()
+    liveBroadcasts.foreach { b =>
+      try b.unpersist(blocking = false)
+      catch { case _: Throwable => () }
+    }
+    liveBroadcasts.clear()
   }
 }

@@ -58,16 +58,19 @@ object AsciiGrid {
     var xll, yll, cell = Double.NaN
     var nodata = -9999.0
     var parsingHeader = true
+    // center→corner offsets resolved AFTER the loop: cellsize legally
+    // follows the xllcenter/yllcenter lines in standard ESRI headers
+    var xCenter, yCenter = false
     val headerKeys = Set("ncols", "nrows", "xllcorner", "yllcorner",
       "xllcenter", "yllcenter", "cellsize", "nodata_value")
     while (parsingHeader && i + 1 < tokens.length) {
       tokens(i).toLowerCase match {
         case "ncols"        => ncols = tokens(i + 1).toInt; i += 2
         case "nrows"        => nrows = tokens(i + 1).toInt; i += 2
-        case "xllcorner"    => xll = tokens(i + 1).toDouble; i += 2
-        case "xllcenter"    => xll = tokens(i + 1).toDouble - 0.5 * cell; i += 2
-        case "yllcorner"    => yll = tokens(i + 1).toDouble; i += 2
-        case "yllcenter"    => yll = tokens(i + 1).toDouble - 0.5 * cell; i += 2
+        case "xllcorner"    => xll = tokens(i + 1).toDouble; xCenter = false; i += 2
+        case "xllcenter"    => xll = tokens(i + 1).toDouble; xCenter = true; i += 2
+        case "yllcorner"    => yll = tokens(i + 1).toDouble; yCenter = false; i += 2
+        case "yllcenter"    => yll = tokens(i + 1).toDouble; yCenter = true; i += 2
         case "cellsize"     => cell = tokens(i + 1).toDouble; i += 2
         case "nodata_value" => nodata = tokens(i + 1).toDouble; i += 2
         case _              => parsingHeader = false
@@ -75,6 +78,8 @@ object AsciiGrid {
       if (i < tokens.length && !headerKeys.contains(tokens(i).toLowerCase))
         parsingHeader = false
     }
+    if (xCenter) xll -= 0.5 * cell
+    if (yCenter) yll -= 0.5 * cell
     val values = new Array[Double](tokens.length - i)
     var j = 0
     while (i < tokens.length) { values(j) = tokens(i).toDouble; i += 1; j += 1 }
@@ -93,8 +98,13 @@ object AsciiGrid {
     "xllcenter", "yllcenter", "cellsize", "nodata_value")
 
   def parseHeader(text: String): Header = {
+    // two-pass: record raw values first, resolve the center→corner
+    // offset AFTER the loop — cellsize legally appears after the
+    // xllcenter/yllcenter lines in standard ESRI headers, so computing
+    // the offset inline would subtract 0.5 * NaN
     var ncols, nrows = -1
     var xll, yll, cell = Double.NaN
+    var xCenter, yCenter = false
     var nodata = -9999.0
     val lines = text.linesIterator
     var parsing = true
@@ -104,15 +114,17 @@ object AsciiGrid {
         toks(0).toLowerCase match {
           case "ncols"        => ncols = toks(1).toInt
           case "nrows"        => nrows = toks(1).toInt
-          case "xllcorner"    => xll = toks(1).toDouble
-          case "xllcenter"    => xll = toks(1).toDouble - 0.5 * cell
-          case "yllcorner"    => yll = toks(1).toDouble
-          case "yllcenter"    => yll = toks(1).toDouble - 0.5 * cell
+          case "xllcorner"    => xll = toks(1).toDouble; xCenter = false
+          case "xllcenter"    => xll = toks(1).toDouble; xCenter = true
+          case "yllcorner"    => yll = toks(1).toDouble; yCenter = false
+          case "yllcenter"    => yll = toks(1).toDouble; yCenter = true
           case "cellsize"     => cell = toks(1).toDouble
           case "nodata_value" => nodata = toks(1).toDouble
         }
       } else if (toks.nonEmpty) parsing = false
     }
+    if (xCenter) xll -= 0.5 * cell
+    if (yCenter) yll -= 0.5 * cell
     Header(ncols, nrows, xll, yll, cell, nodata)
   }
 

@@ -32,10 +32,20 @@ object Compactor {
     val tmp = new Path(path.getParent, path.getName + "._compacting")
     spark.read.parquet(dir).coalesce(n)
       .write.mode("overwrite").parquet(tmp.toString)
+    // Hadoop rename signals failure by BOOLEAN; every step is checked so
+    // a failed swap can never reach the delete and destroy the only copy
     val bak = new Path(path.getParent, path.getName + "._old")
-    fs.rename(path, bak)
-    fs.rename(tmp, path)
-    fs.delete(bak, true)
+    if (fs.exists(bak) && !fs.delete(bak, true))
+      throw new java.io.IOException(s"compact: cannot clear stale $bak")
+    if (!fs.rename(path, bak))
+      throw new java.io.IOException(s"compact: cannot move $path aside")
+    if (!fs.rename(tmp, path)) {
+      fs.rename(bak, path) // restore the original before failing
+      throw new java.io.IOException(s"compact: cannot install $tmp at $path")
+    }
+    if (!fs.delete(bak, true))
+      org.slf4j.LoggerFactory.getLogger(getClass)
+        .warn(s"compact: left behind backup dir $bak")
 
     val after = fs.listStatus(path)
       .count(st => st.isFile && st.getPath.getName.endsWith(".parquet"))

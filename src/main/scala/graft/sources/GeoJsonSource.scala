@@ -48,11 +48,20 @@ object GeoJsonSource {
   def fixturePath: String = {
     val target = Paths.get(System.getProperty("java.io.tmpdir"),
       "graft_nz_regional_councils.geojson")
-    if (!Files.exists(target)) {
-      val in = getClass.getResourceAsStream("/fixtures/nz_regional_councils.geojson")
-      require(in != null, "fixture resource missing from classpath")
-      try Files.copy(in, target, StandardCopyOption.REPLACE_EXISTING)
-      finally in.close()
+    // always re-extract via unique-temp + atomic move: an existence check
+    // would reuse a STALE copy from an older build, and a direct
+    // REPLACE_EXISTING copy truncates first — a concurrent JVM could read
+    // the file mid-write. The atomic rename makes both impossible.
+    val in = getClass.getResourceAsStream("/fixtures/nz_regional_councils.geojson")
+    require(in != null, "fixture resource missing from classpath")
+    val tmp = Files.createTempFile(target.getParent, "graft_fixture_", ".tmp")
+    try {
+      Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      Files.move(tmp, target, StandardCopyOption.REPLACE_EXISTING,
+        StandardCopyOption.ATOMIC_MOVE)
+    } finally {
+      in.close()
+      Files.deleteIfExists(tmp)
     }
     target.toString
   }

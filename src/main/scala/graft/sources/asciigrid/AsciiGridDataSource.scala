@@ -4,7 +4,6 @@ import java.util
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, Path}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
@@ -67,14 +66,16 @@ object AsciiGridTable {
     StructField("text", StringType, nullable = false),
     StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** `load(p1, p2…)` arrives as "paths" (JSON list) or "path". */
+  /** `load(p1, p2…)` arrives as "paths" (JSON list) or "path". Decoded
+    * with Jackson (already on Spark's classpath) — a naive split(",")
+    * would mangle paths containing commas or JSON escapes.
+    */
   def paths(properties: util.Map[String, String]): Seq[String] = {
     val m = properties.asScala
     m.get("paths") match {
       case Some(json) =>
-        // minimal JSON string-array decode (["a","b"]) without a parser dep
-        json.trim.stripPrefix("[").stripSuffix("]").split(",")
-          .map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        mapper.readValue(json, classOf[Array[String]]).toSeq
       case None => m.get("path").toSeq
     }
   }
@@ -113,7 +114,10 @@ final class AsciiGridScan(roots: Seq[String], required: StructType)
     * pushdown), so non-grid files never become partitions.
     */
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    // the SESSION's Hadoop conf (spark.hadoop.* — s3a credentials,
+    // endpoints), not a bare classpath-only Configuration
+    val conf = org.apache.spark.sql.SparkSession.active
+      .sessionState.newHadoopConf()
     val files = roots.flatMap { root =>
       val p = new Path(root)
       val fs = p.getFileSystem(conf)
@@ -131,17 +135,20 @@ final class AsciiGridScan(roots: Seq[String], required: StructType)
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new AsciiGridReaderFactory(required)
+    // executors rebuild the filesystem from the driver's fs.* entries
+    // (same shipping pattern as the sinks)
+    new AsciiGridReaderFactory(required,
+      graft.sinks.S3Sink.fsConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
 final case class AsciiGridInputPartition(path: String, length: Long)
     extends InputPartition
 
-final class AsciiGridReaderFactory(required: StructType)
-    extends PartitionReaderFactory {
+final class AsciiGridReaderFactory(required: StructType,
+    fsConf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new AsciiGridPartitionReader(
-      partition.asInstanceOf[AsciiGridInputPartition], required)
+      partition.asInstanceOf[AsciiGridInputPartition], required, fsConf)
 }
 
 /** Reads ONE grid file into ONE InternalRow, materializing only the
@@ -149,7 +156,8 @@ final class AsciiGridReaderFactory(required: StructType)
   * block, and the raw `text` is retained only if asked for.
   */
 final class AsciiGridPartitionReader(part: AsciiGridInputPartition,
-    required: StructType) extends PartitionReader[InternalRow] {
+    required: StructType, fsConf: Map[String, String])
+    extends PartitionReader[InternalRow] {
 
   private var done = false
   private var row: InternalRow = _
@@ -159,8 +167,11 @@ final class AsciiGridPartitionReader(part: AsciiGridInputPartition,
   override def next(): Boolean = {
     if (done) return false
     done = true
+    require(part.length <= Int.MaxValue - 8,
+      s"asciigrid: ${part.path} is ${part.length} bytes - single-row text " +
+        "grids over 2 GB are not supported (split the grid)")
     val p = new Path(part.path)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = graft.sinks.S3Sink.fileSystemFor(part.path, fsConf)
     val in = fs.open(p)
     val text =
       try {

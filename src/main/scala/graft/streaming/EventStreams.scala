@@ -121,7 +121,11 @@ object EventStreams {
           val merged = mergeSessions(state.getOption.getOrElse(Seq.empty), rows.toSeq)
           val wmMs = state.getCurrentWatermarkMs()
           val wmUs = wmMs * 1000L
-          val (done, open) = merged.partition(_.end_ms + gapUs <= wmUs)
+          // STRICT <: an on-time event at exactly end + gap still merges
+          // into the session (mergeSessions and the oracle both use ≤ on
+          // the gap), so a session is only closed once the watermark has
+          // passed the last instant that could extend it
+          val (done, open) = merged.partition(_.end_ms + gapUs < wmUs)
           if (open.nonEmpty) {
             state.update(open)
             // earliest instant the watermark could close an open session

@@ -80,4 +80,22 @@ class RangeJoinRuleSpec extends AnyFunSuite {
       assert(!p.contains("__graft_bin"), s"equi-join must not be rewritten:\n$p")
     } finally spark.conf.unset("spark.graft.rangeJoin.binSize")
   }
+
+  test("inverted intervals (lo > hi) match nothing instead of crashing") {
+    spark.conf.set("spark.graft.rangeJoin.binSize", "32")
+    try {
+      import spark.implicits._
+      val dir = java.nio.file.Files.createTempDirectory("graft-rj3").toString
+      Seq((1L, 100L, 50L), (2L, 0L, 40L)).toDF("iid", "lo", "hi")
+        .write.mode("overwrite").parquet(s"$dir/iv")
+      Seq((10L, 20L), (11L, 70L)).toDF("pid", "x")
+        .write.mode("overwrite").parquet(s"$dir/pt")
+      val iv = spark.read.parquet(s"$dir/iv")
+      val pt = spark.read.parquet(s"$dir/pt")
+      val rows = iv.join(pt, pt("x") >= iv("lo") && pt("x") <= iv("hi"))
+        .select("iid", "pid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // interval 1 is inverted -> matches nothing; interval 2 catches x=20
+      assert(rows == Set((2L, 10L)))
+    } finally spark.conf.unset("spark.graft.rangeJoin.binSize")
+  }
 }

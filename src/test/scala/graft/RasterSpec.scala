@@ -84,4 +84,26 @@ class RasterSpec extends AnyFunSuite {
       assert(c.xllcorner >= g.xllcorner && c.xmax <= g.xmax + 1e-9, s"k=$k")
     }
   }
+
+  test("center-convention headers resolve against cellsize listed after them") {
+    // standard ESRI order puts cellsize AFTER xllcenter/yllcenter; the
+    // offset must resolve post-loop, not against a still-unset cellsize
+    val text = "ncols 2\nnrows 2\nxllcenter 100.0\nyllcenter 200.0\n" +
+      "cellsize 10.0\nNODATA_value -9999\n1 2\n3 4\n"
+    val g = AsciiGrid.parse(text)
+    assert(g.xllcorner == 95.0 && g.yllcorner == 195.0, s"${g.xllcorner},${g.yllcorner}")
+    val h = AsciiGrid.parseHeader(text)
+    assert(h.xllcorner == 95.0 && h.yllcorner == 195.0, s"${h.xllcorner},${h.yllcorner}")
+  }
+
+  test("VecSumAgg tolerates ragged vectors without truncation or crash") {
+    import graft.functions.VecSumAgg
+    val b1 = VecSumAgg.reduce(VecSumAgg.zero, Seq(1f, 2f))          // short first
+    val b2 = VecSumAgg.reduce(b1, Seq(10f, 20f, 30f))               // then longer
+    assert(b2.toSeq == Seq(11.0, 22.0, 30.0))
+    val other = VecSumAgg.reduce(VecSumAgg.zero, Seq(100f))
+    assert(VecSumAgg.merge(other, b2).toSeq == Seq(111.0, 22.0, 30.0))
+    assert(VecSumAgg.merge(VecSumAgg.reduce(VecSumAgg.zero, Seq(1f, 1f, 1f, 1f)),
+      VecSumAgg.reduce(VecSumAgg.zero, Seq(1f))).toSeq == Seq(2.0, 1.0, 1.0, 1.0))
+  }
 }
