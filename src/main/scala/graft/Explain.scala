@@ -17,7 +17,10 @@ object Explain {
       else Seq("q_agg_pricing", "q_join_topk", "q_cross_join_regions",
         "q_spatial_join", "q_dedup_exact", "q_orderby_limit",
         "q_asof_join", "q_range_join", "q_sql_multi_join",
-        "q_sample_per_group", "q_curation_pipeline", "q_zorder_key")
+        "q_sample_per_group", "q_curation_pipeline", "q_zorder_key",
+        "q_upsert", "q_approx_distinct_kmv", "q_heavy_hitters",
+        "q_pack_sequences", "q_dedup_bloom", "q_contamination",
+        "q_partitioned_source", "q_ivf_centroids")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
