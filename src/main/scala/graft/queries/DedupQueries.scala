@@ -395,6 +395,72 @@ object DedupQueries {
         .repartition(col("doc_id")) // single-row-group scan → spread the hash kernel
         .select(col("doc_id"), simhash16Udf(col("text")).as("simhash16"))
         .orderBy("doc_id")),
+
+    // Approximate string JOIN at edit distance ≤ 1 via deletion
+    // neighborhoods (the SymSpell blocking scheme): every string emits
+    // itself plus each single-character deletion as blocking keys; two
+    // strings within one edit (substitution / insertion / deletion)
+    // PROVABLY share at least one key, so the quadratic similarity join
+    // becomes an equi-join on the key with small buckets, followed by
+    // exact levenshtein verification of the candidates (needed: e.g.
+    // "ab"/"ba" share the key "b" but sit at distance 2). The oracle is
+    // the naive all-pairs join — feasible only at oracle scale, which
+    // is exactly the point: at 100 TB the neighborhood key is the
+    // shuffle key and nothing is ever all-pairs. Key generation is a
+    // pure HOF expression (sequence + transform + substring), no UDF.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val names = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_name").as("name"))
+      val variants = names.withColumn("key", explode(concat(
+        array(col("name")),
+        expr("""transform(sequence(1, length(name)),
+               |  i -> concat(substring(name, 1, i - 1),
+               |              substring(name, i + 1, length(name) - i)))""".stripMargin))))
+      val a = variants.select(col("name").as("name_a"), col("key"))
+      val b = variants.select(col("name").as("name_b"), col("key"))
+      a.join(b, "key")
+        .filter(col("name_a") < col("name_b"))
+        .select("name_a", "name_b").distinct()
+        .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+        .orderBy("name_a", "name_b")
+    }),
+
+    // URL canonicalization dedup — the first stage of any crawl
+    // pipeline: lowercase, strip fragment, strip utm_* tracking params,
+    // drop "www." and default port, collapse the trailing slash, THEN
+    // group. Pure codegen'd string expressions (zero UDF), one shuffle
+    // on the canonical key; at 100 TB the canonical form is also the
+    // natural partition key for everything downstream. The raw URLs are
+    // derived deterministically from (doc_id, source) so both engines
+    // build byte-identical inputs.
+    "q_url_canonical" -> ((s, dir) => {
+      val raw = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+        .withColumn("url", concat(
+          lit("https://"),
+          when(col("doc_id") % 2 === 0, lit("WWW.")).otherwise(lit("")),
+          col("source"), lit(".example.com"),
+          when(col("doc_id") % 3 === 0, lit(":443")).otherwise(lit("")),
+          lit("/docs/"), (col("doc_id") % 37).cast("string"),
+          when(col("doc_id") % 4 === 0, lit("/")).otherwise(lit("")),
+          lit("?id="), (col("doc_id") % 37).cast("string"),
+          lit("&utm_source=s"), (col("doc_id") % 5).cast("string"),
+          lit("#sec"), (col("doc_id") % 7).cast("string")))
+      raw
+        .withColumn("canon",
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(
+                regexp_replace(
+                  regexp_replace(lower(col("url")), "#.*$", ""),
+                  "&utm_[^&#]*", ""),
+                "://www\\.", "://"),
+              ":443/", "/"),
+            "/\\?", "?"))
+        .groupBy("canon")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+        .orderBy("canon")
+    }),
   )
 
   // ---- oracles -----------------------------------------------------
@@ -618,5 +684,36 @@ object DedupQueries {
          |SELECT doc_id,
          |       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash16
          |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_join" ->
+      """SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM customer a, customer b
+        |WHERE a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+
+    "q_url_canonical" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         'https://' || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+        |           || source || '.example.com'
+        |           || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+        |           || '/docs/' || CAST(doc_id % 37 AS VARCHAR)
+        |           || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+        |           || '?id=' || CAST(doc_id % 37 AS VARCHAR)
+        |           || '&utm_source=s' || CAST(doc_id % 5 AS VARCHAR)
+        |           || '#sec' || CAST(doc_id % 7 AS VARCHAR) AS url
+        |  FROM documents
+        |)
+        |SELECT regexp_replace(
+        |         regexp_replace(
+        |           regexp_replace(
+        |             regexp_replace(
+        |               regexp_replace(lower(url), '#.*$', '', 'g'),
+        |               '&utm_[^&#]*', '', 'g'),
+        |             '://www\.', '://', 'g'),
+        |           ':443/', '/', 'g'),
+        |         '/\?', '?', 'g') AS canon,
+        |       count(*) AS n_docs, min(doc_id) AS first_doc
+        |FROM raw GROUP BY canon ORDER BY canon""".stripMargin,
   )
 }

@@ -567,6 +567,111 @@ object RelationalQueries {
           round(col("n_sampled").cast("double") / col("n_total"), 4))
         .orderBy("l_returnflag")
     }),
+
+    // min_by / max_by aggregates: the "row that achieved the extreme"
+    // family, one hash-agg pass (no window, no self-join). The ordering
+    // key is packed into ONE bigint — cents(acctbal)·10^7 + custkey —
+    // because a scalar key is the only form DuckDB's arg_min/arg_max
+    // accept, and the custkey term makes ties impossible (2-decimal
+    // balances collide freely in the fixtures).
+    "q_minmax_by" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nat = broadcast(t(s, dir, "nation"))
+      cust.join(nat, cust("c_nationkey") === nat("n_nationkey"))
+        .withColumn("bal_key",
+          round(col("c_acctbal") * 100).cast("bigint") * 10000000L + col("c_custkey"))
+        .groupBy(col("n_name"))
+        .agg(
+          max_by(col("c_name"), col("bal_key")).as("richest"),
+          min_by(col("c_name"), col("bal_key")).as("poorest"),
+          round(max(col("c_acctbal")), 2).as("max_bal"),
+          round(min(col("c_acctbal")), 2).as("min_bal"),
+          count(lit(1)).as("n_cust"))
+        .orderBy("n_name")
+    }),
+
+    // Typed cogroup (KeyValueGroupedDataset.cogroup): per-key merge of
+    // two grouped inputs with arbitrary Scala logic — the typed-API
+    // escape hatch when a per-key merge isn't expressible as a join +
+    // agg (here it IS, which is what lets DuckDB oracle it as a
+    // full-outer join of two aggregates). Physical shape = one shuffle
+    // per side on the key then a streamed sort-merge cogroup — no
+    // driver state, no collect. All sums are integer (cents / integral
+    // quantities) so per-group iteration order can never matter.
+    "q_cogroup" -> ((s, dir) => {
+      import s.implicits._
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_totalprice")).as[(Long, Double)]
+        .groupByKey(_._1)
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 10 === 0)
+        .select(col("l_orderkey"), col("l_quantity")).as[(Long, Double)]
+        .groupByKey(_._1)
+      ord.cogroup(li) { (k, os, ls) =>
+        var nOrd = 0L; var cents = 0L
+        os.foreach { o => nOrd += 1; cents += math.round(o._2 * 100) }
+        var nLi = 0L; var qty = 0L
+        ls.foreach { l => nLi += 1; qty += math.round(l._2) }
+        Iterator((k, nOrd, nLi, qty, cents))
+      }.toDF("o_orderkey", "n_orders", "n_items", "sum_qty", "price_cents")
+        .orderBy("o_orderkey")
+    }),
+
+    // Bucketed co-located join: both sides written ONCE as bucketed +
+    // sorted tables on the join key (8 buckets, Murmur3 pmod — the same
+    // hash repartition(8, key) uses, so pre-repartitioning gives exactly
+    // one file per bucket and the scan reports its sort order). The
+    // sort-merge join then needs NO exchange and NO sort on either
+    // side — the physical layout IS the shuffle, paid once at write
+    // time and amortized over every subsequent join. This is the
+    // canonical 100 TB pattern for a fact table joined repeatedly on
+    // the same key; PlanShapeSpec pins the exchange-free plan. The
+    // merge hint keeps the plan SMJ at every sf (a broadcast would hide
+    // the bucketing at oracle scale).
+    "q_bucketed_join" -> ((s, dir) => {
+      // saveAsTable CREATEs when the table is absent from the (in-memory)
+      // catalog — and fails on a stale warehouse dir left by a previous
+      // JVM, which mode("overwrite") does NOT clear. Drop both layers.
+      Seq("graft_bkt_customer", "graft_bkt_orders").foreach { name =>
+        s.sql(s"DROP TABLE IF EXISTS $name")
+        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+        val root = if (wh.getScheme == "file") new java.io.File(wh).toString else wh.toString
+        val d = new java.io.File(root, name)
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+          f.delete(); ()
+        }
+        if (d.exists()) rm(d)
+      }
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      cust.select("c_custkey", "c_mktsegment")
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bkt_customer")
+      ord.select("o_custkey", "o_totalprice")
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bkt_orders")
+      // With exactly one file per bucket (guaranteed by the aligned
+      // repartition above) the scan can report its sortBy order, letting
+      // EnsureRequirements elide the per-partition SMJ sorts — that
+      // reporting is off by default (SPARK-28632 planner-regression
+      // guard), so opt in. Session-level, but it only affects bucketed
+      // scans and this is the only bucketed-table query.
+      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val bc = s.table("graft_bkt_customer")
+      val bo = s.table("graft_bkt_orders")
+      bc.hint("merge")
+        .join(bo, bc("c_custkey") === bo("o_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -939,5 +1044,38 @@ object RelationalQueries {
          |       round(sum(CASE WHEN keep THEN 1 ELSE 0 END) * 1.0 / count(*), 4) AS sample_rate
          |FROM tagged GROUP BY 1 ORDER BY 1""".stripMargin
     },
+
+    "q_minmax_by" ->
+      """SELECT n_name,
+        |       arg_max(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS richest,
+        |       arg_min(c_name, CAST(round(c_acctbal * 100) AS BIGINT) * 10000000 + c_custkey) AS poorest,
+        |       round(max(c_acctbal), 2) AS max_bal,
+        |       round(min(c_acctbal), 2) AS min_bal,
+        |       count(*) AS n_cust
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_cogroup" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, count(*) AS n_orders,
+        |         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS price_cents
+        |  FROM orders WHERE o_orderkey % 10 = 0 GROUP BY o_orderkey),
+        |l AS (
+        |  SELECT l_orderkey, count(*) AS n_items,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem WHERE l_orderkey % 10 = 0 GROUP BY l_orderkey)
+        |SELECT coalesce(o.o_orderkey, l.l_orderkey) AS o_orderkey,
+        |       coalesce(n_orders, 0) AS n_orders,
+        |       coalesce(n_items, 0) AS n_items,
+        |       coalesce(sum_qty, 0) AS sum_qty,
+        |       coalesce(price_cents, 0) AS price_cents
+        |FROM o FULL OUTER JOIN l ON o.o_orderkey = l.l_orderkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
   )
 }

@@ -145,4 +145,24 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(distinctShuffles <= 1,
       s"only the exact-branch distinct may hash-partition, got $distinctShuffles:\n$p")
   }
+
+  test("q_bucketed_join: co-located SMJ — no exchange, no sort below the join") {
+    val p = plan("q_bucketed_join", RelationalQueries.queries)
+    assert(p.contains("SortMergeJoin"), s"bucketed join should sort-merge:\n$p")
+    assert(p.contains("SelectedBucketsCount"), s"scan should be bucketed:\n$p")
+    // the only exchanges allowed are AFTER the join (groupBy + orderBy);
+    // the join inputs come straight from the bucketed scans
+    val joinIdx = p.indexOf("SortMergeJoin")
+    val below = p.substring(joinIdx)
+    assert(!below.contains("Exchange hashpartitioning"),
+      s"bucketed sides must not re-shuffle:\n$p")
+    assert(!below.contains("Sort "),
+      s"one-file-per-bucket sorted write should elide the SMJ sorts:\n$p")
+  }
+
+  test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
+    val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"fuzzy join must block on deletion keys, not compare all pairs:\n$p")
+  }
 }
