@@ -9,8 +9,10 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources
 import org.apache.spark.sql.sources.DataSourceRegister
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -32,12 +34,26 @@ import graft.raster.AsciiGrid
   * per-FILE parallelism is the natural partitioning, so each file is one
   * InputPartition and 1000 executors ingest 1000 grids at once).
   *
-  * Column pruning is real, not cosmetic: the scan implements
-  * `SupportsPushDownRequiredColumns`, and a projection that omits
-  * `values`/`text` (e.g. a catalog query over headers) skips double
-  * tokenization entirely — only the 6 header lines are parsed. The
-  * reader goes through the Hadoop FileSystem API, so the same source
-  * reads file://, hdfs://, or s3a:// trees.
+  * The scan participates in three Catalyst pushdowns — the difference
+  * between "metadata query touches headers" and "metadata query scans
+  * the raster fleet" at 100 TB:
+  *
+  *   - column pruning (`SupportsPushDownRequiredColumns`): projections
+  *     that omit `values`/`text` never tokenize the cell block, AND
+  *     header-only reads fetch just the first 4 KiB of each file
+  *     instead of the whole grid;
+  *   - path-filter pushdown (`SupportsPushDownFilters`): equality /
+  *     prefix / suffix / contains predicates on `path` prune files at
+  *     LISTING time — non-matching grids never become partitions. The
+  *     `path` column is byte-identical to the listed path, so these
+  *     filters are exact and fully consumed (no post-scan re-check);
+  *   - aggregate pushdown (`SupportsPushDownAggregates`): ungrouped
+  *     MIN/MAX over header fields read only headers, and a bare
+  *     COUNT(*) is answered from the listing WITHOUT opening any file
+  *     (complete pushdown, single partition).
+  *
+  * The reader goes through the Hadoop FileSystem API, so the same
+  * source reads file://, hdfs://, or s3a:// trees.
   */
 class AsciiGridDataSource extends TableProvider with DataSourceRegister {
 
@@ -66,6 +82,12 @@ object AsciiGridTable {
     StructField("text", StringType, nullable = false),
     StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
+  /** Header fields recoverable from the first 4 KiB (everything except
+    * the cell block and the full text).
+    */
+  val HeaderCols: Set[String] =
+    Set("path", "ncols", "nrows", "xllcorner", "yllcorner", "cellsize", "nodata")
+
   /** `load(p1, p2…)` arrives as "paths" (JSON list) or "path". Decoded
     * with Jackson (already on Spark's classpath) — a naive split(",")
     * would mangle paths containing commas or JSON escapes.
@@ -90,28 +112,122 @@ final class AsciiGridTable(roots: Seq[String]) extends Table with SupportsRead {
     new AsciiGridScanBuilder(roots)
 }
 
+/** One pushed aggregate, in serializable form: ("count", "") or
+  * ("min"/"max", headerColumn).
+  */
+final case class PushedAgg(op: String, col: String)
+
 final class AsciiGridScanBuilder(roots: Seq[String])
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters with SupportsPushDownAggregates {
 
   private var required: StructType = AsciiGridTable.Schema
+  private var pathFilters: Array[sources.Filter] = Array.empty
+  private var aggs: Seq[PushedAgg] = Nil
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new AsciiGridScan(roots, required)
+  /** A filter is consumable iff it constrains only `path` with exact
+    * string predicates — those are evaluated against the identical
+    * string at listing time, so they are claimed (removed from the
+    * post-scan filters), which is also what lets Spark push aggregates
+    * on top of them.
+    */
+  private def isPathFilter(f: sources.Filter): Boolean = f match {
+    case sources.EqualTo("path", v)          => v.isInstanceOf[String]
+    case sources.StringStartsWith("path", _) => true
+    case sources.StringEndsWith("path", _)   => true
+    case sources.StringContains("path", _)   => true
+    case sources.IsNotNull("path")           => true
+    case sources.And(l, r)                   => isPathFilter(l) && isPathFilter(r)
+    case sources.Or(l, r)                    => isPathFilter(l) && isPathFilter(r)
+    case _                                   => false
+  }
+
+  override def pushFilters(filters: Array[sources.Filter]): Array[sources.Filter] = {
+    val (path, rest) = filters.partition(isPathFilter)
+    pathFilters = path
+    rest
+  }
+
+  override def pushedFilters(): Array[sources.Filter] = pathFilters
+
+  private def colName(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 => Some(nr.fieldNames.head)
+      case _ => None
+    }
+
+  private def headerAggCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    colName(e).filter(c => AsciiGridTable.HeaderCols.contains(c) && c != "path")
+
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    if (aggregation.groupByExpressions().nonEmpty) return false
+    val converted = aggregation.aggregateExpressions().toSeq.map {
+      case _: CountStar => PushedAgg("count", "")
+      case m: Min => headerAggCol(m.column()).map(PushedAgg("min", _)).orNull
+      case m: Max => headerAggCol(m.column()).map(PushedAgg("max", _)).orNull
+      case _ => null
+    }
+    if (converted.contains(null)) return false
+    aggs = converted
+    true
+  }
+
+  /** A bare COUNT(*) (possibly under path filters) is answered entirely
+    * from the driver-side listing — one partition, one final row, no
+    * file opened.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    aggregation.groupByExpressions().isEmpty &&
+      aggregation.aggregateExpressions().forall(_.isInstanceOf[CountStar])
+
+  override def build(): Scan = new AsciiGridScan(roots, required, pathFilters, aggs)
 }
 
-final class AsciiGridScan(roots: Seq[String], required: StructType)
+/** Evaluates the claimed path filters against a listed path string. */
+object PathFilterEval {
+  def eval(f: sources.Filter, path: String): Boolean = f match {
+    case sources.EqualTo("path", v: String)          => path == v
+    case sources.StringStartsWith("path", p)         => path.startsWith(p)
+    case sources.StringEndsWith("path", s)           => path.endsWith(s)
+    case sources.StringContains("path", s)           => path.contains(s)
+    case sources.IsNotNull("path")                   => true
+    case sources.And(l, r)                           => eval(l, path) && eval(r, path)
+    case sources.Or(l, r)                            => eval(l, path) || eval(r, path)
+    case _                                           => true
+  }
+}
+
+final class AsciiGridScan(roots: Seq[String], required: StructType,
+    pathFilters: Array[sources.Filter], aggs: Seq[PushedAgg])
     extends Scan with Batch {
 
-  override def readSchema(): StructType = required
+  private def baseType(c: String): DataType =
+    AsciiGridTable.Schema(AsciiGridTable.Schema.fieldIndex(c)).dataType
+
+  override def readSchema(): StructType =
+    if (aggs.isEmpty) required
+    else StructType(aggs.map {
+      case PushedAgg("count", _) => StructField("count(*)", LongType, nullable = false)
+      case PushedAgg(op, c)      => StructField(s"$op($c)", baseType(c), nullable = false)
+    })
+
   override def toBatch: Batch = this
-  override def description(): String =
-    s"asciigrid scan, ReadSchema: ${required.simpleString}"
+
+  override def description(): String = {
+    val f = if (pathFilters.isEmpty) ""
+      else s", PushedFilters: [${pathFilters.mkString(", ")}]"
+    val a = if (aggs.isEmpty) ""
+      else s", PushedAggregates: [${aggs.map(p => s"${p.op.toUpperCase}(${if (p.col.isEmpty) "*" else p.col})").mkString(", ")}]"
+    s"asciigrid scan, ReadSchema: ${readSchema().simpleString}$f$a"
+  }
 
   /** Recursive listing of `*.asc` under each root — suffix filtering
-    * happens in the LISTING (the driver-side analog of SRC-1's glob
-    * pushdown), so non-grid files never become partitions.
+    * AND the pushed path predicates happen in the LISTING (the
+    * driver-side analog of SRC-1's glob pushdown), so non-matching
+    * files never become partitions.
     */
   override def planInputPartitions(): Array[InputPartition] = {
     // the SESSION's Hadoop conf (spark.hadoop.* — s3a credentials,
@@ -125,38 +241,63 @@ final class AsciiGridScan(roots: Seq[String], required: StructType)
       val out = Seq.newBuilder[FileStatus]
       while (it.hasNext) {
         val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".asc")) out += st
+        if (st.isFile && st.getPath.getName.endsWith(".asc") &&
+            pathFilters.forall(PathFilterEval.eval(_, st.getPath.toString)))
+          out += st
       }
       out.result()
     }
-    files.sortBy(_.getPath.toString)
-      .map(st => AsciiGridInputPartition(st.getPath.toString, st.getLen): InputPartition)
-      .toArray
+    val sorted = files.sortBy(_.getPath.toString)
+    if (aggs.nonEmpty && aggs.forall(_.op == "count"))
+      // complete pushdown: the listing IS the answer
+      Array(AsciiGridCountPartition(sorted.length))
+    else
+      sorted.map(st => AsciiGridInputPartition(st.getPath.toString, st.getLen): InputPartition)
+        .toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     // executors rebuild the filesystem from the driver's fs.* entries
     // (same shipping pattern as the sinks)
-    new AsciiGridReaderFactory(required,
+    new AsciiGridReaderFactory(required, aggs,
       graft.sinks.S3Sink.fsConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
 final case class AsciiGridInputPartition(path: String, length: Long)
     extends InputPartition
 
-final class AsciiGridReaderFactory(required: StructType,
+/** Complete COUNT(*) pushdown: the single partition carries the file
+  * count computed from the listing.
+  */
+final case class AsciiGridCountPartition(n: Long) extends InputPartition
+
+final class AsciiGridReaderFactory(required: StructType, aggs: Seq[PushedAgg],
     fsConf: Map[String, String]) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new AsciiGridPartitionReader(
-      partition.asInstanceOf[AsciiGridInputPartition], required, fsConf)
+    partition match {
+      case c: AsciiGridCountPartition => new SingleRowReader(
+        new GenericInternalRow(aggs.map(_ => c.n: Any).toArray))
+      case p: AsciiGridInputPartition =>
+        new AsciiGridPartitionReader(p, required, aggs, fsConf)
+    }
+}
+
+final class SingleRowReader(row: InternalRow) extends PartitionReader[InternalRow] {
+  private var done = false
+  override def next(): Boolean = { val r = !done; done = true; r }
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 /** Reads ONE grid file into ONE InternalRow, materializing only the
-  * requested columns: header-only projections never tokenize the cell
-  * block, and the raw `text` is retained only if asked for.
+  * requested columns: header-only projections read a 4 KiB prefix and
+  * never tokenize the cell block; the raw `text` is retained only if
+  * asked for. With pushed header aggregates the emitted row is the
+  * per-file partial (one row per file — Spark's final aggregate merges
+  * them).
   */
 final class AsciiGridPartitionReader(part: AsciiGridInputPartition,
-    required: StructType, fsConf: Map[String, String])
+    required: StructType, aggs: Seq[PushedAgg], fsConf: Map[String, String])
     extends PartitionReader[InternalRow] {
 
   private var done = false
@@ -164,41 +305,66 @@ final class AsciiGridPartitionReader(part: AsciiGridInputPartition,
 
   private def needs(c: String): Boolean = required.fieldNames.contains(c)
 
+  /** Header-only access: the 6 header lines always fit well inside the
+    * first 4 KiB; parseHeader stops at the first non-header line, so a
+    * truncated trailing cell line can never be misread as a header.
+    */
+  private val HeaderPrefixBytes = 4096
+
   override def next(): Boolean = {
     if (done) return false
     done = true
     require(part.length <= Int.MaxValue - 8,
       s"asciigrid: ${part.path} is ${part.length} bytes - single-row text " +
         "grids over 2 GB are not supported (split the grid)")
+    val headerOnly = aggs.nonEmpty ||
+      required.fieldNames.forall(AsciiGridTable.HeaderCols.contains)
+    val toRead = if (headerOnly) math.min(part.length, HeaderPrefixBytes.toLong).toInt
+      else part.length.toInt
     val p = new Path(part.path)
     val fs = graft.sinks.S3Sink.fileSystemFor(part.path, fsConf)
     val in = fs.open(p)
     val text =
       try {
-        val bytes = new Array[Byte](part.length.toInt)
+        val bytes = new Array[Byte](toRead)
         in.readFully(0, bytes)
         new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       } finally in.close()
 
-    val wantsCells = needs("values")
     val header = AsciiGrid.parseHeader(text)
-    val vals = new Array[Any](required.length)
-    required.fieldNames.zipWithIndex.foreach { case (name, i) =>
-      vals(i) = name match {
-        case "path"      => UTF8String.fromString(part.path)
-        case "ncols"     => header.ncols
-        case "nrows"     => header.nrows
-        case "xllcorner" => header.xllcorner
-        case "yllcorner" => header.yllcorner
-        case "cellsize"  => header.cellsize
-        case "nodata"    => header.nodata
-        case "text"      => UTF8String.fromString(text)
-        case "values" if wantsCells =>
-          ArrayData.toArrayData(AsciiGrid.parse(text).values)
-        case _ => null
-      }
+
+    def headerValue(c: String): Any = c match {
+      case "ncols"     => header.ncols
+      case "nrows"     => header.nrows
+      case "xllcorner" => header.xllcorner
+      case "yllcorner" => header.yllcorner
+      case "cellsize"  => header.cellsize
+      case "nodata"    => header.nodata
     }
-    row = new GenericInternalRow(vals)
+
+    row =
+      if (aggs.nonEmpty)
+        // one row per file: MIN/MAX over a single row is the value
+        // itself, COUNT(*) is 1; the final (Spark-side) agg merges
+        new GenericInternalRow(aggs.map {
+          case PushedAgg("count", _) => 1L: Any
+          case PushedAgg(_, c)       => headerValue(c)
+        }.toArray)
+      else {
+        val wantsCells = needs("values")
+        val vals = new Array[Any](required.length)
+        required.fieldNames.zipWithIndex.foreach { case (name, i) =>
+          vals(i) = name match {
+            case "path" => UTF8String.fromString(part.path)
+            case "text" => UTF8String.fromString(text)
+            case "values" if wantsCells =>
+              ArrayData.toArrayData(AsciiGrid.parse(text).values)
+            case c if AsciiGridTable.HeaderCols.contains(c) => headerValue(c)
+            case _ => null
+          }
+        }
+        new GenericInternalRow(vals)
+      }
     true
   }
 

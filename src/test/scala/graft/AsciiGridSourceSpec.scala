@@ -52,4 +52,37 @@ class AsciiGridSourceSpec extends SparkSpecBase {
     assert(r.getAs[Long]("total_cols") == 3L)
     assert(r.getAs[Double]("max_cell") == 2.5)
   }
+
+  test("path filters are consumed at listing time (no post-scan Filter)") {
+    val df = spark.read.format("asciigrid").load(dir)
+      .filter(col("path").endsWith("b.asc"))
+      .select("path", "nodata")
+    val plan = df.queryExecution.executedPlan
+    assert(!plan.toString.contains("Filter "),
+      s"path predicate should be fully pushed:\n$plan")
+    assert(plan.toString.contains("PushedFilters"), s"plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 1 && rows.head.getAs[Double]("nodata") == -1.0)
+  }
+
+  test("MIN/MAX over header fields push into the scan") {
+    val df = spark.read.format("asciigrid").load(dir)
+      .agg(min(col("xllcorner")).as("min_x"), max(col("cellsize")).as("max_cell"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [MIN(xllcorner), MAX(cellsize)]"),
+      s"plan:\n$plan")
+    val r = df.head()
+    assert(r.getAs[Double]("min_x") == 0.5 && r.getAs[Double]("max_cell") == 2.5)
+  }
+
+  test("bare COUNT(*) is answered from the listing (complete pushdown)") {
+    val df = spark.read.format("asciigrid").load(dir).groupBy().count()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), s"plan:\n$plan")
+    assert(df.head().getLong(0) == 2L)
+    // filtered count composes with the path pushdown: listing does both
+    val filtered = spark.read.format("asciigrid").load(dir)
+      .filter(col("path").contains("/05/")).groupBy().count()
+    assert(filtered.head().getLong(0) == 1L)
+  }
 }
