@@ -21,6 +21,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // One measurement is not a signal: the same 119-query suite measured
+    // 88.6 s and 151.4 s on identical code in round 5 (JIT/GC/page-cache
+    // phase). Per-query MEDIAN of `passes` runs is what gets reported and
+    // compared across rounds; min/max ride along in the detail file so the
+    // spread itself is visible.
+    val passes = math.max(1, sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -33,43 +39,87 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
-    // (seconds, error-or-null) per query: a broken query must surface as
-    // an "err" entry, never as a near-zero wall time flattering the total.
-    // Name-sorted so run order (and which query absorbs residual warmup)
-    // is stable across rounds — hash-map order reshuffled per build.
+
+    // Previous round's per-query medians, read BEFORE this run overwrites
+    // the detail file — the committed BENCH_DETAIL.json from the prior
+    // round is the comparison base for the regression report.
+    val prevDetail = new java.io.File("BENCH_DETAIL.json")
+    val prev: Map[String, Double] =
+      if (!prevDetail.exists()) Map.empty
+      else try {
+        val src = scala.io.Source.fromFile(prevDetail, "UTF-8")
+        val txt = try src.mkString finally src.close()
+        // compare only like with like: a detail file measured at another
+        // scale factor (e.g. a local sf0.001 iteration run) is no base
+        if (""""sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).contains(sfDir))
+          """"(q_[A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        else Map.empty
+      } catch { case _: Throwable => Map.empty }
+
+    // Per query: run `passes` times back-to-back, keep the median (and the
+    // spread). A broken query must surface as an "err" entry, never as a
+    // near-zero wall time flattering the total. Name-sorted so run order
+    // (and which query absorbs residual warmup) is stable across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err =
-        try { fn(spark, sfDir).count(); None }
-        catch { case e: Throwable =>
-          Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
-        }
-      graft.queries.QueryCaches.releaseAll(spark)
-      (name, (System.nanoTime() - t0) / 1e9, err)
+      val runs = (1 to passes).map { _ =>
+        val t0 = System.nanoTime()
+        val err =
+          try { fn(spark, sfDir).count(); None }
+          catch { case e: Throwable =>
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+          }
+        graft.queries.QueryCaches.releaseAll(spark)
+        ((System.nanoTime() - t0) / 1e9, err)
+      }
+      val times = runs.map(_._1).sorted
+      (name, times(times.size / 2), times.head, times.last, runs.flatMap(_._2).headOption)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"; case '\n' => "\\n"
         case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
       } + "\""
-    def qmap(rs: Seq[(String, Double, Option[String])], prec: String): String =
-      rs.map { case (k, v, _) => "\"" + k + "\":" + prec.format(v) }
+    def qmap(rs: Seq[(String, Double)], prec: String): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val total = results.map(_._2).sum
+    val medians = results.map { case (k, med, _, _, _) => (k, med) }
+    val total = medians.map(_._2).sum
 
-    // Full per-query detail → file (too large for the driver's tail capture).
+    // Regression report vs the prior round's medians: flag a query when its
+    // median moved ≥30% AND ≥0.3 s — the absolute floor keeps millisecond
+    // queries' jitter out; improvements are listed symmetrically.
+    def moved(now: Double, before: Double): Boolean =
+      math.abs(now - before) >= 0.3 &&
+        math.abs(now - before) >= 0.3 * math.min(now, before)
+    val compared = medians.flatMap { case (k, now) => prev.get(k).map(p => (k, now, p)) }
+    val regressed = compared.filter { case (_, now, p) => now > p && moved(now, p) }
+    val improved  = compared.filter { case (_, now, p) => now < p && moved(now, p) }
+    def deltaMap(xs: Seq[(String, Double, Double)]): String =
+      xs.sortBy { case (_, now, p) => -(now - p).abs }
+        .map { case (k, now, p) =>
+          s""""$k":{"prev":${"%.3f".format(p)},"now":${"%.3f".format(now)},"ratio":${"%.2f".format(now / math.max(p, 1e-9))}}""" }
+        .mkString("{", ",", "}")
+
+    // Full per-query detail → file (too large for the driver's tail capture):
+    // medians as the canonical "queries" map (what the next round reads back
+    // as `prev`), plus per-query min/max and the regression/improvement maps.
     val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
+    val minmax = results
+      .map { case (k, _, mn, mx, _) =>
+        s""""$k":[${"%.6f".format(mn)},${"%.6f".format(mx)}]""" }
+      .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${qmap(results, "%.6f")},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":${qmap(medians, "%.6f")},"minmax":$minmax,"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
 
-    // Compact summary line (fits the tail): total over ALL queries + a fixed
-    // headline subset of per-query times.
-    val hl = results.filter { case (k, _, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"detail":"$detailPath","sf":"$sfDir"}""")
+    // Compact summary line (fits the tail): total of per-query medians over
+    // ALL queries + a fixed headline subset of per-query medians.
+    val hl = medians.filter { case (k, _) => headline.contains(k) }
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -47,15 +47,37 @@ object Pipeline {
     else s"${g.cellsize}\n0.0\n0.0\n-${g.cellsize}\n${g.centerX(0)}\n${g.centerY(0)}\n"
   }
 
+  /** The pipeline's source stage: the asciigrid DataSource V2 scan,
+    * pruned to (path, text) — the scan never tokenizes cell values the
+    * clip UDF re-parses anyway — with an optional source-region scope.
+    * The scope is expressed as a `path` predicate so the DSv2 pushdown
+    * applies it at FILE LISTING time: a run scoped to one region-code
+    * directory of a 100 TB tree opens only that directory's files
+    * (PushedFilters in the scan, no Spark-side Filter node —
+    * PipelineSpec pins this).
+    */
+  def sourceFiles(spark: SparkSession, inputDir: String,
+      srcRegion: Option[String] = None): DataFrame = {
+    val scan = spark.read.format("asciigrid").load(inputDir)
+    val scoped = srcRegion match {
+      case Some(code) => scan.filter(col("path").contains(s"/$code/"))
+      case None => scan
+    }
+    scoped.select(col("path"), col("text"))
+  }
+
   /** Run the full pipeline.
     *
     * @param inputDir   root of the .asc tree (region-code subfolders)
     * @param regions    dimension with columns code, name, raw_title, wkt
     * @param outDir     local/shared-FS output root (zips + json docs)
     * @param updatedAt  deterministic updatedAt stamp for metadata docs
+    * @param srcRegion  optional source-region scope (a region-code
+    *                   directory); pushed into the scan's file listing
     */
   def run(spark: SparkSession, inputDir: String, regions: DataFrame,
-      outDir: String, updatedAt: String, prefix: String = "climate/grids"): Result = {
+      outDir: String, updatedAt: String, prefix: String = "climate/grids",
+      srcRegion: Option[String] = None): Result = {
 
     // SNK-5/6: when the S3 sink is enabled and its target scheme is
     // usable, all outputs stream straight to the object store; otherwise
@@ -64,12 +86,8 @@ object Pipeline {
     val sinkRoot = graft.sinks.S3Sink.resolveRoot(spark, outDir)
 
     // SRC-1/5: the asciigrid DataSource V2 — recursive .asc listing with
-    // the suffix filter applied in the listing itself, one grid per row,
-    // column pruning down to (path, text) so the scan never tokenizes
-    // cell values the clip UDF re-parses anyway.
-    val files = spark.read.format("asciigrid")
-      .load(inputDir)
-      .select(col("path"), col("text"))
+    // the suffix filter applied in the listing itself, one grid per row.
+    val files = sourceFiles(spark, inputDir, srcRegion)
 
     // PRJ-1/2/8 + JOIN-2: decode & rename.
     val pDim = broadcast(Lookups.parameterDim(spark)

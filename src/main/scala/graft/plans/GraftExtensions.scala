@@ -40,6 +40,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VecBucket].getName, "vec_bucket"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecBucket(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("vec_bands"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecBands].getName, "vec_bands"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecBands(es.head)))
     ext.injectPostHocResolutionRule(_ => new ResolveAsOfJoin)
     ext.injectOptimizerRule(_ => new RewriteRangeJoin)
   }

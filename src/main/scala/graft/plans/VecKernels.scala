@@ -27,6 +27,37 @@ object VecOps {
     s
   }
 
+  /** Banded multi-bit hyperplane LSH: 4 bands × 16 hyperplanes.
+    * Hyperplane h ∈ [0,64): sign bit of Σ_d w(h,d)·e[d] with
+    * w(h,d) = +1 if ((h·64+d)·37) mod 97 < 48 else −1 — the same weight
+    * family as [[bucket]], extended to 64 planes. Band j = h/16 packs
+    * bits k = h mod 16 into a 16-bit value; a candidate pair is any pair
+    * agreeing on AT LEAST ONE band (OR-of-bands, exactly the MinHash
+    * banding recall trade: P[candidate] = 1−(1−s^16)^4 for bit-agreement
+    * rate s). With 2^16 values per band the blocking key space is
+    * 4·65536 — the fixed-256-bucket cap of the single-bucket scheme
+    * (O(n²/256) in-bucket pairs at scale) is gone; expected bucket
+    * occupancy stays bounded as n grows because the key space scales
+    * with the signature width, and recall is recovered via the 4-band OR
+    * instead of a coarse bucket.
+    */
+  def bands(e: ArrayData): ArrayData = {
+    val out = new Array[Long](4)
+    var h = 0
+    while (h < 64) {
+      var s = 0.0
+      var d = 0
+      while (d < 64) {
+        val w = if (((h * 64 + d) * 37) % 97 < 48) 1.0 else -1.0
+        s += w * e.getFloat(d).toDouble
+        d += 1
+      }
+      if (s > 0) out(h >> 4) |= (1L << (h & 15))
+      h += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** 8-bit hyperplane LSH bucket: bit j set iff
     * Σ_d w(j,d)·e[d] > 0 with w(j,d) = +1 if ((j·64+d)·37) mod 97 < 48
     * else −1 — pure arithmetic, oracle-reproducible.
@@ -109,12 +140,39 @@ case class VecBucket(child: Expression) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `vec_bands(e)` — native codegen'd banded LSH signature:
+  * array<bigint> of 4 band values, 16 hyperplane sign bits each.
+  */
+case class VecBands(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vec_bands expects array<float>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(e: Any): Any =
+    VecOps.bands(e.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, e => s"graft.plans.VecOps.bands($e)")
+
+  override def prettyName: String = "vec_bands"
+
+  override protected def withNewChildInternal(newChild: Expression): VecBands =
+    copy(child = newChild)
+}
+
 object VecKernels {
-  /** Register both kernels as temp functions on a session. */
+  /** Register the kernels as temp functions on a session. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_bucket", es => VecBucket(es.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_bands", es => VecBands(es.head), "scala_udf")
   }
 }

@@ -191,9 +191,11 @@ object EtlQueries {
     // is the posture that matters.
     "q_csv_source" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_csv_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      Manifest.build(s, dir)
-        .select("file_id", "region_code", "base_name", "path")
-        .write.mode("overwrite").option("header", "true").csv(out)
+      SideStores.ensure(out) {
+        Manifest.build(s, dir)
+          .select("file_id", "region_code", "base_name", "path")
+          .write.mode("overwrite").option("header", "true").csv(out)
+      }
       s.read.option("header", "true")
         .schema("file_id BIGINT, region_code STRING, base_name STRING, path STRING")
         .csv(out)
@@ -207,9 +209,11 @@ object EtlQueries {
     // Same contract through JSON-lines (schema'd read, no inference).
     "q_json_source" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_json_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      Manifest.build(s, dir)
-        .select("file_id", "region_code", "file_name")
-        .write.mode("overwrite").json(out)
+      SideStores.ensure(out) {
+        Manifest.build(s, dir)
+          .select("file_id", "region_code", "file_name")
+          .write.mode("overwrite").json(out)
+      }
       s.read
         .schema("file_id BIGINT, region_code STRING, file_name STRING")
         .json(out)
@@ -223,9 +227,11 @@ object EtlQueries {
     // Spark ships natively; schema'd read, no inference).
     "q_orc_source" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_orc_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      Manifest.build(s, dir)
-        .select("file_id", "region_code", "base_name")
-        .write.mode("overwrite").orc(out)
+      SideStores.ensure(out) {
+        Manifest.build(s, dir)
+          .select("file_id", "region_code", "base_name")
+          .write.mode("overwrite").orc(out)
+      }
       s.read
         .schema("file_id BIGINT, region_code STRING, base_name STRING")
         .orc(out)
@@ -243,9 +249,11 @@ object EtlQueries {
     // re-verified by the oracle.
     "q_partitioned_source" -> ((s, dir) => {
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_part_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
-      Manifest.build(s, dir)
-        .select("file_id", "base_name", "region_code")
-        .write.mode("overwrite").partitionBy("region_code").parquet(out)
+      SideStores.ensure(out) {
+        Manifest.build(s, dir)
+          .select("file_id", "base_name", "region_code")
+          .write.mode("overwrite").partitionBy("region_code").parquet(out)
+      }
       // explicit schema: partition-type inference would turn the "01"
       // directory value into INT 1 and break the decode contract
       s.read.schema("file_id BIGINT, base_name STRING, region_code STRING")

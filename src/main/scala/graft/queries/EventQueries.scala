@@ -51,7 +51,7 @@ object EventQueries {
     // under the DuckDB oracle: its result must equal the batch SQL.
     "q_stream_tumbling" -> ((s, dir) => {
       val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.tumblingCounts(
             graft.sources.EventSource.stream(s, dir)),
@@ -68,7 +68,7 @@ object EventQueries {
     // selected; with the whole file in one trigger that's the only row.
     "q_stream_user_totals" -> ((s, dir) => {
       val name = s"stream_user_totals_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.userTotals(
             graft.sources.EventSource.stream(s, dir)).toDF(),
@@ -133,7 +133,7 @@ object EventQueries {
     // the static source yields the complete batch-equal result.
     "q_stream_stream_join" -> ((s, dir) => {
       val name = s"stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         // ONE file source feeds both sides (a streaming self-join reuses
         // the subscription) instead of two independent listings/scans
         val base = graft.sources.EventSource.stream(s, dir)
@@ -164,7 +164,7 @@ object EventQueries {
     // into 2 window groups in streaming state).
     "q_stream_sliding" -> ((s, dir) => {
       val name = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.slidingCounts(
             graft.sources.EventSource.stream(s, dir)),
@@ -182,7 +182,7 @@ object EventQueries {
     // at-least-once ingest dedup in production pipelines.
     "q_stream_dedup" -> ((s, dir) => {
       val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         val doubled = graft.sources.EventSource.stream(s, dir)
           .unionByName(graft.sources.EventSource.stream(s, dir))
         graft.streaming.EventStreams.runToCompletion(
@@ -205,7 +205,7 @@ object EventQueries {
     // exactly-once, same oracle as the unbounded variant.
     "q_stream_dedup_within" -> ((s, dir) => {
       val name = s"stream_ddw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         val doubled = graft.sources.EventSource.stream(s, dir)
           .unionByName(graft.sources.EventSource.stream(s, dir))
           .withWatermark("ts", "2 hours")
@@ -230,7 +230,7 @@ object EventQueries {
     // the same gaps-and-islands oracle as the built-in variants.
     "q_stream_custom_session" -> ((s, dir) => {
       val name = s"stream_csess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val sentinel = org.apache.spark.sql.execution.streaming.runtime
@@ -261,7 +261,7 @@ object EventQueries {
     // never shuffles for the join).
     "q_stream_static_join" -> ((s, dir) => {
       val name = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         val dim = broadcast(s.read.parquet(s"$dir/nation.parquet")
           .select(col("n_nationkey").cast("bigint").as("nk"), col("n_name")))
         graft.streaming.EventStreams.runToCompletion(
@@ -287,7 +287,7 @@ object EventQueries {
     // ordering never matters.
     "q_stream_left_join" -> ((s, dir) => {
       val name = s"stream_lj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
@@ -345,7 +345,7 @@ object EventQueries {
     // withheld/filtered.
     "q_stream_session" -> ((s, dir) => {
       val name = s"stream_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, 8) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val sentinel = org.apache.spark.sql.execution.streaming.runtime

@@ -16,6 +16,7 @@ object QueryCaches {
   private val live = scala.collection.mutable.ArrayBuffer.empty[Dataset[_]]
   private val liveBroadcasts =
     scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.broadcast.Broadcast[_]]
+  private val deferred = scala.collection.mutable.ArrayBuffer.empty[() => Unit]
 
   /** Persist `ds` (default storage level) and track it for later release. */
   def cache[T](ds: Dataset[T]): Dataset[T] = synchronized {
@@ -27,6 +28,16 @@ object QueryCaches {
   /** Track a driver-built broadcast (bloom sketches, …) for release. */
   def broadcast[T](b: org.apache.spark.broadcast.Broadcast[T]): org.apache.spark.broadcast.Broadcast[T] =
     synchronized { liveBroadcasts += b; b }
+
+  /** Register a cleanup action to run at [[releaseAll]] — the hook a query
+    * builder uses to scope a session-conf change to the query's lifetime.
+    * The builder cannot restore the conf itself: the returned DataFrame is
+    * planned lazily by the caller, and Catalyst reads SQLConf at planning
+    * time, so an eager try/finally would undo the setting before the plan
+    * exists. Deferring the restore to the harness's per-query release keeps
+    * the conf live exactly while the query is, then puts it back.
+    */
+  def defer(f: () => Unit): Unit = synchronized { deferred += f }
 
   /** Unpersist every tracked Dataset and broadcast. Safe to call when
     * nothing is tracked; non-blocking so the caller's next query isn't
@@ -43,5 +54,10 @@ object QueryCaches {
       catch { case _: Throwable => () }
     }
     liveBroadcasts.clear()
+    deferred.foreach { f =>
+      try f()
+      catch { case _: Throwable => () }
+    }
+    deferred.clear()
   }
 }

@@ -630,39 +630,54 @@ object RelationalQueries {
     // merge hint keeps the plan SMJ at every sf (a broadcast would hide
     // the bucketing at oracle scale).
     "q_bucketed_join" -> ((s, dir) => {
-      // saveAsTable CREATEs when the table is absent from the (in-memory)
-      // catalog — and fails on a stale warehouse dir left by a previous
-      // JVM, which mode("overwrite") does NOT clear. Drop both layers.
-      Seq("graft_bkt_customer", "graft_bkt_orders").foreach { name =>
-        s.sql(s"DROP TABLE IF EXISTS $name")
-        val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-        val root = if (wh.getScheme == "file") new java.io.File(wh).toString else wh.toString
-        val d = new java.io.File(root, name)
-        def rm(f: java.io.File): Unit = {
-          if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-          f.delete(); ()
+      // Bucketed tables are the pattern's whole point: the layout is the
+      // shuffle, PAID ONCE at write time. Write them once per
+      // (session, sfDir) — the catalog entry is session-scoped, so the key
+      // must be too — and let every later invocation (median-of-N bench
+      // passes, spec + Verify sharing a JVM) scan the existing layout.
+      SideStores.ensure(s"bkt:${System.identityHashCode(s)}:$dir") {
+        // saveAsTable CREATEs when the table is absent from the (in-memory)
+        // catalog — and fails on a stale warehouse dir left by a previous
+        // JVM, which mode("overwrite") does NOT clear. Drop both layers.
+        Seq("graft_bkt_customer", "graft_bkt_orders").foreach { name =>
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+          val root = if (wh.getScheme == "file") new java.io.File(wh).toString else wh.toString
+          def rm(f: java.io.File): Unit = {
+            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
+            f.delete(); ()
+          }
+          val d = new java.io.File(root, name)
+          if (d.exists()) rm(d)
         }
-        if (d.exists()) rm(d)
+        val cust = t(s, dir, "customer")
+        val ord = t(s, dir, "orders")
+        cust.select("c_custkey", "c_mktsegment")
+          .repartition(8, col("c_custkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_bkt_customer")
+        ord.select("o_custkey", "o_totalprice")
+          .repartition(8, col("o_custkey"))
+          .write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_bkt_orders")
       }
-      val cust = t(s, dir, "customer")
-      val ord = t(s, dir, "orders")
-      cust.select("c_custkey", "c_mktsegment")
-        .repartition(8, col("c_custkey"))
-        .write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_bkt_customer")
-      ord.select("o_custkey", "o_totalprice")
-        .repartition(8, col("o_custkey"))
-        .write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_bkt_orders")
       // With exactly one file per bucket (guaranteed by the aligned
       // repartition above) the scan can report its sortBy order, letting
       // EnsureRequirements elide the per-partition SMJ sorts — that
       // reporting is off by default (SPARK-28632 planner-regression
-      // guard), so opt in. Session-level, but it only affects bucketed
-      // scans and this is the only bucketed-table query.
-      s.conf.set("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      // guard), so opt in. Scoped to this query's lifetime: planning is
+      // lazy, so the restore is deferred to the harness's per-query
+      // QueryCaches.releaseAll rather than an eager try/finally that
+      // would undo the setting before the caller ever plans.
+      val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+      val orderingPrev = s.conf.getOption(orderingKey)
+      s.conf.set(orderingKey, "true")
+      QueryCaches.defer(() => orderingPrev match {
+        case Some(v) => s.conf.set(orderingKey, v)
+        case None    => s.conf.unset(orderingKey)
+      })
       val bc = s.table("graft_bkt_customer")
       val bo = s.table("graft_bkt_orders")
       bc.hint("merge")

@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   *     candidates with a compiled dot-product kernel (higher-order
   *     function expressions evaluate interpreted per element — a loop
   *     with identical accumulation order is ~2× faster and bit-equal);
-  *   - LSH-bucketed top-k (the scale path): 8 deterministic pseudo-
-  *     random hyperplanes → 8-bit bucket; candidates searched only
-  *     within the query's bucket. At 100 TB the bucket is the shuffle/
-  *     partition key and each bucket's search is local — this query is
-  *     that plan at fixture scale;
+  *   - banded-LSH top-k (the scale path): 64 deterministic pseudo-
+  *     random hyperplanes packed as 4 bands × 16 sign bits; a candidate
+  *     is any vector sharing ≥1 band with the query (OR-of-bands, the
+  *     MinHash banding construction). At 100 TB the (band_idx,
+  *     band_val) pair is the shuffle key — 4·2^16 key values, so
+  *     per-key lists stay bounded as the corpus grows;
   *   - embedding near-dup detection: exact-copy injection (like
-  *     Corpus.withDuplicates) → LSH bucket → within-bucket pairwise
-  *     cosine ≥ 0.99. Buckets bound the pair blow-up exactly the way
-  *     banding does for MinHash.
+  *     Corpus.withDuplicates) → banded LSH candidates → exact pairwise
+  *     cosine ≥ 0.99 verify. Banding bounds the pair blow-up exactly
+  *     the way it does for MinHash.
   *
   * Cross-engine determinism: dots/norms are computed on
   * float→double-cast values; similarities round to 4 decimals BEFORE
@@ -38,16 +39,6 @@ object SimilarityQueries {
   private def dot(a: String, b: String): Column = expr(s"vec_dot($a, $b)")
 
   private def norm(a: String): Column = sqrt(dot(a, a))
-
-  /** 8-bit hyperplane bucket: bit j set iff
-    * Σ_d w(j,d)·e[d] > 0 with w(j,d) = +1 if ((j·64+d)·37) mod 97 < 48
-    * else −1 (d 0-based). Pure arithmetic → oracle-reproducible; the
-    * native `vec_bucket` expression does the identical double
-    * arithmetic in the identical order, codegen'd (HOF lambdas are
-    * interpreted per element — 8×64 = 512 evals/row dominated the
-    * bucketed queries; the prior ScalaUDF still boxed every array).
-    */
-  private def bucket(e: String): Column = expr(s"vec_bucket($e)")
 
   /** The fixture is a single row group → a single scan partition, so
     * the dot/bucket kernels downstream would run on one core. A
@@ -85,25 +76,37 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
-    // LSH-bucketed top-2: candidates restricted to the query's bucket.
+    // LSH top-2 via banded multi-probe blocking: a candidate is any
+    // vector sharing AT LEAST ONE of the query's 4 × 16-bit hyperplane
+    // bands (OR-of-bands — same recall construction as MinHash
+    // banding). The candidate join runs on the skinny exploded
+    // (vec_id, band_idx, band_val) table with the band pair as the
+    // equi-join key — 4·2^16 key values, so per-key candidate lists
+    // stay bounded as the corpus grows (the old single 8-bit bucket
+    // capped the key space at 256 → O(n²/256) per-bucket work at
+    // scale). Vectors are pulled back by id AFTER pair dedup.
     "q_ann_lsh" -> ((s, dir) => {
-      // persisted: the query/candidate branches below would otherwise
-      // each re-evaluate the 8×64-term bucket expression over all rows
-      val e = QueryCaches.cache(emb(s, dir).withColumn("bucket", bucket("embedding")))
-      val q = e.filter(col("vec_id") < 5)
-        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
-          norm("embedding").as("qn"), col("bucket"))
-      val c = e.filter(col("vec_id") >= 5)
-        .select(col("vec_id"), col("embedding").as("ce"),
-          norm("embedding").as("cn"), col("bucket"))
-      val scored = q.join(c, "bucket")
+      // persisted: scanned for bands and by both verify sides below
+      val e = QueryCaches.cache(emb(s, dir).withColumn("nrm", norm("embedding")))
+      val bands = e.select(col("vec_id"),
+        posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+      val cand = bands.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("band_idx"), col("band_val"))
+        .join(bands.filter(col("vec_id") >= 5), Seq("band_idx", "band_val"))
+        .select(col("query_id"), col("vec_id"))
+        .distinct() // OR-of-bands: multi-band agreement counts once
+      val scored = cand
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")), "query_id")
+        .join(e.select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn")), "vec_id")
         .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("sim").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w).cast("bigint"))
         .filter(col("rank") <= 2)
-        .select(col("query_id"), col("bucket"), col("rank"), col("vec_id"), col("sim"))
+        .select(col("query_id"), col("rank"), col("vec_id"), col("sim"))
         .orderBy("query_id", "rank")
     }),
 
@@ -204,21 +207,37 @@ object SimilarityQueries {
     }),
 
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
-    // found via bucket-blocked pairwise cosine ≥ 0.99.
+    // found via banded multi-bit LSH blocking (4 bands × 16 hyperplanes,
+    // candidate = ANY band match — OR-of-bands, the MinHash banding
+    // construction applied to hyperplane sign bits) then exact-cosine
+    // verify ≥ 0.99. The band (band_idx, band_val) pair is the blocking
+    // key: 4·2^16 key values instead of the previous single 8-bit
+    // bucket's 256 — in-bucket pair counts stay bounded as the corpus
+    // grows instead of O(n²/256). The candidate join runs on a SKINNY
+    // (vec_id, band_idx, band_val) table — embeddings do not ride the
+    // 4×-exploded shuffle; pairs are deduped first and the two verify
+    // joins pull vectors back by id from the cached corpus.
     "q_embedding_near_dup" -> ((s, dir) => {
       val base = emb(s, dir).select(col("vec_id"), col("embedding"))
       val copies = base.filter(col("vec_id") % 7 === 0)
         .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
       val corpus = base.unionByName(copies)
-        .withColumn("bucket", bucket("embedding"))
         .withColumn("nrm", norm("embedding"))
-        .transform(QueryCaches.cache(_)) // self-joined: avoid re-evaluating bucket+norm per branch
-      val a = corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-        col("nrm").as("na"), col("bucket"))
-      val b = corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-        col("nrm").as("nb"), col("bucket"))
-      a.join(b, "bucket")
-        .filter(col("id_a") < col("id_b"))
+        .transform(QueryCaches.cache(_)) // scanned 3×: bands + both verify sides
+      val bands = corpus.select(col("vec_id"),
+        posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+        .distinct() // OR-of-bands: a pair agreeing on several bands counts once
+      cand
+        .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+          col("nrm").as("na")), "id_a")
+        .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+          col("nrm").as("nb")), "id_b")
         .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
         .filter(col("sim") >= 0.99)
         .select("id_a", "id_b", "sim")
@@ -232,14 +251,6 @@ object SimilarityQueries {
   // cannot take correlated (lateral) arguments like len($a)
   private val dotSql: (String, String) => String = (a, b) =>
     s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) t(i))"
-
-  private def bucketSql(e: String): String =
-    s"""(SELECT CAST(sum(CASE WHEN (
-       |   SELECT sum(CASE WHEN ((j * 64 + d.i - 1) * 37) % 97 < 48 THEN 1.0 ELSE -1.0 END
-       |              * CAST($e[d.i] AS DOUBLE))
-       |   FROM generate_series(1, 64) d(i)) > 0
-       |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT)
-       | FROM generate_series(0, 7) jt(j))""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_ivf_centroids" ->
@@ -271,23 +282,38 @@ object SimilarityQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_lsh" ->
-      s"""WITH eb AS (
-         |  SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM embeddings
+      s"""WITH bands AS (
+         |  SELECT vec_id, jt.j AS band_idx,
+         |         (SELECT CAST(sum(CASE WHEN (
+         |            SELECT sum((CASE WHEN (((jt.j * 16 + kt.k) * 64 + d.i - 1) * 37) % 97 < 48
+         |                        THEN 1.0 ELSE -1.0 END)
+         |                       * CAST(embedding[d.i] AS DOUBLE))
+         |            FROM generate_series(1, 64) d(i)) > 0
+         |           THEN (CAST(1 AS BIGINT) << kt.k) ELSE 0 END) AS BIGINT)
+         |          FROM generate_series(0, 15) kt(k)) AS band_val
+         |  FROM embeddings, generate_series(0, 3) jt(j)
          |),
-         |q AS (SELECT vec_id AS query_id, embedding AS qe, bucket FROM eb WHERE vec_id < 5),
-         |c AS (SELECT vec_id, embedding AS ce, bucket FROM eb WHERE vec_id >= 5),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |  WHERE a.vec_id < 5 AND b.vec_id >= 5
+         |),
          |scored AS (
-         |  SELECT q.query_id, q.bucket, c.vec_id,
-         |         round(${dotSql("qe", "ce")} /
-         |               (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})), 4) AS sim
-         |  FROM q JOIN c ON q.bucket = c.bucket
+         |  SELECT c.query_id, c.vec_id,
+         |         round(${dotSql("q.embedding", "ca.embedding")} /
+         |               (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+         |                sqrt(${dotSql("ca.embedding", "ca.embedding")})), 4) AS sim
+         |  FROM cand c
+         |  JOIN embeddings q ON q.vec_id = c.query_id
+         |  JOIN embeddings ca ON ca.vec_id = c.vec_id
          |),
          |ranked AS (
-         |  SELECT query_id, bucket, vec_id, sim,
+         |  SELECT query_id, vec_id, sim,
          |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
          |  FROM scored
          |)
-         |SELECT query_id, bucket, rank, vec_id, sim FROM ranked
+         |SELECT query_id, rank, vec_id, sim FROM ranked
          |WHERE rank <= 2 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_ivf" ->
@@ -360,13 +386,31 @@ object SimilarityQueries {
          |  UNION ALL
          |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 7 = 0
          |),
-         |eb AS (SELECT vec_id, embedding, ${bucketSql("embedding")} AS bucket FROM corpus)
+         |bands AS (
+         |  SELECT vec_id, jt.j AS band_idx,
+         |         (SELECT CAST(sum(CASE WHEN (
+         |            SELECT sum((CASE WHEN (((jt.j * 16 + kt.k) * 64 + d.i - 1) * 37) % 97 < 48
+         |                        THEN 1.0 ELSE -1.0 END)
+         |                       * CAST(embedding[d.i] AS DOUBLE))
+         |            FROM generate_series(1, 64) d(i)) > 0
+         |           THEN (CAST(1 AS BIGINT) << kt.k) ELSE 0 END) AS BIGINT)
+         |          FROM generate_series(0, 15) kt(k)) AS band_val
+         |  FROM corpus, generate_series(0, 3) jt(j)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.vec_id < b.vec_id
+         |)
          |SELECT id_a, id_b, sim FROM (
-         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         |         round(${dotSql("a.embedding", "b.embedding")} /
-         |               (sqrt(${dotSql("a.embedding", "a.embedding")}) *
-         |                sqrt(${dotSql("b.embedding", "b.embedding")})), 4) AS sim
-         |  FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  SELECT c.id_a, c.id_b,
+         |         round(${dotSql("ea.embedding", "eb.embedding")} /
+         |               (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+         |                sqrt(${dotSql("eb.embedding", "eb.embedding")})), 4) AS sim
+         |  FROM cand c
+         |  JOIN corpus ea ON ea.vec_id = c.id_a
+         |  JOIN corpus eb ON eb.vec_id = c.id_b
          |)
          |WHERE sim >= 0.99 ORDER BY id_a, id_b""".stripMargin,
   )

@@ -185,6 +185,22 @@ object EventStreams {
     * (on a cluster you'd size it to peak state, set once per query at
     * first start; it is frozen into the checkpoint thereafter).
     */
+  /** State-partition count for graft's streaming queries
+    * (`spark.graft.stream.statePartitions`): the knob should track peak
+    * state cardinality, not CPU count — size it once per query at first
+    * start (it freezes into the checkpoint). Default 2: fixture-scale
+    * state is a few hundred keys, and every extra partition costs a
+    * store instance + commit per micro-batch (measured on the three
+    * heaviest stream queries: 8→2 partitions cut the stream-stream
+    * left join 4.75→3.32 s median-of-3 at sf0.1). On the same grid the
+    * RocksDB provider was uniformly slower than the default in-memory
+    * store at this state size (native column-family open/commit per
+    * batch dominates) — it pays off only when state outgrows the heap,
+    * so it stays an operator-set `--conf`, not a library default.
+    */
+  def statePartitions(s: SparkSession): Int =
+    s.conf.get("spark.graft.stream.statePartitions", "2").toInt
+
   def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
     val prev = s.conf.get(key)

@@ -127,6 +127,30 @@ class PipelineSpec extends SparkSpecBase {
     assert(zipCount == 48, s"expected 48 zips, got $zipCount")
   }
 
+  test("source stage: asciigrid DSv2 scan, columns pruned, region scope pushed to listing") {
+    val src = Pipeline.sourceFiles(spark, inputDir, srcRegion = Some("05"))
+    val plan = src.queryExecution.executedPlan
+    // column pruning: the scan emits only (path, text) — cell values are
+    // never tokenized for the clip path
+    assert(plan.output.map(_.name) == Seq("path", "text"), s"plan:\n$plan")
+    // the region-directory predicate reaches the DSv2 listing (pushed
+    // filter, no residual Spark-side Filter node)
+    val p = plan.toString
+    assert(p.contains("PushedFilters"), s"path scope should be pushed:\n$p")
+    assert(!p.contains("Filter "), s"no residual filter expected:\n$p")
+    assert(src.count() == 1, "only region 05's grid should be listed")
+  }
+
+  test("region-scoped run processes only that source directory") {
+    val out = s"$work/out-scoped"
+    val res = Pipeline.run(spark, inputDir, regionsDf, out,
+      updatedAt = "2026-01-01T00:00:00Z", srcRegion = Some("13"))
+    // 1 source file × 16 regions
+    assert(res.catalog.count() == 16)
+    assert(res.catalog.select("base_name").distinct().collect()
+      .map(_.getString(0)).toSeq == Seq("grid_00_NZ_norm_Mean_1991-2020_annual"))
+  }
+
   test("metadata json has the reference's nested shape") {
     val docPaths = Files.list(Paths.get(s"$work/out/zipped")).iterator()
     var checked = false

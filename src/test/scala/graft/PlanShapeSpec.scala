@@ -165,4 +165,22 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"fuzzy join must block on deletion keys, not compare all pairs:\n$p")
   }
+
+  test("q_url_canonical: codegen'd canonicalization, one hash shuffle on the canon key") {
+    val p = plan("q_url_canonical", graft.queries.DedupQueries.queries)
+    assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
+      s"canonicalization should be pure string expressions:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected one canon-key shuffle, got $shuffles:\n$p")
+  }
+
+  test("q_embedding_near_dup: banded LSH blocking — equi-join on band keys, never a product") {
+    val p = plan("q_embedding_near_dup", graft.queries.SimilarityQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must equi-join on (band_idx, band_val):\n$p")
+    // the 4×-exploded band table is skinny: the embedding column must not
+    // ride the candidate self-join — it is re-joined by id after dedup
+    assert(p.contains("vec_bands"), s"banded signature kernel expected:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
 }
