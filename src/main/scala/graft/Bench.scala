@@ -61,7 +61,15 @@ object Bench {
     // spread). A broken query must surface as an "err" entry, never as a
     // near-zero wall time flattering the total. Name-sorted so run order
     // (and which query absorbs residual warmup) is stable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional comma-separated subset for local iteration
+    // (SPARK_GRAFT_ONLY=q_a,q_b); full suite when unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val err =

@@ -400,11 +400,167 @@ object TextQueries {
             phoneRe, "[PHONE]").as("redacted"))
         .orderBy("o_orderkey")
     }),
+
+    // Corpus-level n-gram novelty: per doc, how many of its distinct
+    // 3-gram shingles occur in NO other document — the inverse of
+    // boilerplate coverage, the signal mixture curation uses to
+    // down-weight templated/syndicated content. Shape: one shingle
+    // explode (cached — consumed by the document-frequency aggregate
+    // AND the join back), a shingle-keyed df aggregate, an equi-join
+    // on the shingle, a doc-keyed aggregate: two hash shuffles keyed
+    // on shingle + one on doc_id, never a doc×doc product. The ratio
+    // is per-myriad integer division — exactly portable.
+    "q_ngram_novelty" -> ((s, dir) => {
+      val sh = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(Corpus.shingles("text")).as("shingle"))
+        .transform(QueryCaches.cache(_))
+      val df = sh.groupBy("shingle")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      sh.join(df, "shingle")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
+        .withColumn("novelty_pm", expr("n_unique * 10000 div n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // Mixture weighting: given per-source token counts and a target
+    // mixture (deterministic weights), derive each source's target
+    // share, its token allocation out of a half-corpus budget, and the
+    // per-source sampling rate that realizes it (capped at 1.0 — a
+    // source can't be oversampled without repetition). This is the
+    // planning step of training-data mixing; every ratio is per-myriad
+    // integer arithmetic so both engines agree to the digit. Shape:
+    // one narrow aggregate over sources + a 1-row totals cross join —
+    // the O(sources) tail of a 100 TB token-count scan.
+    "q_mix_weights" -> ((s, dir) => {
+      val per = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source")
+        .agg(sum(expr("size(split(text, ' '))")).cast("bigint").as("tokens"),
+          count(lit(1)).as("n_docs"))
+        .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
+      val totals = per.agg(sum("tokens").as("total_tokens"),
+        sum("weight").as("total_weight"))
+      per.crossJoin(totals)
+        .withColumn("share_pm", expr("weight * 10000 div total_weight"))
+        .withColumn("desired_tokens",
+          expr("(total_tokens div 2) * share_pm div 10000"))
+        .withColumn("rate_pm",
+          least(lit(10000L), expr("desired_tokens * 10000 div tokens")))
+        .select("source", "n_docs", "tokens", "weight", "share_pm",
+          "desired_tokens", "rate_pm")
+        .orderBy("source")
+    }),
+
+    // Mixture sampling: APPLY the q_mix_weights rates with a
+    // deterministic content-hash gate (md5 of the doc id, 4 hex digits
+    // mod 10⁴ against the per-myriad rate) — reproducible across runs,
+    // engines, and cluster sizes, which rand()-based sampling is not.
+    // The rate table is O(sources) and broadcast; the doc scan keeps
+    // one narrow projection and aggregates per source — one shuffle.
+    "q_mix_sample" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          expr("size(split(text, ' '))").cast("bigint").as("toks"))
+      val per = docs.groupBy("source").agg(sum("toks").as("tokens"))
+        .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
+      val totals = per.agg(sum("tokens").as("total_tokens"),
+        sum("weight").as("total_weight"))
+      val rates = per.crossJoin(totals)
+        .withColumn("share_pm", expr("weight * 10000 div total_weight"))
+        .withColumn("rate_pm", least(lit(10000L),
+          expr("(total_tokens div 2) * share_pm div 10000 * 10000 div tokens")))
+        .select("source", "rate_pm")
+      docs.join(broadcast(rates), "source")
+        .withColumn("h", expr(
+          "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000"))
+        .groupBy("source")
+        .agg(max(col("rate_pm")).as("rate_pm"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("h") < col("rate_pm"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("h") < col("rate_pm"), col("toks")).otherwise(0L)).as("kept_tokens"))
+        .orderBy("source")
+    }),
   )
 
   private val stopList = stopwords.map("'" + _ + "'").mkString(",")
 
   val oracles: Map[String, String] = Map(
+    "q_ngram_novelty" ->
+      s"""WITH sh AS (
+         |  SELECT doc_id, unnest(${Corpus.shinglesSql}) AS shingle FROM documents
+         |),
+         |df AS (
+         |  SELECT shingle, count(DISTINCT doc_id) AS df FROM sh GROUP BY shingle
+         |)
+         |SELECT s.doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_shingles,
+         |       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique,
+         |       CAST(sum(CASE WHEN df.df = 1 THEN 1 ELSE 0 END) * 10000
+         |            // count(*) AS BIGINT) AS novelty_pm
+         |FROM sh s JOIN df ON s.shingle = df.shingle
+         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+
+    "q_mix_weights" ->
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+        |         count(*) AS n_docs,
+        |         CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS weight
+        |  FROM documents GROUP BY source
+        |),
+        |tot AS (
+        |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+        |         CAST(sum(weight) AS BIGINT) AS total_weight
+        |  FROM per
+        |)
+        |SELECT source, n_docs, tokens, weight,
+        |       CAST(weight * 10000 // total_weight AS BIGINT) AS share_pm,
+        |       CAST((total_tokens // 2) * (weight * 10000 // total_weight)
+        |            // 10000 AS BIGINT) AS desired_tokens,
+        |       CAST(least(10000,
+        |            (total_tokens // 2) * (weight * 10000 // total_weight)
+        |            // 10000 * 10000 // tokens) AS BIGINT) AS rate_pm
+        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_mix_sample" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      def md5c(i: Int) = hv(s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)")
+      val h4 = s"((${md5c(1)} * 4096 + ${md5c(2)} * 256 + ${md5c(3)} * 16 + ${md5c(4)}) % 10000)"
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+         |  FROM documents
+         |),
+         |per AS (
+         |  SELECT source, CAST(sum(toks) AS BIGINT) AS tokens,
+         |         CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS weight
+         |  FROM docs GROUP BY source
+         |),
+         |tot AS (
+         |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+         |         CAST(sum(weight) AS BIGINT) AS total_weight
+         |  FROM per
+         |),
+         |rates AS (
+         |  SELECT source,
+         |         CAST(least(10000,
+         |              (total_tokens // 2) * (weight * 10000 // total_weight)
+         |              // 10000 * 10000 // tokens) AS BIGINT) AS rate_pm
+         |  FROM per CROSS JOIN tot
+         |)
+         |SELECT d.source, max(r.rate_pm) AS rate_pm,
+         |       count(*) AS n_docs,
+         |       CAST(sum(CASE WHEN $h4 < r.rate_pm THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN $h4 < r.rate_pm THEN toks ELSE 0 END) AS BIGINT) AS kept_tokens
+         |FROM docs d JOIN rates r ON d.source = r.source
+         |GROUP BY d.source ORDER BY d.source""".stripMargin
+    },
+
     "q_lang_id" ->
       s"""WITH feats AS (
          |  SELECT lang,

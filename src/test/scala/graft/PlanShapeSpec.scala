@@ -174,6 +174,25 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(shuffles <= 1, s"expected one canon-key shuffle, got $shuffles:\n$p")
   }
 
+  test("q_ngram_novelty: shingle-keyed df join, cached explode, never a doc product") {
+    val p = plan("q_ngram_novelty", graft.queries.TextQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"novelty must join docs to shingle frequencies, not compare docs pairwise:\n$p")
+    // the shingle explode is computed once and read from cache by both
+    // the df aggregate and the join-back side
+    assert("InMemoryTableScan".r.findAllIn(p).length >= 2,
+      s"shingle stream should be cached and reused:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_mix_sample: O(sources) rate table broadcast, one doc-scan aggregation") {
+    val p = plan("q_mix_sample", graft.queries.TextQueries.queries)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the rate table must broadcast to the doc scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"docs must not shuffle to meet the tiny rate side:\n$p")
+  }
+
   test("q_embedding_near_dup: banded LSH blocking — equi-join on band keys, never a product") {
     val p = plan("q_embedding_near_dup", graft.queries.SimilarityQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
