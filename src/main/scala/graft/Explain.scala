@@ -20,7 +20,10 @@ object Explain {
         "q_sample_per_group", "q_curation_pipeline", "q_zorder_key",
         "q_upsert", "q_approx_distinct_kmv", "q_heavy_hitters",
         "q_pack_sequences", "q_dedup_bloom", "q_contamination",
-        "q_partitioned_source", "q_ivf_centroids")
+        "q_partitioned_source", "q_ivf_centroids",
+        "q_embedding_near_dup", "q_fuzzy_join", "q_url_canonical",
+        "q_ngram_novelty", "q_mix_sample", "q_length_filter",
+        "q_semantic_cluster", "q_bucketed_join")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -40,6 +40,43 @@ object SimilarityQueries {
 
   private def norm(a: String): Column = sqrt(dot(a, a))
 
+  /** Near-dup corpus: the embeddings plus exact copies injected for
+    * vec_id % 7 == 0 (like Corpus.withDuplicates), each row carrying
+    * its precomputed norm. Callers cache it — it is scanned by the
+    * band explode AND both verify sides.
+    */
+  private def dupCorpus(s: SparkSession, dir: String): DataFrame = {
+    val base = emb(s, dir).select(col("vec_id"), col("embedding"))
+    val copies = base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
+    base.unionByName(copies).withColumn("nrm", norm("embedding"))
+  }
+
+  /** Verified near-duplicate pairs over a (vec_id, embedding, nrm)
+    * corpus: banded-LSH candidates (skinny exploded key table,
+    * equi-join on the (band_idx, band_val) pair, OR-of-bands dedup)
+    * re-joined to the corpus by id for the exact-cosine ≥ 0.99 verify.
+    * Returns (id_a, id_b, sim) with id_a < id_b.
+    */
+  private def nearDupPairs(corpus: DataFrame): DataFrame = {
+    val bands = corpus.select(col("vec_id"),
+      posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct() // OR-of-bands: a pair agreeing on several bands counts once
+    cand
+      .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
+        col("nrm").as("na")), "id_a")
+      .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
+        col("nrm").as("nb")), "id_b")
+      .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
+      .filter(col("sim") >= 0.99)
+  }
+
   /** The fixture is a single row group → a single scan partition, so
     * the dot/bucket kernels downstream would run on one core. A
     * round-robin redistribute after the skinny scan spreads the
@@ -218,30 +255,39 @@ object SimilarityQueries {
     // 4×-exploded shuffle; pairs are deduped first and the two verify
     // joins pull vectors back by id from the cached corpus.
     "q_embedding_near_dup" -> ((s, dir) => {
-      val base = emb(s, dir).select(col("vec_id"), col("embedding"))
-      val copies = base.filter(col("vec_id") % 7 === 0)
-        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"))
-      val corpus = base.unionByName(copies)
-        .withColumn("nrm", norm("embedding"))
-        .transform(QueryCaches.cache(_)) // scanned 3×: bands + both verify sides
-      val bands = corpus.select(col("vec_id"),
-        posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-        .distinct() // OR-of-bands: a pair agreeing on several bands counts once
-      cand
-        .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
-          col("nrm").as("na")), "id_a")
-        .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("eb"),
-          col("nrm").as("nb")), "id_b")
-        .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
-        .filter(col("sim") >= 0.99)
+      val corpus = QueryCaches.cache(dupCorpus(s, dir))
+      nearDupPairs(corpus)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
+    }),
+
+    // Semantic dedup clustering: the near-dup pair graph (banded-LSH
+    // candidates, exact-cosine ≥ 0.99 verified) closed into survivor
+    // groups by iterative min-label propagation — the same
+    // large-star/small-star shape as q_dedup_cluster, here over
+    // EMBEDDING similarity edges instead of content-hash edges. Each
+    // iteration is one shuffle-join round; no driver-side graph state.
+    // The oracle closes the same edge set with a recursive CTE, so any
+    // component shape the pairs form is checked, not just matchings.
+    "q_semantic_cluster" -> ((s, dir) => {
+      val corpus = QueryCaches.cache(dupCorpus(s, dir))
+      val pairs = nearDupPairs(corpus).select("id_a", "id_b")
+      val nodes = corpus.select(col("vec_id").as("id"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      var labels = nodes.select(col("id"), col("id").as("label"))
+      for (_ <- 1 to 3) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min(col("nbr_label")).as("min_nbr"))
+        labels = labels.join(nbrMin, Seq("id"), "left_outer")
+          .select(col("id"),
+            least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
+      }
+      labels.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
+        .orderBy("cluster_id")
     }),
   )
 
@@ -379,6 +425,54 @@ object SimilarityQueries {
          |       CAST(sum(CASE WHEN abs(qv) >= 100 THEN 1 ELSE 0 END) AS BIGINT) AS n_large,
          |       CAST(sum(CASE WHEN qv = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
          |FROM q GROUP BY vec_id, maxabs ORDER BY vec_id""".stripMargin,
+
+    "q_semantic_cluster" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 7 = 0
+         |),
+         |bands AS (
+         |  SELECT vec_id, jt.j AS band_idx,
+         |         (SELECT CAST(sum(CASE WHEN (
+         |            SELECT sum((CASE WHEN (((jt.j * 16 + kt.k) * 64 + d.i - 1) * 37) % 97 < 48
+         |                        THEN 1.0 ELSE -1.0 END)
+         |                       * CAST(embedding[d.i] AS DOUBLE))
+         |            FROM generate_series(1, 64) d(i)) > 0
+         |           THEN (CAST(1 AS BIGINT) << kt.k) ELSE 0 END) AS BIGINT)
+         |          FROM generate_series(0, 15) kt(k)) AS band_val
+         |  FROM corpus, generate_series(0, 3) jt(j)
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.vec_id < b.vec_id
+         |),
+         |pairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |           round(${dotSql("ea.embedding", "eb.embedding")} /
+         |                 (sqrt(${dotSql("ea.embedding", "ea.embedding")}) *
+         |                  sqrt(${dotSql("eb.embedding", "eb.embedding")})), 4) AS sim
+         |    FROM cand c
+         |    JOIN corpus ea ON ea.vec_id = c.id_a
+         |    JOIN corpus eb ON eb.vec_id = c.id_b
+         |  ) WHERE sim >= 0.99
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |reach(id, label) AS (
+         |  SELECT vec_id, vec_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+         |),
+         |comp AS (SELECT id, min(label) AS cluster_id FROM reach GROUP BY id)
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members, max(id) AS max_id
+         |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
 
     "q_embedding_near_dup" ->
       s"""WITH corpus AS (

@@ -452,6 +452,32 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // IQR length gate: per language, keep documents whose token count
+    // lies within [P25, P75] — the outlier-trimming curation step
+    // (truncated docs and boilerplate walls both live in the tails).
+    // Quantiles are EXACT interpolated percentiles at dyadic
+    // probabilities (0.25/0.75 → the rank fraction h = (n−1)·p and the
+    // interpolation weight are exact binary fractions over integer
+    // token counts, so Spark's percentile() and DuckDB's
+    // quantile_cont() agree to the bit — 0.1/0.9 would not). The
+    // per-lang quantile table is O(langs) and broadcast back.
+    "q_length_filter" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"),
+          expr("size(split(text, ' '))").cast("bigint").as("toks"))
+      val qs = docs.groupBy("lang").agg(
+        expr("percentile(toks, 0.25)").as("p25"),
+        expr("percentile(toks, 0.75)").as("p75"))
+      docs.join(broadcast(qs), "lang")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("toks") >= col("p25") && col("toks") <= col("p75"), 1L)
+            .otherwise(0L)).as("n_kept"),
+          round(max(col("p25")), 4).as("p25"),
+          round(max(col("p75")), 4).as("p75"))
+        .orderBy("lang")
+    }),
+
     // Mixture sampling: APPLY the q_mix_weights rates with a
     // deterministic content-hash gate (md5 of the doc id, 4 hex digits
     // mod 10⁴ against the per-myriad rate) — reproducible across runs,
@@ -522,6 +548,25 @@ object TextQueries {
         |            (total_tokens // 2) * (weight * 10000 // total_weight)
         |            // 10000 * 10000 // tokens) AS BIGINT) AS rate_pm
         |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+
+    "q_length_filter" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |),
+        |qs AS (
+        |  SELECT lang, quantile_cont(toks, 0.25) AS p25,
+        |         quantile_cont(toks, 0.75) AS p75
+        |  FROM docs GROUP BY lang
+        |)
+        |SELECT d.lang, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN toks >= q.p25 AND toks <= q.p75
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       round(max(q.p25), 4) AS p25,
+        |       round(max(q.p75), 4) AS p75
+        |FROM docs d JOIN qs q ON d.lang = q.lang
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
 
     "q_mix_sample" -> {
       val hv: String => String = c =>
