@@ -271,7 +271,10 @@ object SimilarityQueries {
     // component shape the pairs form is checked, not just matchings.
     "q_semantic_cluster" -> ((s, dir) => {
       val corpus = QueryCaches.cache(dupCorpus(s, dir))
-      val pairs = nearDupPairs(corpus).select("id_a", "id_b")
+      // cached: the final label lineage references the edge set once per
+      // propagation round — uncached, every round would re-run the whole
+      // banded candidate generation + cosine verify
+      val pairs = QueryCaches.cache(nearDupPairs(corpus).select("id_a", "id_b"))
       val nodes = corpus.select(col("vec_id").as("id"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
