@@ -104,6 +104,36 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_bands: SQL-available, codegen'd, kernel-equal, extends vec_bucket") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id", "vec_bands(embedding) AS bands",
+        "vec_bucket(embedding) AS b")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"should codegen:\n$plan")
+    assert(plan.contains("vec_bands"), s"plan:\n$plan")
+    val rows = df.orderBy("vec_id").limit(5).collect()
+    val raw = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .orderBy("vec_id").limit(5).collect()
+    rows.zip(raw).foreach { case (r, o) =>
+      val e = o.getAs[collection.Seq[Float]]("embedding")
+      val bands = r.getAs[collection.Seq[Long]]("bands")
+      assert(bands.length == 4)
+      // reference computation: hyperplane h's sign bit lands in band
+      // h/16 at bit h%16
+      val expected = Array.fill(4)(0L)
+      for (h <- 0 until 64) {
+        var s = 0.0
+        for (d <- 0 until 64)
+          s += (if (((h * 64 + d) * 37) % 97 < 48) 1.0 else -1.0) * e(d).toDouble
+        if (s > 0) expected(h >> 4) |= (1L << (h & 15))
+      }
+      assert(bands == expected.toSeq)
+      // the first 8 hyperplanes are the same weight family vec_bucket
+      // uses, so band 0's low byte must equal the 8-bit bucket
+      assert((bands(0) & 0xffL) == r.getAs[Long]("b"))
+    }
+  }
+
   test("vec_dot rejects non-float-array inputs at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT vec_dot(array(1, 2), array(3, 4))").head()
