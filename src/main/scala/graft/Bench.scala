@@ -81,7 +81,10 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, err)
       }
       val times = runs.map(_._1).sorted
-      (name, times(times.size / 2), times.head, times.last, runs.flatMap(_._2).headOption)
+      val median =
+        if (times.size % 2 == 1) times(times.size / 2)
+        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+      (name, median, times.head, times.last, runs.flatMap(_._2).headOption)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -114,7 +117,11 @@ object Bench {
     // Full per-query detail → file (too large for the driver's tail capture):
     // medians as the canonical "queries" map (what the next round reads back
     // as `prev`), plus per-query min/max and the regression/improvement maps.
-    val detailPath = new java.io.File("BENCH_DETAIL.json").getAbsolutePath
+    // a SPARK_GRAFT_ONLY subset run must NOT overwrite the full-suite
+    // detail file — it is the committed cross-round regression base
+    val detailName =
+      if (only.isDefined) "BENCH_DETAIL_SUBSET.json" else "BENCH_DETAIL.json"
+    val detailPath = new java.io.File(detailName).getAbsolutePath
     val minmax = results
       .map { case (k, _, mn, mx, _) =>
         s""""$k":[${"%.6f".format(mn)},${"%.6f".format(mx)}]""" }

@@ -60,7 +60,16 @@ object Pipeline {
       srcRegion: Option[String] = None): DataFrame = {
     val scan = spark.read.format("asciigrid").load(inputDir)
     val scoped = srcRegion match {
-      case Some(code) => scan.filter(col("path").contains(s"/$code/"))
+      case Some(code) =>
+        // two predicates, one job each: the contains() is a pushable
+        // string filter the DSv2 source applies at FILE LISTING time
+        // (directories outside the code never open); the parent-dir
+        // equality is the exact scope — it screens out the pathological
+        // case where inputDir itself contains a segment equal to a
+        // region code (contains alone would then match every file).
+        // Scheme-prefix-agnostic, unlike anchoring on inputDir.
+        scan.filter(col("path").contains(s"/$code/") &&
+          element_at(split(col("path"), "/"), -2) === code)
       case None => scan
     }
     scoped.select(col("path"), col("text"))

@@ -371,17 +371,8 @@ object DedupQueries {
         .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
       val edges = fwd.unionByName(
         fwd.select(col("dst").as("src"), col("src").as("dst")))
-      var labels = nodes.select(col("id"), col("id").as("label"))
-      for (_ <- 1 to 3) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("nbr_label")).as("min_nbr"))
-        labels = labels.join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-      }
-      labels.groupBy(col("label").as("cluster_id"))
+      GraphOps.minLabelPropagate(nodes, edges, rounds = 3)
+        .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
           max(col("id")).as("max_id"))
         .orderBy("cluster_id")

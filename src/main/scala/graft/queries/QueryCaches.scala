@@ -54,7 +54,10 @@ object QueryCaches {
       catch { case _: Throwable => () }
     }
     liveBroadcasts.clear()
-    deferred.foreach { f =>
+    // LIFO: nested/repeated defers for the same conf key must unwind in
+    // reverse registration order, or the earliest (pre-change) value is
+    // overwritten by a later hook that captured the already-changed value
+    deferred.reverseIterator.foreach { f =>
       try f()
       catch { case _: Throwable => () }
     }

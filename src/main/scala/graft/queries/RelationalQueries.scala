@@ -631,11 +631,18 @@ object RelationalQueries {
     // the bucketing at oracle scale).
     "q_bucketed_join" -> ((s, dir) => {
       // Bucketed tables are the pattern's whole point: the layout is the
-      // shuffle, PAID ONCE at write time. Write them once per
-      // (session, sfDir) — the catalog entry is session-scoped, so the key
-      // must be too — and let every later invocation (median-of-N bench
-      // passes, spec + Verify sharing a JVM) scan the existing layout.
-      SideStores.ensure(s"bkt:${System.identityHashCode(s)}:$dir") {
+      // shuffle, PAID ONCE at write time. The session's own catalog is the
+      // write-once guard (entries are session-scoped and die with it —
+      // an identity-hash key could collide across GC'd sessions): write
+      // only when either table is absent, and let every later invocation
+      // (median-of-N bench passes, spec + Verify sharing a JVM) scan the
+      // existing layout.
+      // dir guard: same session, different sfDir must rewrite — the
+      // catalog entry alone can't tell whose data the layout holds
+      val writtenDirKey = "spark.graft.bkt.writtenDir"
+      if (!s.catalog.tableExists("graft_bkt_customer") ||
+          !s.catalog.tableExists("graft_bkt_orders") ||
+          !s.conf.getOption(writtenDirKey).contains(dir)) {
         // saveAsTable CREATEs when the table is absent from the (in-memory)
         // catalog — and fails on a stale warehouse dir left by a previous
         // JVM, which mode("overwrite") does NOT clear. Drop both layers.
@@ -662,6 +669,7 @@ object RelationalQueries {
           .write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable("graft_bkt_orders")
+        s.conf.set(writtenDirKey, dir)
       }
       // With exactly one file per bucket (guaranteed by the aligned
       // repartition above) the scan can report its sortBy order, letting

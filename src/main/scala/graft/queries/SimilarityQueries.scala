@@ -59,8 +59,10 @@ object SimilarityQueries {
     * Returns (id_a, id_b, sim) with id_a < id_b.
     */
   private def nearDupPairs(corpus: DataFrame): DataFrame = {
-    val bands = corpus.select(col("vec_id"),
-      posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+    // cached: both sides of the candidate self-join read it — uncached,
+    // the 64-hyperplane kernel (4096 mul-adds/row) would run twice
+    val bands = QueryCaches.cache(corpus.select(col("vec_id"),
+      posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val"))))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -125,8 +127,9 @@ object SimilarityQueries {
     "q_ann_lsh" -> ((s, dir) => {
       // persisted: scanned for bands and by both verify sides below
       val e = QueryCaches.cache(emb(s, dir).withColumn("nrm", norm("embedding")))
-      val bands = e.select(col("vec_id"),
-        posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+      // bands cached too: query and candidate branches both read it
+      val bands = QueryCaches.cache(e.select(col("vec_id"),
+        posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val"))))
       val cand = bands.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("band_idx"), col("band_val"))
         .join(bands.filter(col("vec_id") >= 5), Seq("band_idx", "band_val"))
@@ -278,17 +281,8 @@ object SimilarityQueries {
       val nodes = corpus.select(col("vec_id").as("id"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      var labels = nodes.select(col("id"), col("id").as("label"))
-      for (_ <- 1 to 3) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("dst"), col("label").as("nbr_label")), "dst")
-          .groupBy(col("src").as("id"))
-          .agg(min(col("nbr_label")).as("min_nbr"))
-        labels = labels.join(nbrMin, Seq("id"), "left_outer")
-          .select(col("id"),
-            least(col("label"), coalesce(col("min_nbr"), col("label"))).as("label"))
-      }
-      labels.groupBy(col("label").as("cluster_id"))
+      GraphOps.minLabelPropagate(nodes, edges, rounds = 3)
+        .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
         .orderBy("cluster_id")
     }),

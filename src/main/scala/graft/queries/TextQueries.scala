@@ -68,6 +68,28 @@ object TextQueries {
       fp.foldLeft(0L)((acc, h) => (acc + h) % 1000000007L))
   }
 
+  /** Per-source mixture plan (shared by q_mix_weights and
+    * q_mix_sample): token counts, deterministic target weight, target
+    * share, half-corpus token allocation, and the capped per-myriad
+    * sampling rate realizing it — all integer-exact. One narrow
+    * aggregate + a 1-row totals cross join; O(sources) output.
+    */
+  private def mixRates(s: SparkSession, dir: String): DataFrame = {
+    val per = s.read.parquet(s"$dir/documents.parquet")
+      .groupBy("source")
+      .agg(sum(expr("size(split(text, ' '))")).cast("bigint").as("tokens"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
+    val totals = per.agg(sum("tokens").as("total_tokens"),
+      sum("weight").as("total_weight"))
+    per.crossJoin(totals)
+      .withColumn("share_pm", expr("weight * 10000 div total_weight"))
+      .withColumn("desired_tokens",
+        expr("(total_tokens div 2) * share_pm div 10000"))
+      .withColumn("rate_pm",
+        least(lit(10000L), expr("desired_tokens * 10000 div tokens")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Language-ID heuristic: English-marker token density.
@@ -432,25 +454,14 @@ object TextQueries {
     // planning step of training-data mixing; every ratio is per-myriad
     // integer arithmetic so both engines agree to the digit. Shape:
     // one narrow aggregate over sources + a 1-row totals cross join —
-    // the O(sources) tail of a 100 TB token-count scan.
-    "q_mix_weights" -> ((s, dir) => {
-      val per = s.read.parquet(s"$dir/documents.parquet")
-        .groupBy("source")
-        .agg(sum(expr("size(split(text, ' '))")).cast("bigint").as("tokens"),
-          count(lit(1)).as("n_docs"))
-        .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
-      val totals = per.agg(sum("tokens").as("total_tokens"),
-        sum("weight").as("total_weight"))
-      per.crossJoin(totals)
-        .withColumn("share_pm", expr("weight * 10000 div total_weight"))
-        .withColumn("desired_tokens",
-          expr("(total_tokens div 2) * share_pm div 10000"))
-        .withColumn("rate_pm",
-          least(lit(10000L), expr("desired_tokens * 10000 div tokens")))
+    // the O(sources) tail of a 100 TB token-count scan. The derivation
+    // lives in [[mixRates]], shared with q_mix_sample so the planning
+    // and application queries can never describe different mixtures.
+    "q_mix_weights" -> ((s, dir) =>
+      mixRates(s, dir)
         .select("source", "n_docs", "tokens", "weight", "share_pm",
           "desired_tokens", "rate_pm")
-        .orderBy("source")
-    }),
+        .orderBy("source")),
 
     // IQR length gate: per language, keep documents whose token count
     // lies within [P25, P75] — the outlier-trimming curation step
@@ -488,15 +499,7 @@ object TextQueries {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
           expr("size(split(text, ' '))").cast("bigint").as("toks"))
-      val per = docs.groupBy("source").agg(sum("toks").as("tokens"))
-        .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
-      val totals = per.agg(sum("tokens").as("total_tokens"),
-        sum("weight").as("total_weight"))
-      val rates = per.crossJoin(totals)
-        .withColumn("share_pm", expr("weight * 10000 div total_weight"))
-        .withColumn("rate_pm", least(lit(10000L),
-          expr("(total_tokens div 2) * share_pm div 10000 * 10000 div tokens")))
-        .select("source", "rate_pm")
+      val rates = mixRates(s, dir).select("source", "rate_pm")
       docs.join(broadcast(rates), "source")
         .withColumn("h", expr(
           "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000"))
@@ -510,6 +513,36 @@ object TextQueries {
   )
 
   private val stopList = stopwords.map("'" + _ + "'").mkString(",")
+
+  /** DuckDB counterpart of [[mixRates]] as shared CTE text (`per`,
+    * `tot`, `rates`) — both mixture oracles compose over it, so the
+    * planning and application SQL can never drift apart either. NOTE:
+    * pre-stripped margins; keep `//` operators mid-line (stripMargin
+    * pipe-eating trap, see Manifest.scala).
+    */
+  private val mixRatesSqlCtes: String =
+    """per AS (
+      |  SELECT source,
+      |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
+      |         count(*) AS n_docs,
+      |         CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS weight
+      |  FROM documents GROUP BY source
+      |),
+      |tot AS (
+      |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
+      |         CAST(sum(weight) AS BIGINT) AS total_weight
+      |  FROM per
+      |),
+      |rates AS (
+      |  SELECT source, n_docs, tokens, weight,
+      |         CAST(weight * 10000 // total_weight AS BIGINT) AS share_pm,
+      |         CAST((total_tokens // 2) * (weight * 10000 // total_weight)
+      |              // 10000 AS BIGINT) AS desired_tokens,
+      |         CAST(least(10000,
+      |              (total_tokens // 2) * (weight * 10000 // total_weight)
+      |              // 10000 * 10000 // tokens) AS BIGINT) AS rate_pm
+      |  FROM per CROSS JOIN tot
+      |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "q_ngram_novelty" ->
@@ -528,26 +561,9 @@ object TextQueries {
          |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
 
     "q_mix_weights" ->
-      """WITH per AS (
-        |  SELECT source,
-        |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS tokens,
-        |         count(*) AS n_docs,
-        |         CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS weight
-        |  FROM documents GROUP BY source
-        |),
-        |tot AS (
-        |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
-        |         CAST(sum(weight) AS BIGINT) AS total_weight
-        |  FROM per
-        |)
-        |SELECT source, n_docs, tokens, weight,
-        |       CAST(weight * 10000 // total_weight AS BIGINT) AS share_pm,
-        |       CAST((total_tokens // 2) * (weight * 10000 // total_weight)
-        |            // 10000 AS BIGINT) AS desired_tokens,
-        |       CAST(least(10000,
-        |            (total_tokens // 2) * (weight * 10000 // total_weight)
-        |            // 10000 * 10000 // tokens) AS BIGINT) AS rate_pm
-        |FROM per CROSS JOIN tot ORDER BY source""".stripMargin,
+      s"""WITH $mixRatesSqlCtes
+         |SELECT source, n_docs, tokens, weight, share_pm, desired_tokens, rate_pm
+         |FROM rates ORDER BY source""".stripMargin,
 
     "q_length_filter" ->
       """WITH docs AS (
@@ -576,27 +592,11 @@ object TextQueries {
           s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
       def md5c(i: Int) = hv(s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)")
       val h4 = s"((${md5c(1)} * 4096 + ${md5c(2)} * 256 + ${md5c(3)} * 16 + ${md5c(4)}) % 10000)"
-      s"""WITH docs AS (
+      s"""WITH $mixRatesSqlCtes,
+         |docs AS (
          |  SELECT doc_id, source,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
          |  FROM documents
-         |),
-         |per AS (
-         |  SELECT source, CAST(sum(toks) AS BIGINT) AS tokens,
-         |         CAST(substring(source, 4) AS BIGINT) % 3 + 1 AS weight
-         |  FROM docs GROUP BY source
-         |),
-         |tot AS (
-         |  SELECT CAST(sum(tokens) AS BIGINT) AS total_tokens,
-         |         CAST(sum(weight) AS BIGINT) AS total_weight
-         |  FROM per
-         |),
-         |rates AS (
-         |  SELECT source,
-         |         CAST(least(10000,
-         |              (total_tokens // 2) * (weight * 10000 // total_weight)
-         |              // 10000 * 10000 // tokens) AS BIGINT) AS rate_pm
-         |  FROM per CROSS JOIN tot
          |)
          |SELECT d.source, max(r.rate_pm) AS rate_pm,
          |       count(*) AS n_docs,

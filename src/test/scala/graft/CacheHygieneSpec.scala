@@ -28,6 +28,17 @@ class CacheHygieneSpec extends SparkSpecBase {
       s"persistent RDDs leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
   }
 
+  test("deferred cleanup hooks unwind in LIFO order") {
+    // nested conf-restore hooks for the same key must replay newest-first,
+    // or the earliest (pre-change) value gets overwritten by a later hook
+    // that captured the already-changed value
+    val order = scala.collection.mutable.Buffer.empty[Int]
+    QueryCaches.defer(() => order += 1)
+    QueryCaches.defer(() => order += 2)
+    QueryCaches.releaseAll(spark)
+    assert(order.toSeq == Seq(2, 1))
+  }
+
   test("Pipeline.run leaves no persistent RDDs behind") {
     QueryCaches.releaseAll(spark)
     val before = persistentCount
