@@ -1,0 +1,61 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalacheck.{Gen, Prop, Properties, Test}
+
+import graft.queries.GraphOps
+
+/** Property test for the shared connected-components helper: on random
+  * small graphs, min-label propagation run for (n−1) rounds — an upper
+  * bound on any component's diameter — must agree exactly with a serial
+  * union-find reference. This is the guard both clustering queries
+  * (content-hash and embedding-similarity) lean on.
+  */
+object GraphOpsProps extends Properties("graphops") {
+
+  // each case runs real Spark jobs (rounds × joins): keep the sample small
+  override def overrideParameters(p: Test.Parameters): Test.Parameters =
+    p.withMinSuccessfulTests(8)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val graphGen: Gen[(Int, List[(Int, Int)])] = for {
+    n <- Gen.chooseNum(1, 10)
+    m <- Gen.chooseNum(0, 15)
+    edges <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0, n - 1)
+      b <- Gen.chooseNum(0, n - 1)
+    } yield (a, b))
+  } yield (n, edges.filter(e => e._1 != e._2))
+
+  property("labelPropagationEqualsUnionFind") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      val s = spark
+      import s.implicits._
+      s.sparkContext.setLogLevel("ERROR")
+      val nodes = (0 until n).map(_.toLong).toDF("id")
+      val undirected = edges.flatMap { case (a, b) =>
+        Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+      val edgesDf =
+        if (undirected.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+        else undirected.toDF("src", "dst")
+      val got = GraphOps.minLabelPropagate(nodes, edgesDf, rounds = math.max(1, n - 1))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int =
+        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+      val expected: Map[Long, Long] = (0 until n).groupBy(find)
+        .flatMap { case (_, members) =>
+          val mn = members.min.toLong
+          members.map(_.toLong -> mn)
+        }
+      got == expected
+    }
+}
