@@ -16,7 +16,9 @@ object Bench {
     "q_tfidf", "q_heavy_hitters", "q_lang_ngram",
     "q_raster_stats", "q_clip_raster", "q_spatial_join", "q_reproject_4326",
     "q_stream_tumbling", "q_stream_stream_join", "q_stream_session",
-    "q_feature_source", "q_partitioned_source", "q_product_catalog")
+    "q_feature_source", "q_partitioned_source", "q_product_catalog",
+    "q_embedding_near_dup", "q_url_canonical", "q_ngram_novelty",
+    "q_mix_sample", "q_semantic_cluster", "q_fuzzy_join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

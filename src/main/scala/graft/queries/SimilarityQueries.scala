@@ -246,6 +246,40 @@ object SimilarityQueries {
         .orderBy("cell", "dim")
     }),
 
+    // Incremental IVF maintenance: the index's coarse quantizer kept
+    // fresh as new vectors arrive WITHOUT recomputing from scratch —
+    // per cell, merge the stored (Σ, n) of the base corpus with the
+    // (Σ, n) of the new batch (vec_id % 5 == 0 plays the arriving
+    // crawl) and re-derive centroids from the merged moments. The
+    // full-outer join covers cells that exist on only one side. The
+    // ORACLE is the full recompute over base ∪ batch — the equality
+    // "incremental moments == batch rebuild" is exactly the index-
+    // maintenance invariant a 100 TB vector store relies on (round(4)
+    // absorbs the summation-order ulps of Σ_base + Σ_batch vs Σ_all).
+    "q_ivf_update" -> ((s, dir) => {
+      val vecsum = udaf(graft.functions.VecSumAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      val e = emb(s, dir)
+      val base = e.filter(col("vec_id") % 5 =!= 0)
+        .groupBy(col("label").cast("bigint").as("cell"))
+        .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n"))
+      val batch = e.filter(col("vec_id") % 5 === 0)
+        .groupBy(col("label").cast("bigint").as("cell"))
+        .agg(vecsum(col("embedding")).as("bsums"), count(lit(1)).as("bn"))
+      val zeros = "transform(sequence(1, 64), x -> CAST(0.0 AS DOUBLE))"
+      base.join(batch, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("bn"), lit(0L))).as("n_members"),
+          expr(s"zip_with(coalesce(sums, $zeros), coalesce(bsums, $zeros), (a, b) -> a + b)")
+            .as("merged"))
+        .select(col("cell"), col("n_members"),
+          posexplode(col("merged")).as(Seq("d", "sum_d")))
+        .select(col("cell"), col("n_members"),
+          (col("d") + 1).cast("bigint").as("dim"),
+          round(col("sum_d") / col("n_members"), 4).as("centroid"))
+        .orderBy("cell", "dim")
+    }),
+
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
     // found via banded multi-bit LSH blocking (4 bands × 16 hyperplanes,
     // candidate = ANY band match — OR-of-bands, the MinHash banding
@@ -295,17 +329,24 @@ object SimilarityQueries {
   private val dotSql: (String, String) => String = (a, b) =>
     s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) t(i))"
 
+  /** Full centroid recompute over all vectors — the oracle for BOTH
+    * q_ivf_centroids (direct) and q_ivf_update (the incremental-moments
+    * result must equal a from-scratch rebuild).
+    */
+  private val ivfFullRecomputeSql: String =
+    """WITH ex AS (
+      |  SELECT CAST(label AS BIGINT) AS cell, t.i AS dim,
+      |         CAST(embedding[t.i] AS DOUBLE) AS x
+      |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
+      |)
+      |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
+      |       CAST(dim AS BIGINT) AS dim,
+      |       round(sum(x) / count(*), 4) AS centroid
+      |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
+
   val oracles: Map[String, String] = Map(
-    "q_ivf_centroids" ->
-      """WITH ex AS (
-        |  SELECT CAST(label AS BIGINT) AS cell, t.i AS dim,
-        |         CAST(embedding[t.i] AS DOUBLE) AS x
-        |  FROM embeddings, unnest(generate_series(1, len(embedding))) AS t(i)
-        |)
-        |SELECT cell, CAST(count(*) AS BIGINT) AS n_members,
-        |       CAST(dim AS BIGINT) AS dim,
-        |       round(sum(x) / count(*), 4) AS centroid
-        |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin,
+    "q_ivf_centroids" -> ivfFullRecomputeSql,
+    "q_ivf_update" -> ivfFullRecomputeSql,
 
     "q_ann_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
