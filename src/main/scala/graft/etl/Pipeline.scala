@@ -30,7 +30,8 @@ import graft.sinks.ZipSink
 object Pipeline {
 
   /** Regions dimension schema: code, name, raw_title, wkt (NZTM). */
-  final case class Result(catalog: DataFrame)
+  final case class Result(catalog: DataFrame,
+      metrics: Map[String, Any] = Map.empty)
 
   private val clipUdf = udf { (text: String, wkt: String) =>
     val clipped = RasterOps.clip(AsciiGrid.parse(text), Jts.parseWkt(wkt))
@@ -53,8 +54,8 @@ object Pipeline {
     * The scope is expressed as a `path` predicate so the DSv2 pushdown
     * applies it at FILE LISTING time: a run scoped to one region-code
     * directory of a 100 TB tree opens only that directory's files
-    * (PushedFilters in the scan, no Spark-side Filter node —
-    * PipelineSpec pins this).
+    * (PushedFilters in the scan — PipelineSpec pins this; an exact
+    * parent-dir check stays as a cheap residual filter).
     */
   def sourceFiles(spark: SparkSession, inputDir: String,
       srcRegion: Option[String] = None): DataFrame = {
@@ -158,13 +159,26 @@ object Pipeline {
         region = col("region_title"),
         updatedAt = lit(updatedAt)))
 
+    // SNK-7 counterpart at scale: data-quality counters ride the
+    // existing materialization via observe() — an AccumulatorV2 under
+    // the hood, aggregated DURING the first action over the cached
+    // plan, zero extra passes (a separate count()/agg() would re-scan).
+    // The run's log line and Result.metrics both come from here.
+    val obs = org.apache.spark.sql.Observation(
+      s"graft-pipeline-${java.util.UUID.randomUUID()}")
+    val observed = withDocs.observe(obs,
+      count(lit(1)).as("n_products"),
+      sum(when(col("cl._4") > 0, 1L).otherwise(0L)).as("n_nonempty_clips"),
+      approx_count_distinct(col("base_name")).as("n_source_files"),
+      approx_count_distinct(col("region_code")).as("n_regions"))
+
     // the three consumers below (catalog, zips, docs) share one
     // materialization of the expensive clip+reproject work; released in
     // the finally so repeated runs in a shared session don't leak blocks
-    withDocs.persist()
+    observed.persist()
     try {
 
-    val catalog = withDocs.select(
+    val catalog = observed.select(
       col("base_name"), col("new_file_name"), col("clipped_name"),
       col("region_code"), col("region_name"), col("region_title"),
       col("cl._2").as("ncols_out"), col("cl._3").as("nrows_out"),
@@ -174,7 +188,7 @@ object Pipeline {
       col("file_stem"))
 
     // SNK-3: zip of sidecar group (clipped raster + world file + stats).
-    val zips = withDocs.select(
+    val zips = observed.select(
       concat(col("file_stem"), lit(".zip")).as("zip_name"),
       array(
         struct(concat(col("file_stem"), lit(".asc")).as("name"), col("clipped_text").as("content")),
@@ -186,7 +200,7 @@ object Pipeline {
     // SNK-4: one metadata .json per product, written partition-side
     // through the Hadoop FileSystem API (same writer for file:// and
     // s3a:// roots; executors rebuild the handle from shipped fs.* conf).
-    val docs = withDocs.select(col("file_stem"), col("metadata_json"))
+    val docs = observed.select(col("file_stem"), col("metadata_json"))
     val docDir = s"$sinkRoot/zipped"
     val fsConf = graft.sinks.S3Sink.fsConfEntries(spark)
     docs.foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
@@ -207,8 +221,8 @@ object Pipeline {
 
     // hand back the WRITTEN store, not the in-memory lineage: consumers
     // read the parquet (cheap, pruned) and the cache can be dropped now
-    Result(spark.read.parquet(s"$sinkRoot/catalog.parquet"))
-    } finally withDocs.unpersist(blocking = false)
+    Result(spark.read.parquet(s"$sinkRoot/catalog.parquet"), obs.get)
+    } finally observed.unpersist(blocking = false)
   }
 
   /** WKT polygon → GeoJSON-style coordinates array

@@ -152,6 +152,15 @@ class PipelineSpec extends SparkSpecBase {
       .map(_.getString(0)).toSeq == Seq("grid_00_NZ_norm_Mean_1991-2020_annual"))
   }
 
+  test("observe() metrics ride the run's own materialization") {
+    result.catalog.count() // ensure the run executed
+    val m = result.metrics
+    assert(m("n_products") == 48L, s"metrics: $m")
+    assert(m("n_source_files") == 3L && m("n_regions") == 16L, s"metrics: $m")
+    // region 18 is far away: its 3 products clip empty
+    assert(m("n_nonempty_clips") == 45L, s"metrics: $m")
+  }
+
   test("metadata json has the reference's nested shape") {
     val docPaths = Files.list(Paths.get(s"$work/out/zipped")).iterator()
     var checked = false
