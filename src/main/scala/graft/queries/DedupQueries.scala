@@ -415,7 +415,11 @@ object DedupQueries {
                |              substring(name, i + 1, length(name) - i)))""".stripMargin)))))
       val a = variants.select(col("name").as("name_a"), col("key"))
       val b = variants.select(col("name").as("name_b"), col("key"))
-      a.join(b, "key")
+      // shuffle-hash, not sort-merge: the candidate join's value is in
+      // its (small) per-key buckets, not in key order — hashing skips
+      // sorting both exploded sides, and the downstream distinct
+      // re-shuffles on the pair anyway so the SMJ order is never reused
+      a.hint("shuffle_hash").join(b, "key")
         .filter(col("name_a") < col("name_b"))
         .select("name_a", "name_b").distinct()
         .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
