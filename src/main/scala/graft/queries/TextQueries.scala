@@ -351,7 +351,10 @@ object TextQueries {
         .select(col("doc_id").as("bench_id"), explode(col("sh")).as("shingle"))
       val train = docs.filter(col("doc_id") % 50 =!= 0)
         .select(col("doc_id").as("train_id"), explode(col("sh")).as("shingle"))
-      bench.join(train, "shingle")
+      // shuffle-hash with the BENCH side as build: it is the 2% sample
+      // (bounded by construction), and shingle order is never reused
+      // downstream, so the SMJ sorts are pure waste
+      bench.hint("shuffle_hash").join(train, "shingle")
         .groupBy("bench_id")
         .agg(countDistinct(col("train_id")).as("n_train_docs"),
           countDistinct(col("shingle")).as("n_shared_shingles"))
