@@ -168,7 +168,8 @@ object Pipeline {
       s"graft-pipeline-${java.util.UUID.randomUUID()}")
     val observed = withDocs.observe(obs,
       count(lit(1)).as("n_products"),
-      sum(when(col("cl._4") > 0, 1L).otherwise(0L)).as("n_nonempty_clips"),
+      coalesce(sum(when(col("cl._4") > 0, 1L).otherwise(0L)), lit(0L))
+        .as("n_nonempty_clips"), // sum of zero rows is NULL, not 0
       approx_count_distinct(col("base_name")).as("n_source_files"),
       approx_count_distinct(col("region_code")).as("n_regions"))
 

@@ -60,8 +60,12 @@ object PipelineMain {
     }
 
     val result = Pipeline.run(spark, input, regions, out, updatedAt)
-    val n = result.catalog.count()
-    println(s"""{"pipeline":"ok","products":$n,"out":"$out"}""")
+    // the observe() metrics were aggregated during the run's own
+    // materialization — no extra count job over the written store
+    val m = result.metrics
+    println(s"""{"pipeline":"ok","products":${m.getOrElse("n_products", 0L)},""" +
+      s""""nonempty_clips":${m.getOrElse("n_nonempty_clips", 0L)},""" +
+      s""""source_files":${m.getOrElse("n_source_files", 0L)},"out":"$out"}""")
     spark.stop()
   }
 }

@@ -315,7 +315,11 @@ object SimilarityQueries {
       val nodes = corpus.select(col("vec_id").as("id"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      GraphOps.minLabelPropagate(nodes, edges, rounds = 3)
+      // fixpoint, not a fixed round count: a similarity graph's
+      // component diameter is data-dependent (chains of gradually
+      // drifting near-dups), and the oracle computes the full
+      // recursive closure — a hardcoded bound would diverge from it
+      GraphOps.minLabelPropagateToFixpoint(nodes, edges)
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
         .orderBy("cluster_id")

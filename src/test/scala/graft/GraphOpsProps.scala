@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 import org.scalacheck.{Gen, Prop, Properties, Test}
+import org.scalacheck.Prop.propBoolean
 
 import graft.queries.GraphOps
 
@@ -32,30 +33,59 @@ object GraphOpsProps extends Properties("graphops") {
     } yield (a, b))
   } yield (n, edges.filter(e => e._1 != e._2))
 
+  /** union-find reference over the same edge list. */
+  private def reference(n: Int, edges: List[(Int, Int)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int =
+      if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
+    (0 until n).groupBy(find)
+      .flatMap { case (_, members) =>
+        val mn = members.min.toLong
+        members.map(_.toLong -> mn)
+      }
+  }
+
+  // guard against ScalaCheck shrinking (n, edges) to inconsistent values
+  // (endpoints >= n): a genuine failure must shrink to a VALID smaller
+  // case, not crash the reference mid-shrink
+  private def valid(n: Int, edges: List[(Int, Int)]): Boolean =
+    edges.forall(e => e._1 >= 0 && e._1 < n && e._2 >= 0 && e._2 < n && e._1 != e._2)
+
+  private def edgesDf(s: SparkSession, edges: List[(Int, Int)]) = {
+    import s.implicits._
+    val undirected = edges.flatMap { case (a, b) =>
+      Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
+    if (undirected.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
+    else undirected.toDF("src", "dst")
+  }
+
   property("labelPropagationEqualsUnionFind") =
     Prop.forAll(graphGen) { case (n, edges) =>
-      val s = spark
-      import s.implicits._
-      s.sparkContext.setLogLevel("ERROR")
-      val nodes = (0 until n).map(_.toLong).toDF("id")
-      val undirected = edges.flatMap { case (a, b) =>
-        Seq((a.toLong, b.toLong), (b.toLong, a.toLong)) }
-      val edgesDf =
-        if (undirected.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
-        else undirected.toDF("src", "dst")
-      val got = GraphOps.minLabelPropagate(nodes, edgesDf, rounds = math.max(1, n - 1))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      valid(n, edges) ==> {
+        val s = spark
+        import s.implicits._
+        s.sparkContext.setLogLevel("ERROR")
+        val nodes = (0 until n).map(_.toLong).toDF("id")
+        val got = GraphOps.minLabelPropagate(nodes, edgesDf(s, edges),
+            rounds = math.max(1, n - 1))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        got == reference(n, edges)
+      }
+    }
 
-      val parent = Array.tabulate(n)(identity)
-      def find(x: Int): Int =
-        if (parent(x) == x) x else { parent(x) = find(parent(x)); parent(x) }
-      edges.foreach { case (a, b) =>
-        val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra) = rb }
-      val expected: Map[Long, Long] = (0 until n).groupBy(find)
-        .flatMap { case (_, members) =>
-          val mn = members.min.toLong
-          members.map(_.toLong -> mn)
-        }
-      got == expected
+  property("fixpointEqualsUnionFind") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      valid(n, edges) ==> {
+        val s = spark
+        import s.implicits._
+        s.sparkContext.setLogLevel("ERROR")
+        val nodes = (0 until n).map(_.toLong).toDF("id")
+        val got = GraphOps.minLabelPropagateToFixpoint(nodes, edgesDf(s, edges))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.queries.QueryCaches.releaseAll(s)
+        got == reference(n, edges)
+      }
     }
 }

@@ -135,10 +135,14 @@ class PipelineSpec extends SparkSpecBase {
     assert(plan.output.map(_.name) == Seq("path", "text"), s"plan:\n$plan")
     // the region-directory contains-predicate reaches the DSv2 listing
     // (pushed filter — directories outside the code never open); the
-    // exact parent-dir equality stays as a residual row filter
+    // exact parent-dir equality stays as a residual row filter. The
+    // /05/ literal must sit INSIDE the PushedFilters bracket — finding
+    // it anywhere in the plan would also match the residual Filter and
+    // silently un-pin the listing-time claim.
     val p = plan.toString
-    assert(p.contains("PushedFilters") && p.contains("/05/"),
-      s"path scope should be pushed to the listing:\n$p")
+    val pushed = "PushedFilters: \\[[^\\]]*\\]".r.findFirstIn(p)
+    assert(pushed.exists(_.contains("/05/")),
+      s"path scope should be pushed to the listing, got $pushed in:\n$p")
     assert(src.count() == 1, "only region 05's grid should be listed")
   }
 
