@@ -155,6 +155,47 @@ object DedupQueries {
         .agg(min(col("doc_id")).as("survivor_id"), count(lit(1)).as("n_copies"))
         .orderBy("survivor_id")),
 
+    // The dedup REMAP table — the artifact a dedup pass actually ships
+    // downstream: every non-survivor duplicate mapped to its cluster's
+    // survivor (min doc_id per content hash), so references to dropped
+    // docs can be rewritten. One hash shuffle for the survivor agg, one
+    // hash-keyed join back; the hashed corpus is cached across both.
+    "q_dedup_remap" -> ((s, dir) => {
+      val hashed = Corpus.withDuplicates(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        .transform(QueryCaches.cache(_))
+      val survivors = hashed.groupBy("content_hash")
+        .agg(min(col("doc_id")).as("survivor_id"))
+      hashed.join(survivors, "content_hash")
+        .filter(col("doc_id") =!= col("survivor_id"))
+        .select(col("doc_id").as("dup_id"), col("survivor_id"))
+        .orderBy("dup_id")
+    }),
+
+    // Cross-source duplicate overlap matrix: for every pair of sources,
+    // how many distinct content hashes they share — the crawl-analytics
+    // view that decides which feeds are redundant (a re-crawl snapshot
+    // is simulated as "<source>-rc" over every doc_id % 4 == 0). The
+    // join is hash-keyed (never a source×source product) and the final
+    // matrix is |sources|² rows at most.
+    "q_source_overlap" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val recrawl = docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 2000000L).as("doc_id"),
+          concat(col("source"), lit("-rc")).as("source"), col("text"))
+      val hashed = docs.unionByName(recrawl)
+        .select(col("source"), md5(col("text")).as("h"))
+        .transform(QueryCaches.cache(_)) // both sides of the pair join
+      val a = hashed.select(col("source").as("src_a"), col("h"))
+      val b = hashed.select(col("source").as("src_b"), col("h"))
+      a.join(b, "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(countDistinct(col("h")).as("n_shared"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // n-gram Jaccard between each base doc and its near-twin.
     "q_dedup_ngram" -> ((s, dir) => {
       val corpus = Corpus.withDuplicates(s, dir)
@@ -476,6 +517,30 @@ object DedupQueries {
     "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)"
 
   val oracles: Map[String, String] = Map(
+    "q_dedup_remap" ->
+      s"""WITH ${Corpus.corpusCte},
+         |h AS (SELECT doc_id, md5(text) AS content_hash FROM corpus),
+         |sv AS (
+         |  SELECT content_hash, min(doc_id) AS survivor_id
+         |  FROM h GROUP BY content_hash
+         |)
+         |SELECT h.doc_id AS dup_id, sv.survivor_id
+         |FROM h JOIN sv ON h.content_hash = sv.content_hash
+         |WHERE h.doc_id <> sv.survivor_id
+         |ORDER BY dup_id""".stripMargin,
+
+    "q_source_overlap" ->
+      """WITH all_docs AS (
+        |  SELECT source, md5(text) AS h FROM documents
+        |  UNION ALL
+        |  SELECT source || '-rc' AS source, md5(text) AS h
+        |  FROM documents WHERE doc_id % 4 = 0
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |       CAST(count(DISTINCT a.h) AS BIGINT) AS n_shared
+        |FROM all_docs a JOIN all_docs b ON a.h = b.h AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_exact" ->
       s"""WITH ${Corpus.corpusCte}
          |SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,

@@ -466,6 +466,26 @@ object TextQueries {
           "desired_tokens", "rate_pm")
         .orderBy("source")),
 
+    // Token-length histogram in power-of-two buckets — the corpus-
+    // reporting view behind sequence-length budgeting (packing
+    // efficiency, truncation rates). The bucket index is the binary
+    // bit-length (length(bin(n)) = ⌊log₂ n⌋ + 1 — pure integer, no
+    // float log whose exactness differs at power-of-two boundaries);
+    // the bucket's lower bound re-derives via an integer shift. One
+    // narrow projection + one tiny hash aggregate.
+    "q_token_histogram" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(expr("size(split(text, ' '))").cast("bigint").as("toks"))
+        .withColumn("bucket_bits", length(bin(col("toks"))).cast("bigint"))
+        .groupBy("bucket_bits")
+        .agg(count(lit(1)).as("n_docs"), min(col("toks")).as("min_toks"),
+          max(col("toks")).as("max_toks"), sum(col("toks")).as("sum_toks"))
+        .withColumn("bucket_lo",
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(bucket_bits AS INT) - 1)"))
+        .select("bucket_bits", "bucket_lo", "n_docs", "min_toks",
+          "max_toks", "sum_toks")
+        .orderBy("bucket_bits")),
+
     // IQR length gate: per language, keep documents whose token count
     // lies within [P25, P75] — the outlier-trimming curation step
     // (truncated docs and boilerplate walls both live in the tails).
@@ -567,6 +587,18 @@ object TextQueries {
       s"""WITH $mixRatesSqlCtes
          |SELECT source, n_docs, tokens, weight, share_pm, desired_tokens, rate_pm
          |FROM rates ORDER BY source""".stripMargin,
+
+    "q_token_histogram" ->
+      """WITH t AS (
+        |  SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |),
+        |b AS (SELECT toks, CAST(length(bin(toks)) AS BIGINT) AS bucket_bits FROM t)
+        |SELECT bucket_bits,
+        |       CAST(CAST(1 AS BIGINT) << (CAST(bucket_bits AS INT) - 1) AS BIGINT) AS bucket_lo,
+        |       count(*) AS n_docs, min(toks) AS min_toks, max(toks) AS max_toks,
+        |       CAST(sum(toks) AS BIGINT) AS sum_toks
+        |FROM b GROUP BY bucket_bits ORDER BY bucket_bits""".stripMargin,
 
     "q_length_filter" ->
       """WITH docs AS (
