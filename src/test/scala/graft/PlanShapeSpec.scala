@@ -166,6 +166,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"fuzzy join must block on deletion keys, not compare all pairs:\n$p")
   }
 
+  test("q_dedup_remap / q_source_overlap: hash-keyed joins, never a product") {
+    for (q <- Seq("q_dedup_remap", "q_source_overlap")) {
+      val p = plan(q, graft.queries.DedupQueries.queries)
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must join on the content hash:\n$p")
+      graft.queries.QueryCaches.releaseAll(spark)
+    }
+  }
+
+  test("q_token_histogram: one narrow scan, one hash aggregate exchange") {
+    val p = plan("q_token_histogram", graft.queries.TextQueries.queries)
+    assert(p.contains("HashAggregate"), s"plan:\n$p")
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(shuffles <= 1, s"expected one bucket shuffle, got $shuffles:\n$p")
+  }
+
   test("q_url_canonical: codegen'd canonicalization, one hash shuffle on the canon key") {
     val p = plan("q_url_canonical", graft.queries.DedupQueries.queries)
     assert(!p.contains("BatchEvalPython") && !p.contains("UDF"),
