@@ -503,6 +503,41 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
         .orderBy("canon")
     }),
+
+    // Leakage-safe train/val/test split: the split key is the dedup
+    // CLUSTER (survivor = min doc_id per content hash), not the
+    // document — a naive per-doc hash split leaks eval near-copies into
+    // training, which inflates benchmark scores on a 100 TB corpus
+    // precisely because dedup never catches what the split already
+    // separated. Every member inherits its survivor's split, so no
+    // duplicate cluster straddles a boundary; the audit column proves
+    // it (n_leaky_clusters computed from the data, 0 by construction).
+    // Assignment is integer-exact (multiplicative hash mod 100 →
+    // 80/10/10), so both engines derive identical splits. Shape: one
+    // hash shuffle for survivors, one hash-keyed join back, two
+    // aggregates — the same plan at any scale.
+    "q_split_leakage" -> ((s, dir) => {
+      val hashed = Corpus.withDuplicates(s, dir)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+      val survivors = hashed.groupBy("h")
+        .agg(min(col("doc_id")).as("survivor_id"))
+      val assigned = hashed.join(survivors, "h")
+        .withColumn("slot", expr("(survivor_id * 2654435761) % 100"))
+        .withColumn("split",
+          when(col("slot") < 80, lit("train"))
+            .when(col("slot") < 90, lit("val"))
+            .otherwise(lit("test")))
+        .transform(QueryCaches.cache(_)) // per-split agg + leak audit
+      val leaky = assigned.groupBy("survivor_id")
+        .agg(countDistinct(col("split")).as("n_splits"))
+        .filter(col("n_splits") > 1)
+        .agg(count(lit(1)).as("n_leaky_clusters"))
+      assigned.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("survivor_id")).as("n_clusters"))
+        .crossJoin(leaky) // 1-row audit
+        .orderBy("split")
+    }),
   )
 
   // ---- oracles -----------------------------------------------------
@@ -517,6 +552,30 @@ object DedupQueries {
     "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)"
 
   val oracles: Map[String, String] = Map(
+    "q_split_leakage" ->
+      s"""WITH ${Corpus.corpusCte},
+         |hs AS (SELECT doc_id, md5(text) AS h FROM corpus),
+         |sv AS (SELECT h, min(doc_id) AS survivor_id FROM hs GROUP BY h),
+         |a AS (
+         |  SELECT hs.doc_id, sv.survivor_id,
+         |         CASE WHEN (sv.survivor_id * 2654435761) % 100 < 80 THEN 'train'
+         |              WHEN (sv.survivor_id * 2654435761) % 100 < 90 THEN 'val'
+         |              ELSE 'test' END AS split
+         |  FROM hs JOIN sv ON hs.h = sv.h
+         |),
+         |leak AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_leaky_clusters FROM (
+         |    SELECT survivor_id FROM a GROUP BY survivor_id
+         |    HAVING count(DISTINCT split) > 1)
+         |),
+         |per AS (
+         |  SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(count(DISTINCT survivor_id) AS BIGINT) AS n_clusters
+         |  FROM a GROUP BY split
+         |)
+         |SELECT split, n_docs, n_clusters, n_leaky_clusters
+         |FROM per CROSS JOIN leak ORDER BY split""".stripMargin,
+
     "q_dedup_remap" ->
       s"""WITH ${Corpus.corpusCte},
          |h AS (SELECT doc_id, md5(text) AS content_hash FROM corpus),

@@ -695,9 +695,62 @@ object RelationalQueries {
           round(sum(col("o_totalprice")), 2).as("revenue"))
         .orderBy("c_mktsegment")
     }),
+
+    // Runtime bloom-filter join (SPARK-32268): for a selective dim→fact
+    // shuffle join, the optimizer builds a bloom filter over the
+    // filtered (creation) side's join keys and injects it as a
+    // might-contain predicate on the fact (application) side, so fact
+    // rows that cannot match are dropped at the scan — BEFORE the
+    // shuffle. At 100 TB this is the difference between shuffling the
+    // whole fact table and shuffling the ~matching fraction; it is the
+    // runtime complement to static partition pruning. The injection
+    // thresholds guard against tiny application scans (where the filter
+    // costs more than it saves), which is exactly what a local fixture
+    // is — so they are opened for this query's lifetime via the
+    // deferred-restore hook. The result is identical with or without
+    // the filter (it only drops provably-unmatchable rows);
+    // PlanShapeSpec pins that the might_contain predicate actually
+    // lands on the lineitem side.
+    "q_runtime_filter" -> ((s, dir) => {
+      Seq(
+        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+        // injection requires a genuine shuffle join: with a broadcastable-
+        // by-size creation side the optimizer (correctly) skips the bloom
+        // filter, so model the 100 TB regime where orders is NOT
+        // broadcastable. The merge hint alone doesn't change the size
+        // estimate the injection check reads.
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+      ).foreach { case (k, v) =>
+        val prev = s.conf.getOption(k)
+        s.conf.set(k, v)
+        QueryCaches.defer(() => prev match {
+          case Some(p) => s.conf.set(k, p)
+          case None    => s.conf.unset(k)
+        })
+      }
+      val urgent = t(s, dir, "orders")
+        .filter(col("o_orderpriority") === "1-URGENT" &&
+          col("o_orderstatus") === "F")
+      // merge hint: injection targets shuffle joins — a broadcast join
+      // already prunes at the probe and gets no bloom filter
+      t(s, dir, "lineitem").hint("merge")
+        .join(urgent, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy("l_returnflag")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_runtime_filter" ->
+      """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |       round(sum(l_quantity), 2) AS sum_qty,

@@ -280,6 +280,53 @@ object SimilarityQueries {
         .orderBy("cell", "dim")
     }),
 
+    // Multi-probe IVF: instead of searching only the query's own cell
+    // (q_ann_ivf), rank ALL cells by query→centroid distance and probe
+    // the nearest 2 — the recall/cost knob (`nprobe`) every production
+    // IVF index exposes, covering queries that land near a cell
+    // boundary. The centroid table is |cells| rows (the coarse
+    // quantizer is tiny by construction) and broadcast under every
+    // query; the candidate search joins on the probed cell id, so at
+    // scale each query reads exactly nprobe posting lists — never the
+    // whole corpus. Distances round(4) before the cell ranking (ties
+    // break on cell id) so probe choice is cross-engine deterministic.
+    "q_ann_ivf_probe2" -> ((s, dir) => {
+      val vecsum = udaf(graft.functions.VecSumAgg,
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+      val e = QueryCaches.cache(emb(s, dir).withColumn("nrm", norm("embedding")))
+      val centroids = e
+        .groupBy(col("label").cast("bigint").as("cell"))
+        .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n"))
+        .select(col("cell"),
+          expr("transform(sums, x -> round(x / n, 4))").as("centroid"))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"))
+      val dist = q.crossJoin(broadcast(centroids))
+        .withColumn("dist", round(expr(
+          """aggregate(zip_with(qe, centroid,
+            |  (x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)),
+            |  CAST(0.0 AS DOUBLE), (a, v) -> a + v)""".stripMargin), 4))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("dist"), col("cell"))
+      val probed = dist
+        .withColumn("cell_rank", row_number().over(wc))
+        .filter(col("cell_rank") <= 2)
+        .select(col("query_id"), col("qe"), col("qn"), col("cell"))
+      val cand = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").as("ce"), col("nrm").as("cn"),
+          col("label").cast("bigint").as("cell"))
+      val scored = probed.join(cand, "cell")
+        .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("rank"), col("cell"), col("vec_id"), col("sim"))
+        .orderBy("query_id", "rank")
+    }),
+
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
     // found via banded multi-bit LSH blocking (4 bands × 16 hyperplanes,
     // candidate = ANY band match — OR-of-bands, the MinHash banding
@@ -351,6 +398,48 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_ivf_centroids" -> ivfFullRecomputeSql,
     "q_ivf_update" -> ivfFullRecomputeSql,
+
+    "q_ann_ivf_probe2" ->
+      s"""WITH cent AS (
+         |  SELECT CAST(label AS BIGINT) AS cell, t.i AS dim,
+         |         round(sum(CAST(embedding[t.i] AS DOUBLE)) / count(*), 4) AS c_d
+         |  FROM embeddings, unnest(generate_series(1, 64)) AS t(i)
+         |  GROUP BY cell, t.i
+         |),
+         |q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+         |dist AS (
+         |  SELECT q.query_id, c.cell,
+         |         round(sum((CAST(qe[c.dim] AS DOUBLE) - c.c_d)
+         |                   * (CAST(qe[c.dim] AS DOUBLE) - c.c_d)), 4) AS dist
+         |  FROM q CROSS JOIN cent c
+         |  GROUP BY q.query_id, c.cell
+         |),
+         |probed AS (
+         |  SELECT query_id, cell FROM (
+         |    SELECT query_id, cell,
+         |           row_number() OVER (PARTITION BY query_id ORDER BY dist, cell) AS cr
+         |    FROM dist)
+         |  WHERE cr <= 2
+         |),
+         |cand AS (
+         |  SELECT vec_id, embedding AS ce, CAST(label AS BIGINT) AS cell
+         |  FROM embeddings WHERE vec_id >= 5
+         |),
+         |scored AS (
+         |  SELECT p.query_id, ca.cell, ca.vec_id,
+         |         round(${dotSql("q.qe", "ca.ce")} /
+         |               (sqrt(${dotSql("q.qe", "q.qe")}) * sqrt(${dotSql("ca.ce", "ca.ce")})), 4) AS sim
+         |  FROM probed p
+         |  JOIN q ON q.query_id = p.query_id
+         |  JOIN cand ca ON ca.cell = p.cell
+         |),
+         |ranked AS (
+         |  SELECT query_id, cell, vec_id, sim,
+         |         row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT query_id, rank, cell, vec_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_cosine" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),

@@ -68,6 +68,13 @@ object TextQueries {
       fp.foldLeft(0L)((acc, h) => (acc + h) % 1000000007L))
   }
 
+  /** The full distinct fingerprint set (q_passage_overlap's inverted-
+    * index key), same kernel as [[fingerprintUdf]]'s summary.
+    */
+  private val fingerprintSetUdf = udf { (text: String) =>
+    fingerprints(text).map(_.toLong)
+  }
+
   /** Per-source mixture plan (shared by q_mix_weights and
     * q_mix_sample): token counts, deterministic target weight, target
     * share, half-corpus token allocation, and the capped per-myriad
@@ -533,6 +540,38 @@ object TextQueries {
           sum(when(col("h") < col("rate_pm"), col("toks")).otherwise(0L)).as("kept_tokens"))
         .orderBy("source")
     }),
+
+    // Passage-overlap discovery: which document PAIRS share local
+    // content, found through the winnowing fingerprints as an inverted
+    // index — the passage-level complement to whole-doc MinHash (a doc
+    // quoting half of another shares half its fingerprints but little
+    // whole-doc Jaccard). Shape: fingerprint explode → document-
+    // frequency cap (fingerprints in > 50 docs are boilerplate and
+    // would each contribute O(df²) candidate pairs — the posting-list
+    // cap every inverted index applies) → equi-join on the fingerprint
+    // (never a doc product) → per-pair shared-count ≥ 10. At 100 TB
+    // the fingerprint is the shuffle key and per-key fan-out is bounded
+    // by the df cap, so candidate volume scales with content overlap,
+    // not corpus size².
+    "q_passage_overlap" -> ((s, dir) => {
+      val fps = QueryCaches.cache(
+        Corpus.withDuplicates(s, dir)
+          .select(col("doc_id"),
+            explode(fingerprintSetUdf(col("text"))).as("fp")))
+      val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= 50)
+        .select("fp")
+      val pruned = QueryCaches.cache(fps.join(rare, "fp"))
+      // shuffle-hash: per-fingerprint buckets are small (df ≤ 50) and
+      // the pair agg re-shuffles anyway, so SMJ's sort buys nothing
+      pruned.as("a").hint("shuffle_hash").join(pruned.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 10)
+        .orderBy("doc_a", "doc_b")
+    }),
   )
 
   private val stopList = stopwords.map("'" + _ + "'").mkString(",")
@@ -793,6 +832,49 @@ object TextQueries {
         |       max(wmin) AS fp_max,
         |       CAST(sum(wmin) % 1000000007 AS BIGINT) AS fp_checksum
         |FROM selected GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // same hash/winnow pipeline as q_doc_fingerprint, over the dup-
+    // injected corpus, then the inverted-index pair join with df cap
+    "q_passage_overlap" ->
+      s"""WITH ${Corpus.corpusCte},
+         |pos AS (
+         |  SELECT doc_id, text,
+         |         unnest(generate_series(1, length(text) - 4)) AS i
+         |  FROM corpus
+         |),
+         |hashes AS (
+         |  SELECT doc_id, i, length(text) AS len,
+         |         (CAST(ascii(substr(text, i, 1)) AS BIGINT) * 294499921
+         |          + CAST(ascii(substr(text, i + 1, 1)) AS BIGINT) * 2248091
+         |          + CAST(ascii(substr(text, i + 2, 1)) AS BIGINT) * 17161
+         |          + CAST(ascii(substr(text, i + 3, 1)) AS BIGINT) * 131
+         |          + CAST(ascii(substr(text, i + 4, 1)) AS BIGINT)) % 2147483647 AS h
+         |  FROM pos
+         |),
+         |wins AS (
+         |  SELECT doc_id, i, len,
+         |         min(h) OVER (PARTITION BY doc_id ORDER BY i
+         |                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+         |  FROM hashes
+         |),
+         |selected AS (
+         |  SELECT DISTINCT doc_id, wmin FROM wins WHERE i <= len - 7
+         |),
+         |rare AS (
+         |  SELECT wmin FROM selected GROUP BY wmin HAVING count(*) <= 50
+         |),
+         |pruned AS (
+         |  SELECT s.doc_id, s.wmin FROM selected s JOIN rare r ON s.wmin = r.wmin
+         |),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM pruned a JOIN pruned b
+         |    ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, n_shared FROM pairs
+         |WHERE n_shared >= 10 ORDER BY doc_a, doc_b""".stripMargin,
 
     "q_token_count" ->
       """SELECT doc_id,

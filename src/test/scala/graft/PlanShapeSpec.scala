@@ -218,4 +218,46 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(p.contains("vec_bands"), s"banded signature kernel expected:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
+
+  test("q_runtime_filter: bloom filter from the filtered orders side lands on the lineitem scan") {
+    val df = RelationalQueries.queries("q_runtime_filter")(spark, sf)
+    val opt = df.queryExecution.optimizedPlan.toString
+    assert(opt.contains("bloom_filter_agg"),
+      s"runtime bloom filter must be built from the creation side:\n$opt")
+    assert(opt.contains("might_contain"),
+      s"might_contain predicate must be injected on the application side:\n$opt")
+    graft.queries.QueryCaches.releaseAll(spark)
+    // the scoped confs must be restored by the release
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "autoBroadcastJoinThreshold must be restored after release")
+  }
+
+  test("q_passage_overlap: inverted-index pair join — equi-join on fingerprint, never a product") {
+    val p = plan("q_passage_overlap", graft.queries.TextQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"pair discovery must equi-join on the fingerprint key:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"small df-capped buckets: hash join, no sort:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_split_leakage: split assignment joins on the content hash, one audit cross join") {
+    val p = plan("q_split_leakage", graft.queries.DedupQueries.queries)
+    // member→survivor must be hash-keyed; the ONLY nested-loop join is
+    // the broadcast of the 1-row leak-audit aggregate onto the 3-row
+    // per-split aggregate (O(1) × O(splits) — free at any scale)
+    val loops = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(loops <= 1, s"only the 1-row audit attach may nested-loop:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_ann_ivf_probe2: centroid table broadcasts; candidate search joins on the probed cell") {
+    val p = plan("q_ann_ivf_probe2", graft.queries.SimilarityQueries.queries)
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the |cells|-row centroid table must broadcast under the queries:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the corpus-side candidate join must be the cell equi-join:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
 }
