@@ -18,7 +18,9 @@ object Bench {
     "q_stream_tumbling", "q_stream_stream_join", "q_stream_session",
     "q_feature_source", "q_partitioned_source", "q_product_catalog",
     "q_embedding_near_dup", "q_url_canonical", "q_ngram_novelty",
-    "q_mix_sample", "q_semantic_cluster", "q_fuzzy_join")
+    "q_mix_sample", "q_semantic_cluster", "q_fuzzy_join",
+    "q_runtime_filter", "q_passage_overlap", "q_split_leakage",
+    "q_ann_ivf_probe2")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
