@@ -18,6 +18,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // a typo'd subset name must not silently verify nothing
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] WARNING: unknown query in subset: $n")))
     val selected = only match {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None      => SparkEntry.queries

@@ -505,24 +505,25 @@ object DedupQueries {
     }),
 
     // Leakage-safe train/val/test split: the split key is the dedup
-    // CLUSTER (survivor = min doc_id per content hash), not the
-    // document — a naive per-doc hash split leaks eval near-copies into
-    // training, which inflates benchmark scores on a 100 TB corpus
-    // precisely because dedup never catches what the split already
-    // separated. Every member inherits its survivor's split, so no
-    // duplicate cluster straddles a boundary; the audit column proves
-    // it (n_leaky_clusters computed from the data, 0 by construction).
-    // Assignment is integer-exact (multiplicative hash mod 100 →
-    // 80/10/10), so both engines derive identical splits. Shape: one
-    // hash shuffle for survivors, one hash-keyed join back, two
-    // aggregates — the same plan at any scale.
+    // CLUSTER (content hash), not the document — a naive per-doc hash
+    // split leaks eval near-copies into training, which inflates
+    // benchmark scores on a 100 TB corpus precisely because dedup never
+    // catches what the split already separated. Every member inherits
+    // its cluster's split, so no duplicate cluster straddles a
+    // boundary; the audit column proves it (n_leaky_clusters computed
+    // from the data, 0 by construction). The slot comes from the md5
+    // content hash itself (first 4 hex digits mod 100 → 80/10/10) —
+    // already uniformly mixed, where any id-arithmetic scheme is just a
+    // permutation of id residues and collapses when ids arrive in
+    // strides. Shape: one window exchange on the cluster hash (no
+    // join, no second corpus scan), two aggregates.
     "q_split_leakage" -> ((s, dir) => {
-      val hashed = Corpus.withDuplicates(s, dir)
+      val wv = org.apache.spark.sql.expressions.Window.partitionBy("h")
+      val assigned = Corpus.withDuplicates(s, dir)
         .select(col("doc_id"), md5(col("text")).as("h"))
-      val survivors = hashed.groupBy("h")
-        .agg(min(col("doc_id")).as("survivor_id"))
-      val assigned = hashed.join(survivors, "h")
-        .withColumn("slot", expr("(survivor_id * 2654435761) % 100"))
+        .withColumn("survivor_id", min(col("doc_id")).over(wv))
+        .withColumn("slot",
+          expr("CAST(conv(substring(h, 1, 4), 16, 10) AS BIGINT) % 100"))
         .withColumn("split",
           when(col("slot") < 80, lit("train"))
             .when(col("slot") < 90, lit("val"))
@@ -555,13 +556,18 @@ object DedupQueries {
     "q_split_leakage" ->
       s"""WITH ${Corpus.corpusCte},
          |hs AS (SELECT doc_id, md5(text) AS h FROM corpus),
-         |sv AS (SELECT h, min(doc_id) AS survivor_id FROM hs GROUP BY h),
          |a AS (
-         |  SELECT hs.doc_id, sv.survivor_id,
-         |         CASE WHEN (sv.survivor_id * 2654435761) % 100 < 80 THEN 'train'
-         |              WHEN (sv.survivor_id * 2654435761) % 100 < 90 THEN 'val'
+         |  SELECT doc_id, min(doc_id) OVER (PARTITION BY h) AS survivor_id,
+         |         CASE WHEN (${hexVal("substr(h, 1, 1)")} * 4096
+         |                    + ${hexVal("substr(h, 2, 1)")} * 256
+         |                    + ${hexVal("substr(h, 3, 1)")} * 16
+         |                    + ${hexVal("substr(h, 4, 1)")}) % 100 < 80 THEN 'train'
+         |              WHEN (${hexVal("substr(h, 1, 1)")} * 4096
+         |                    + ${hexVal("substr(h, 2, 1)")} * 256
+         |                    + ${hexVal("substr(h, 3, 1)")} * 16
+         |                    + ${hexVal("substr(h, 4, 1)")}) % 100 < 90 THEN 'val'
          |              ELSE 'test' END AS split
-         |  FROM hs JOIN sv ON hs.h = sv.h
+         |  FROM hs
          |),
          |leak AS (
          |  SELECT CAST(count(*) AS BIGINT) AS n_leaky_clusters FROM (

@@ -39,6 +39,20 @@ object QueryCaches {
     */
   def defer(f: () => Unit): Unit = synchronized { deferred += f }
 
+  /** Set a session conf for the current query's lifetime: the previous
+    * value (or absence) is restored at [[releaseAll]]. The save/set/
+    * defer dance lives here so every scoped-conf query shares one
+    * implementation of the restore-or-unset contract.
+    */
+  def scopedConf(s: SparkSession, key: String, value: String): Unit = {
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, value)
+    defer(() => prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None    => s.conf.unset(key)
+    })
+  }
+
   /** Unpersist every tracked Dataset and broadcast. Safe to call when
     * nothing is tracked; non-blocking so the caller's next query isn't
     * stalled on block eviction.

@@ -679,13 +679,8 @@ object RelationalQueries {
       // lazy, so the restore is deferred to the harness's per-query
       // QueryCaches.releaseAll rather than an eager try/finally that
       // would undo the setting before the caller ever plans.
-      val orderingKey = "spark.sql.legacy.bucketedTableScan.outputOrdering"
-      val orderingPrev = s.conf.getOption(orderingKey)
-      s.conf.set(orderingKey, "true")
-      QueryCaches.defer(() => orderingPrev match {
-        case Some(v) => s.conf.set(orderingKey, v)
-        case None    => s.conf.unset(orderingKey)
-      })
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       val bc = s.table("graft_bkt_customer")
       val bo = s.table("graft_bkt_orders")
       bc.hint("merge")
@@ -712,24 +707,18 @@ object RelationalQueries {
     // PlanShapeSpec pins that the might_contain predicate actually
     // lands on the lineitem side.
     "q_runtime_filter" -> ((s, dir) => {
-      Seq(
-        "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
-        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
-        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
-        // injection requires a genuine shuffle join: with a broadcastable-
-        // by-size creation side the optimizer (correctly) skips the bloom
-        // filter, so model the 100 TB regime where orders is NOT
-        // broadcastable. The merge hint alone doesn't change the size
-        // estimate the injection check reads.
-        "spark.sql.autoBroadcastJoinThreshold" -> "-1"
-      ).foreach { case (k, v) =>
-        val prev = s.conf.getOption(k)
-        s.conf.set(k, v)
-        QueryCaches.defer(() => prev match {
-          case Some(p) => s.conf.set(k, p)
-          case None    => s.conf.unset(k)
-        })
-      }
+      QueryCaches.scopedConf(s,
+        "spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      QueryCaches.scopedConf(s,
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      QueryCaches.scopedConf(s,
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      // injection requires a genuine shuffle join: with a broadcastable-
+      // by-size creation side the optimizer (correctly) skips the bloom
+      // filter, so model the 100 TB regime where orders is NOT
+      // broadcastable. The merge hint alone doesn't change the size
+      // estimate the injection check reads.
+      QueryCaches.scopedConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1")
       val urgent = t(s, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" &&
           col("o_orderstatus") === "F")

@@ -90,6 +90,20 @@ object SimilarityQueries {
     s.read.parquet(s"$dir/embeddings.parquet").repartition(col("vec_id"))
   }
 
+  /** The coarse-quantizer moment aggregation shared by the three IVF
+    * queries: per cell (label), the elementwise embedding sum (typed
+    * map-side-combined Aggregator) and member count → (cell, sums, n).
+    * One definition so the centroid convention (cell cast, sum kernel)
+    * cannot drift between the rebuild, the incremental update, and the
+    * multi-probe quantizer.
+    */
+  private def cellMoments(vectors: DataFrame): DataFrame = {
+    val vecsum = udaf(graft.functions.VecSumAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
+    vectors.groupBy(col("label").cast("bigint").as("cell"))
+      .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-3 per query vector. Norms are computed
@@ -233,11 +247,8 @@ object SimilarityQueries {
     // rows). Mean = sum ÷ count in the projection; round(4) absorbs
     // summation-order ulps cross-engine.
     "q_ivf_centroids" -> ((s, dir) => {
-      val vecsum = udaf(graft.functions.VecSumAgg,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
-      emb(s, dir)
-        .groupBy(col("label").cast("bigint").as("cell"))
-        .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n_members"))
+      cellMoments(emb(s, dir))
+        .withColumnRenamed("n", "n_members")
         .select(col("cell"), col("n_members"),
           posexplode(col("sums")).as(Seq("d", "sum_d")))
         .select(col("cell"), col("n_members"),
@@ -257,15 +268,10 @@ object SimilarityQueries {
     // maintenance invariant a 100 TB vector store relies on (round(4)
     // absorbs the summation-order ulps of Σ_base + Σ_batch vs Σ_all).
     "q_ivf_update" -> ((s, dir) => {
-      val vecsum = udaf(graft.functions.VecSumAgg,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
       val e = emb(s, dir)
-      val base = e.filter(col("vec_id") % 5 =!= 0)
-        .groupBy(col("label").cast("bigint").as("cell"))
-        .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n"))
-      val batch = e.filter(col("vec_id") % 5 === 0)
-        .groupBy(col("label").cast("bigint").as("cell"))
-        .agg(vecsum(col("embedding")).as("bsums"), count(lit(1)).as("bn"))
+      val base = cellMoments(e.filter(col("vec_id") % 5 =!= 0))
+      val batch = cellMoments(e.filter(col("vec_id") % 5 === 0))
+        .withColumnRenamed("sums", "bsums").withColumnRenamed("n", "bn")
       val zeros = "transform(sequence(1, 64), x -> CAST(0.0 AS DOUBLE))"
       base.join(batch, Seq("cell"), "full_outer")
         .select(col("cell"),
@@ -291,12 +297,8 @@ object SimilarityQueries {
     // whole corpus. Distances round(4) before the cell ranking (ties
     // break on cell id) so probe choice is cross-engine deterministic.
     "q_ann_ivf_probe2" -> ((s, dir) => {
-      val vecsum = udaf(graft.functions.VecSumAgg,
-        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]())
       val e = QueryCaches.cache(emb(s, dir).withColumn("nrm", norm("embedding")))
-      val centroids = e
-        .groupBy(col("label").cast("bigint").as("cell"))
-        .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n"))
+      val centroids = cellMoments(e)
         .select(col("cell"),
           expr("transform(sums, x -> round(x / n, 4))").as("centroid"))
       val q = e.filter(col("vec_id") < 5)

@@ -220,13 +220,17 @@ class PlanShapeSpec extends SparkSpecBase {
   }
 
   test("q_runtime_filter: bloom filter from the filtered orders side lands on the lineitem scan") {
-    val df = RelationalQueries.queries("q_runtime_filter")(spark, sf)
-    val opt = df.queryExecution.optimizedPlan.toString
-    assert(opt.contains("bloom_filter_agg"),
-      s"runtime bloom filter must be built from the creation side:\n$opt")
-    assert(opt.contains("might_contain"),
-      s"might_contain predicate must be injected on the application side:\n$opt")
-    graft.queries.QueryCaches.releaseAll(spark)
+    // finally: a failed assert must still restore the scoped confs
+    // (autoBroadcastJoinThreshold=-1 left set would cascade spurious
+    // CartesianProduct failures into unrelated plan pins)
+    try {
+      val df = RelationalQueries.queries("q_runtime_filter")(spark, sf)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("bloom_filter_agg"),
+        s"runtime bloom filter must be built from the creation side:\n$opt")
+      assert(opt.contains("might_contain"),
+        s"might_contain predicate must be injected on the application side:\n$opt")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
     // the scoped confs must be restored by the release
     assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
       "autoBroadcastJoinThreshold must be restored after release")
@@ -254,7 +258,10 @@ class PlanShapeSpec extends SparkSpecBase {
 
   test("q_ann_ivf_probe2: centroid table broadcasts; candidate search joins on the probed cell") {
     val p = plan("q_ann_ivf_probe2", graft.queries.SimilarityQueries.queries)
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+    // specifically the query×centroid cross join — only it can produce a
+    // BroadcastNestedLoopJoin here (a BroadcastExchange elsewhere, e.g.
+    // the probed side of the candidate join, must not satisfy this pin)
+    assert(p.contains("BroadcastNestedLoopJoin"),
       s"the |cells|-row centroid table must broadcast under the queries:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"the corpus-side candidate join must be the cell equi-join:\n$p")
