@@ -46,6 +46,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         classOf[VecBands].getName, "vec_bands"),
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecBands(es.head)))
+    ext.injectFunction((
+      FunctionIdentifier("fingerprint_set"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[FingerprintSet].getName, "fingerprint_set"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        FingerprintSet(es.head)))
     ext.injectPostHocResolutionRule(_ => new ResolveAsOfJoin)
     ext.injectOptimizerRule(_ => new RewriteRangeJoin)
   }

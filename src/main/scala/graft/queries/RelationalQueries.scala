@@ -731,9 +731,52 @@ object RelationalQueries {
           round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
         .orderBy("l_returnflag")
     }),
+
+    // One-pass column profiling — the data-quality survey every ingest
+    // pipeline runs before anything else: per measure column, row/null/
+    // distinct counts and min/max/mean. stack() pivots the measures
+    // into (col_name, value) rows inside the scan projection, so the
+    // whole profile is ONE table pass + one hash aggregate (per-column
+    // profiling jobs re-read the table once per column — at 100 TB
+    // that's the difference between 1 scan and |columns| scans). The
+    // mean sums exactly in decimal and divides once in double:
+    // double-sum round-4 of a ~1e10 total is inside float noise,
+    // decimal is not.
+    "q_profile_stats" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(expr(
+          """stack(4,
+            |  'l_quantity', l_quantity,
+            |  'l_extendedprice', l_extendedprice,
+            |  'l_discount', l_discount,
+            |  'l_tax', l_tax) AS (col_name, value)""".stripMargin))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("value").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("value")).as("n_distinct"),
+          round(min(col("value")), 4).as("min_v"),
+          round(max(col("value")), 4).as("max_v"),
+          round(sum(col("value").cast("decimal(24,6)")).cast("double")
+            / count(lit(1)), 4).as("avg_v"))
+        .orderBy("col_name")),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_profile_stats" ->
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |  UNION ALL SELECT 'l_tax', l_tax FROM lineitem
+        |)
+        |SELECT col_name, CAST(count(*) AS BIGINT) AS n_rows,
+        |       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |       CAST(count(DISTINCT value) AS BIGINT) AS n_distinct,
+        |       round(min(value), 4) AS min_v,
+        |       round(max(value), 4) AS max_v,
+        |       round(CAST(sum(CAST(value AS DECIMAL(24,6))) AS DOUBLE) / count(*), 4) AS avg_v
+        |FROM u GROUP BY col_name ORDER BY col_name""".stripMargin,
+
     "q_runtime_filter" ->
       """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_items,
         |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

@@ -10,8 +10,9 @@ import graft.text.Corpus
   * `documents`: language-ID heuristic, quality scoring, token counting
   * (whitespace + regex), and rolling-hash document fingerprinting.
   *
-  * All but the fingerprint are pure `functions._` plans (codegen'd,
-  * no UDF); the per-doc work is embarrassingly parallel and the only
+  * Everything is codegen-resident — pure `functions._` plans plus the
+  * native `fingerprint_set` expression (graft.plans.TextKernels), zero
+  * ScalaUDFs; the per-doc work is embarrassingly parallel and the only
   * exchanges are the final small aggregations — the shapes survive
   * 100 TB unchanged.
   */
@@ -28,52 +29,12 @@ object TextQueries {
   private def stopCount(c: String) =
     expr(s"size(filter(${toks(c)}, t -> t IN (${stopwords.map("'" + _ + "'").mkString(",")})))")
 
-  /** Winnowing fingerprints: polynomial rolling hash (base 131, mod
-    * 2^31−1) over char 5-grams, min in each sliding window of 4 —
-    * the standard local fingerprinting scheme (as in MOSS). The oracle
-    * reconstructs it in SQL (per-position polynomial mod, window-min
-    * frame, distinct minima); stepwise `(h·131+c) mod m` equals the
-    * full-sum mod, so both formulations agree exactly.
+  /** Winnowing fingerprint kernel — lives in [[graft.plans.TextOps]]
+    * beside its codegen'd `fingerprint_set` expression; this alias
+    * keeps the spec-facing reference entry point here.
     */
-  def fingerprints(text: String): Array[Int] = {
-    val k = 5; val w = 4
-    val n = text.length
-    if (n < k) return Array.empty
-    val mod = 2147483647L
-    val hashes = new Array[Long](n - k + 1)
-    var i = 0
-    while (i + k <= n) {
-      var h = 0L
-      var j = 0
-      while (j < k) { h = (h * 131 + text.charAt(i + j)) % mod; j += 1 }
-      hashes(i) = h
-      i += 1
-    }
-    val selected = collection.mutable.SortedSet.empty[Long]
-    var s = 0
-    while (s + w <= hashes.length) {
-      var m = hashes(s); var t = 1
-      while (t < w) { if (hashes(s + t) < m) m = hashes(s + t); t += 1 }
-      selected += m
-      s += 1
-    }
-    selected.toArray.map(_.toInt)
-  }
-
-  private val fingerprintUdf = udf { (text: String) =>
-    val fp = fingerprints(text)
-    (fp.length.toLong,
-      if (fp.isEmpty) 0L else fp.min.toLong,
-      if (fp.isEmpty) 0L else fp.max.toLong,
-      fp.foldLeft(0L)((acc, h) => (acc + h) % 1000000007L))
-  }
-
-  /** The full distinct fingerprint set (q_passage_overlap's inverted-
-    * index key), same kernel as [[fingerprintUdf]]'s summary.
-    */
-  private val fingerprintSetUdf = udf { (text: String) =>
-    fingerprints(text).map(_.toLong)
-  }
+  def fingerprints(text: String): Array[Int] =
+    graft.plans.TextOps.fingerprints(text)
 
   /** Per-source mixture plan (shared by q_mix_weights and
     * q_mix_sample): token counts, deterministic target weight, target
@@ -162,13 +123,20 @@ object TextQueries {
         .orderBy("doc_id")),
 
     // Winnowing fingerprint summary per doc (oracle: SQL window-min).
-    "q_doc_fingerprint" -> ((s, dir) =>
+    "q_doc_fingerprint" -> ((s, dir) => {
+      graft.plans.TextKernels.register(s)
       s.read.parquet(s"$dir/documents.parquet")
-        .select(col("doc_id"), fingerprintUdf(col("text")).as("fp"))
-        .select(col("doc_id"), col("fp._1").as("n_fingerprints"),
-          col("fp._2").as("fp_min"), col("fp._3").as("fp_max"),
-          col("fp._4").as("fp_checksum"))
-        .orderBy("doc_id")),
+        .select(col("doc_id"), expr("fingerprint_set(text)").as("fp"))
+        .select(col("doc_id"),
+          size(col("fp")).cast("bigint").as("n_fingerprints"),
+          coalesce(array_min(col("fp")), lit(0L)).as("fp_min"),
+          coalesce(array_max(col("fp")), lit(0L)).as("fp_max"),
+          // ascending-order fold — the array is sorted, matching the
+          // SortedSet fold the oracle's DISTINCT+sum reproduces
+          expr("aggregate(fp, CAST(0 AS BIGINT), (acc, h) -> (acc + h) % 1000000007)")
+            .as("fp_checksum"))
+        .orderBy("doc_id")
+    }),
 
     // Document chunking for training pipelines: sliding token windows
     // of 20 with stride 10 (50% overlap). posexplode of the start
@@ -554,10 +522,11 @@ object TextQueries {
     // by the df cap, so candidate volume scales with content overlap,
     // not corpus size².
     "q_passage_overlap" -> ((s, dir) => {
+      graft.plans.TextKernels.register(s)
       val fps = QueryCaches.cache(
         Corpus.withDuplicates(s, dir)
           .select(col("doc_id"),
-            explode(fingerprintSetUdf(col("text"))).as("fp")))
+            explode(expr("fingerprint_set(text)")).as("fp")))
       val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50)
         .select("fp")

@@ -14,15 +14,34 @@ class BucketedJoinSpec extends AnyFunSuite {
 
   private lazy val warehouse = Files.createTempDirectory("graft-wh").toString
 
+  // NO autoBroadcastJoinThreshold in the builder: getOrCreate APPLIES
+  // builder confs to a reused session, so a session-level "-1" here
+  // leaks into every suite sharing the JVM's session (it broke
+  // PlanShapeSpec's broadcast pins). The SMJ-forcing conf is scoped
+  // per test by withNoBroadcast instead.
   lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
     .appName("graft-bucket-test")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.warehouse.dir", warehouse)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ path
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .getOrCreate()
+
+  /** Force the SMJ path (no broadcast) for `body` only, restoring the
+    * session's previous threshold after — plans built inside are
+    * final (executedPlan is forced eagerly), so the scope is safe.
+    */
+  private def withNoBroadcast[T](body: => T): T = {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "-1")
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
 
   /** getOrCreate reuses whichever suite built the JVM's session first,
     * and warehouse.dir is a STATIC conf — so the temp warehouse above
@@ -44,7 +63,7 @@ class BucketedJoinSpec extends AnyFunSuite {
     if (dir.exists()) rm(dir)
   }
 
-  test("bucketed tables join without a shuffle exchange") {
+  test("bucketed tables join without a shuffle exchange") { withNoBroadcast {
     val sf = "/root/testdata/sf0.001"
     resetTable("orders_b")
     resetTable("customer_b")
@@ -64,14 +83,14 @@ class BucketedJoinSpec extends AnyFunSuite {
       s"bucketed join should be shuffle-free:\n$plan")
     assert(joined.count() ==
       spark.read.parquet(s"$sf/orders.parquet").count())
-  }
+  } }
 
-  test("unbucketed equivalent does shuffle (control)") {
+  test("unbucketed equivalent does shuffle (control)") { withNoBroadcast {
     val sf = "/root/testdata/sf0.001"
     val joined = spark.read.parquet(s"$sf/orders.parquet")
       .join(spark.read.parquet(s"$sf/customer.parquet"),
         col("o_custkey") === col("c_custkey"))
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("Exchange"), s"expected shuffles in:\n$plan")
-  }
+  } }
 }

@@ -134,6 +134,28 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("fingerprint_set: SQL-available, codegen'd, kernel-equal") {
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr("doc_id", "text", "fingerprint_set(text) AS fp")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"should codegen:\n$plan")
+    assert(plan.contains("fingerprint_set"), s"plan:\n$plan")
+    val rows = df.orderBy("doc_id").limit(5).collect()
+    rows.foreach { r =>
+      val expected = graft.plans.TextOps.fingerprints(r.getAs[String]("text"))
+        .map(_.toLong).toSeq
+      assert(r.getAs[collection.Seq[Long]]("fp") == expected)
+    }
+  }
+
+  test("fingerprint_set rejects non-string input at analysis") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT fingerprint_set(42)").head()
+    }
+    assert(e.getMessage.contains("fingerprint_set") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
+
   test("vec_dot rejects non-float-array inputs at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT vec_dot(array(1, 2), array(3, 4))").head()
