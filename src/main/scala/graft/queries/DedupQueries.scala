@@ -504,6 +504,40 @@ object DedupQueries {
         .orderBy("canon")
     }),
 
+    // Containment dedup (overlap coefficient against the smaller set):
+    // catches a document fully CONTAINED in another — an excerpt, a
+    // quoted page, a subset re-crawl — which symmetric Jaccard misses
+    // (|A∩B|/|A∪B| stays small when |A| ≪ |B| even at containment 1.0).
+    // Excerpts are derived deterministically (first 30 tokens of every
+    // doc_id % 5 == 0, id + 3,000,000) so both engines build identical
+    // inputs. Shape: shingle-keyed equi-join between the exploded
+    // excerpt and base shingle sets (never a doc product); per-pair
+    // intersection counts (shingle lists are distinct, so the join row
+    // count IS |∩|) divided by the excerpt's set size.
+    "q_containment" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val excerpts = docs.filter(col("doc_id") % 5 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), " "), 1, 30)).as("text"))
+      val exSh = excerpts
+        .select(col("doc_id").as("exc_id"), Corpus.shingles("text").as("sh"))
+        .select(col("exc_id"), size(col("sh")).as("n_exc"),
+          explode(col("sh")).as("shingle"))
+      val baseSh = docs
+        .select(col("doc_id").as("base_id"),
+          explode(Corpus.shingles("text")).as("shingle"))
+      // shuffle-hash: shingle buckets are small and the pair agg
+      // re-shuffles anyway — the sort an SMJ pays is never reused
+      exSh.hint("shuffle_hash").join(baseSh, "shingle")
+        .groupBy("exc_id", "base_id")
+        .agg(count(lit(1)).as("n_shared"), max(col("n_exc")).as("n_exc"))
+        .withColumn("containment", round(col("n_shared") / col("n_exc"), 4))
+        .filter(col("containment") >= 0.8)
+        .select(col("exc_id"), col("base_id"), col("n_shared"), col("containment"))
+        .orderBy("exc_id", "base_id")
+    }),
+
     // Leakage-safe train/val/test split: the split key is the dedup
     // CLUSTER (content hash), not the document — a naive per-doc hash
     // split leaks eval near-copies into training, which inflates
@@ -553,6 +587,30 @@ object DedupQueries {
     "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)"
 
   val oracles: Map[String, String] = Map(
+    "q_containment" ->
+      s"""WITH exc AS (
+         |  SELECT doc_id + 3000000 AS exc_id,
+         |         array_to_string(list_slice(string_split(text, ' '), 1, 30), ' ') AS text
+         |  FROM documents WHERE doc_id % 5 = 0
+         |),
+         |ex_sets AS (SELECT exc_id, ${Corpus.shinglesSql} AS sh FROM exc),
+         |ex_sh AS (SELECT exc_id, len(sh) AS n_exc, unnest(sh) AS shingle FROM ex_sets),
+         |base_sh AS (
+         |  SELECT doc_id AS base_id, unnest(${Corpus.shinglesSql}) AS shingle
+         |  FROM documents
+         |),
+         |pairs AS (
+         |  SELECT exc_id, base_id, CAST(count(*) AS BIGINT) AS n_shared,
+         |         max(n_exc) AS n_exc
+         |  FROM ex_sh JOIN base_sh USING (shingle)
+         |  GROUP BY exc_id, base_id
+         |)
+         |SELECT exc_id, base_id, n_shared,
+         |       round(n_shared * 1.0 / n_exc, 4) AS containment
+         |FROM pairs
+         |WHERE round(n_shared * 1.0 / n_exc, 4) >= 0.8
+         |ORDER BY exc_id, base_id""".stripMargin,
+
     "q_split_leakage" ->
       s"""WITH ${Corpus.corpusCte},
          |hs AS (SELECT doc_id, md5(text) AS h FROM corpus),

@@ -475,9 +475,66 @@ object EventQueries {
           (unix_timestamp(col("w.end")) - 1800).as("session_end_s"),
           col("n_events"), col("sum_value"))
         .orderBy("user_id", "session_start_s")),
+
+    // OHLC bars — the classic time-series downsample: per (series,
+    // hour), the first/last/extreme values. Open/close come from
+    // first_value/last_value over the full-partition ROWS frame with a
+    // (ts, event_id) tiebreak (deterministic cross-engine; plain
+    // first()/min_by tie-break rules differ between engines), then the
+    // group-by collapses the constant-per-partition columns. The
+    // window and the aggregate share the (series, bucket) hash key —
+    // one exchange at any scale.
+    "q_window_ohlc" -> ((s, dir) => {
+      val base = ev(s, dir).select(
+        (col("user_id") % 8).as("series"),
+        (floor(unix_timestamp(col("ts")) / 3600) * 3600).cast("bigint")
+          .as("window_start_s"),
+        col("ts"), col("event_id"), col("value"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("series"), col("window_start_s"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(
+          org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      base
+        .withColumn("open_v", first(col("value")).over(w))
+        .withColumn("close_v", last(col("value")).over(w))
+        .groupBy("series", "window_start_s")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("open_v")), 2).as("open"),
+          round(max(col("value")), 2).as("high"),
+          round(min(col("value")), 2).as("low"),
+          round(max(col("close_v")), 2).as("close"))
+        .orderBy("series", "window_start_s")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
+    "q_window_ohlc" ->
+      """WITH base AS (
+        |  SELECT user_id % 8 AS series,
+        |         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+        |         ts, event_id, value
+        |  FROM events
+        |),
+        |fl AS (
+        |  SELECT series, window_start_s, value,
+        |         first_value(value) OVER (PARTITION BY series, window_start_s
+        |                                  ORDER BY ts, event_id
+        |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
+        |         last_value(value) OVER (PARTITION BY series, window_start_s
+        |                                 ORDER BY ts, event_id
+        |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
+        |  FROM base
+        |)
+        |SELECT series, window_start_s, CAST(count(*) AS BIGINT) AS n,
+        |       round(max(open_v), 2) AS open,
+        |       round(max(value), 2) AS high,
+        |       round(min(value), 2) AS low,
+        |       round(max(close_v), 2) AS close
+        |FROM fl GROUP BY series, window_start_s
+        |ORDER BY series, window_start_s""".stripMargin,
+
     "q_window_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value

@@ -256,6 +256,23 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_containment: shingle-keyed equi-join, never a doc product") {
+    val p = plan("q_containment", graft.queries.DedupQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"containment discovery must equi-join on the shingle key:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"small per-shingle buckets: hash join, no sort:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_window_ohlc: window and aggregate share one (series, bucket) hash exchange") {
+    val p = plan("q_window_ohlc", graft.queries.EventQueries.queries)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"the full-frame window's partitioning must feed the aggregate, got $hashEx hash exchanges:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_ann_ivf_probe2: centroid table broadcasts; candidate search joins on the probed cell") {
     val p = plan("q_ann_ivf_probe2", graft.queries.SimilarityQueries.queries)
     // specifically the query×centroid cross join — only it can produce a
