@@ -732,6 +732,45 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // AQE skew-join handling — the AUTOMATIC complement to the manual
+    // salting in q_skew_join_salted: at execution time
+    // OptimizeSkewedJoin reads the real map-output sizes, splits the
+    // hot reduce partition by mapper ranges and replicates the matching
+    // dim partition — no key rewriting, no salt factor to tune. 80% of
+    // fact rows share one key here. Injection preconditions (learned
+    // empirically, pinned in PlanShapeSpec): BOTH join children must be
+    // Sort over an ENSURE_REQUIREMENTS-origin shuffle stage — an
+    // aggregate or a repartition-by-column between sort and shuffle
+    // disqualifies the side (hence dim's round-robin repartition, which
+    // forces EnsureRequirements to insert its own exchange) — and the
+    // map side needs >1 mapper or there are no mapper ranges to split.
+    // forceOptimizeSkewedJoin accepts the extra exchange the downstream
+    // aggregate then needs. Thresholds ride on graft knobs: defaults
+    // sized so the sf0.1 bench splits the ~4 MB hot partition into
+    // ~8 chunks; the spec tightens them to prove the split at spec
+    // scale.
+    "q_skew_join_aqe" -> ((s, dir) => {
+      Seq(
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" ->
+          s.conf.get("spark.graft.skew.threshold", "1MB"),
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" ->
+          s.conf.get("spark.graft.skew.advisory", "512KB"),
+        "spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true",
+        "spark.sql.autoBroadcastJoinThreshold" -> "-1"
+      ).foreach { case (k, v) => QueryCaches.scopedConf(s, k, v) }
+      val fact = t(s, dir, "lineitem").repartition(8)
+        .select(when(col("l_orderkey") % 10 < 8, 0L)
+          .otherwise(col("l_orderkey")).as("k"), col("l_extendedprice"))
+      val dim = fact.select("k").distinct().repartition(8)
+        .withColumn("tag", col("k") % 7)
+      fact.hint("merge").join(dim, "k")
+        .groupBy("tag")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("rev"))
+        .orderBy("tag")
+    }),
+
     // One-pass column profiling — the data-quality survey every ingest
     // pipeline runs before anything else: per measure column, row/null/
     // distinct counts and min/max/mean. stack() pivots the measures
@@ -762,6 +801,19 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_skew_join_aqe" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey END AS k,
+        |         l_extendedprice
+        |  FROM lineitem
+        |),
+        |dim AS (SELECT DISTINCT k FROM fact),
+        |d2 AS (SELECT k, k % 7 AS tag FROM dim)
+        |SELECT tag, CAST(count(*) AS BIGINT) AS n,
+        |       round(sum(l_extendedprice), 2) AS rev
+        |FROM fact JOIN d2 USING (k)
+        |GROUP BY tag ORDER BY tag""".stripMargin,
+
     "q_profile_stats" ->
       """WITH u AS (
         |  SELECT 'l_quantity' AS col_name, l_quantity AS value FROM lineitem

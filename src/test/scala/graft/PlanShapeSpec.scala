@@ -256,6 +256,31 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_skew_join_aqe: OptimizeSkewedJoin splits the hot partition at runtime") {
+    // tighten the graft knobs so the sf0.001 hot partition qualifies,
+    // then EXECUTE (AQE decides from real map-output sizes) and read
+    // the final adaptive plan
+    val thrKey = "spark.graft.skew.threshold"
+    val advKey = "spark.graft.skew.advisory"
+    spark.conf.set(thrKey, "2KB")
+    spark.conf.set(advKey, "1KB")
+    try {
+      val df = RelationalQueries.queries("q_skew_join_aqe")(spark, sf)
+      df.collect()
+      val fin = df.queryExecution.executedPlan.toString
+      assert(fin.contains("skew=true"),
+        s"the hot-key join must be marked skew-optimized:\n$fin")
+      assert(fin.contains("skewed"),
+        s"an AQEShuffleRead must read skew-split partitions:\n$fin")
+    } finally {
+      graft.queries.QueryCaches.releaseAll(spark)
+      spark.conf.unset(thrKey)
+      spark.conf.unset(advKey)
+    }
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "scoped confs must be restored after release")
+  }
+
   test("q_containment: shingle-keyed equi-join, never a doc product") {
     val p = plan("q_containment", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
