@@ -480,7 +480,11 @@ object EventQueries {
     // hour), the first/last/extreme values. Open/close come from
     // first_value/last_value over the full-partition ROWS frame with a
     // (ts, event_id) tiebreak (deterministic cross-engine; plain
-    // first()/min_by tie-break rules differ between engines), then the
+    // first()/min_by tie-break rules differ between engines). The
+    // oracle orders by epoch_us(ts) — truncated exactly like Spark's
+    // parquet ns→µs read — so two events in the same microsecond can
+    // never order differently across engines (DuckDB keeps the ns the
+    // window ORDER BY would otherwise see), then the
     // group-by collapses the constant-per-partition columns. The
     // window and the aggregate share the (series, bucket) hash key —
     // one exchange at any scale.
@@ -520,10 +524,10 @@ object EventQueries {
         |fl AS (
         |  SELECT series, window_start_s, value,
         |         first_value(value) OVER (PARTITION BY series, window_start_s
-        |                                  ORDER BY ts, event_id
+        |                                  ORDER BY epoch_us(ts), event_id
         |                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_v,
         |         last_value(value) OVER (PARTITION BY series, window_start_s
-        |                                 ORDER BY ts, event_id
+        |                                 ORDER BY epoch_us(ts), event_id
         |                                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_v
         |  FROM base
         |)

@@ -766,8 +766,13 @@ object RelationalQueries {
         .withColumn("tag", col("k") % 7)
       fact.hint("merge").join(dim, "k")
         .groupBy("tag")
+        // decimal sum: the hot group aggregates ~80% of the table, and
+        // a double sum that large carries summation-order noise past
+        // the 2-decimal rounding boundary (same class q_profile_stats
+        // guards against)
         .agg(count(lit(1)).as("n"),
-          round(sum(col("l_extendedprice")), 2).as("rev"))
+          round(sum(col("l_extendedprice").cast("decimal(24,6)"))
+            .cast("double"), 2).as("rev"))
         .orderBy("tag")
     }),
 
@@ -810,7 +815,7 @@ object RelationalQueries {
         |dim AS (SELECT DISTINCT k FROM fact),
         |d2 AS (SELECT k, k % 7 AS tag FROM dim)
         |SELECT tag, CAST(count(*) AS BIGINT) AS n,
-        |       round(sum(l_extendedprice), 2) AS rev
+        |       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(24,6))) AS DOUBLE), 2) AS rev
         |FROM fact JOIN d2 USING (k)
         |GROUP BY tag ORDER BY tag""".stripMargin,
 
