@@ -331,6 +331,58 @@ object EventQueries {
       }
     }),
 
+    // Stream-stream LEFT SEMI join — "which clicks converted", emitting
+    // each click AT MOST ONCE however many purchases match (the
+    // attribution-filter shape; an inner join duplicates per match and
+    // a downstream distinct would need its own state). Matched rows
+    // emit as soon as the match arrives; the sentinel watermark advance
+    // is for state cleanup symmetry with the outer variant (the
+    // sentinel pair matches itself — equal far timestamps, gap 0 —
+    // and is filtered from the result). Oracle: EXISTS over the same
+    // time-range predicate.
+    "q_stream_semi_join" -> ((s, dir) => {
+      val name = s"stream_sj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+        val sentC = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val sentP = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(Long, Long, java.sql.Timestamp)]
+        val base = graft.sources.EventSource.stream(s, dir)
+        val clicks = base
+          .filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"), col("user_id"),
+            col("ts").as("click_ts"))
+          .unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
+          .withWatermark("click_ts", "2 hours")
+        val purchases = base
+          .filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"),
+            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+          .unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
+          .withWatermark("purchase_ts", "2 hours")
+        val joined = clicks.join(purchases,
+          col("user_id") === col("p_user_id") &&
+            col("purchase_ts") >= col("click_ts") &&
+            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+          "left_semi")
+        val q = joined.writeStream.format("memory").queryName(name)
+          .outputMode("append").start()
+        try {
+          q.processAllAvailable()
+          sentC.addData((999999999L, 999999999L, far))
+          sentP.addData((999999999L, 999999999L, far))
+          q.processAllAvailable()
+        } finally q.stop()
+        s.table(name).filter(col("user_id") =!= 999999999L)
+          .select(col("click_id"), col("user_id"),
+            unix_timestamp(col("click_ts")).as("click_s"))
+          .orderBy("click_id")
+      }
+    }),
+
     // Session windows AS A STREAM in append mode — the one mode
     // session aggregation supports with finalized-only emission. Append
     // withholds every session still inside the watermark, so a drained
@@ -656,6 +708,19 @@ object EventQueries {
         |       first_purchase_ts_s IS NOT NULL AS converted,
         |       first_purchase_ts_s - click_ts_s AS secs_to_convert
         |FROM j ORDER BY user_id""".stripMargin,
+
+    "q_stream_semi_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_s
+        |FROM events c
+        |WHERE c.event_type = 'click'
+        |  AND EXISTS (
+        |    SELECT 1 FROM events p
+        |    WHERE p.event_type = 'purchase'
+        |      AND p.user_id = c.user_id
+        |      AND p.ts >= c.ts
+        |      AND p.ts <= c.ts + INTERVAL 1 HOUR)
+        |ORDER BY click_id""".stripMargin,
 
     "q_stream_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,
