@@ -732,6 +732,31 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Correlated scalar subqueries through the SQL surface — written
+    // the way an analyst writes them (one subquery per derived column),
+    // executed the way a 100 TB engine must: Catalyst decorrelates each
+    // into an aggregate + left outer join (RewriteCorrelatedScalarSubquery),
+    // so the plan is two joins over one orders scan-pair, not a
+    // per-customer re-scan. PlanShapeSpec pins that no interpreted
+    // per-row subquery survives into the physical plan. COUNT's
+    // empty-group edge (correlated COUNT must see 0, not NULL, for
+    // customers without orders) is exactly the case the rewrite's
+    // default-value handling covers — and the oracle checks it.
+    "q_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_sq_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_sq_orders")
+      s.sql(
+        """SELECT c_custkey, c_mktsegment,
+          |       round(coalesce((SELECT sum(o_totalprice)
+          |                       FROM graft_sq_orders o
+          |                       WHERE o.o_custkey = c.c_custkey), 0.0), 2) AS total_spend,
+          |       (SELECT count(*) FROM graft_sq_orders o
+          |        WHERE o.o_custkey = c.c_custkey) AS n_orders
+          |FROM graft_sq_customer c
+          |WHERE c_acctbal > 0
+          |ORDER BY c_custkey""".stripMargin)
+    }),
+
     // AQE skew-join handling — the AUTOMATIC complement to the manual
     // salting in q_skew_join_salted: at execution time
     // OptimizeSkewedJoin reads the real map-output sizes, splits the
@@ -806,6 +831,17 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "q_scalar_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |       round(coalesce((SELECT sum(o_totalprice)
+        |                       FROM orders o
+        |                       WHERE o.o_custkey = c.c_custkey), 0.0), 2) AS total_spend,
+        |       CAST((SELECT count(*) FROM orders o
+        |             WHERE o.o_custkey = c.c_custkey) AS BIGINT) AS n_orders
+        |FROM customer c
+        |WHERE c_acctbal > 0
+        |ORDER BY c_custkey""".stripMargin,
+
     "q_skew_join_aqe" ->
       """WITH fact AS (
         |  SELECT CASE WHEN l_orderkey % 10 < 8 THEN 0 ELSE l_orderkey END AS k,

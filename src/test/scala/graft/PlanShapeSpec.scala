@@ -256,6 +256,15 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_scalar_subquery: correlated subqueries decorrelate into joins") {
+    val p = plan("q_scalar_subquery", RelationalQueries.queries)
+    assert(!p.contains("ScalarSubquery"),
+      s"no per-row interpreted subquery may survive decorrelation:\n$p")
+    val joins = "Join".r.findAllIn(p).length
+    assert(joins >= 2, s"expected the two rewritten aggregate joins:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_skew_join_aqe: OptimizeSkewedJoin splits the hot partition at runtime") {
     // tighten the graft knobs so the sf0.001 hot partition qualifies,
     // then EXECUTE (AQE decides from real map-output sizes) and read
