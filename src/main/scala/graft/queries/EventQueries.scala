@@ -20,6 +20,55 @@ object EventQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     graft.sources.EventSource.batch(s, dir)
 
+  /** Shared scaffold for the sentinel-flushed stream-stream joins
+    * (left_outer / left_semi): click and purchase sides over ONE
+    * shared file subscription, joined on user with the 1-hour
+    * attribution range; each side gets a control MemoryStream and one
+    * far-future sentinel advances both watermarks after the files
+    * drain (global watermark = min over inputs), flushing state the
+    * drained static source alone never would. Returns the memory-sink
+    * table with the sentinel pair (which matches itself — equal far
+    * timestamps, gap 0) filtered out.
+    */
+  private def sentinelStreamJoin(s: SparkSession, dir: String,
+      joinType: String, name: String): DataFrame = {
+    import s.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+    val sentC = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val sentP = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    // one shared file source for both sides (self-join subscription)
+    val base = graft.sources.EventSource.stream(s, dir)
+    val clicks = base
+      .filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    val purchases = base
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
+      .unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
+      .withWatermark("purchase_ts", "2 hours")
+    val joined = clicks.join(purchases,
+      col("user_id") === col("p_user_id") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
+      joinType)
+    val q = joined.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      sentC.addData((999999999L, 999999999L, far))
+      sentP.addData((999999999L, 999999999L, far))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(name).filter(col("user_id") =!= 999999999L)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Tumbling 1-hour windows per event type.
@@ -288,41 +337,7 @@ object EventQueries {
     "q_stream_left_join" -> ((s, dir) => {
       val name = s"stream_lj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
-        val sentC = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, java.sql.Timestamp)]
-        val sentP = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, java.sql.Timestamp)]
-        // one shared file source for both sides (self-join subscription)
-        val base = graft.sources.EventSource.stream(s, dir)
-        val clicks = base
-          .filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").as("click_ts"))
-          .unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
-          .withWatermark("click_ts", "2 hours")
-        val purchases = base
-          .filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-          .unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
-          .withWatermark("purchase_ts", "2 hours")
-        val joined = clicks.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          sentC.addData((999999999L, 999999999L, far))
-          sentP.addData((999999999L, 999999999L, far))
-          q.processAllAvailable()
-        } finally q.stop()
-        s.table(name).filter(col("user_id") =!= 999999999L)
+        sentinelStreamJoin(s, dir, "left_outer", name)
           .select(col("click_id"), col("user_id"),
             coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
             coalesce(unix_timestamp(col("purchase_ts")) -
@@ -343,40 +358,7 @@ object EventQueries {
     "q_stream_semi_join" -> ((s, dir) => {
       val name = s"stream_sj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
-        import s.implicits._
-        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-        val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
-        val sentC = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, java.sql.Timestamp)]
-        val sentP = org.apache.spark.sql.execution.streaming.runtime
-          .MemoryStream[(Long, Long, java.sql.Timestamp)]
-        val base = graft.sources.EventSource.stream(s, dir)
-        val clicks = base
-          .filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"), col("user_id"),
-            col("ts").as("click_ts"))
-          .unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
-          .withWatermark("click_ts", "2 hours")
-        val purchases = base
-          .filter(col("event_type") === "purchase")
-          .select(col("event_id").as("purchase_id"),
-            col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-          .unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
-          .withWatermark("purchase_ts", "2 hours")
-        val joined = clicks.join(purchases,
-          col("user_id") === col("p_user_id") &&
-            col("purchase_ts") >= col("click_ts") &&
-            col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
-          "left_semi")
-        val q = joined.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          sentC.addData((999999999L, 999999999L, far))
-          sentP.addData((999999999L, 999999999L, far))
-          q.processAllAvailable()
-        } finally q.stop()
-        s.table(name).filter(col("user_id") =!= 999999999L)
+        sentinelStreamJoin(s, dir, "left_semi", name)
           .select(col("click_id"), col("user_id"),
             unix_timestamp(col("click_ts")).as("click_s"))
           .orderBy("click_id")
