@@ -20,7 +20,8 @@ object Bench {
     "q_embedding_near_dup", "q_url_canonical", "q_ngram_novelty",
     "q_mix_sample", "q_semantic_cluster", "q_fuzzy_join",
     "q_runtime_filter", "q_passage_overlap", "q_split_leakage",
-    "q_ann_ivf_probe2")
+    "q_ann_ivf_probe2", "q_skew_join_aqe", "q_scalar_subquery",
+    "q_containment")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -23,7 +23,10 @@ object Explain {
         "q_partitioned_source", "q_ivf_centroids",
         "q_embedding_near_dup", "q_fuzzy_join", "q_url_canonical",
         "q_ngram_novelty", "q_mix_sample", "q_length_filter",
-        "q_semantic_cluster", "q_bucketed_join")
+        "q_semantic_cluster", "q_bucketed_join", "q_runtime_filter",
+        "q_passage_overlap", "q_split_leakage", "q_ann_ivf_probe2",
+        "q_skew_join_aqe", "q_scalar_subquery", "q_containment",
+        "q_profile_stats", "q_window_ohlc")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -20,18 +20,26 @@ object EventQueries {
   private def ev(s: SparkSession, dir: String): DataFrame =
     graft.sources.EventSource.batch(s, dir)
 
-  /** Shared scaffold for the sentinel-flushed stream-stream joins
-    * (left_outer / left_semi): click and purchase sides over ONE
-    * shared file subscription, joined on user with the 1-hour
-    * attribution range; each side gets a control MemoryStream and one
-    * far-future sentinel advances both watermarks after the files
-    * drain (global watermark = min over inputs), flushing state the
-    * drained static source alone never would. Returns the memory-sink
-    * table with the sentinel pair (which matches itself — equal far
-    * timestamps, gap 0) filtered out.
+  /** Shared scaffold for the stream-stream click/purchase joins:
+    * both sides over ONE shared file subscription, joined on user with
+    * the 1-hour attribution range.
+    *
+    * `flush = true` (left_outer): results that depend on the ABSENCE
+    * of a match only materialize once the watermark proves no match
+    * can still arrive, and a drained static file never advances it
+    * past its own tail — so each side gets a control MemoryStream and
+    * one far-future sentinel advances both watermarks (global
+    * watermark = min over inputs) after the files drain. The sentinel
+    * pair (which matches itself — equal far timestamps, gap 0) is
+    * filtered from the returned table.
+    *
+    * `flush = false` (inner/left_semi shapes): presence-only results
+    * emit eagerly in the micro-batch where the match arrives, so the
+    * sentinel round would only pay an extra micro-batch for state
+    * cleanup the result never sees.
     */
   private def sentinelStreamJoin(s: SparkSession, dir: String,
-      joinType: String, name: String): DataFrame = {
+      joinType: String, name: String, flush: Boolean): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
     val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
@@ -41,18 +49,20 @@ object EventQueries {
       .MemoryStream[(Long, Long, java.sql.Timestamp)]
     // one shared file source for both sides (self-join subscription)
     val base = graft.sources.EventSource.stream(s, dir)
-    val clicks = base
+    val rawClicks = base
       .filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
         col("ts").as("click_ts"))
-      .unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
-      .withWatermark("click_ts", "2 hours")
-    val purchases = base
+    val rawPurchases = base
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-      .unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
-      .withWatermark("purchase_ts", "2 hours")
+    val clicks = (if (flush)
+      rawClicks.unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
+    else rawClicks).withWatermark("click_ts", "2 hours")
+    val purchases = (if (flush)
+      rawPurchases.unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
+    else rawPurchases).withWatermark("purchase_ts", "2 hours")
     val joined = clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
@@ -62,9 +72,11 @@ object EventQueries {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      sentC.addData((999999999L, 999999999L, far))
-      sentP.addData((999999999L, 999999999L, far))
-      q.processAllAvailable()
+      if (flush) {
+        sentC.addData((999999999L, 999999999L, far))
+        sentP.addData((999999999L, 999999999L, far))
+        q.processAllAvailable()
+      }
     } finally q.stop()
     s.table(name).filter(col("user_id") =!= 999999999L)
   }
@@ -337,7 +349,7 @@ object EventQueries {
     "q_stream_left_join" -> ((s, dir) => {
       val name = s"stream_lj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
-        sentinelStreamJoin(s, dir, "left_outer", name)
+        sentinelStreamJoin(s, dir, "left_outer", name, flush = true)
           .select(col("click_id"), col("user_id"),
             coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
             coalesce(unix_timestamp(col("purchase_ts")) -
@@ -350,15 +362,14 @@ object EventQueries {
     // each click AT MOST ONCE however many purchases match (the
     // attribution-filter shape; an inner join duplicates per match and
     // a downstream distinct would need its own state). Matched rows
-    // emit as soon as the match arrives; the sentinel watermark advance
-    // is for state cleanup symmetry with the outer variant (the
-    // sentinel pair matches itself — equal far timestamps, gap 0 —
-    // and is filtered from the result). Oracle: EXISTS over the same
-    // time-range predicate.
+    // emit eagerly in the micro-batch where the match arrives, so no
+    // sentinel flush is needed (flush = false) — only ABSENCE results
+    // (the outer variant's null extensions) wait on the watermark.
+    // Oracle: EXISTS over the same time-range predicate.
     "q_stream_semi_join" -> ((s, dir) => {
       val name = s"stream_sj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
-        sentinelStreamJoin(s, dir, "left_semi", name)
+        sentinelStreamJoin(s, dir, "left_semi", name, flush = false)
           .select(col("click_id"), col("user_id"),
             unix_timestamp(col("click_ts")).as("click_s"))
           .orderBy("click_id")
