@@ -732,6 +732,34 @@ object RelationalQueries {
         .orderBy("l_returnflag")
     }),
 
+    // Incremental aggregate maintenance — the relational form of the
+    // invariant a 100 TB rollup pipeline lives by: when a new partition
+    // lands, merge its per-group moments into the stored ones instead
+    // of recomputing the world. Base = orders before 1997, delta = the
+    // rest; stored (count, decimal-exact sum) moments merge via a
+    // full-outer join on the group key (groups can exist on one side
+    // only), and the ORACLE is the from-scratch rebuild over the whole
+    // table — "incremental == rebuild" is checked, not assumed. Decimal
+    // sums make the merge exact; the double cast happens once at
+    // presentation.
+    "q_incremental_agg" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      def moments(df: DataFrame) = df
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(24,6)")).as("s"))
+      val base = moments(o.filter(col("o_orderdate") < lit("1997-01-01")))
+      val delta = moments(o.filter(col("o_orderdate") >= lit("1997-01-01")))
+        .withColumnRenamed("n", "dn").withColumnRenamed("s", "ds")
+      base.join(delta, Seq("o_orderpriority"), "full_outer")
+        .select(col("o_orderpriority"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n_orders"),
+          round((coalesce(col("s"), lit(java.math.BigDecimal.ZERO)) +
+            coalesce(col("ds"), lit(java.math.BigDecimal.ZERO))).cast("double"), 2)
+            .as("revenue"))
+        .orderBy("o_orderpriority")
+    }),
+
     // Correlated scalar subqueries through the SQL surface — written
     // the way an analyst writes them (one subquery per derived column),
     // executed the way a 100 TB engine must: Catalyst decorrelates each
@@ -831,6 +859,13 @@ object RelationalQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // full recompute over the whole table: the incremental merge must
+    // equal the rebuild exactly
+    "q_incremental_agg" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+        |       round(CAST(sum(CAST(o_totalprice AS DECIMAL(24,6))) AS DOUBLE), 2) AS revenue
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+
     "q_scalar_subquery" ->
       """SELECT c_custkey, c_mktsegment,
         |       round(coalesce((SELECT sum(o_totalprice)
