@@ -80,13 +80,20 @@ object AsciiGridTable {
     StructField("cellsize", DoubleType, nullable = false),
     StructField("nodata", DoubleType, nullable = false),
     StructField("text", StringType, nullable = false),
-    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false)))
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("region", StringType, nullable = false)))
 
   /** Header fields recoverable from the first 4 KiB (everything except
-    * the cell block and the full text).
+    * the cell block and the full text). `region` needs no read at all —
+    * it is the file's parent directory name (the reference's
+    * region-code-directory convention, ETL.py:234).
     */
   val HeaderCols: Set[String] =
-    Set("path", "ncols", "nrows", "xllcorner", "yllcorner", "cellsize", "nodata")
+    Set("path", "ncols", "nrows", "xllcorner", "yllcorner", "cellsize", "nodata",
+      "region")
+
+  /** The table's reported partition column value for a file. */
+  def regionOf(path: String): String = new Path(path).getParent.getName
 
   /** `load(p1, p2…)` arrives as "paths" (JSON list) or "path". Decoded
     * with Jackson (already on Spark's classpath) — a naive split(",")
@@ -106,6 +113,10 @@ object AsciiGridTable {
 final class AsciiGridTable(roots: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"asciigrid(${roots.mkString(",")})"
   override def schema(): StructType = AsciiGridTable.Schema
+  // the on-disk layout IS partitioned by region directory — reporting it
+  // lets two co-partitioned asciigrid scans storage-partition-join
+  override def partitioning(): Array[Transform] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.identity("region"))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -160,7 +171,8 @@ final class AsciiGridScanBuilder(roots: Seq[String])
     }
 
   private def headerAggCol(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
-    colName(e).filter(c => AsciiGridTable.HeaderCols.contains(c) && c != "path")
+    colName(e).filter(c =>
+      AsciiGridTable.HeaderCols.contains(c) && c != "path" && c != "region")
 
   override def pushAggregation(aggregation: Aggregation): Boolean = {
     if (aggregation.groupByExpressions().nonEmpty) return false
@@ -202,7 +214,7 @@ object PathFilterEval {
 
 final class AsciiGridScan(roots: Seq[String], required: StructType,
     pathFilters: Array[sources.Filter], aggs: Seq[PushedAgg])
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportPartitioning {
 
   private def baseType(c: String): DataType =
     AsciiGridTable.Schema(AsciiGridTable.Schema.fieldIndex(c)).dataType
@@ -229,7 +241,11 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
     * driver-side analog of SRC-1's glob pushdown), so non-matching
     * files never become partitions.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  /** One listing per scan, shared by partition planning and the
+    * reported partitioning (outputPartitioning needs the distinct
+    * region count before partitions are planned).
+    */
+  private lazy val listed: Seq[FileStatus] = {
     // the SESSION's Hadoop conf (spark.hadoop.* — s3a credentials,
     // endpoints), not a bare classpath-only Configuration
     val conf = org.apache.spark.sql.SparkSession.active
@@ -247,14 +263,34 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
       }
       out.result()
     }
-    val sorted = files.sortBy(_.getPath.toString)
+    files.sortBy(_.getPath.toString)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
     if (aggs.nonEmpty && aggs.forall(_.op == "count"))
       // complete pushdown: the listing IS the answer
-      Array(AsciiGridCountPartition(sorted.length))
+      Array(AsciiGridCountPartition(listed.length))
     else
-      sorted.map(st => AsciiGridInputPartition(st.getPath.toString, st.getLen): InputPartition)
-        .toArray
+      listed.map(st => AsciiGridInputPartition(st.getPath.toString, st.getLen,
+        AsciiGridTable.regionOf(st.getPath.toString)): InputPartition).toArray
   }
+
+  /** The region-directory layout reported as KeyGroupedPartitioning:
+    * with `spark.sql.sources.v2.bucketing.enabled` two asciigrid scans
+    * joined on `region` are storage-partitioned — Spark groups the
+    * per-file splits by their HasPartitionKey value and plans the join
+    * with NO exchange on either side (the V2 analog of the bucketed-
+    * table join; with the conf off the report is ignored and per-file
+    * parallelism is unchanged). Aggregate-pushdown scans emit synthetic
+    * rows with no partition key, so they report unknown.
+    */
+  override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    if (aggs.nonEmpty)
+      new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    else
+      new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions.identity("region")),
+        listed.map(st => AsciiGridTable.regionOf(st.getPath.toString)).distinct.length)
 
   override def createReaderFactory(): PartitionReaderFactory =
     // executors rebuild the filesystem from the driver's fs.* entries
@@ -263,8 +299,11 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
       graft.sinks.S3Sink.fsConfEntries(org.apache.spark.sql.SparkSession.active))
 }
 
-final case class AsciiGridInputPartition(path: String, length: Long)
-    extends InputPartition
+final case class AsciiGridInputPartition(path: String, length: Long,
+    region: String) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new GenericInternalRow(Array[Any](UTF8String.fromString(region)))
+}
 
 /** Complete COUNT(*) pushdown: the single partition carries the file
   * count computed from the listing.
@@ -355,8 +394,9 @@ final class AsciiGridPartitionReader(part: AsciiGridInputPartition,
         val vals = new Array[Any](required.length)
         required.fieldNames.zipWithIndex.foreach { case (name, i) =>
           vals(i) = name match {
-            case "path" => UTF8String.fromString(part.path)
-            case "text" => UTF8String.fromString(text)
+            case "path"   => UTF8String.fromString(part.path)
+            case "region" => UTF8String.fromString(part.region)
+            case "text"   => UTF8String.fromString(text)
             case "values" if wantsCells =>
               ArrayData.toArrayData(AsciiGrid.parse(text).values)
             case c if AsciiGridTable.HeaderCols.contains(c) => headerValue(c)
