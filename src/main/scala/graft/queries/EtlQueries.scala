@@ -264,6 +264,39 @@ object EtlQueries {
         .orderBy("region_code")
     }),
 
+    // Storage-partitioned join through the asciigrid DataSource V2: the
+    // region-directory layout is reported as KeyGroupedPartitioning, so
+    // the two co-partitioned scans join on `region` with NO exchange on
+    // either side (`spark.sql.sources.v2.bucketing.enabled`, scoped) —
+    // the V2 analog of the bucketed-table join, with the layout owned
+    // by the source instead of the warehouse. The side tree is
+    // deterministic (region rXX holds XX % 3 + 1 one-row grids with
+    // ncols = XX + k + 1, written once per JVM), so the oracle
+    // reconstructs the same numbers arithmetically — the gate checks
+    // the exchange-free path returns exactly what the shuffled plan
+    // would.
+    "q_spj_source" -> ((s, dir) => {
+      QueryCaches.scopedConf(s, "spark.sql.sources.v2.bucketing.enabled", "true")
+      QueryCaches.scopedConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_spj_tree"
+      SideStores.ensure(out) {
+        for (r <- 0 until 16; k <- 0 to (r % 3)) {
+          val sub = new java.io.File(out, f"r$r%02d")
+          sub.mkdirs()
+          val ncols = r + k + 1
+          val body = s"ncols $ncols\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\n" +
+            s"cellsize 1.0\nNODATA_value -9999\n${Seq.fill(ncols)("1.0").mkString(" ")}\n"
+          java.nio.file.Files.writeString(sub.toPath.resolve(s"g$k.asc"), body)
+          ()
+        }
+      }
+      val a = s.read.format("asciigrid").load(out)
+        .groupBy("region").agg(sum(col("ncols")).as("total_cols"))
+      val b = s.read.format("asciigrid").load(out)
+        .groupBy("region").agg(count(lit(1)).as("n_grids"))
+      a.join(b, "region").orderBy("region")
+    }),
+
     // SRC-3: the feature-service response parsed as a real GeoJSON
     // FeatureCollection (ETL.py:184–187, 265–270): nested
     // features[].properties attributes + features[].geometry.coordinates
@@ -537,6 +570,16 @@ object EtlQueries {
          |SELECT region_code, count(*) AS n_files, min(file_id) AS min_file_id
          |FROM manifest WHERE region_code IN ('01', '05', '13')
          |GROUP BY region_code ORDER BY region_code""".stripMargin,
+
+    // the side tree is pure arithmetic in (region index, grid index) —
+    // the oracle recomputes it without touching the files
+    "q_spj_source" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 15)) AS rr),
+        |g AS (SELECT rr, unnest(generate_series(0, rr % 3)) AS k FROM r)
+        |SELECT printf('r%02d', rr) AS region,
+        |       CAST(sum(rr + k + 1) AS BIGINT) AS total_cols,
+        |       CAST(count(*) AS BIGINT) AS n_grids
+        |FROM g GROUP BY rr ORDER BY region""".stripMargin,
 
     // DuckDB reads the SAME FeatureCollection document (extracted to a
     // stable temp path by GeoJsonSource.fixturePath) and re-derives every

@@ -290,6 +290,19 @@ class PlanShapeSpec extends SparkSpecBase {
       "scoped confs must be restored after release")
   }
 
+  test("q_spj_source: storage-partitioned join — no hash exchange anywhere in the plan") {
+    try {
+      val p = plan("q_spj_source", EtlQueries.queries)
+      // scans report KeyGroupedPartitioning on region, so both groupBys
+      // AND the join run exchange-free; only the presentation sort may
+      // range-partition
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"co-partitioned V2 scans must not shuffle:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+    assert(spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1",
+      "scoped confs must be restored after release")
+  }
+
   test("q_containment: shingle-keyed equi-join, never a doc product") {
     val p = plan("q_containment", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
