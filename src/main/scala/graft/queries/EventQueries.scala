@@ -42,11 +42,15 @@ object EventQueries {
       joinType: String, name: String, flush: Boolean): DataFrame = {
     import s.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
-    val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
-    val sentC = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, java.sql.Timestamp)]
-    val sentP = org.apache.spark.sql.execution.streaming.runtime
-      .MemoryStream[(Long, Long, java.sql.Timestamp)]
+    // sentinel machinery exists ONLY on the flush path — and so does
+    // the sentinel-id filter below: filtering the id unconditionally
+    // would silently drop a legitimate event with that user_id from
+    // the non-flush variants while their oracles keep it
+    val sentinels = if (flush) Some((
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)],
+      org.apache.spark.sql.execution.streaming.runtime
+        .MemoryStream[(Long, Long, java.sql.Timestamp)])) else None
     // one shared file source for both sides (self-join subscription)
     val base = graft.sources.EventSource.stream(s, dir)
     val rawClicks = base
@@ -57,12 +61,12 @@ object EventQueries {
       .filter(col("event_type") === "purchase")
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user_id"), col("ts").as("purchase_ts"))
-    val clicks = (if (flush)
+    val clicks = sentinels.fold(rawClicks) { case (sentC, _) =>
       rawClicks.unionByName(sentC.toDF().toDF("click_id", "user_id", "click_ts"))
-    else rawClicks).withWatermark("click_ts", "2 hours")
-    val purchases = (if (flush)
+    }.withWatermark("click_ts", "2 hours")
+    val purchases = sentinels.fold(rawPurchases) { case (_, sentP) =>
       rawPurchases.unionByName(sentP.toDF().toDF("purchase_id", "p_user_id", "purchase_ts"))
-    else rawPurchases).withWatermark("purchase_ts", "2 hours")
+    }.withWatermark("purchase_ts", "2 hours")
     val joined = clicks.join(purchases,
       col("user_id") === col("p_user_id") &&
         col("purchase_ts") >= col("click_ts") &&
@@ -72,13 +76,15 @@ object EventQueries {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
-      if (flush) {
+      sentinels.foreach { case (sentC, sentP) =>
+        val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
         sentC.addData((999999999L, 999999999L, far))
         sentP.addData((999999999L, 999999999L, far))
         q.processAllAvailable()
       }
     } finally q.stop()
-    s.table(name).filter(col("user_id") =!= 999999999L)
+    val out = s.table(name)
+    if (flush) out.filter(col("user_id") =!= 999999999L) else out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

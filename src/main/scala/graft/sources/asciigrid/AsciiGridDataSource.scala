@@ -281,8 +281,14 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
     * per-file splits by their HasPartitionKey value and plans the join
     * with NO exchange on either side (the V2 analog of the bucketed-
     * table join; with the conf off the report is ignored and per-file
-    * parallelism is unchanged). Aggregate-pushdown scans emit synthetic
-    * rows with no partition key, so they report unknown.
+    * parallelism is unchanged). The conf is a deliberate per-session
+    * trade, same as for any KGP-reporting source (Iceberg et al.):
+    * while it is ON, EVERY asciigrid scan is grouped one-task-per-
+    * region — right when joins dominate, wrong for a pure many-file
+    * ingest, so enable it for SPJ workloads (or per query, as
+    * q_spj_source scopes it), not globally alongside ingest jobs.
+    * Aggregate-pushdown scans emit synthetic rows with no partition
+    * key, so they report unknown.
     */
   override def outputPartitioning(): org.apache.spark.sql.connector.read.partitioning.Partitioning =
     if (aggs.nonEmpty)
@@ -301,8 +307,11 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
 
 final case class AsciiGridInputPartition(path: String, length: Long,
     region: String) extends InputPartition with HasPartitionKey {
-  override def partitionKey(): InternalRow =
+  // built once: Spark calls partitionKey() repeatedly while grouping
+  // and checking SPJ compatibility (recomputed after deserialization)
+  @transient private lazy val key: InternalRow =
     new GenericInternalRow(Array[Any](UTF8String.fromString(region)))
+  override def partitionKey(): InternalRow = key
 }
 
 /** Complete COUNT(*) pushdown: the single partition carries the file
@@ -356,6 +365,18 @@ final class AsciiGridPartitionReader(part: AsciiGridInputPartition,
     require(part.length <= Int.MaxValue - 8,
       s"asciigrid: ${part.path} is ${part.length} bytes - single-row text " +
         "grids over 2 GB are not supported (split the grid)")
+    // path/region come from the LISTING — a projection needing nothing
+    // else must not open the file at all (at 100 TB on s3a that is one
+    // remote GET per file for zero needed bytes)
+    if (aggs.isEmpty &&
+        required.fieldNames.forall(c => c == "path" || c == "region")) {
+      val vals = required.fieldNames.map {
+        case "path"   => UTF8String.fromString(part.path): Any
+        case "region" => UTF8String.fromString(part.region): Any
+      }
+      row = new GenericInternalRow(vals.toArray)
+      return true
+    }
     val headerOnly = aggs.nonEmpty ||
       required.fieldNames.forall(AsciiGridTable.HeaderCols.contains)
     val toRead = if (headerOnly) math.min(part.length, HeaderPrefixBytes.toLong).toInt

@@ -9,11 +9,6 @@ import graft.sinks.S3Sink
   */
 class S3SinkSpec extends SparkSpecBase {
 
-  private def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
-    try { kvs.foreach { case (k, v) => spark.conf.set(k, v) }; body }
-    finally kvs.foreach { case (k, _) => spark.conf.unset(k) }
-  }
-
   test("disabled (default): local root") {
     assert(S3Sink.resolveRoot(spark, "/tmp/local-out") == "/tmp/local-out")
   }

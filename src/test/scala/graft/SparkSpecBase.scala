@@ -14,4 +14,19 @@ trait SparkSpecBase extends AnyFunSuite {
     .getOrCreate()
 
   val sf: String = "/root/testdata/sf0.001"
+
+  /** Scope session confs to `body`, restoring the previous value (or
+    * unsetting) afterwards — the session is SHARED across suites
+    * (getOrCreate), so any conf a test sets must be restored or it
+    * leaks into every later suite.
+    */
+  def withConf(kvs: (String, String)*)(body: => Unit): Unit = {
+    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }

@@ -32,16 +32,6 @@ class StoragePartitionedJoinSpec extends SparkSpecBase {
     root.toString
   }
 
-  private def withConfs(kvs: (String, String)*)(body: => Unit): Unit = {
-    val prev = kvs.map { case (k, _) => k -> spark.conf.getOption(k) }
-    kvs.foreach { case (k, v) => spark.conf.set(k, v) }
-    try body
-    finally prev.foreach {
-      case (k, Some(v)) => spark.conf.set(k, v)
-      case (k, None)    => spark.conf.unset(k)
-    }
-  }
-
   test("region column reflects the parent directory") {
     val rows = spark.read.format("asciigrid").load(dir)
       .select("region", "path").collect()
@@ -51,7 +41,7 @@ class StoragePartitionedJoinSpec extends SparkSpecBase {
   }
 
   test("co-partitioned scans join on region with no exchange") {
-    withConfs(
+    withConf(
       "spark.sql.sources.v2.bucketing.enabled" -> "true",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val a = spark.read.format("asciigrid").load(dir)
@@ -70,7 +60,7 @@ class StoragePartitionedJoinSpec extends SparkSpecBase {
   }
 
   test("with v2 bucketing off, the same join shuffles (control) and results match") {
-    withConfs(
+    withConf(
       "spark.sql.sources.v2.bucketing.enabled" -> "false",
       "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
       val a = spark.read.format("asciigrid").load(dir)
