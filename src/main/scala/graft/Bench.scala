@@ -56,10 +56,14 @@ object Bench {
         val txt = try src.mkString finally src.close()
         // compare only like with like: a detail file measured at another
         // scale factor (e.g. a local sf0.001 iteration run) is no base
-        if (""""sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).contains(sfDir))
-          """"(q_[A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(txt)
+        if (""""sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).contains(sfDir)) {
+          // scope to the canonical medians object: the detail file also
+          // carries "warm"/"minmax" maps keyed by the same query names
+          val scope = """"queries":\{([^}]*)\}""".r
+            .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
+          """"(q_[A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(scope)
             .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        else Map.empty
+        } else Map.empty
       } catch { case _: Throwable => Map.empty }
 
     // Per query: run `passes` times back-to-back, keep the median (and the
@@ -85,11 +89,20 @@ object Bench {
         graft.queries.QueryCaches.releaseAll(spark)
         ((System.nanoTime() - t0) / 1e9, err)
       }
+      def med(xs: Seq[Double]): Double = {
+        val t = xs.sorted
+        if (t.size % 2 == 1) t(t.size / 2)
+        else (t(t.size / 2 - 1) + t(t.size / 2)) / 2.0
+      }
       val times = runs.map(_._1).sorted
-      val median =
-        if (times.size % 2 == 1) times(times.size / 2)
-        else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-      (name, median, times.head, times.last, runs.flatMap(_._2).headOption)
+      // warm = median EXCLUDING pass 1, which absorbs this plan's
+      // codegen/JIT and (for cache-building queries) the first
+      // population of driver-side sketches — the cold/warm gap is the
+      // per-query answer to "is this a regression or a warmup cost"
+      val warm =
+        if (runs.size > 1) med(runs.drop(1).map(_._1)) else runs.head._1
+      (name, med(runs.map(_._1)), warm, times.head, times.last,
+        runs.flatMap(_._2).headOption)
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -99,10 +112,12 @@ object Bench {
     def qmap(rs: Seq[(String, Double)], prec: String): String =
       rs.map { case (k, v) => "\"" + k + "\":" + prec.format(v) }
         .mkString("{", ",", "}")
-    val errs = results.collect { case (k, _, _, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
+    val errs = results.collect { case (k, _, _, _, _, Some(e)) => s"\"" + k + "\":" + jstr(e) }
     val errJson = if (errs.isEmpty) "" else errs.mkString(""","errors":{""", ",", "}")
-    val medians = results.map { case (k, med, _, _, _) => (k, med) }
+    val medians = results.map { case (k, med, _, _, _, _) => (k, med) }
+    val warms = results.map { case (k, _, warm, _, _, _) => (k, warm) }
     val total = medians.map(_._2).sum
+    val warmTotal = warms.map(_._2).sum
 
     // Regression report vs the prior round's medians: flag a query when its
     // median moved ≥30% AND ≥0.3 s — the absolute floor keeps millisecond
@@ -128,18 +143,18 @@ object Bench {
       if (only.isDefined) "BENCH_DETAIL_SUBSET.json" else "BENCH_DETAIL.json"
     val detailPath = new java.io.File(detailName).getAbsolutePath
     val minmax = results
-      .map { case (k, _, mn, mx, _) =>
+      .map { case (k, _, _, mn, mx, _) =>
         s""""$k":[${"%.6f".format(mn)},${"%.6f".format(mx)}]""" }
       .mkString("{", ",", "}")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","passes":$passes,"queries":${qmap(medians, "%.6f")},"minmax":$minmax,"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
 
     // Compact summary line (fits the tail): total of per-query medians over
     // ALL queries + a fixed headline subset of per-query medians.
     val hl = medians.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -38,7 +38,13 @@ object Explain {
       SparkEntry.queries.get(n) match {
         case Some(fn) =>
           println(s"\n=============== $n ===============")
-          fn(spark, sfDir).explain("formatted")
+          try fn(spark, sfDir).explain("formatted")
+          // scoped-conf queries (q_runtime_filter, q_skew_join_aqe)
+          // mutate session confs via QueryCaches.scopedConf — release
+          // after EVERY query so later plans print under the same
+          // session state Bench/Verify run them with, and cached
+          // intermediates don't accumulate across explains
+          finally graft.queries.QueryCaches.releaseAll(spark)
         case None => println(s"unknown query: $n")
       }
     }

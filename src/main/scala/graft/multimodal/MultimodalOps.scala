@@ -60,6 +60,94 @@ object MultimodalOps {
       resized_h = rh)
   }
 
+  /** Parsed container header — what [[decodeImageHeader]] returns. */
+  final case class ImageHeader(
+      doc_id: Long,
+      format: String,
+      width: Int,
+      height: Int,
+      channels: Int,
+      header_len: Int)
+
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) |
+      ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+
+  private val PngMagic =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Build a spec-conformant PNG signature + IHDR chunk (no pixel
+    * data): 8-byte magic, chunk length 13 (big-endian), "IHDR",
+    * width/height as big-endian i32, bit depth 8, color type from the
+    * channel count (0 gray, 2 RGB, 6 RGBA), zeroed CRC (the header
+    * decoder doesn't checksum).
+    */
+  def encodePngHeader(width: Int, height: Int, channels: Int): Array[Byte] = {
+    val colorType = channels match {
+      case 1 => 0; case 2 => 4; case 3 => 2; case _ => 6
+    }
+    val out = new Array[Byte](33)
+    PngMagic.copyToArray(out, 0)
+    out(11) = 13 // IHDR data length, big-endian (high bytes stay 0)
+    Array[Byte]('I', 'H', 'D', 'R').copyToArray(out, 12)
+    var i = 0
+    while (i < 4) {
+      out(16 + i) = (width >>> (24 - 8 * i)).toByte
+      out(20 + i) = (height >>> (24 - 8 * i)).toByte
+      i += 1
+    }
+    out(24) = 8 // bit depth
+    out(25) = colorType.toByte
+    out // compression/filter/interlace/CRC stay 0
+  }
+
+  /** Build a BMP file header + BITMAPINFOHEADER (no pixel data):
+    * "BM", 54-byte data offset, 40-byte DIB size, width/height as
+    * little-endian i32, 1 plane, bit count = channels·8.
+    */
+  def encodeBmpHeader(width: Int, height: Int, channels: Int): Array[Byte] = {
+    val out = new Array[Byte](54)
+    out(0) = 'B'; out(1) = 'M'
+    def putLe(off: Int, v: Int): Unit = {
+      out(off) = v.toByte; out(off + 1) = (v >>> 8).toByte
+      out(off + 2) = (v >>> 16).toByte; out(off + 3) = (v >>> 24).toByte
+    }
+    putLe(2, 54) // file size = headers only (no pixel array)
+    putLe(10, 54) // pixel data offset
+    putLe(14, 40) // BITMAPINFOHEADER size
+    putLe(18, width)
+    putLe(22, height)
+    out(26) = 1 // planes (2-byte LE)
+    // bit count: 2-byte LE at 28; compression dword at 30 stays 0
+    out(28) = (channels * 8).toByte; out(29) = ((channels * 8) >>> 8).toByte
+    out
+  }
+
+  /** REAL header decode — magic-byte dispatch, endian-correct field
+    * reads (PNG IHDR is big-endian at offsets 16/20 with the color
+    * type at 25; BMP DIB is little-endian at 18/22 with the bit count
+    * at 28). This is the genuine parsing a media-lake metadata pass
+    * runs; only pixel decode needs an external codec.
+    */
+  def decodeImageHeader(docId: Long, bytes: Array[Byte]): ImageHeader = {
+    if (bytes.length >= 26 && bytes.take(8).sameElements(PngMagic) &&
+        bytes(12) == 'I' && bytes(13) == 'H' && bytes(14) == 'D' && bytes(15) == 'R') {
+      val channels = bytes(25) match {
+        case 0 => 1; case 4 => 2; case 2 => 3; case _ => 4
+      }
+      ImageHeader(docId, "png", beInt(bytes, 16), beInt(bytes, 20),
+        channels, bytes.length)
+    } else if (bytes.length >= 30 && bytes(0) == 'B' && bytes(1) == 'M') {
+      val bits = (bytes(28) & 0xff) | ((bytes(29) & 0xff) << 8)
+      ImageHeader(docId, "bmp", leInt(bytes, 18), leInt(bytes, 22),
+        math.max(1, bits / 8), bytes.length)
+    } else ImageHeader(docId, "unknown", 0, 0, 0, bytes.length)
+  }
+
   /** STUB resize — a real kernel would rescale pixel data; the stub
     * keeps the metadata arithmetic (aspect-preserving fit) real. Uses
     * FLOOR (integer) arithmetic so the SQL oracle reproduces it with

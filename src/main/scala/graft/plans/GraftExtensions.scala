@@ -35,6 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecDot(es(0), es(1))))
     ext.injectFunction((
+      FunctionIdentifier("vec_idot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDotI64].getName, "vec_idot"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotI64(es(0), es(1))))
+    ext.injectFunction((
       FunctionIdentifier("vec_bucket"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecBucket].getName, "vec_bucket"),

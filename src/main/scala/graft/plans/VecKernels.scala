@@ -27,6 +27,19 @@ object VecOps {
     s
   }
 
+  /** Integer dot product over long arrays — the post-quantization ANN
+    * scoring kernel. Exact 64-bit arithmetic: |q| ≤ 127 per element and
+    * 64 dims keep every partial product and the sum far below 2⁶³, so
+    * the result is bit-identical to any other integer evaluation order.
+    */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += a.getLong(i) * b.getLong(i); i += 1 }
+    s
+  }
+
   /** Banded multi-bit hyperplane LSH: 4 bands × 16 hyperplanes.
     * Hyperplane h ∈ [0,64): sign bit of Σ_d w(h,d)·e[d] with
     * w(h,d) = +1 if ((h·64+d)·37) mod 97 < 48 else −1 — the same weight
@@ -117,6 +130,42 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `vec_idot(a, b)` — native codegen'd integer dot product over
+  * bigint arrays: the scoring kernel for int8-quantized ANN
+  * (q_ann_quantized). Same in-place ArrayData read as [[VecDot]]; the
+  * arithmetic is exact 64-bit integer, so no rounding guard is needed
+  * for cross-engine ranking parity.
+  */
+case class VecDotI64(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isLongArray(t: DataType): Boolean = t match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isLongArray(left.dataType) && isLongArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_idot expects (array<bigint>, array<bigint>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    VecOps.dotLong(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.plans.VecOps.dotLong($a, $b)")
+
+  override def prettyName: String = "vec_idot"
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotI64 =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `vec_bucket(e)` — native codegen'd 8-hyperplane LSH bucket id. */
 case class VecBucket(child: Expression) extends UnaryExpression {
 
@@ -170,6 +219,8 @@ object VecKernels {
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", es => VecDot(es(0), es(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_idot", es => VecDotI64(es(0), es(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_bucket", es => VecBucket(es.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

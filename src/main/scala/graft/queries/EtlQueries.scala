@@ -280,6 +280,15 @@ object EtlQueries {
       QueryCaches.scopedConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1")
       val out = s"${System.getProperty("java.io.tmpdir")}/graft_spj_tree"
       SideStores.ensure(out) {
+        // recreate from empty: writeString overwrites same-named files
+        // but leaves extras behind — a stale tree from an older layout
+        // would silently diverge from the arithmetic oracle
+        val root = new java.io.File(out)
+        if (root.exists()) {
+          java.nio.file.Files.walk(root.toPath)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.delete(p); () })
+        }
         for (r <- 0 until 16; k <- 0 to (r % 3)) {
           val sub = new java.io.File(out, f"r$r%02d")
           sub.mkdirs()

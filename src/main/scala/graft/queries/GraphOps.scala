@@ -49,6 +49,107 @@ object GraphOps {
     * (large-star/small-star) drop in here if diameters grow beyond
     * `maxRounds`.
     */
+  /** Connected components by alternating large-star / small-star
+    * rounds (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14) — the frontier-optimized replacement for plain
+    * min-label propagation: plain propagation moves the component
+    * minimum ONE hop per shuffle round (O(diameter) rounds — 30+ on a
+    * chain-shaped dedup component at 100 TB), while the star rounds
+    * rewire every node at the component min's DISTANCE-doubling rate,
+    * converging in O(log diameter) rounds (3–5 where propagation needs
+    * 30). Each round is two grouped-join shuffles over the edge set;
+    * no driver-side graph state.
+    *
+    * Stop test: Σ(u+v) over the canonical distinct edge set is
+    * non-increasing through BOTH operations (large-star replaces
+    * (v, u) with (v, m(u)), m(u) ≤ u; small-star rewires a node's
+    * ≤-neighborhood onto its minimum, net (|N|−1)(m−u) ≤ 0; distinct
+    * merges only remove), and equality holds iff the round changed
+    * nothing — so a stable (count, Σ) pair IS the fixpoint, a scalar
+    * aggregate per round like the labelSum test above. The sums run in
+    * DECIMAL(38): id sums can overflow BIGINT at full scale.
+    *
+    * At the fixpoint the edge set is a star forest rooted at component
+    * minima, so labels read off as child → parent, roots/singletons →
+    * self.
+    *
+    * @param nodes (id)        one row per vertex
+    * @param edges (src, dst)  any orientation/duplication — canonicalized
+    * @return (labels (id, label), star rounds executed) — the round
+    *         count is returned so specs can pin the O(log d) bound
+    */
+  def alternatingStarComponents(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 20): (DataFrame, Int) = {
+
+    // canonical undirected edge set: (u, v) with u > v, no self loops
+    def canon(e: DataFrame): DataFrame = e
+      .select(greatest(col("src"), col("dst")).as("u"),
+        least(col("src"), col("dst")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+
+    // large-star: every node u attaches its LARGER neighbors to
+    // m(u) = min(Γ(u) ∪ {u}); output stays canonical since m ≤ u < v
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("u"), col("v"))
+        .unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy("u").agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("mn"), col("u")).as("m"))
+      sym.filter(col("v") > col("u"))
+        .join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .distinct()
+    }
+
+    // small-star: every node u rewires its ≤-neighborhood (plus itself)
+    // onto its minimum m = min over canonical neighbors (all < u)
+    def smallStar(e: DataFrame): DataFrame = {
+      val mins = e.groupBy("u").agg(min(col("v")).as("m"))
+      e.join(mins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .unionByName(mins.select(col("u"), col("m").as("v")))
+        .distinct()
+    }
+
+    def signature(e: DataFrame): (Long, java.math.BigDecimal) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(sum((col("u") + col("v")).cast("decimal(38,0)")),
+          lit(java.math.BigDecimal.ZERO).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+
+    // localCheckpoint, not persist: both star operators reference the
+    // previous round's frame SEVERAL times, so the logical plan grows
+    // multiplicatively per round — persist caches the data but keeps
+    // the lineage, and by round ~8 analysis alone OOMs the driver.
+    // Eager localCheckpoint materializes the round AND truncates the
+    // plan to the stored blocks (the standard iterative-graph pattern;
+    // GraphFrames checkpoints for exactly this reason).
+    var cur = canon(edges).localCheckpoint(true)
+    var prevSig = signature(cur)
+    var rounds = 0
+    var done = prevSig._1 == 0L // no edges: all singletons, zero rounds
+    while (!done && rounds < maxRounds) {
+      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val sig = signature(next)
+      cur.unpersist(blocking = false)
+      cur = next
+      rounds += 1
+      if (sig == prevSig) done = true else prevSig = sig
+    }
+    // the final round's checkpoint blocks back the labels lineage —
+    // register their release with the harness
+    val last = cur
+    QueryCaches.defer(() => last.unpersist(blocking = false))
+    val labels = nodes
+      .join(cur.select(col("u").as("id"), col("v").as("parent")),
+        Seq("id"), "left_outer")
+      .groupBy("id")
+      .agg(min(col("parent")).as("parent"))
+      .select(col("id"), coalesce(col("parent"), col("id")).as("label"))
+    (labels, rounds)
+  }
+
   def minLabelPropagateToFixpoint(nodes: DataFrame, edges: DataFrame,
       maxRounds: Int = 20): DataFrame = {
     def labelSum(df: DataFrame): java.math.BigDecimal =

@@ -39,6 +39,37 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // REAL container-header decode (not the stub): blobs are
+    // spec-conformant PNG signatures + IHDR chunks / BMP DIB headers
+    // synthesized deterministically from doc_id (the ingest stand-in —
+    // no image files exist in the fixture), then parsed BACK by the
+    // genuine magic-dispatch + endian-correct field reads in
+    // MultimodalOps.decodeImageHeader. Both hops run in the same typed
+    // mapPartitions batch shape a production media-lake metadata pass
+    // uses; the oracle reproduces the dimension arithmetic, so a wrong
+    // endian read or offset slip hash-mismatches.
+    "q_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id")).as[Long]
+      val blobs = ids.mapPartitions(_.map { id =>
+        val w = (16 + id % 101).toInt
+        val h = (16 + (id * 7) % 97).toInt
+        val c = (id % 3) match { case 0 => 1; case 1 => 3; case _ => 4 }
+        (id, if (id % 2 == 0) MultimodalOps.encodePngHeader(w, h, c)
+             else MultimodalOps.encodeBmpHeader(w, h, c))
+      })
+      blobs.mapPartitions(_.map { case (id, bytes) =>
+        MultimodalOps.decodeImageHeader(id, bytes)
+      }).toDF()
+        .select(col("doc_id"), col("format"),
+          col("width").cast("bigint").as("width"),
+          col("height").cast("bigint").as("height"),
+          col("channels").cast("bigint").as("channels"),
+          col("header_len").cast("bigint").as("header_len"))
+        .orderBy("doc_id")
+    }),
+
     // feature extraction: per-blob normalized byte-class histogram —
     // the deterministic stand-in for a pooled feature vector (a real
     // extractor would emit e.g. CLIP embeddings through the same
@@ -121,6 +152,18 @@ object MultimodalQueries {
          |         16 + ${hexVal("substr(md5(text), 2, 1)")} AS h
          |  FROM documents
          |) ORDER BY doc_id""".stripMargin,
+
+    // the encode parameters are pure doc_id arithmetic; a decode bug
+    // (wrong endianness, wrong offset, wrong colortype map) breaks the
+    // round-trip and fails the hash
+    "q_image_meta" ->
+      """SELECT doc_id,
+        |       CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'bmp' END AS format,
+        |       16 + doc_id % 101 AS width,
+        |       16 + (doc_id * 7) % 97 AS height,
+        |       CAST(CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END AS BIGINT) AS channels,
+        |       CAST(CASE WHEN doc_id % 2 = 0 THEN 33 ELSE 54 END AS BIGINT) AS header_len
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id,

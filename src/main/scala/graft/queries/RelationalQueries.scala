@@ -142,12 +142,27 @@ object RelationalQueries {
           count(lit(1)).as("n_rows"))
         .orderBy("l_returnflag")),
 
-    // Approximate distinct (HLL) — algorithms differ across engines, so
-    // no SQL oracle; correctness bounded in the spec instead.
-    "q_approx_distinct" -> ((s, dir) =>
+    // Approximate distinct (HLL++). The register layout is
+    // engine-specific, so the approx VALUES can't be oracled — instead
+    // the query emits the exact counts plus in-query error-bound gates:
+    // |approx − exact| / exact ≤ 4·rsd (rsd = 0.05, so ±20% — HLL++
+    // holds well inside that at any cardinality). DuckDB's oracle
+    // asserts the exact columns and `TRUE` for both gates, so an
+    // out-of-bound Spark estimate hash-MISMATCHES — a hard gate, not a
+    // rows-only check.
+    "q_approx_distinct" -> ((s, dir) => {
+      val rsd = 0.05
       t(s, dir, "lineitem")
-        .agg(approx_count_distinct(col("l_orderkey")).as("approx_orders"),
-          approx_count_distinct(col("l_partkey")).as("approx_parts"))),
+        .agg(approx_count_distinct(col("l_orderkey"), rsd).as("a_orders"),
+          approx_count_distinct(col("l_partkey"), rsd).as("a_parts"),
+          countDistinct(col("l_orderkey")).as("n_orders_exact"),
+          countDistinct(col("l_partkey")).as("n_parts_exact"))
+        .select(col("n_orders_exact"), col("n_parts_exact"),
+          (abs(col("a_orders") - col("n_orders_exact")).cast("double")
+            / col("n_orders_exact") <= 4 * rsd).as("orders_within_bound"),
+          (abs(col("a_parts") - col("n_parts_exact")).cast("double")
+            / col("n_parts_exact") <= 4 * rsd).as("parts_within_bound"))
+    }),
 
     // KMV (k-minimum-values) distinct sketch — the deterministic
     // counterpart to HLL: estimate = (k−1)/h_(k) over the k smallest
@@ -994,6 +1009,16 @@ object RelationalQueries {
         |       count(DISTINCT l_suppkey) AS n_supps,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // the approx estimates themselves are engine-specific; the oracle
+    // asserts the exact counts and that Spark's HLL++ landed within the
+    // in-query ±4·rsd gate (TRUE on both flags)
+    "q_approx_distinct" ->
+      """SELECT count(DISTINCT l_orderkey) AS n_orders_exact,
+        |       count(DISTINCT l_partkey) AS n_parts_exact,
+        |       TRUE AS orders_within_bound,
+        |       TRUE AS parts_within_bound
+        |FROM lineitem""".stripMargin,
 
     "q_set_ops" ->
       """SELECT * FROM (

@@ -213,9 +213,16 @@ object SimilarityQueries {
     // ANN over the QUANTIZED vectors: int8 dot products are exact
     // 64-bit integer arithmetic — the arithmetic real vector stores run
     // after compression, and (unlike float scores) bit-deterministic by
-    // construction, so ranking needs no rounding guard at all.
+    // construction, so ranking needs no rounding guard at all. The pair
+    // score runs in the native vec_idot kernel (graft.plans.VecDotI64)
+    // inside whole-stage codegen — the interpreted zip_with/aggregate
+    // form paid a per-element lambda call at pair × 64-dim counts.
     "q_ann_quantized" -> ((s, dir) => {
+      // quantization is per-row (per-row maxabs), so the query/candidate
+      // predicate pushes BELOW it — only the rows either branch reads
+      // pay the per-element quantize lambdas
       val quantized = emb(s, dir)
+        .filter(col("vec_id") < 5 || col("vec_id") % 5 === 0)
         .withColumn("maxabs", expr(
           "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
         .withColumn("qv", expr(
@@ -227,8 +234,7 @@ object SimilarityQueries {
       val c = quantized.filter(col("vec_id") >= 5 && col("vec_id") % 5 === 0)
         .select(col("vec_id"), col("qv").as("qb"))
       val scored = q.crossJoin(c)
-        .withColumn("score", expr(
-          "aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, x) -> a + x)"))
+        .withColumn("score", expr("vec_idot(qa, qb)"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("query_id"))
         .orderBy(col("score").desc, col("vec_id"))
@@ -364,11 +370,14 @@ object SimilarityQueries {
       val nodes = corpus.select(col("vec_id").as("id"))
       val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      // fixpoint, not a fixed round count: a similarity graph's
-      // component diameter is data-dependent (chains of gradually
-      // drifting near-dups), and the oracle computes the full
-      // recursive closure — a hardcoded bound would diverge from it
-      GraphOps.minLabelPropagateToFixpoint(nodes, edges)
+      // alternating large-star/small-star to ITS fixpoint (stable edge
+      // set), not a fixed round count: a similarity graph's component
+      // diameter is data-dependent (chains of gradually drifting
+      // near-dups), and the oracle computes the full recursive closure
+      // — a hardcoded bound would diverge from it. The star rounds
+      // converge in O(log diameter) shuffles vs O(diameter) for plain
+      // min-label propagation.
+      GraphOps.alternatingStarComponents(nodes, edges)._1
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
         .orderBy("cluster_id")

@@ -50,7 +50,10 @@ object TextQueries {
       .withColumn("weight", expr("CAST(substring(source, 4) AS BIGINT) % 3 + 1"))
     val totals = per.agg(sum("tokens").as("total_tokens"),
       sum("weight").as("total_weight"))
-    per.crossJoin(totals)
+    // broadcast the 1-row totals: a bare crossJoin plans a
+    // CartesianProduct (a shuffle product even for one row); broadcast
+    // makes it a map-side BroadcastNestedLoopJoin attach
+    per.crossJoin(broadcast(totals))
       .withColumn("share_pm", expr("weight * 10000 div total_weight"))
       .withColumn("desired_tokens",
         expr("(total_tokens div 2) * share_pm div 10000"))

@@ -25,8 +25,8 @@ import graft.raster.AsciiGrid
   *
   * {{{
   * spark.read.format("asciigrid").load(dir)
-  *   // path, ncols, nrows, xllcorner, yllcorner, cellsize, nodata,
-  *   // text, values
+  *   // path, region, ncols, nrows, xllcorner, yllcorner, cellsize,
+  *   // nodata, text, values
   * }}}
   *
   * instead of binaryFile + a parse UDF in every query. One grid = one
@@ -51,6 +51,15 @@ import graft.raster.AsciiGrid
   *     MIN/MAX over header fields read only headers, and a bare
   *     COUNT(*) is answered from the listing WITHOUT opening any file
   *     (complete pushdown, single partition).
+  *
+  * `path` and `region` (the parent-directory name, the layout's
+  * partition key) are both listing-derived: projections touching only
+  * them never open a file. When every required column is listing-
+  * derived and `spark.sql.sources.v2.bucketing.enabled` is set, the
+  * scan also reports `KeyGroupedPartitioning(region)` (+ a per-
+  * partition `HasPartitionKey` and the partition-key sort order), so
+  * co-partitioned scans of the same tree join exchange- and sort-free
+  * (storage-partitioned join).
   *
   * The reader goes through the Hadoop FileSystem API, so the same
   * source reads file://, hdfs://, or s3a:// trees.
@@ -214,7 +223,8 @@ object PathFilterEval {
 
 final class AsciiGridScan(roots: Seq[String], required: StructType,
     pathFilters: Array[sources.Filter], aggs: Seq[PushedAgg])
-    extends Scan with Batch with SupportsReportPartitioning {
+    extends Scan with Batch with SupportsReportPartitioning
+    with SupportsReportOrdering {
 
   private def baseType(c: String): DataType =
     AsciiGridTable.Schema(AsciiGridTable.Schema.fieldIndex(c)).dataType
@@ -297,6 +307,22 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
       new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
         Array(org.apache.spark.sql.connector.expressions.Expressions.identity("region")),
         listed.map(st => AsciiGridTable.regionOf(st.getPath.toString)).distinct.length)
+
+  /** Every split holds exactly one region (one file, or one grouped
+    * region under SPJ), so rows within a partition are trivially
+    * region-sorted — reported so the storage-partitioned SMJ elides
+    * its per-side sorts as well as its exchanges. Guarded on `region`
+    * surviving pruning: Catalyst resolves the reported ordering against
+    * the scan output and an unresolvable reference is an analysis
+    * error, not a silent skip. Aggregate-pushdown scans emit synthetic
+    * rows → no ordering.
+    */
+  override def outputOrdering(): Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (aggs.nonEmpty || !required.fieldNames.contains("region"))
+      Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.identity("region"),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING))
 
   override def createReaderFactory(): PartitionReaderFactory =
     // executors rebuild the filesystem from the driver's fs.* entries

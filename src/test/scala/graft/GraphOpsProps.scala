@@ -75,6 +75,43 @@ object GraphOpsProps extends Properties("graphops") {
       }
     }
 
+  property("alternatingStarEqualsUnionFind") =
+    Prop.forAll(graphGen) { case (n, edges) =>
+      valid(n, edges) ==> {
+        val s = spark
+        import s.implicits._
+        s.sparkContext.setLogLevel("ERROR")
+        val nodes = (0 until n).map(_.toLong).toDF("id")
+        val (labels, rounds) =
+          GraphOps.alternatingStarComponents(nodes, edgesDf(s, edges))
+        val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        graft.queries.QueryCaches.releaseAll(s)
+        // the O(log d) claim, pinned: diameter < n, +2 covers the
+        // final no-change confirmation round and the n=1 edge cases
+        val logBound = (math.log(math.max(n, 2)) / math.log(2)).ceil.toInt + 2
+        (got == reference(n, edges)) :| s"labels: $got" &&
+          (rounds <= logBound) :| s"rounds=$rounds exceeds log bound $logBound (n=$n)"
+      }
+    }
+
+  // the scale claim itself: a 64-node chain has diameter 63 — plain
+  // min-label propagation needs 63 shuffle rounds to carry the minimum
+  // to the far end; the star alternation must close it in ≤ log2(64)+2
+  property("chainOf64ClosesInLogRounds") = {
+    val s = spark
+    import s.implicits._
+    s.sparkContext.setLogLevel("ERROR")
+    val n = 64
+    val nodes = (0 until n).map(_.toLong).toDF("id")
+    val chain = (0 until n - 1).map(i => (i.toLong, (i + 1).toLong)).toList
+    val (labels, rounds) = GraphOps.alternatingStarComponents(
+      nodes, chain.toDF("src", "dst"))
+    val got = labels.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    graft.queries.QueryCaches.releaseAll(s)
+    (got == (0 until n).map(_.toLong -> 0L).toMap) :| s"labels: $got" &&
+      (rounds <= 8) :| s"rounds=$rounds — star alternation must beat O(diameter)=63"
+  }
+
   property("fixpointEqualsUnionFind") =
     Prop.forAll(graphGen) { case (n, edges) =>
       valid(n, edges) ==> {

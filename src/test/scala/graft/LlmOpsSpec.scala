@@ -121,6 +121,18 @@ class LlmOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("image header codec round-trips PNG and BMP and rejects garbage") {
+    import graft.multimodal.MultimodalOps
+    for (w <- Seq(1, 16, 255, 70000); h <- Seq(1, 31, 65537); c <- Seq(1, 3, 4)) {
+      val png = MultimodalOps.decodeImageHeader(1L, MultimodalOps.encodePngHeader(w, h, c))
+      assert((png.format, png.width, png.height, png.channels) == ("png", w, h, c))
+      val bmp = MultimodalOps.decodeImageHeader(2L, MultimodalOps.encodeBmpHeader(w, h, c))
+      assert((bmp.format, bmp.width, bmp.height, bmp.channels) == ("bmp", w, h, c))
+    }
+    val junk = MultimodalOps.decodeImageHeader(3L, "not an image".getBytes)
+    assert(junk.format == "unknown" && junk.width == 0)
+  }
+
   test("frame sample contains only even frames within bounds") {
     val meta = MultimodalQueries.queries("q_multimodal_meta")(spark, sf)
       .select(col("doc_id"), col("n_frames")).collect()

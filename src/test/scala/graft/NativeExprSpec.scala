@@ -134,6 +134,34 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("vec_idot: SQL-available, codegen'd, exact integer dot") {
+    // literal arrays constant-fold away; a column input keeps the
+    // expression in the executed plan
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .selectExpr("vec_id",
+        "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS qv")
+      .selectExpr("vec_id", "qv", "vec_idot(qv, qv) AS d")
+    val plan = df.queryExecution.executedPlan.toString
+    // the interpreted HOF transform below splits the codegen stages, so
+    // vec_idot lands in span *(2) — pin that its Project IS codegen'd
+    assert(plan.linesIterator.exists(l =>
+      l.contains("vec_idot") && l.trim.startsWith("*(")),
+      s"vec_idot must run inside a WholeStageCodegen project:\n$plan")
+    val rows = df.orderBy("vec_id").limit(5).collect()
+    rows.foreach { r =>
+      val qv = r.getAs[collection.Seq[Long]]("qv")
+      assert(r.getAs[Long]("d") == qv.map(x => x * x).sum)
+    }
+  }
+
+  test("vec_idot rejects non-long-array inputs at analysis") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT vec_idot(array(1.0, 2.0), array(3.0, 4.0))").head()
+    }
+    assert(e.getMessage.contains("vec_idot") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
+
   test("fingerprint_set: SQL-available, codegen'd, kernel-equal") {
     val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .selectExpr("doc_id", "text", "fingerprint_set(text) AS fp")

@@ -209,6 +209,14 @@ class PlanShapeSpec extends SparkSpecBase {
       s"docs must not shuffle to meet the tiny rate side:\n$p")
   }
 
+  test("q_mix_weights: 1-row totals broadcasts onto the rate table, no CartesianProduct") {
+    val p = plan("q_mix_weights", graft.queries.TextQueries.queries)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 1-row totals must attach map-side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"a bare crossJoin would shuffle-product the rate table:\n$p")
+  }
+
   test("q_embedding_near_dup: banded LSH blocking — equi-join on band keys, never a product") {
     val p = plan("q_embedding_near_dup", graft.queries.SimilarityQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -317,6 +325,18 @@ class PlanShapeSpec extends SparkSpecBase {
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx == 1,
       s"the full-frame window's partitioning must feed the aggregate, got $hashEx hash exchanges:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_ann_quantized: pair score is the native vec_idot kernel, not an interpreted lambda") {
+    val p = plan("q_ann_quantized", graft.queries.SimilarityQueries.queries)
+    assert(p.contains("vec_idot"),
+      s"the pair stage must score with the codegen'd integer dot:\n$p")
+    // the per-pair stage must not evaluate higher-order-function lambdas
+    // (zip_with/aggregate evaluate interpreted per element); the per-ROW
+    // quantize lambdas above the cache are fine — pin the score column
+    assert(!p.contains("zip_with(qa"),
+      s"no interpreted per-pair HOF may survive:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
 

@@ -12,18 +12,18 @@ class RelationalQueriesSpec extends SparkSpecBase {
     }
   }
 
-  test("all relational queries except approx_distinct have oracles") {
+  test("every relational query has an oracle") {
     val noOracle = RelationalQueries.queries.keySet -- RelationalQueries.oracles.keySet
-    assert(noOracle == Set("q_approx_distinct"))
+    assert(noOracle.isEmpty, s"missing oracles: $noOracle")
   }
 
-  test("approx_count_distinct is within 10% of exact") {
+  test("approx_count_distinct gates itself against the exact counts") {
     val row = RelationalQueries.queries("q_approx_distinct")(spark, sf).head()
-    val approxOrders = row.getAs[Long]("approx_orders")
+    assert(row.getAs[Boolean]("orders_within_bound"), row.toString)
+    assert(row.getAs[Boolean]("parts_within_bound"), row.toString)
     val exact = spark.read.parquet(s"$sf/lineitem.parquet")
       .select(countDistinct(col("l_orderkey"))).head().getLong(0)
-    assert(math.abs(approxOrders - exact).toDouble / exact < 0.10,
-      s"approx=$approxOrders exact=$exact")
+    assert(row.getAs[Long]("n_orders_exact") == exact)
   }
 
   test("top-k plans as TakeOrderedAndProject (no global sort materialization)") {

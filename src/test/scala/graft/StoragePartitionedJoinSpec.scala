@@ -59,6 +59,44 @@ class StoragePartitionedJoinSpec extends SparkSpecBase {
     }
   }
 
+  /** One grid per region: Spark propagates a V2 scan's reported
+    * ordering only when every key-grouped partition holds exactly ONE
+    * split (DataSourceV2ScanExecBase.outputOrdering checks
+    * parts.length == 1 — with several splits per key it conservatively
+    * drops the report, even though a partition-key-prefix order would
+    * hold on the concatenation). So: single-split regions → the SMJ
+    * runs with neither exchanges nor sorts; multi-split regions → only
+    * the exchanges elide (the test above).
+    */
+  private lazy val dirOnePerRegion: String = {
+    val root = Files.createTempDirectory("graft-spj1")
+    for (r <- Seq("r1", "r2", "r3")) {
+      val sub = root.resolve(r)
+      Files.createDirectories(sub)
+      Files.writeString(sub.resolve("a.asc"), grid(2, 1.0))
+    }
+    root.toString
+  }
+
+  test("scan-to-scan join on region elides the SMJ sorts (SupportsReportOrdering)") {
+    withConf(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+      // direct scans, no aggregates in between: each split holds one
+      // region, the reported region order holds trivially, and the SMJ
+      // needs neither exchanges NOR sorts
+      val a = spark.read.format("asciigrid").load(dirOnePerRegion).select("region", "ncols")
+      val b = spark.read.format("asciigrid").load(dirOnePerRegion).select("region", "path")
+      val joined = a.join(b, "region")
+      assert(joined.count() == 3)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"storage-partitioned join must need no hash exchange:\n$plan")
+      assert(!plan.contains("Sort "),
+        s"reported per-split region order must elide the SMJ sorts:\n$plan")
+    }
+  }
+
   test("with v2 bucketing off, the same join shuffles (control) and results match") {
     withConf(
       "spark.sql.sources.v2.bucketing.enabled" -> "false",
