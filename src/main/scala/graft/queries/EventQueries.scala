@@ -72,17 +72,21 @@ object EventQueries {
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr("INTERVAL 1 HOUR"),
       joinType)
+    // enqueue the sentinels BEFORE start: MemoryStream buffers pre-start
+    // rows, so the first micro-batch carries files + sentinels together
+    // and ONE drain suffices — the far-future event time lands in batch
+    // 0's max, the engine's trailing no-data batch applies the advanced
+    // watermark, and the outer/expired rows flush there
+    // (processAllAvailable covers no-data batches; the old shape paid a
+    // second full drain round per query for the same effect)
+    sentinels.foreach { case (sentC, sentP) =>
+      val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
+      sentC.addData((999999999L, 999999999L, far))
+      sentP.addData((999999999L, 999999999L, far))
+    }
     val q = joined.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
-    try {
-      q.processAllAvailable()
-      sentinels.foreach { case (sentC, sentP) =>
-        val far = java.sql.Timestamp.valueOf("2100-01-01 00:00:00")
-        sentC.addData((999999999L, 999999999L, far))
-        sentP.addData((999999999L, 999999999L, far))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
+    try q.processAllAvailable() finally q.stop()
     val out = s.table(name)
     if (flush) out.filter(col("user_id") =!= 999999999L) else out
   }
@@ -307,14 +311,14 @@ object EventQueries {
         val src = real.unionByName(sentinel.toDF().toDF("ts", "user_id", "value"))
           .withWatermark("ts", "1 hour")
         val sessions = graft.streaming.EventStreams.customSessions(src).toDF()
+        // sentinel pre-start → single drain (see q_stream_session): the
+        // timeout branch fires in the trailing no-data batch once the
+        // watermark jumps past every open session
+        sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+          999999999L, 0.0))
         val q = sessions.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
-            999999999L, 0.0))
-          q.processAllAvailable()
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         s.table(name).filter(col("user_id") =!= 999999999L)
           .orderBy("user_id", "session_start_s")
       }
@@ -405,14 +409,15 @@ object EventQueries {
           .select(col("ts"), col("user_id"), col("value"))
         val src = real.unionByName(sentinel.toDF().toDF("ts", "user_id", "value"))
         val sessions = graft.streaming.EventStreams.sessionCounts(src)
+        // sentinel enqueued BEFORE start: one drain round — the
+        // far-future event rides batch 0 with the file data and the
+        // trailing no-data batch closes every session under the
+        // advanced watermark (same shape as sentinelStreamJoin)
+        sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+          999999999L, 0.0))
         val q = sessions.writeStream.format("memory").queryName(name)
           .outputMode("append").start()
-        try {
-          q.processAllAvailable()
-          sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
-            999999999L, 0.0))
-          q.processAllAvailable()
-        } finally q.stop()
+        try q.processAllAvailable() finally q.stop()
         s.table(name).filter(col("user_id") =!= 999999999L)
           .orderBy("user_id", "session_start_s")
       }
