@@ -125,22 +125,36 @@ object GraphOps {
     // Eager localCheckpoint materializes the round AND truncates the
     // plan to the stored blocks (the standard iterative-graph pattern;
     // GraphFrames checkpoints for exactly this reason).
-    var cur = canon(edges).localCheckpoint(true)
+    //
+    // The blocks a localCheckpoint persists belong to an INTERNAL rdd
+    // that the CacheManager never sees, so Dataset.unpersist cannot
+    // release them — they'd pin storage until driver GC. Capture the
+    // newly-persisted RDDs by id-diff around each checkpoint and
+    // unpersist them directly when the round is superseded.
+    def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint(true)
+      val added = (sc.getPersistentRDDs -- before).values.toSeq
+      (cp, added)
+    }
+    var (cur, curRdds) = checkpointTracked(canon(edges))
     var prevSig = signature(cur)
     var rounds = 0
     var done = prevSig._1 == 0L // no edges: all singletons, zero rounds
     while (!done && rounds < maxRounds) {
-      val next = smallStar(largeStar(cur)).localCheckpoint(true)
+      val (next, nextRdds) = checkpointTracked(smallStar(largeStar(cur)))
       val sig = signature(next)
-      cur.unpersist(blocking = false)
+      curRdds.foreach(_.unpersist(blocking = false))
       cur = next
+      curRdds = nextRdds
       rounds += 1
       if (sig == prevSig) done = true else prevSig = sig
     }
     // the final round's checkpoint blocks back the labels lineage —
     // register their release with the harness
-    val last = cur
-    QueryCaches.defer(() => last.unpersist(blocking = false))
+    val lastRdds = curRdds
+    QueryCaches.defer(() => lastRdds.foreach(_.unpersist(blocking = false)))
     val labels = nodes
       .join(cur.select(col("u").as("id"), col("v").as("parent")),
         Seq("id"), "left_outer")

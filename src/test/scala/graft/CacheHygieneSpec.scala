@@ -9,23 +9,25 @@ import graft.queries.{DedupQueries, QueryCaches, SimilarityQueries}
   */
 class CacheHygieneSpec extends SparkSpecBase {
 
-  private def persistentCount: Int =
-    spark.sparkContext.getPersistentRDDs.count { case (_, rdd) =>
-      rdd.getStorageLevel.useMemory || rdd.getStorageLevel.useDisk
-    }
+  private def persistentIds: Set[Int] =
+    spark.sparkContext.getPersistentRDDs.collect {
+      case (id, rdd) if rdd.getStorageLevel.useMemory || rdd.getStorageLevel.useDisk => id
+    }.toSet
 
   test("cache-using queries leave no persistent RDDs after releaseAll") {
     QueryCaches.releaseAll(spark) // clean slate
-    val before = persistentCount
+    val before = persistentIds
     DedupQueries.queries("q_dedup_minhash")(spark, sf).count()
     SimilarityQueries.queries("q_ann_lsh")(spark, sf).count()
-    assert(persistentCount > before, "expected the queries to register caches")
+    assert(persistentIds.size > before.size, "expected the queries to register caches")
     QueryCaches.releaseAll(spark)
     // unpersist(blocking=false) is async at the block level but the
     // registry drops the references synchronously and marks the RDDs
-    // non-persistent, which is what getPersistentRDDs reflects
-    assert(persistentCount == before,
-      s"persistent RDDs leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+    // non-persistent, which is what getPersistentRDDs reflects. Compare
+    // SETS (new ids only): pre-existing entries may be dropped by the
+    // ContextCleaner mid-test, so a count comparison is racy.
+    val leaked = persistentIds -- before
+    assert(leaked.isEmpty, s"persistent RDDs leaked: $leaked")
   }
 
   test("deferred cleanup hooks unwind in LIFO order") {
@@ -41,7 +43,7 @@ class CacheHygieneSpec extends SparkSpecBase {
 
   test("Pipeline.run leaves no persistent RDDs behind") {
     QueryCaches.releaseAll(spark)
-    val before = persistentCount
+    val before = persistentIds
     val work = java.nio.file.Files.createTempDirectory("graft-cache-spec").toString
     val in = s"$work/in/05"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(in))
@@ -55,7 +57,7 @@ class CacheHygieneSpec extends SparkSpecBase {
     val res = graft.etl.Pipeline.run(spark, s"$work/in", regions,
       s"$work/out", updatedAt = "2026-01-01T00:00:00Z")
     assert(res.catalog.count() > 0)
-    assert(persistentCount == before,
-      s"Pipeline leaked: ${spark.sparkContext.getPersistentRDDs.keys}")
+    val leaked = persistentIds -- before
+    assert(leaked.isEmpty, s"Pipeline leaked: $leaked")
   }
 }
