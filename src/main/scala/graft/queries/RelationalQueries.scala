@@ -341,6 +341,31 @@ object RelationalQueries {
           round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25_price"))
         .orderBy("l_returnflag")),
 
+    // Mergeable quantile sketch — sampled quantiles without shipping
+    // the full value multiset. Exact distributed quantiles buffer
+    // EVERY value per group (Spark's percentile agg state IS the value
+    // list, so the state — not the data — blows up at 100 TB); a
+    // deterministic hash gate keeps ~10% of rows and pays that buffer
+    // only on the sample. The sketch is the sampled sub-multiset
+    // itself: union is the merge (associative + commutative), so it
+    // composes across partitions/days/sources the way t-digest or KLL
+    // merge — but unlike those, with no merge-order dependence, so the
+    // result is engine-reproducible and sits under the oracle as a
+    // full hash-match instead of a bounds-only gate. The gate is a
+    // lexicographic compare on the md5 hex prefix (0x00..0x19 of 256
+    // = 10.2%) — portable to any engine with md5. Quantile deviation
+    // is O(1/sqrt(p·n)) of the local value spread; tune p per scale.
+    "q_quantile_sketch" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(substring(md5(concat_ws("|",
+          col("l_orderkey"), col("l_linenumber"))), 1, 2) < "1a")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_sampled"),
+          round(expr("percentile(l_quantity, 0.5)"), 4).as("s_p50_qty"),
+          round(expr("percentile(l_quantity, 0.9)"), 4).as("s_p90_qty"),
+          round(expr("percentile(l_extendedprice, 0.99)"), 4).as("s_p99_price"))
+        .orderBy("l_returnflag")),
+
     // lag/lead window navigation with a deterministic order.
     "q_window_lag" -> ((s, dir) => {
       val w = Window.partitionBy(col("l_suppkey"))
@@ -1107,6 +1132,16 @@ object RelationalQueries {
         |       round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |       round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_quantile_sketch" ->
+      """SELECT l_returnflag, count(*) AS n_sampled,
+        |       round(quantile_cont(l_quantity, 0.5), 4) AS s_p50_qty,
+        |       round(quantile_cont(l_quantity, 0.9), 4) AS s_p90_qty,
+        |       round(quantile_cont(l_extendedprice, 0.99), 4) AS s_p99_price
+        |FROM lineitem
+        |WHERE substr(md5(CAST(l_orderkey AS VARCHAR) || '|' ||
+        |             CAST(l_linenumber AS VARCHAR)), 1, 2) < '1a'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_window_lag" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,

@@ -382,6 +382,35 @@ object SimilarityQueries {
         .agg(count(lit(1)).as("n_members"), max(col("id")).as("max_id"))
         .orderBy("cluster_id")
     }),
+
+    // Corpus-wide k-NN self-join — top-k neighbors for EVERY vector
+    // (the building block for SemDeDup-style pruning and diversity-
+    // balanced sampling), not just for a fixed query set like the
+    // q_ann_* family. Blocking is the IVF cell (label): the self-join
+    // shuffles only (cell)-keyed slices, never the N×N product, and at
+    // 100 TB the quantizer's cell count is retrained to grow with the
+    // corpus so per-cell membership stays bounded. Norms are computed
+    // once per vector (cached corpus, read by both join sides), pair
+    // scoring is the codegen'd vec_dot kernel, and the per-vector
+    // top-k is rank<=k over a window — WindowGroupLimit prunes it to
+    // a running top-k per shuffle partition rather than a full sort.
+    "q_knn_join" -> ((s, dir) => {
+      val e = QueryCaches.cache(
+        emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+          .withColumn("nrm", norm("embedding")))
+      val a = e.select(col("vec_id"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("label"))
+      val b = e.select(col("vec_id").as("nbr_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("label"))
+      val scored = a.join(b, Seq("label"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nbr_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
+    }),
   )
 
   // ---- oracles -----------------------------------------------------
@@ -409,6 +438,23 @@ object SimilarityQueries {
   val oracles: Map[String, String] = Map(
     "q_ivf_centroids" -> ivfFullRecomputeSql,
     "q_ivf_update" -> ivfFullRecomputeSql,
+
+    "q_knn_join" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id, b.vec_id AS nbr_id,
+         |         round(${dotSql("a.embedding", "b.embedding")} /
+         |               (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |                * sqrt(${dotSql("b.embedding", "b.embedding")})), 4) AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |),
+         |ranked AS (
+         |  SELECT vec_id, nbr_id, sim,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, nbr_id) AS rank
+         |  FROM scored
+         |)
+         |SELECT vec_id, rank, nbr_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
     "q_ann_ivf_probe2" ->
       s"""WITH cent AS (

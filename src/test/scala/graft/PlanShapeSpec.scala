@@ -340,6 +340,27 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_knn_join: cell-blocked self-join — equi-join on label, native dot, pruned top-k") {
+    val p = plan("q_knn_join", graft.queries.SimilarityQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"the self-join must block on the IVF cell, never the N×N product:\n$p")
+    assert(p.contains("vec_dot"),
+      s"pair scoring must be the codegen'd vec_dot kernel:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank<=k must prune to a running top-k, not a full per-key sort:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_quantile_sketch: sample gate sits under one aggregation exchange, narrow scan") {
+    val p = plan("q_quantile_sketch", RelationalQueries.queries)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"sampled percentile needs exactly the group-by exchange, got $hashEx:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey") && !p.contains("l_shipdate"),
+      s"scan must read only the gate + value columns:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_ann_ivf_probe2: centroid table broadcasts; candidate search joins on the probed cell") {
     val p = plan("q_ann_ivf_probe2", graft.queries.SimilarityQueries.queries)
     // specifically the query×centroid cross join — only it can produce a
