@@ -79,6 +79,13 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Untimed GC between queries: measured in-suite, an allocation-
+      // heavy query otherwise pays the collector debt of the ~200 query
+      // executions before it (q_ngram_novelty measured 3.7 s mid-suite
+      // vs 1.0 s isolated on identical code). Collecting outside the
+      // timed region makes each query's number its steady-state cost —
+      // comparable across rounds regardless of suite composition.
+      System.gc()
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val err =

@@ -46,3 +46,41 @@ object VecSumAgg extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
   override def outputEncoder: Encoder[Seq[Double]] =
     ExpressionEncoder[Seq[Double]]()
 }
+
+/** Double-input twin of [[VecSumAgg]], for reducing per-row DERIVED
+  * vectors (outer-product triangles, pre-widened moments) where a
+  * float buffer would lose the precision the derivation just paid for.
+  * Same ragged-growth contract; same map-side-combine shape — a
+  * dims²/2-double buffer per partition is all that crosses the wire,
+  * which is what makes a corpus-wide covariance/gram reduce a single
+  * cheap stage at 100 TB (vs exploding |rows|·dims² cells).
+  */
+object VecSumDoubleAgg extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+
+  override def zero: Array[Double] = Array.emptyDoubleArray
+
+  private def grown(buf: Array[Double], n: Int): Array[Double] =
+    if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+
+  override def reduce(buf: Array[Double], v: Seq[Double]): Array[Double] = {
+    val b = grown(buf, v.length)
+    var i = 0
+    while (i < v.length) { b(i) += v(i); i += 1 }
+    b
+  }
+
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] = {
+    val out = grown(a, b.length)
+    var i = 0
+    while (i < b.length) { out(i) += b(i); i += 1 }
+    out
+  }
+
+  override def finish(buf: Array[Double]): Seq[Double] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Double]] =
+    Encoders.javaSerialization[Array[Double]]
+
+  override def outputEncoder: Encoder[Seq[Double]] =
+    ExpressionEncoder[Seq[Double]]()
+}

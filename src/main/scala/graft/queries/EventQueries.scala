@@ -521,6 +521,34 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // Robust per-group outlier detection via median absolute deviation
+    // — the anomaly gate monitoring pipelines run where mean/stddev
+    // breaks (the outliers being hunted poison the very moments a
+    // z-score needs; the median and MAD have 50% breakdown). Two-pass
+    // by construction: per-type median, deviations against it, per-type
+    // MAD, flag |x − med| > 3·1.4826·MAD (the consistency constant
+    // scaling MAD to a normal σ). Shape: two fact scans each with a
+    // broadcast O(groups)-row attach + two tiny grouped percentile
+    // aggs — no window over the fact, no global sort; the percentile
+    // state buffers per GROUP, which is the bounded dimension here.
+    "q_anomaly_mad" -> ((s, dir) => {
+      val e = ev(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(max(col("med")), 4).as("med"),
+          round(max(col("mad")), 4).as("mad"),
+          sum(when(col("dev") > lit(4.4478) * col("mad"), 1L).otherwise(0L))
+            .as("n_outliers"))
+        .orderBy("event_type")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_window_session" -> ((s, dir) =>
       ev(s, dir)
@@ -690,6 +718,28 @@ object EventQueries {
         |SELECT user_id, count(*) AS n_runs, max(run_len) AS longest_run,
         |       min(run_start) AS first_hour
         |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_anomaly_mad" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY event_type
+        |),
+        |dev AS (
+        |  SELECT e.event_type, abs(e.value - m.med) AS dev, m.med
+        |  FROM e JOIN med m USING (event_type)
+        |),
+        |mad AS (
+        |  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM dev GROUP BY event_type
+        |)
+        |SELECT d.event_type, count(*) AS n,
+        |       round(max(d.med), 4) AS med,
+        |       round(max(a.mad), 4) AS mad,
+        |       CAST(sum(CASE WHEN d.dev > 4.4478 * a.mad THEN 1 ELSE 0 END)
+        |            AS BIGINT) AS n_outliers
+        |FROM dev d JOIN mad a USING (event_type)
+        |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin,
 
     "q_funnel" ->
       """WITH e AS (

@@ -411,6 +411,41 @@ object SimilarityQueries {
         .filter(col("rank") <= 3)
         .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
     }),
+
+    // Corpus covariance matrix over the embedding space — the moment
+    // computation under PCA/whitening and drift monitoring. Per row, a
+    // codegen'd HOF builds the dims²/2 upper-triangle products; ONE
+    // typed-Aggregator reduce (map-side combined — only 2080-double
+    // buffers cross the wire, never |rows|·dims² exploded cells) yields
+    // the gram vector and the mean vector together, and a broadcast
+    // (i, j, k) index table unflattens the triangle arithmetically
+    // (closed-form offset, no sort, no window). At 100 TB this is one
+    // narrow scan + one 2 KB-state reduction — the cheapest possible
+    // shape for a second-moment pass.
+    "q_embed_covariance" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val vecsumd = udaf(graft.functions.VecSumDoubleAgg,
+        ExpressionEncoder[Seq[Double]]())
+      val tri = expr(
+        """flatten(transform(sequence(1, 64), i ->
+          |  transform(sequence(i, 64), j ->
+          |    CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) *
+          |    CAST(element_at(embedding, CAST(j AS INT)) AS DOUBLE))))""".stripMargin)
+      val moments = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(tri.as("tri"),
+          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
+        .agg(vecsumd(col("tri")).as("g"), vecsumd(col("ed")).as("m"),
+          count(lit(1)).as("n"))
+      val idx = s.range(1, 65).toDF("i")
+        .select(col("i"), explode(expr("sequence(i, CAST(64 AS BIGINT))")).as("j"))
+        .withColumn("k", expr("(i - 1) * 65 - (i - 1) * i div 2 + (j - i) + 1"))
+      idx.crossJoin(broadcast(moments))
+        .select(col("i"), col("j"), round(expr(
+          """element_at(g, CAST(k AS INT)) / n -
+            |(element_at(m, CAST(i AS INT)) / n) *
+            |(element_at(m, CAST(j AS INT)) / n)""".stripMargin), 4).as("cov"))
+        .orderBy("i", "j")
+    }),
   )
 
   // ---- oracles -----------------------------------------------------
@@ -455,6 +490,13 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, rank, nbr_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "q_embed_covariance" ->
+      """SELECT i, j,
+        |       round(covar_pop(CAST(embedding[i] AS DOUBLE),
+        |                       CAST(embedding[j] AS DOUBLE)), 4) AS cov
+        |FROM embeddings, generate_series(1, 64) s(i), generate_series(1, 64) t(j)
+        |WHERE j >= i GROUP BY i, j ORDER BY i, j""".stripMargin,
 
     "q_ann_ivf_probe2" ->
       s"""WITH cent AS (

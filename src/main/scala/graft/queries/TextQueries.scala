@@ -417,13 +417,58 @@ object TextQueries {
       val sh = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), explode(Corpus.shingles("text")).as("shingle"))
         .transform(QueryCaches.cache(_))
+      // (doc_id, shingle) pairs are already distinct — Corpus.shingles
+      // is array_distinct per doc and doc_id is unique — so document
+      // frequency is a plain count, not a countDistinct: the same
+      // number without the per-group distinct state (an allocation
+      // hot-spot at 890k shingle rows, and a second aggregate phase
+      // at any scale)
       val df = sh.groupBy("shingle")
-        .agg(countDistinct(col("doc_id")).as("df"))
+        .agg(count(lit(1)).as("df"))
       sh.join(df, "shingle")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"),
           sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_unique"))
         .withColumn("novelty_pm", expr("n_unique * 10000 div n_shingles"))
+        .orderBy("doc_id")
+    }),
+
+    // Bigram-LM document scoring — the CCNet-style quality gate: train
+    // an add-V-smoothed bigram model ON the corpus, score each doc by
+    // its mean per-bigram information content, and low-probability
+    // (high-bits) docs surface as noise/garble candidates while
+    // very-low-bits docs are boilerplate. The score is INTEGER
+    // end-to-end: the smoothed conditional probability is scaled to
+    // 2^30 and its floor-log2 taken as a bit-length (length(bin(q)) —
+    // no float log whose last ulp differs between engines), so the
+    // oracle hash-matches to the digit. Shape: one bigram explode
+    // (cached — consumed by the pair-count aggregate, the prefix-count
+    // aggregate, AND the score join), equi-joins on bigram and prefix,
+    // a broadcast 1-row vocab, one doc-keyed aggregate: every shuffle
+    // is keyed on bounded token keys, never a doc product.
+    "q_lm_score" -> ((s, dir) => {
+      val bigrams = expr(
+        """element_at(transform(array(split(text, ' ')), toks ->
+          |  CASE WHEN size(toks) < 2 THEN array()
+          |  ELSE transform(sequence(1, size(toks) - 1),
+          |    i -> struct(element_at(toks, i) AS w1,
+          |      concat(element_at(toks, i), '_',
+          |             element_at(toks, i + 1)) AS bg))
+          |  END), 1)""".stripMargin)
+      val bg = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(bigrams).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bigram"))
+        .transform(QueryCaches.cache(_))
+      val cPair = bg.groupBy("bigram").agg(count(lit(1)).as("c_pair"))
+      val cPrefix = bg.groupBy("w1").agg(count(lit(1)).as("c_prefix"))
+      val vocab = bg.agg(countDistinct(col("w1")).as("v"))
+      bg.join(cPair, "bigram").join(cPrefix, "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("bits", expr(
+          "CAST(length(bin(c_pair * 1073741824 div (c_prefix + v))) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("bits")).as("sum_bits"))
+        .withColumn("mean_bits_pm", expr("sum_bits * 10000 div n_bigrams"))
         .orderBy("doc_id")
     }),
 
@@ -598,6 +643,30 @@ object TextQueries {
       s"""WITH $mixRatesSqlCtes
          |SELECT source, n_docs, tokens, weight, share_pm, desired_tokens, rate_pm
          |FROM rates ORDER BY source""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH bg AS (
+        |  SELECT doc_id,
+        |         string_split(text, ' ')[i] AS w1,
+        |         string_split(text, ' ')[i] || '_' ||
+        |           string_split(text, ' ')[i + 1] AS bigram
+        |  FROM documents,
+        |       unnest(generate_series(1,
+        |         greatest(len(string_split(text, ' ')) - 1, 0))) AS u(i)
+        |),
+        |cp AS (SELECT bigram, count(*) AS c_pair FROM bg GROUP BY bigram),
+        |cx AS (SELECT w1, count(*) AS c_prefix FROM bg GROUP BY w1),
+        |vs AS (SELECT count(DISTINCT w1) AS v FROM bg),
+        |scored AS (
+        |  SELECT b.doc_id,
+        |         CAST(length(bin(cp.c_pair * 1073741824 //
+        |           (cx.c_prefix + vs.v))) AS BIGINT) AS bits
+        |  FROM bg b JOIN cp USING (bigram) JOIN cx USING (w1) CROSS JOIN vs
+        |)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |       CAST(sum(bits) AS BIGINT) AS sum_bits,
+        |       CAST(sum(bits) AS BIGINT) * 10000 // count(*) AS mean_bits_pm
+        |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_token_histogram" ->
       """WITH t AS (

@@ -361,6 +361,40 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_lm_score: token-keyed count joins + broadcast vocab, never a doc product") {
+    val p = plan("q_lm_score", graft.queries.TextQueries.queries)
+    assert(!p.contains("CartesianProduct"),
+      s"LM scoring must join on bigram/prefix keys, never a product:\n$p")
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl == 1, s"exactly the 1-row vocab may nested-loop attach, got $bnl:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the bigram explode must be cached — three consumers:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_embed_covariance: one typed-Aggregator reduce, broadcast index unflatten") {
+    val p = plan("q_embed_covariance", graft.queries.SimilarityQueries.queries)
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"the gram reduce must be the typed Aggregator:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"the 1-row moments must broadcast onto the index table:\n$p")
+    val exploded = "Generate explode".r.findAllIn(p).length
+    assert(exploded <= 1, s"only the 2080-row index explode is allowed, got $exploded:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_anomaly_mad: both percentile tables broadcast back onto the fact") {
+    val p = plan("q_anomaly_mad", graft.queries.EventQueries.queries)
+    // 3 = the med attach under the MAD aggregate, the med attach in the
+    // flag pass, and the mad attach — exact two-pass MAD is 3 fact
+    // scans each with a broadcast O(groups) build side, nothing more
+    val bhj = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(bhj == 3, s"percentile attaches must all broadcast, got $bhj:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no shuffle join may touch the fact side:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_ann_ivf_probe2: centroid table broadcasts; candidate search joins on the probed cell") {
     val p = plan("q_ann_ivf_probe2", graft.queries.SimilarityQueries.queries)
     // specifically the query×centroid cross join — only it can produce a
