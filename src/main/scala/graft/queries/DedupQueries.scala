@@ -356,6 +356,62 @@ object DedupQueries {
         .select(col("id"), col("r").as("rank"))
     }),
 
+    // Degree-oriented triangle counting — the clustering-coefficient /
+    // community-density primitive. The naive three-way edge self-join
+    // is O(Σ deg²) on hub nodes and dies on power-law graphs; the
+    // standard fix (orient every edge from its (degree, id)-smaller to
+    // its (degree, id)-larger endpoint) bounds every node's OUT-degree
+    // by O(√m), so the wedge join — the only superlinear step — is
+    // O(m^1.5) worst-case TOTAL and each triangle is generated exactly
+    // once, at its minimum-degree corner. Shapes: explode → degree
+    // aggregate, two broadcast-or-shuffle equi-joins keyed on node ids,
+    // a wedge self-join keyed on the shared source, one closing
+    // equi-join on the (dst, dst) pair. Same deterministic graph family
+    // as q_pagerank (ids are 0..n−1 contiguous by fixture contract).
+    "q_triangle_count" -> ((s, dir) => {
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      val n = nodes.count()
+      val raw = nodes.select(col("id").as("u"), ((col("id") + 1) % n).as("v"))
+        .unionByName(nodes.select(col("id").as("u"), ((col("id") + 2) % n).as("v")))
+        .unionByName(nodes.select(col("id").as("u"), ((col("id") * 3 + 7) % n).as("v")))
+      val und = raw.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+        .transform(QueryCaches.cache(_))
+      val deg = und.select(explode(array(col("a"), col("b"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("deg"))
+      // orient low → high by (degree, id); keep the head's key so the
+      // wedge join can re-order its two endpoints by the same relation
+      val oriented = und
+        .join(deg.withColumnRenamed("id", "a").withColumnRenamed("deg", "da"), "a")
+        .join(deg.withColumnRenamed("id", "b").withColumnRenamed("deg", "db"), "b")
+        .select(
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("a"))
+            .otherwise(col("b")).as("src"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("b"))
+            .otherwise(col("a")).as("dst"),
+          when(col("da") < col("db") ||
+            (col("da") === col("db") && col("a") < col("b")), col("db"))
+            .otherwise(col("da")).as("ddst"))
+        .transform(QueryCaches.cache(_))
+      val e1 = oriented.select(col("src"), col("dst").as("x"), col("ddst").as("dx"))
+      val e2 = oriented.select(col("src"), col("dst").as("y"), col("ddst").as("dy"))
+      val wedges = e1.join(e2, "src")
+        .filter(col("dx") < col("dy") ||
+          (col("dx") === col("dy") && col("x") < col("y")))
+      val closing = oriented.select(col("src").as("cx"), col("dst").as("cy"))
+      val closed = wedges.join(closing,
+        col("x") === col("cx") && col("y") === col("cy"))
+      und.agg(count(lit(1)).as("n_edges")).crossJoin(
+        broadcast(closed.agg(count(lit(1)).as("n_triangles"))))
+        .withColumn("n_nodes", lit(n))
+        .select("n_nodes", "n_edges", "n_triangles")
+    }),
+
     // The bloom-filter pre-pass in front of incremental dedup — the
     // shape that matters at 100 TB: the historical index collapses to a
     // fixed-size sketch (n·~10 bits at 1% fpp) built by one aggregation
@@ -835,6 +891,30 @@ object DedupQueries {
          |$iters
          |SELECT id, r AS rank FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
     },
+
+    // id-ordered three-way join — counts each triangle once at its
+    // smallest id; Spark's degree-oriented count must agree because
+    // both enumerate every triangle exactly once
+    "q_triangle_count" ->
+      """WITH nodes AS (SELECT c_custkey AS id FROM customer),
+        |cnt AS (SELECT count(*) AS n FROM customer),
+        |raw AS (
+        |  SELECT id AS u, (id + 1) % (SELECT n FROM cnt) AS v FROM nodes
+        |  UNION ALL
+        |  SELECT id, (id + 2) % (SELECT n FROM cnt) FROM nodes
+        |  UNION ALL
+        |  SELECT id, (id * 3 + 7) % (SELECT n FROM cnt) FROM nodes
+        |),
+        |und AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM raw WHERE u <> v
+        |)
+        |SELECT (SELECT n FROM cnt) AS n_nodes,
+        |       (SELECT count(*) FROM und) AS n_edges,
+        |       (SELECT count(*)
+        |        FROM und e1
+        |        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
 
     // identical answer to the exact anti-join — the bloom pre-pass is a
     // plan optimization, never a semantics change

@@ -395,6 +395,15 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_triangle_count: wedge and closing joins are equi-joins, oriented edges cached") {
+    val p = plan("q_triangle_count", graft.queries.DedupQueries.queries)
+    assert(!p.contains("CartesianProduct"),
+      s"triangle enumeration must never plan a product:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the oriented edge table has two consumers and must be cached:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_ann_ivf_probe2: centroid table broadcasts; candidate search joins on the probed cell") {
     val p = plan("q_ann_ivf_probe2", graft.queries.SimilarityQueries.queries)
     // specifically the query×centroid cross join — only it can produce a

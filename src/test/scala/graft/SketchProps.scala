@@ -53,4 +53,25 @@ object SketchProps extends Properties("sketches") {
         }
       }
     }
+
+  // ragged inputs: mixed lengths must grow the buffer, zero-fill the
+  // tail, and never truncate — same contract as VecSumAgg, double input
+  private val raggedD: Gen[List[List[Double]]] =
+    Gen.listOf(Gen.chooseNum(0, 6).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-10.0, 10.0)))).map(_.take(30))
+
+  property("vecsumd.raggedMergeEqualsSerialZeroPadded") =
+    Prop.forAll(raggedD, Gen.chooseNum(1, 4)) { (vs: List[List[Double]], nParts: Int) =>
+      import graft.functions.VecSumDoubleAgg
+      val width = (0 :: vs.map(_.length)).max
+      val expected = (0 until width).map(d =>
+        vs.map(v => if (d < v.length) v(d) else 0.0).sum)
+      val parts = vs.grouped(math.max(1, vs.length / nParts)).toList
+      val merged = parts
+        .map(p => p.foldLeft(VecSumDoubleAgg.zero)((b, v) => VecSumDoubleAgg.reduce(b, v)))
+        .foldLeft(VecSumDoubleAgg.zero)((a, b) => VecSumDoubleAgg.merge(a, b))
+      VecSumDoubleAgg.finish(merged).zip(expected).forall { case (got, exp) =>
+        math.abs(got - exp) <= 1e-9 * math.max(1.0, math.abs(exp))
+      }
+    }
 }
