@@ -78,14 +78,16 @@ object Bench {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None => SparkEntry.queries
     }
+    // NOTE on in-suite vs isolated numbers: a mid-suite query can pay
+    // collector debt from the ~450 executions before it (q_ngram_novelty
+    // once measured 3.7 s in-suite vs 1.0 s isolated on identical code —
+    // root cause was its redundant countDistinct state, since removed).
+    // An untimed System.gc() between queries was tried and REVERTED: it
+    // recovered ~2 s on the one allocation-heavy query but cost ~9 s
+    // spread across the rest of the suite (full-GC aftermath is slower
+    // than the debt it clears). If a future in-suite-only regression
+    // appears, profile the query's allocation first.
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // Untimed GC between queries: measured in-suite, an allocation-
-      // heavy query otherwise pays the collector debt of the ~200 query
-      // executions before it (q_ngram_novelty measured 3.7 s mid-suite
-      // vs 1.0 s isolated on identical code). Collecting outside the
-      // timed region makes each query's number its steady-state cost —
-      // comparable across rounds regardless of suite composition.
-      System.gc()
       val runs = (1 to passes).map { _ =>
         val t0 = System.nanoTime()
         val err =

@@ -26,7 +26,9 @@ object Explain {
         "q_semantic_cluster", "q_bucketed_join", "q_runtime_filter",
         "q_passage_overlap", "q_split_leakage", "q_ann_ivf_probe2",
         "q_skew_join_aqe", "q_scalar_subquery", "q_containment",
-        "q_profile_stats", "q_window_ohlc")
+        "q_profile_stats", "q_window_ohlc", "q_knn_join",
+        "q_quantile_sketch", "q_lm_score", "q_embed_covariance",
+        "q_anomaly_mad", "q_triangle_count", "q_weighted_sample")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")

@@ -557,6 +557,31 @@ object TextQueries {
         .orderBy("source")
     }),
 
+    // Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    // Spirakis A-ES): per doc, priority = −ln(u)/w with u hash-uniform
+    // and w the token count; the k smallest priorities are a weighted
+    // sample without replacement — exactly the reproducible "sample
+    // long documents proportionally more" draw a mixture pipeline
+    // needs, with no global RNG state and no sequential pass. Shape:
+    // narrow projection + global top-k (TakeOrderedAndProject — a
+    // per-partition running top-k, never a full sort) — at 100 TB the
+    // only cross-partition traffic is k rows per partition. u is the
+    // md5-myriad idiom shared with q_mix_sample, so both engines
+    // derive identical priorities (per-row arithmetic, no float
+    // accumulation anywhere).
+    "q_weighted_sample" -> ((s, dir) =>
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          expr("size(split(text, ' '))").cast("bigint").as("w"))
+        .withColumn("u",
+          (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000")
+            + lit(1)) / lit(10001.0))
+        .withColumn("priority", -log(col("u")) / col("w"))
+        .orderBy(col("priority"), col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("source"), col("w"),
+          round(col("priority") * 1000, 6).as("priority_milli"))),
+
     // Passage-overlap discovery: which document PAIRS share local
     // content, found through the winnowing fingerprints as an inverted
     // index — the passage-level complement to whole-doc MinHash (a doc
@@ -698,6 +723,26 @@ object TextQueries {
         |       round(max(q.p75), 4) AS p75
         |FROM docs d JOIN qs q ON d.lang = q.lang
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+
+    "q_weighted_sample" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      def md5c(i: Int) = hv(s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)")
+      val h4 = s"((${md5c(1)} * 4096 + ${md5c(2)} * 256 + ${md5c(3)} * 16 + ${md5c(4)}) % 10000)"
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+         |         ($h4 + 1) / 10001.0 AS u
+         |  FROM documents
+         |)
+         |SELECT doc_id, source, w,
+         |       round(-ln(u) / w * 1000, 6) AS priority_milli
+         |FROM docs
+         |ORDER BY -ln(u) / w, doc_id LIMIT 20""".stripMargin
+    },
 
     "q_mix_sample" -> {
       val hv: String => String = c =>

@@ -395,6 +395,15 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_weighted_sample: global weighted top-k plans as TakeOrderedAndProject") {
+    val p = plan("q_weighted_sample", graft.queries.TextQueries.queries)
+    assert(p.contains("TakeOrderedAndProject"),
+      s"A-ES sampling must be a running top-k, never a global sort:\n$p")
+    assert(!p.contains("Exchange rangepartitioning"),
+      s"no range-partitioned sort may appear:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_triangle_count: wedge and closing joins are equi-joins, oriented edges cached") {
     val p = plan("q_triangle_count", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct"),
