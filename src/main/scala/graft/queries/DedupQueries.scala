@@ -214,6 +214,55 @@ object DedupQueries {
         .orderBy("base_id")
     }),
 
+    // EXACT set-similarity join via prefix filtering (the PPJoin family)
+    // — the deterministic complement to MinHash: every pair with
+    // shingle-Jaccard ≥ 0.95 is found, no probabilistic recall. The
+    // filter: sort each doc's shingles by ONE global order (document
+    // frequency asc, shingle — rarest first) and index only the first
+    // |d| − ⌈0.95·|d|⌉ + 1 of them; two sets meeting the threshold MUST
+    // share a prefix element, so the candidate join keys on the rarest
+    // slivers of each set and posting lists stay short where df is
+    // high — candidate volume scales with actual similarity, not
+    // corpus². (Shingles, not word tokens: the fixture's 33-word
+    // vocabulary makes word sets degenerate — every doc overlaps every
+    // doc — while 3-gram shingles are discriminative, max df 8.)
+    // Verification is an intersection count restricted to candidates
+    // (equi-joins on doc then (doc, shingle)), and the accept test is
+    // integer cross-multiplication (20·∩ ≥ 19·∪) — no float threshold
+    // to disagree across engines. A doc_id%5 slice keeps the oracle's
+    // brute-force join bounded.
+    "q_set_join_prefix" -> ((s, dir) => {
+      // set size rides the explode (computed once per doc, pre-explode)
+      // so no per-doc size aggregate or join-back is ever needed
+      val toks = QueryCaches.cache(
+        Corpus.withDuplicates(s, dir)
+          .filter((col("doc_id") % 1000000) % 5 === 0)
+          .select(col("doc_id"), Corpus.shingles("text").as("ts"))
+          .select(col("doc_id"), size(col("ts")).cast("bigint").as("sz"),
+            explode(col("ts")).as("tok")))
+      val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("df"), col("tok"))
+      // vocab is sublinear in corpus size — broadcast it so the token
+      // table is never shuffled by tok for the df attach
+      val prefix = toks.join(broadcast(dfreq), "tok")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= col("sz") - expr("(sz * 19 + 19) div 20") + 1)
+      val cand = prefix.select(col("doc_id").as("da"), col("tok"))
+        .join(prefix.select(col("doc_id").as("db"), col("tok")), "tok")
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      // candidates are O(true dups), broadcast both verification joins
+      val a = toks.select(col("doc_id").as("da"), col("sz").as("sza"), col("tok"))
+      val b = toks.select(col("doc_id").as("db"), col("sz").as("szb"), col("tok"))
+      a.join(broadcast(cand), "da").join(b, Seq("db", "tok"))
+        .groupBy("da", "db", "sza", "szb").agg(count(lit(1)).as("inter"))
+        .filter(col("inter") * 20 >= (col("sza") + col("szb") - col("inter")) * 19)
+        .select(col("da"), col("db"), col("inter"),
+          expr("inter * 10000 div (sza + szb - inter)").as("jaccard_pm"))
+        .orderBy("da", "db")
+    }),
+
     // MinHash signatures → LSH bands → candidate pairs → verify.
     // Signatures are computed in ONE pass per doc (scalar kernel over
     // the shingle array) instead of explode → crossJoin(seeds) →
@@ -891,6 +940,28 @@ object DedupQueries {
          |$iters
          |SELECT id, r AS rank FROM r3 ORDER BY r DESC, id LIMIT 20""".stripMargin
     },
+
+    // brute-force reference: every pair sharing ANY token, then the
+    // exact-threshold filter — the prefix filter must lose nothing
+    "q_set_join_prefix" ->
+      s"""WITH ${Corpus.corpusCte},
+         |toks AS (
+         |  SELECT doc_id, unnest(${Corpus.shinglesSql}) AS tok
+         |  FROM corpus WHERE (doc_id % 1000000) % 5 = 0
+         |),
+         |sizes AS (SELECT doc_id, count(*) AS sz FROM toks GROUP BY doc_id),
+         |pairs AS (
+         |  SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS inter
+         |  FROM toks a JOIN toks b ON b.tok = a.tok AND b.doc_id > a.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT da, db, inter,
+         |       inter * 10000 // (sa.sz + sb.sz - inter) AS jaccard_pm
+         |FROM pairs
+         |JOIN sizes sa ON sa.doc_id = pairs.da
+         |JOIN sizes sb ON sb.doc_id = pairs.db
+         |WHERE 20 * inter >= 19 * (sa.sz + sb.sz - inter)
+         |ORDER BY da, db""".stripMargin,
 
     // id-ordered three-way join — counts each triangle once at its
     // smallest id; Spark's degree-oriented count must agree because

@@ -521,6 +521,33 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // Retention cohort analysis — the product-analytics staple: users
+    // cohorted by first-activity week, then each cohort's surviving
+    // share per week offset. Weeks are integer epoch-week numbers
+    // (unix div 604800 — no calendar/timezone arithmetic to disagree
+    // across engines) and retention is per-myriad integer division.
+    // Shape: one (user, week) distinct, a per-user min aggregate, a
+    // user-keyed join back, and a (cohort, offset) aggregate — every
+    // shuffle keys on user or cohort, nothing quadratic, no windows
+    // over the fact.
+    "q_retention_cohort" -> ((s, dir) => {
+      val uw = ev(s, dir)
+        .select(col("user_id"),
+          expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800").as("wk"))
+        .distinct()
+        .transform(QueryCaches.cache(_))
+      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cw"))
+      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
+      uw.join(cohort, "user_id")
+        .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(sizes), "cw")
+        .select(col("cw").as("cohort_week"), col("week_offset"),
+          col("n_cohort"), col("n_active"),
+          expr("n_active * 10000 div n_cohort").as("retention_pm"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     // Robust per-group outlier detection via median absolute deviation
     // — the anomaly gate monitoring pipelines run where mean/stddev
     // breaks (the outliers being hunted poison the very moments a
@@ -718,6 +745,24 @@ object EventQueries {
         |SELECT user_id, count(*) AS n_runs, max(run_len) AS longest_run,
         |       min(run_start) AS first_hour
         |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_retention_cohort" ->
+      """WITH uw AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
+        |  FROM events
+        |),
+        |cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
+        |sizes AS (SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY cw),
+        |act AS (
+        |  SELECT c.cw, u.wk - c.cw AS week_offset, count(*) AS n_active
+        |  FROM uw u JOIN cohort c USING (user_id)
+        |  GROUP BY 1, 2
+        |)
+        |SELECT a.cw AS cohort_week, a.week_offset, s.n_cohort, a.n_active,
+        |       a.n_active * 10000 // s.n_cohort AS retention_pm
+        |FROM act a JOIN sizes s USING (cw)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_anomaly_mad" ->
       """WITH e AS (SELECT event_type, value FROM events),

@@ -404,6 +404,26 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_set_join_prefix: prefix-blocked candidates, broadcast verification, never a product") {
+    val p = plan("q_set_join_prefix", graft.queries.DedupQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate generation must key on prefix shingles, never a product:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the exploded shingle table has three consumers and must be cached:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(dups) candidate table must broadcast into verification:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_retention_cohort: user-keyed aggregates, broadcast cohort sizes, no fact window") {
+    val p = plan("q_retention_cohort", graft.queries.EventQueries.queries)
+    assert(!p.contains("Window"), s"cohorting must aggregate, not window the fact:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the O(cohorts) size table must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_triangle_count: wedge and closing joins are equi-joins, oriented edges cached") {
     val p = plan("q_triangle_count", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct"),
