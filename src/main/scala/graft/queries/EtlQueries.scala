@@ -44,6 +44,34 @@ object EtlQueries {
 
   private val sidecarExts = Seq(".tif", ".tfw", ".tif.aux.xml", ".tif.ovr", ".tif.lock")
 
+  /** The deterministic asciigrid side tree shared by q_spj_source and
+    * q_runtime_prune_source: region rXX holds XX % 3 + 1 one-row grids
+    * with ncols = XX + k + 1, recreated from empty once per JVM (a
+    * stale tree from an older layout would silently diverge from the
+    * arithmetic oracles).
+    */
+  private def spjTree(): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_spj_tree"
+    SideStores.ensure(out) {
+      val root = new java.io.File(out)
+      if (root.exists()) {
+        java.nio.file.Files.walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+      for (r <- 0 until 16; k <- 0 to (r % 3)) {
+        val sub = new java.io.File(out, f"r$r%02d")
+        sub.mkdirs()
+        val ncols = r + k + 1
+        val body = s"ncols $ncols\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\n" +
+          s"cellsize 1.0\nNODATA_value -9999\n${Seq.fill(ncols)("1.0").mkString(" ")}\n"
+        java.nio.file.Files.writeString(sub.toPath.resolve(s"g$k.asc"), body)
+        ()
+      }
+    }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // SRC-1: recursive scan with suffix predicate (ETL.py:198–200).
     "q_scan_filter_files" -> ((s, dir) =>
@@ -278,32 +306,39 @@ object EtlQueries {
     "q_spj_source" -> ((s, dir) => {
       QueryCaches.scopedConf(s, "spark.sql.sources.v2.bucketing.enabled", "true")
       QueryCaches.scopedConf(s, "spark.sql.autoBroadcastJoinThreshold", "-1")
-      val out = s"${System.getProperty("java.io.tmpdir")}/graft_spj_tree"
-      SideStores.ensure(out) {
-        // recreate from empty: writeString overwrites same-named files
-        // but leaves extras behind — a stale tree from an older layout
-        // would silently diverge from the arithmetic oracle
-        val root = new java.io.File(out)
-        if (root.exists()) {
-          java.nio.file.Files.walk(root.toPath)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.delete(p); () })
-        }
-        for (r <- 0 until 16; k <- 0 to (r % 3)) {
-          val sub = new java.io.File(out, f"r$r%02d")
-          sub.mkdirs()
-          val ncols = r + k + 1
-          val body = s"ncols $ncols\nnrows 1\nxllcorner 0.0\nyllcorner 0.0\n" +
-            s"cellsize 1.0\nNODATA_value -9999\n${Seq.fill(ncols)("1.0").mkString(" ")}\n"
-          java.nio.file.Files.writeString(sub.toPath.resolve(s"g$k.asc"), body)
-          ()
-        }
-      }
+      val out = spjTree()
       val a = s.read.format("asciigrid").load(out)
         .groupBy("region").agg(sum(col("ncols")).as("total_cols"))
       val b = s.read.format("asciigrid").load(out)
         .groupBy("region").agg(count(lit(1)).as("n_grids"))
       a.join(b, "region").orderBy("region")
+    }),
+
+    // DSv2 dynamic partition pruning end-to-end: the asciigrid scan
+    // reports `region` as runtime-filterable (SupportsRuntimeV2Filtering),
+    // so when a selective dim joins on region, Spark evaluates the dim
+    // FIRST and ships the surviving region values into the scan as an
+    // IN predicate — pruned grids never become partitions, never open,
+    // never transfer. This is the runtime complement of the source's
+    // static path-filter pushdown: at 100 TB it is the difference
+    // between reading 4 regions and listing-then-discarding all 16
+    // (the fleet, in the real layout). The dim derives from the nation
+    // parquet so the build side is a genuinely selective file-scan
+    // filter, and the oracle reconstructs the joined tree
+    // arithmetically. Pruning is pinned in RuntimePruneSpec via the
+    // scan's planned-partition counter.
+    "q_runtime_prune_source" -> ((s, dir) => {
+      val out = spjTree()
+      val dim = s.read.parquet(s"$dir/nation.parquet")
+        .filter(col("n_nationkey") % 4 === 0 && col("n_nationkey") < 16)
+        .select(format_string("r%02d", col("n_nationkey")).as("region"))
+      s.read.format("asciigrid").load(out)
+        .select(col("region"), col("ncols"))
+        .join(dim, "region")
+        .groupBy("region")
+        .agg(count(lit(1)).as("n_grids"),
+          sum(col("ncols")).cast("bigint").as("total_cols"))
+        .orderBy("region")
     }),
 
     // SRC-3: the feature-service response parsed as a real GeoJSON
@@ -588,6 +623,19 @@ object EtlQueries {
         |SELECT printf('r%02d', rr) AS region,
         |       CAST(sum(rr + k + 1) AS BIGINT) AS total_cols,
         |       CAST(count(*) AS BIGINT) AS n_grids
+        |FROM g GROUP BY rr ORDER BY region""".stripMargin,
+
+    // same arithmetic tree, restricted to the nation-dim regions the
+    // runtime filter keeps
+    "q_runtime_prune_source" ->
+      """WITH dim AS (
+        |  SELECT n_nationkey AS rr FROM nation
+        |  WHERE n_nationkey % 4 = 0 AND n_nationkey < 16
+        |),
+        |g AS (SELECT rr, unnest(generate_series(0, rr % 3)) AS k FROM dim)
+        |SELECT printf('r%02d', rr) AS region,
+        |       CAST(count(*) AS BIGINT) AS n_grids,
+        |       CAST(sum(rr + k + 1) AS BIGINT) AS total_cols
         |FROM g GROUP BY rr ORDER BY region""".stripMargin,
 
     // DuckDB reads the SAME FeatureCollection document (extracted to a

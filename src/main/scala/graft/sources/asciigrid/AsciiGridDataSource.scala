@@ -34,7 +34,7 @@ import graft.raster.AsciiGrid
   * per-FILE parallelism is the natural partitioning, so each file is one
   * InputPartition and 1000 executors ingest 1000 grids at once).
   *
-  * The scan participates in three Catalyst pushdowns — the difference
+  * The scan participates in four Catalyst pushdowns — the difference
   * between "metadata query touches headers" and "metadata query scans
   * the raster fleet" at 100 TB:
   *
@@ -50,7 +50,12 @@ import graft.raster.AsciiGrid
   *   - aggregate pushdown (`SupportsPushDownAggregates`): ungrouped
   *     MIN/MAX over header fields read only headers, and a bare
   *     COUNT(*) is answered from the listing WITHOUT opening any file
-  *     (complete pushdown, single partition).
+  *     (complete pushdown, single partition);
+  *   - dynamic partition pruning (`SupportsRuntimeV2Filtering`): a
+  *     selective join on `region` ships the surviving region values
+  *     into the scan AT RUN TIME as an IN predicate — pruned grids
+  *     never become partitions (gated end-to-end as
+  *     q_runtime_prune_source, counter-pinned in RuntimePruneSpec).
   *
   * `path` and `region` (the parent-directory name, the layout's
   * partition key) are both listing-derived: projections touching only
@@ -221,10 +226,80 @@ object PathFilterEval {
   }
 }
 
+/** Test-visible counter: how many file partitions the last
+  * runtime-filtered asciigrid scan actually planned — the observable
+  * proof that dynamic partition pruning reached the listing, since the
+  * pruned files leave no other trace (they are simply never read).
+  */
+object AsciiGridScanStats {
+  @volatile var lastRuntimePlanned: Int = -1
+}
+
+/** Evaluates runtime (DPP) V2 predicates against a region value.
+  * Conservative by construction: any unrecognized shape keeps the file
+  * — runtime filtering is an optimization, the join above re-applies
+  * the real predicate.
+  */
+object RegionPredicateEval {
+  import org.apache.spark.sql.connector.expressions.{Literal => V2Literal}
+  import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
+
+  private def litString(e: org.apache.spark.sql.connector.expressions.Expression): Option[String] =
+    e match {
+      case l: V2Literal[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+
+  private def isRegionRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+    e match {
+      case nr: NamedReference => nr.fieldNames.sameElements(Array("region"))
+      case _ => false
+    }
+
+  def eval(p: V2Predicate, region: String): Boolean = p.name() match {
+    case "IN" if p.children().nonEmpty && isRegionRef(p.children()(0)) =>
+      p.children().drop(1).exists(c => litString(c).forall(_ == region))
+    case "=" if p.children().length == 2 && isRegionRef(p.children()(0)) =>
+      litString(p.children()(1)).forall(_ == region)
+    case "AND" => p.children().forall {
+      case c: V2Predicate => eval(c, region)
+      case _ => true
+    }
+    case _ => true
+  }
+}
+
 final class AsciiGridScan(roots: Seq[String], required: StructType,
     pathFilters: Array[sources.Filter], aggs: Seq[PushedAgg])
     extends Scan with Batch with SupportsReportPartitioning
-    with SupportsReportOrdering {
+    with SupportsReportOrdering with SupportsRuntimeV2Filtering {
+
+  // set by filter() at execution time, before planInputPartitions —
+  // BatchScanExec re-plans partitions after delivering runtime filters
+  @volatile private var runtimeKept: Option[Seq[FileStatus]] = None
+
+  /** `region` is listing-derived, so a join on it can prune FILES at
+    * runtime (the DSv2 dynamic-partition-pruning contract): Spark
+    * evaluates the build side, sends the surviving region values as an
+    * IN predicate, and pruned grids never become partitions — never
+    * opened, never fetched. The complement of the STATIC path-filter
+    * pushdown above, for predicates only known at run time. Guarded on
+    * `region` surviving pruning (same contract as outputOrdering):
+    * PartitionPruning RESOLVES the reported attributes against the
+    * scan output, so advertising a pruned-away column is an analysis
+    * error for any join over this scan, not a skipped optimization.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    if (!required.fieldNames.contains("region")) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions.Expressions.column("region"))
+
+  override def filter(
+      predicates: Array[org.apache.spark.sql.connector.expressions.filter.Predicate]): Unit = {
+    runtimeKept = Some(listed.filter { st =>
+      val region = AsciiGridTable.regionOf(st.getPath.toString)
+      predicates.forall(RegionPredicateEval.eval(_, region))
+    })
+  }
 
   private def baseType(c: String): DataType =
     AsciiGridTable.Schema(AsciiGridTable.Schema.fieldIndex(c)).dataType
@@ -280,9 +355,13 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
     if (aggs.nonEmpty && aggs.forall(_.op == "count"))
       // complete pushdown: the listing IS the answer
       Array(AsciiGridCountPartition(listed.length))
-    else
-      listed.map(st => AsciiGridInputPartition(st.getPath.toString, st.getLen,
+    else {
+      val files = runtimeKept.getOrElse(listed)
+      if (runtimeKept.isDefined)
+        AsciiGridScanStats.lastRuntimePlanned = files.length
+      files.map(st => AsciiGridInputPartition(st.getPath.toString, st.getLen,
         AsciiGridTable.regionOf(st.getPath.toString)): InputPartition).toArray
+    }
   }
 
   /** The region-directory layout reported as KeyGroupedPartitioning:
