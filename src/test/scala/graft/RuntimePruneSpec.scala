@@ -26,6 +26,29 @@ class RuntimePruneSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("RegionPredicateEval: IN/= prune, unknown shapes conservatively keep") {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    import org.apache.spark.sql.connector.expressions.filter.Predicate
+    import org.apache.spark.unsafe.types.UTF8String
+    import graft.sources.asciigrid.RegionPredicateEval
+    val region = Expressions.column("region")
+    def lit(s: String) = Expressions.literal(UTF8String.fromString(s))
+    val in = new Predicate("IN", Array(region, lit("r01"), lit("r02")))
+    assert(RegionPredicateEval.eval(in, "r01"))
+    assert(!RegionPredicateEval.eval(in, "r05"))
+    val eq = new Predicate("=", Array(region, lit("r03")))
+    assert(RegionPredicateEval.eval(eq, "r03"))
+    assert(!RegionPredicateEval.eval(eq, "r04"))
+    val and = new Predicate("AND", Array[org.apache.spark.sql.connector.expressions.Expression](in, eq))
+    assert(!RegionPredicateEval.eval(and, "r01"), "AND must require both sides")
+    // unknown predicate name, or a predicate on another column: keep
+    val unknown = new Predicate("STARTS_WITH", Array(region, lit("r0")))
+    assert(RegionPredicateEval.eval(unknown, "zzz"),
+      "unrecognized predicate shapes must keep the file (the join re-filters)")
+    val otherCol = new Predicate("=", Array(Expressions.column("path"), lit("x")))
+    assert(RegionPredicateEval.eval(otherCol, "r09"))
+  }
+
   test("without a selective join the scan plans every file (control)") {
     AsciiGridScanStats.lastRuntimePlanned = -1
     val tree = spark.read.format("asciigrid")
