@@ -521,6 +521,37 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // Train-in-batch, score-in-stream: the deployment shape of every
+    // statistical quality/anomaly gate — thresholds (per-type median +
+    // MAD, same derivation as q_anomaly_mad) are fit on the historical
+    // batch, broadcast into the stream as a stateless stream-static
+    // join, and each arriving event is flagged inline. No streaming
+    // state at all: the model is the state, and refreshing it is a
+    // batch job, not a stream migration. The drained flags must equal
+    // the pure-batch SQL over the same table.
+    "q_stream_anomaly" -> ((s, dir) => {
+      val name = s"stream_anom_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val e = ev(s, dir).select(col("event_type"), col("value"))
+      val med = e.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val mad = e.join(broadcast(med), "event_type")
+        .withColumn("dev", abs(col("value") - col("med")))
+        .groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      val model = med.join(mad, "event_type")
+      graft.streaming.EventStreams.runToCompletion(
+        graft.sources.EventSource.stream(s, dir)
+          .join(broadcast(model), "event_type")
+          .filter(abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+          .select("event_id", "event_type", "value"),
+        name,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_outliers"),
+          round(sum(col("value")), 2).as("sum_outlier_value"))
+        .orderBy("event_type")
+    }),
+
     // Retention cohort analysis — the product-analytics staple: users
     // cohorted by first-activity week, then each cohort's surviving
     // share per week offset. Weeks are integer epoch-week numbers
@@ -745,6 +776,23 @@ object EventQueries {
         |SELECT user_id, count(*) AS n_runs, max(run_len) AS longest_run,
         |       min(run_start) AS first_hour
         |FROM agg GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_anomaly" ->
+      """WITH e AS (SELECT event_type, value FROM events),
+        |med AS (
+        |  SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM e GROUP BY event_type
+        |),
+        |mad AS (
+        |  SELECT e.event_type, quantile_cont(abs(e.value - m.med), 0.5) AS mad
+        |  FROM e JOIN med m USING (event_type) GROUP BY e.event_type
+        |)
+        |SELECT e.event_type,
+        |       count(*) AS n_outliers,
+        |       round(sum(e.value), 2) AS sum_outlier_value
+        |FROM e JOIN med USING (event_type) JOIN mad USING (event_type)
+        |WHERE abs(e.value - med.med) > 4.4478 * mad.mad
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
 
     "q_retention_cohort" ->
       """WITH uw AS (
