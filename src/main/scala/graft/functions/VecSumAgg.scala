@@ -47,6 +47,48 @@ object VecSumAgg extends Aggregator[Seq[Float], Array[Double], Seq[Double]] {
     ExpressionEncoder[Seq[Double]]()
 }
 
+/** Long-input twin of [[VecSumAgg]] for INTEGER-EXACT moment sums.
+  * Integer addition is associative and commutative with NO rounding, so
+  * the reduction is order-independent across partitions and bit-identical
+  * to any other engine summing the same integers — which is what makes a
+  * quantized covariance/gram pass hash-comparable against a DuckDB
+  * oracle (double sums are partition-order dependent; these are not).
+  * Same ragged-growth and map-side-combine contract as the siblings.
+  * Overflow headroom: callers quantize inputs so a worst-case entry is
+  * ≤2^39; 2^63 capacity leaves ~2^24 ≈ 16M rows per PARTIAL buffer and
+  * the merge tree adds log₂(partitions) bits — at 100 TB the quantizer
+  * scale (not this buffer) is the knob to turn first.
+  */
+object VecSumLongAgg extends Aggregator[Seq[Long], Array[Long], Seq[Long]] {
+
+  override def zero: Array[Long] = Array.emptyLongArray
+
+  private def grown(buf: Array[Long], n: Int): Array[Long] =
+    if (buf.length >= n) buf else java.util.Arrays.copyOf(buf, n)
+
+  override def reduce(buf: Array[Long], v: Seq[Long]): Array[Long] = {
+    val b = grown(buf, v.length)
+    var i = 0
+    while (i < v.length) { b(i) += v(i); i += 1 }
+    b
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    val out = grown(a, b.length)
+    var i = 0
+    while (i < b.length) { out(i) += b(i); i += 1 }
+    out
+  }
+
+  override def finish(buf: Array[Long]): Seq[Long] = buf.toSeq
+
+  override def bufferEncoder: Encoder[Array[Long]] =
+    Encoders.javaSerialization[Array[Long]]
+
+  override def outputEncoder: Encoder[Seq[Long]] =
+    ExpressionEncoder[Seq[Long]]()
+}
+
 /** Double-input twin of [[VecSumAgg]], for reducing per-row DERIVED
   * vectors (outer-product triangles, pre-widened moments) where a
   * float buffer would lose the precision the derivation just paid for.

@@ -415,35 +415,56 @@ object SimilarityQueries {
     // Corpus covariance matrix over the embedding space — the moment
     // computation under PCA/whitening and drift monitoring. Per row, a
     // codegen'd HOF builds the dims²/2 upper-triangle products; ONE
-    // typed-Aggregator reduce (map-side combined — only 2080-double
+    // typed-Aggregator reduce (map-side combined — only 2080-long
     // buffers cross the wire, never |rows|·dims² exploded cells) yields
     // the gram vector and the mean vector together, and a broadcast
     // (i, j, k) index table unflattens the triangle arithmetically
     // (closed-form offset, no sort, no window). At 100 TB this is one
     // narrow scan + one 2 KB-state reduction — the cheapest possible
     // shape for a second-moment pass.
+    //
+    // NUMERIC DISCIPLINE (the round-7 red row, fixed): the naive
+    // E[xy]−E[x]E[y] in doubles suffers catastrophic cancellation AND
+    // partition-order-dependent sums, so entries near a round(·,4)
+    // boundary landed on different sides than DuckDB's covar_pop.
+    // Instead each float32 component is floor-quantized to an integer
+    // s = ⌊x·2²⁰⌋ (the ·2²⁰ product of a float32-exact double is exact —
+    // power-of-two scaling — and floor of a double is deterministic in
+    // every IEEE engine), all moment sums run in int64 (exact,
+    // order-independent), the cross term n·Sxy − Sx·Sy is combined in
+    // DECIMAL(38,0) (Sxy ≈ 2^50 at sf0.1 — n· would brush int64), and
+    // only the final division happens in double — both engines divide
+    // the SAME exact integers, so the quotient is bit-identical.
+    // Quantization bias is ≤ 2·E|x|/2²⁰ ≈ 4e-7, two orders below the
+    // 4-dp output granularity. The oracle mirrors the quantization.
     "q_embed_covariance" -> ((s, dir) => {
       import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-      val vecsumd = udaf(graft.functions.VecSumDoubleAgg,
-        ExpressionEncoder[Seq[Double]]())
+      val vecsuml = udaf(graft.functions.VecSumLongAgg,
+        ExpressionEncoder[Seq[Long]]())
+      val quant = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
       val tri = expr(
         """flatten(transform(sequence(1, 64), i ->
           |  transform(sequence(i, 64), j ->
-          |    CAST(element_at(embedding, CAST(i AS INT)) AS DOUBLE) *
-          |    CAST(element_at(embedding, CAST(j AS INT)) AS DOUBLE))))""".stripMargin)
+          |    element_at(qv, CAST(i AS INT)) *
+          |    element_at(qv, CAST(j AS INT)))))""".stripMargin)
       val moments = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(tri.as("tri"),
-          expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("ed"))
-        .agg(vecsumd(col("tri")).as("g"), vecsumd(col("ed")).as("m"),
+        .select(quant.as("qv"))
+        .select(tri.as("tri"), col("qv"))
+        .agg(vecsuml(col("tri")).as("g"), vecsuml(col("qv")).as("m"),
           count(lit(1)).as("n"))
       val idx = s.range(1, 65).toDF("i")
         .select(col("i"), explode(expr("sequence(i, CAST(64 AS BIGINT))")).as("j"))
         .withColumn("k", expr("(i - 1) * 65 - (i - 1) * i div 2 + (j - i) + 1"))
       idx.crossJoin(broadcast(moments))
-        .select(col("i"), col("j"), round(expr(
-          """element_at(g, CAST(k AS INT)) / n -
-            |(element_at(m, CAST(i AS INT)) / n) *
-            |(element_at(m, CAST(j AS INT)) / n)""".stripMargin), 4).as("cov"))
+        // the trailing “+ 0.0” canonicalizes IEEE −0.0 → 0.0: DuckDB's
+        // round yields −0.0 for tiny negatives where Spark yields 0.0,
+        // and the hash gate distinguishes them
+        .select(col("i"), col("j"), (round(expr(
+          """CAST(CAST(element_at(g, CAST(k AS INT)) AS DECIMAL(38, 0)) * CAST(n AS DECIMAL(38, 0)) -
+            |     CAST(element_at(m, CAST(i AS INT)) AS DECIMAL(38, 0)) *
+            |     CAST(element_at(m, CAST(j AS INT)) AS DECIMAL(38, 0)) AS DOUBLE) /
+            |CAST(n * n AS DOUBLE) / 1099511627776.0""".stripMargin), 4) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
     }),
   )
@@ -491,12 +512,29 @@ object SimilarityQueries {
          |SELECT vec_id, rank, nbr_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
 
+    // Mirrors the query's floor-quantized integer moments exactly: both
+    // engines sum the SAME int64s (DuckDB's sum(BIGINT) widens to
+    // HUGEINT — exact) and divide the same integers, so the hash gate
+    // never depends on float summation order or libm.
     "q_embed_covariance" ->
-      """SELECT i, j,
-        |       round(covar_pop(CAST(embedding[i] AS DOUBLE),
-        |                       CAST(embedding[j] AS DOUBLE)), 4) AS cov
-        |FROM embeddings, generate_series(1, 64) s(i), generate_series(1, 64) t(j)
-        |WHERE j >= i GROUP BY i, j ORDER BY i, j""".stripMargin,
+      """WITH p AS (
+        |  SELECT e.vec_id, g.i AS i,
+        |         CAST(floor(CAST(e.embedding[g.i] AS DOUBLE) * 1048576.0) AS BIGINT) AS s
+        |  FROM embeddings e, generate_series(1, 64) g(i)
+        |),
+        |nn AS (SELECT count(*) AS n FROM embeddings),
+        |mom AS (SELECT i, sum(s) AS sx FROM p GROUP BY i),
+        |gram AS (
+        |  SELECT a.i AS i, b.i AS j, sum(a.s * b.s) AS sxy
+        |  FROM p a JOIN p b ON a.vec_id = b.vec_id AND b.i >= a.i
+        |  GROUP BY a.i, b.i
+        |)
+        |SELECT g.i AS i, g.j AS j,
+        |       round(CAST(nn.n * g.sxy - mi.sx * mj.sx AS DOUBLE)
+        |             / CAST(nn.n * nn.n AS DOUBLE) / 1099511627776.0, 4) + 0.0 AS cov
+        |FROM gram g, nn, mom mi, mom mj
+        |WHERE mi.i = g.i AND mj.i = g.j
+        |ORDER BY g.i, g.j""".stripMargin,
 
     "q_ann_ivf_probe2" ->
       s"""WITH cent AS (
