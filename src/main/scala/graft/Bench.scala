@@ -87,31 +87,68 @@ object Bench {
     // spread across the rest of the suite (full-GC aftermath is slower
     // than the debt it clears). If a future in-suite-only regression
     // appears, profile the query's allocation first.
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val runs = (1 to passes).map { _ =>
+    //
+    // MEASUREMENT DESIGN (round-8 rework): passes are interleaved at
+    // SUITE level — whole-suite pass 1, then pass 2, then pass 3 — not
+    // back-to-back per query. Back-to-back passes share one ~seconds
+    // window, so a burst of co-located machine load poisons all three
+    // and the median is no defense (round 7: 13 untouched sub-second
+    // queries ≥2.6× their base even at their FASTEST pass, while local
+    // runs of identical code were flat). Suite-level interleaving puts
+    // minutes between a query's passes, decorrelating load windows, so
+    // the per-query median across suite passes survives any load burst
+    // shorter than a full suite pass. Additionally a fixed trivial
+    // CANARY (in-memory range-sum, no IO, plan compiled once before
+    // timing) is timed every `canaryEvery` queries; its series is a
+    // machine-load index riding along in the detail file — a flat
+    // canary under a regressed query implicates the code, an elevated
+    // canary implicates the machine. Cache release between queries is
+    // required for hygiene but is NOT part of any query's timed window.
+    val order = selected.toSeq.sortBy(_._1)
+    val canaryEvery = 20
+    val canaryDf = spark.range(4000000).selectExpr("sum(id * 3 + 1) as s")
+    def canaryTime(): Double = {
+      val t0 = System.nanoTime()
+      canaryDf.collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryTime() // untimed compile/JIT of the canary plan itself
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    val timesBy = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
+    val errBy = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    for (pass <- 1 to passes) {
+      var pos = 0
+      order.foreach { case (name, fn) =>
+        if (pos % canaryEvery == 0)
+          canarySeries += ((pass, pos, canaryTime()))
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
           catch { case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }
-        graft.queries.QueryCaches.releaseAll(spark)
-        ((System.nanoTime() - t0) / 1e9, err)
+        val dt = (System.nanoTime() - t0) / 1e9
+        graft.queries.QueryCaches.releaseAll(spark) // untimed: hygiene, not query cost
+        timesBy(name) = timesBy.getOrElse(name, Vector.empty) :+ dt
+        err.foreach(e => if (!errBy.contains(name)) errBy(name) = e)
+        pos += 1
       }
-      def med(xs: Seq[Double]): Double = {
-        val t = xs.sorted
-        if (t.size % 2 == 1) t(t.size / 2)
-        else (t(t.size / 2 - 1) + t(t.size / 2)) / 2.0
-      }
-      val times = runs.map(_._1).sorted
-      // warm = median EXCLUDING pass 1, which absorbs this plan's
+      canarySeries += ((pass, pos, canaryTime()))
+    }
+    def med(xs: Seq[Double]): Double = {
+      val t = xs.sorted
+      if (t.size % 2 == 1) t(t.size / 2)
+      else (t(t.size / 2 - 1) + t(t.size / 2)) / 2.0
+    }
+    val results = order.map { case (name, _) =>
+      val runs = timesBy(name)
+      val times = runs.sorted
+      // warm = median EXCLUDING suite-pass 1, which absorbs this plan's
       // codegen/JIT and (for cache-building queries) the first
       // population of driver-side sketches — the cold/warm gap is the
       // per-query answer to "is this a regression or a warmup cost"
-      val warm =
-        if (runs.size > 1) med(runs.drop(1).map(_._1)) else runs.head._1
-      (name, med(runs.map(_._1)), warm, times.head, times.last,
-        runs.flatMap(_._2).headOption)
+      val warm = if (runs.size > 1) med(runs.drop(1)) else runs.head
+      (name, med(runs), warm, times.head, times.last, errBy.get(name))
     }
     def jstr(s: String): String =
       "\"" + s.flatMap {
@@ -155,15 +192,27 @@ object Bench {
       .map { case (k, _, _, mn, mx, _) =>
         s""""$k":[${"%.6f".format(mn)},${"%.6f".format(mx)}]""" }
       .mkString("{", ",", "}")
+    // Canary load index: the full [pass, position, sec] series plus a
+    // one-number summary. load_ratio = max/median of the canary — ≈1.0
+    // means the machine was quiet for the whole run; >>1 means some
+    // timed windows were load-poisoned and regressions inside them are
+    // suspect (the series says WHICH windows).
+    val canaryTimes = canarySeries.map(_._3).toSeq
+    val canaryMed = if (canaryTimes.nonEmpty) med(canaryTimes) else 0.0
+    val canaryMax = if (canaryTimes.nonEmpty) canaryTimes.max else 0.0
+    val loadRatio = if (canaryMed > 0) canaryMax / canaryMed else 1.0
+    val canaryJson = canarySeries
+      .map { case (p, pos, t) => s"[$p,$pos,${"%.4f".format(t)}]" }
+      .mkString("[", ",", "]")
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
 
     // Compact summary line (fits the tail): total of per-query medians over
     // ALL queries + a fixed headline subset of per-query medians.
     val hl = medians.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
