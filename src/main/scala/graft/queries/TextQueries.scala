@@ -563,24 +563,33 @@ object TextQueries {
     // sample without replacement — exactly the reproducible "sample
     // long documents proportionally more" draw a mixture pipeline
     // needs, with no global RNG state and no sequential pass. Shape:
-    // narrow projection + global top-k (TakeOrderedAndProject — a
-    // per-partition running top-k, never a full sort) — at 100 TB the
-    // only cross-partition traffic is k rows per partition. u is the
-    // md5-myriad idiom shared with q_mix_sample, so both engines
-    // derive identical priorities (per-row arithmetic, no float
-    // accumulation anywhere).
-    "q_weighted_sample" -> ((s, dir) =>
+    // narrow projection + broadcast 10⁴-row ln dim + global top-k
+    // (TakeOrderedAndProject — a per-partition running top-k, never a
+    // full sort) — at 100 TB the only cross-partition traffic is k
+    // rows per partition. u is the md5-myriad idiom shared with
+    // q_mix_sample. −ln(u) is NOT computed at runtime: u takes only
+    // 10⁴ distinct values, so the scaled-integer table
+    // [[lnMyriadScaled]] is materialized once (builder-side,
+    // StrictMath) and both this query and the oracle consume the SAME
+    // integer literals — the rank key lnu/w divides identical int64s
+    // in both engines (IEEE division of equal inputs is bit-equal), so
+    // cross-engine order never depends on libm's ln.
+    "q_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      val lntab = broadcast(lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => (h.toLong, l) }.toDF("h", "lnu_p12"))
       s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
           expr("size(split(text, ' '))").cast("bigint").as("w"))
-        .withColumn("u",
-          (expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000")
-            + lit(1)) / lit(10001.0))
-        .withColumn("priority", -log(col("u")) / col("w"))
+        .withColumn("h",
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT) % 10000"))
+        .join(lntab, "h")
+        .withColumn("priority", col("lnu_p12") / col("w"))
         .orderBy(col("priority"), col("doc_id"))
         .limit(20)
         .select(col("doc_id"), col("source"), col("w"),
-          round(col("priority") * 1000, 6).as("priority_milli"))),
+          round(col("priority") / lit(1e9), 6).as("priority_milli"))
+    }),
 
     // Passage-overlap discovery: which document PAIRS share local
     // content, found through the winnowing fingerprints as an inverted
@@ -615,6 +624,18 @@ object TextQueries {
         .orderBy("doc_a", "doc_b")
     }),
   )
+
+  /** Scaled-integer −ln table over the myriad-hash domain:
+    * lnMyriadScaled(h) = round(−ln((h+1)/10001)·10¹²) for h ∈ [0,10⁴).
+    * Materialized ONCE builder-side with StrictMath (platform-stable),
+    * then consumed as plain int64 literals by BOTH the Spark query (a
+    * broadcast dim) and the DuckDB oracle (a VALUES list) — neither
+    * engine ever calls its own ln, so the A-ES rank can't drift on
+    * libm rounding. Max entry ln(10001)·10¹² ≈ 9.2·10¹² — comfortably
+    * int64.
+    */
+  private[graft] val lnMyriadScaled: IndexedSeq[Long] =
+    (0 to 9999).map(h => math.round(-StrictMath.log((h + 1) / 10001.0) * 1e12))
 
   private val stopList = stopwords.map("'" + _ + "'").mkString(",")
 
@@ -732,16 +753,21 @@ object TextQueries {
           s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
       def md5c(i: Int) = hv(s"substr(md5(CAST(doc_id AS VARCHAR)), $i, 1)")
       val h4 = s"((${md5c(1)} * 4096 + ${md5c(2)} * 256 + ${md5c(3)} * 16 + ${md5c(4)}) % 10000)"
-      s"""WITH docs AS (
+      // the lntab VALUES literals are the SAME builder-side integers
+      // the Spark query broadcasts — DuckDB never computes ln here
+      val vals = lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => s"($h,$l)" }.mkString(",")
+      s"""WITH lntab(h, lnu_p12) AS (VALUES $vals),
+         |docs AS (
          |  SELECT doc_id, source,
          |         CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
-         |         ($h4 + 1) / 10001.0 AS u
+         |         $h4 AS h
          |  FROM documents
          |)
-         |SELECT doc_id, source, w,
-         |       round(-ln(u) / w * 1000, 6) AS priority_milli
-         |FROM docs
-         |ORDER BY -ln(u) / w, doc_id LIMIT 20""".stripMargin
+         |SELECT d.doc_id, d.source, d.w,
+         |       round(t.lnu_p12 / d.w / 1e9, 6) AS priority_milli
+         |FROM docs d JOIN lntab t ON d.h = t.h
+         |ORDER BY t.lnu_p12 / d.w, d.doc_id LIMIT 20""".stripMargin
     },
 
     "q_mix_sample" -> {
