@@ -624,25 +624,47 @@ object DedupQueries {
     // inputs. Shape: shingle-keyed equi-join between the exploded
     // excerpt and base shingle sets (never a doc product); per-pair
     // intersection counts (shingle lists are distinct, so the join row
-    // count IS |∩|) divided by the excerpt's set size.
+    // count IS |∩|) divided by the excerpt's CAPPED set size.
+    //
+    // DF CAP (skew bound, same discipline as q_passage_overlap's
+    // posting-list cap): a boilerplate shingle shared by 10⁶ documents
+    // would make one shuffle key carry 10⁶ rows — the hot-key straggler
+    // at 100 TB — and each hot shingle contributes O(df·|excerpts with
+    // it|) candidate pairs. Shingles with base document frequency > 50
+    // are dropped from BOTH sides before the join. The drop-set (not
+    // the keep-set) is what's materialized: by Zipf it is the tiny head
+    // of the distribution, so it BROADCASTS and both explodes are
+    // filtered map-side with a broadcast anti-join — the hot keys never
+    // enter any shuffle at all (an inner join with the huge keep-set
+    // would itself shuffle the hot keys it exists to kill). The df
+    // aggregate that finds them is safe: partial map-side combine means
+    // a hot shingle arrives at the reducer as one pre-merged count per
+    // task, not 10⁶ rows. Containment = |∩ capped| / |excerpt capped|.
     "q_containment" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val excerpts = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 30)).as("text"))
-      val exSh = excerpts
-        .select(col("doc_id").as("exc_id"), Corpus.shingles("text").as("sh"))
-        .select(col("exc_id"), size(col("sh")).as("n_exc"),
-          explode(col("sh")).as("shingle"))
-      val baseSh = docs
+      val baseShAll = QueryCaches.cache(docs
         .select(col("doc_id").as("base_id"),
+          explode(Corpus.shingles("text")).as("shingle")))
+      val dropSh = broadcast(baseShAll.groupBy("shingle")
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > 50)
+        .select("shingle"))
+      val baseSh = baseShAll.join(dropSh, Seq("shingle"), "left_anti")
+      val exSh = QueryCaches.cache(excerpts
+        .select(col("doc_id").as("exc_id"),
           explode(Corpus.shingles("text")).as("shingle"))
-      // shuffle-hash: shingle buckets are small and the pair agg
-      // re-shuffles anyway — the sort an SMJ pays is never reused
+        .join(dropSh, Seq("shingle"), "left_anti"))
+      val exSize = exSh.groupBy("exc_id").agg(count(lit(1)).as("n_exc"))
+      // shuffle-hash: shingle buckets are small (df ≤ 50 after the cap)
+      // and the pair agg re-shuffles anyway — SMJ's sort buys nothing
       exSh.hint("shuffle_hash").join(baseSh, "shingle")
         .groupBy("exc_id", "base_id")
-        .agg(count(lit(1)).as("n_shared"), max(col("n_exc")).as("n_exc"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(exSize, "exc_id")
         .withColumn("containment", round(col("n_shared") / col("n_exc"), 4))
         .filter(col("containment") >= 0.8)
         .select(col("exc_id"), col("base_id"), col("n_shared"), col("containment"))
@@ -705,22 +727,36 @@ object DedupQueries {
          |  FROM documents WHERE doc_id % 5 = 0
          |),
          |ex_sets AS (SELECT exc_id, ${Corpus.shinglesSql} AS sh FROM exc),
-         |ex_sh AS (SELECT exc_id, len(sh) AS n_exc, unnest(sh) AS shingle FROM ex_sets),
-         |base_sh AS (
+         |base_all AS (
          |  SELECT doc_id AS base_id, unnest(${Corpus.shinglesSql}) AS shingle
          |  FROM documents
          |),
+         |drop_sh AS (
+         |  SELECT shingle FROM base_all GROUP BY shingle HAVING count(*) > 50
+         |),
+         |base_sh AS (
+         |  SELECT * FROM base_all
+         |  WHERE shingle NOT IN (SELECT shingle FROM drop_sh)
+         |),
+         |ex_sh AS (
+         |  SELECT exc_id, shingle FROM (
+         |    SELECT exc_id, unnest(sh) AS shingle FROM ex_sets
+         |  ) WHERE shingle NOT IN (SELECT shingle FROM drop_sh)
+         |),
+         |ex_n AS (
+         |  SELECT exc_id, CAST(count(*) AS BIGINT) AS n_exc
+         |  FROM ex_sh GROUP BY exc_id
+         |),
          |pairs AS (
-         |  SELECT exc_id, base_id, CAST(count(*) AS BIGINT) AS n_shared,
-         |         max(n_exc) AS n_exc
+         |  SELECT exc_id, base_id, CAST(count(*) AS BIGINT) AS n_shared
          |  FROM ex_sh JOIN base_sh USING (shingle)
          |  GROUP BY exc_id, base_id
          |)
-         |SELECT exc_id, base_id, n_shared,
-         |       round(n_shared * 1.0 / n_exc, 4) AS containment
-         |FROM pairs
-         |WHERE round(n_shared * 1.0 / n_exc, 4) >= 0.8
-         |ORDER BY exc_id, base_id""".stripMargin,
+         |SELECT p.exc_id, p.base_id, p.n_shared,
+         |       round(p.n_shared * 1.0 / e.n_exc, 4) AS containment
+         |FROM pairs p JOIN ex_n e USING (exc_id)
+         |WHERE round(p.n_shared * 1.0 / e.n_exc, 4) >= 0.8
+         |ORDER BY p.exc_id, p.base_id""".stripMargin,
 
     "q_split_leakage" ->
       s"""WITH ${Corpus.corpusCte},

@@ -317,6 +317,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"containment discovery must equi-join on the shingle key:\n$p")
     assert(p.contains("ShuffledHashJoin"),
       s"small per-shingle buckets: hash join, no sort:\n$p")
+    // the df cap: BOTH shingle explodes must be filtered map-side by a
+    // broadcast anti-join against the (small) boilerplate drop-set, so
+    // hot shingles never enter a shuffle — the 100 TB skew guard
+    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length
+    assert(anti >= 2,
+      s"df cap must broadcast-anti-filter both explodes, got $anti:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
