@@ -50,7 +50,7 @@ object EtlQueries {
     * stale tree from an older layout would silently diverge from the
     * arithmetic oracles).
     */
-  private def spjTree(): String = {
+  private[graft] def spjTree(): String = {
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_spj_tree"
     SideStores.ensure(out) {
       val root = new java.io.File(out)

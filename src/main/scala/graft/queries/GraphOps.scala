@@ -131,11 +131,24 @@ object GraphOps {
     // release them — they'd pin storage until driver GC. Capture the
     // newly-persisted RDDs by id-diff around each checkpoint and
     // unpersist them directly when the round is superseded.
+    // The id-diff alone over-captures: any UNRELATED RDD materialized
+    // during the checkpoint job (e.g. a lazily-populated QueryCaches
+    // cache referenced by the edge lineage) would land in the diff and
+    // be unpersisted when the round is superseded — silently dropping a
+    // cache another consumer relies on. Intersect the diff with the
+    // checkpointed dataset's OWN rdd lineage: the localCheckpoint
+    // blocks are by construction an ancestor of cp's internal rdd,
+    // while foreign caches are not.
     def checkpointTracked(df: DataFrame): (DataFrame, Seq[org.apache.spark.rdd.RDD[_]]) = {
       val sc = df.sparkSession.sparkContext
       val before = sc.getPersistentRDDs.keySet
       val cp = df.localCheckpoint(true)
-      val added = (sc.getPersistentRDDs -- before).values.toSeq
+      val lineage = scala.collection.mutable.Set.empty[Int]
+      def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+        if (lineage.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+      walk(cp.queryExecution.toRdd)
+      val added = (sc.getPersistentRDDs -- before)
+        .filter { case (id, _) => lineage.contains(id) }.values.toSeq
       (cp, added)
     }
     var (cur, curRdds) = checkpointTracked(canon(edges))

@@ -353,8 +353,11 @@ final class AsciiGridScan(roots: Seq[String], required: StructType,
 
   override def planInputPartitions(): Array[InputPartition] = {
     if (aggs.nonEmpty && aggs.forall(_.op == "count"))
-      // complete pushdown: the listing IS the answer
-      Array(AsciiGridCountPartition(listed.length))
+      // complete pushdown: the listing IS the answer — but answer from
+      // the runtime-filtered listing if a join delivered one (today the
+      // two paths never co-occur; this keeps a future co-occurrence
+      // from silently counting pruned files)
+      Array(AsciiGridCountPartition(runtimeKept.getOrElse(listed).length))
     else {
       val files = runtimeKept.getOrElse(listed)
       if (runtimeKept.isDefined)

@@ -19,7 +19,10 @@ class CacheHygieneSpec extends SparkSpecBase {
     val before = persistentIds
     DedupQueries.queries("q_dedup_minhash")(spark, sf).count()
     SimilarityQueries.queries("q_ann_lsh")(spark, sf).count()
-    assert(persistentIds.size > before.size, "expected the queries to register caches")
+    // set-diff, not size compare: the ContextCleaner can drop
+    // PRE-EXISTING entries mid-test, which would mask newly registered
+    // caches behind a flat or shrinking count
+    assert((persistentIds -- before).nonEmpty, "expected the queries to register caches")
     QueryCaches.releaseAll(spark)
     // unpersist(blocking=false) is async at the block level but the
     // registry drops the references synchronously and marks the RDDs

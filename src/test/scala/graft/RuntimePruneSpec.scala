@@ -51,8 +51,11 @@ class RuntimePruneSpec extends SparkSpecBase {
 
   test("without a selective join the scan plans every file (control)") {
     AsciiGridScanStats.lastRuntimePlanned = -1
-    val tree = spark.read.format("asciigrid")
-      .load(s"${System.getProperty("java.io.tmpdir")}/graft_spj_tree")
+    // build (or rebuild) the shared side tree ourselves: run in
+    // isolation this test must not depend on an earlier test or query
+    // having materialized it in this JVM
+    val treePath = graft.queries.EtlQueries.spjTree()
+    val tree = spark.read.format("asciigrid").load(treePath)
     assert(tree.count() == 31)
     assert(AsciiGridScanStats.lastRuntimePlanned == -1,
       "an unfiltered scan must not take the runtime-filtered path")
