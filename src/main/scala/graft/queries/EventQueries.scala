@@ -553,24 +553,34 @@ object EventQueries {
     }),
 
     // Retention cohort analysis — the product-analytics staple: users
-    // cohorted by first-activity week, then each cohort's surviving
-    // share per week offset. Weeks are integer epoch-week numbers
+    // cohorted by signup week, then each cohort's surviving share per
+    // week offset. The events fixture compresses every user's first
+    // activity into the corpus' first week, which would collapse the
+    // analysis to one degenerate cohort — so the signup week is a
+    // deterministic modulo-spread proxy, corpus_min_week + user_id % 4
+    // (the stand-in for the signup date a real warehouse would join
+    // from a users dim), and activity BEFORE a user's signup week is
+    // excluded as pre-signup. Cohort membership = users with ≥1
+    // post-signup active week. Weeks are integer epoch-week numbers
     // (unix div 604800 — no calendar/timezone arithmetic to disagree
     // across engines) and retention is per-myriad integer division.
-    // Shape: one (user, week) distinct, a per-user min aggregate, a
-    // user-keyed join back, and a (cohort, offset) aggregate — every
-    // shuffle keys on user or cohort, nothing quadratic, no windows
-    // over the fact.
+    // Shape: one (user, week) distinct, a 1-row min broadcast, a
+    // per-cohort distinct-user count, and a (cohort, offset) aggregate
+    // — every shuffle keys on user or cohort, nothing quadratic, no
+    // windows over the fact.
     "q_retention_cohort" -> ((s, dir) => {
       val uw = ev(s, dir)
         .select(col("user_id"),
           expr("CAST(unix_timestamp(ts) AS BIGINT) div 604800").as("wk"))
         .distinct()
+      val w0 = uw.agg(min(col("wk")).as("wk0"))
+      val act = uw.crossJoin(broadcast(w0))
+        .withColumn("cw", col("wk0") + col("user_id") % 4)
+        .filter(col("wk") >= col("cw"))
         .transform(QueryCaches.cache(_))
-      val cohort = uw.groupBy("user_id").agg(min(col("wk")).as("cw"))
-      val sizes = cohort.groupBy("cw").agg(count(lit(1)).as("n_cohort"))
-      uw.join(cohort, "user_id")
-        .groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
+      val sizes = act.groupBy("cw")
+        .agg(countDistinct(col("user_id")).as("n_cohort"))
+      act.groupBy(col("cw"), (col("wk") - col("cw")).as("week_offset"))
         .agg(count(lit(1)).as("n_active"))
         .join(broadcast(sizes), "cw")
         .select(col("cw").as("cohort_week"), col("week_offset"),
@@ -800,16 +810,23 @@ object EventQueries {
         |         CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk
         |  FROM events
         |),
-        |cohort AS (SELECT user_id, min(wk) AS cw FROM uw GROUP BY user_id),
-        |sizes AS (SELECT cw, count(*) AS n_cohort FROM cohort GROUP BY cw),
+        |w0 AS (SELECT min(wk) AS wk0 FROM uw),
         |act AS (
-        |  SELECT c.cw, u.wk - c.cw AS week_offset, count(*) AS n_active
-        |  FROM uw u JOIN cohort c USING (user_id)
-        |  GROUP BY 1, 2
+        |  SELECT u.user_id, u.wk, w0.wk0 + u.user_id % 4 AS cw
+        |  FROM uw u, w0
+        |  WHERE u.wk >= w0.wk0 + u.user_id % 4
+        |),
+        |sizes AS (
+        |  SELECT cw, CAST(count(DISTINCT user_id) AS BIGINT) AS n_cohort
+        |  FROM act GROUP BY cw
+        |),
+        |grid AS (
+        |  SELECT cw, wk - cw AS week_offset, CAST(count(*) AS BIGINT) AS n_active
+        |  FROM act GROUP BY 1, 2
         |)
-        |SELECT a.cw AS cohort_week, a.week_offset, s.n_cohort, a.n_active,
-        |       a.n_active * 10000 // s.n_cohort AS retention_pm
-        |FROM act a JOIN sizes s USING (cw)
+        |SELECT g.cw AS cohort_week, g.week_offset, s.n_cohort, g.n_active,
+        |       g.n_active * 10000 // s.n_cohort AS retention_pm
+        |FROM grid g JOIN sizes s USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
     "q_anomaly_mad" ->
