@@ -412,6 +412,55 @@ object SimilarityQueries {
         .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
     }),
 
+    // SemDeDup END-TO-END: the semantic-dedup operator as ONE query —
+    // coarse cells → per-cell kNN graph → threshold edges → connected
+    // components → min-id survivor keep-list. Composition of the
+    // machinery the q_ann_*/q_knn_join/q_semantic_cluster queries
+    // exercise piecewise: the dup-injected corpus (copies inherit
+    // their source's cell — identical embedding, identical quantizer
+    // assignment), a within-cell kNN (top-3 by rounded cosine, OR-
+    // symmetrized), edges kept at sim ≥ 0.5, closed into components by
+    // the O(log d) star-contraction rounds, survivor = component min
+    // id. At 100 TB the CELL is what bounds candidate volume: the
+    // self-join shuffles only (cell)-keyed slices — candidate pairs
+    // scale with Σ|cell|², never corpus², and the quantizer's cell
+    // count is retrained to grow with the corpus so per-cell
+    // membership stays bounded. kNN then caps edges at 3·N before the
+    // component rounds ever see them.
+    "q_semdedup" -> ((s, dir) => {
+      val base = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("bigint").as("cell"))
+      val copies = base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("cell"))
+      val corpus = QueryCaches.cache(
+        base.unionByName(copies).withColumn("nrm", norm("embedding")))
+      val a = corpus.select(col("vec_id"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("cell"))
+      val b = corpus.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"), col("cell"))
+      val scored = a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nbr_id"))
+      val knn = scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3 && col("sim") >= 0.5)
+        .select(col("vec_id"), col("nbr_id"))
+      val pairs = knn
+        .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+          greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+        .distinct()
+      val nodes = corpus.select(col("vec_id").as("id"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      GraphOps.alternatingStarComponents(nodes, edges)._1
+        .select(col("id").as("vec_id"), col("label").as("survivor_id"),
+          when(col("id") === col("label"), 1L).otherwise(0L).as("kept"))
+        .orderBy("vec_id")
+    }),
+
     // Corpus covariance matrix over the embedding space — the moment
     // computation under PCA/whitening and drift monitoring. Per row, a
     // codegen'd HOF builds the dims²/2 upper-triangle products; ONE
@@ -511,6 +560,46 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, rank, nbr_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "q_semdedup" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding, CAST(label AS BIGINT)
+         |  FROM embeddings WHERE vec_id % 7 = 0
+         |),
+         |scored AS (
+         |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         |         round(${dotSql("a.embedding", "b.embedding")} /
+         |               (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |                * sqrt(${dotSql("b.embedding", "b.embedding")})), 4) AS sim
+         |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |),
+         |knn AS (
+         |  SELECT vid, nid FROM (
+         |    SELECT vid, nid, sim,
+         |           row_number() OVER (PARTITION BY vid ORDER BY sim DESC, nid) AS rnk
+         |    FROM scored
+         |  ) WHERE rnk <= 3 AND sim >= 0.5
+         |),
+         |pairs AS (
+         |  SELECT DISTINCT least(vid, nid) AS id_a, greatest(vid, nid) AS id_b
+         |  FROM knn
+         |),
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL
+         |  SELECT id_b AS src, id_a AS dst FROM pairs
+         |),
+         |reach(id, label) AS (
+         |  SELECT vec_id, vec_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id
+         |),
+         |comp AS (SELECT id, min(label) AS survivor_id FROM reach GROUP BY id)
+         |SELECT id AS vec_id, survivor_id,
+         |       CAST(CASE WHEN id = survivor_id THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM comp ORDER BY vec_id""".stripMargin,
 
     // Mirrors the query's floor-quantized integer moments exactly: both
     // engines sum the SAME int64s (DuckDB's sum(BIGINT) widens to

@@ -378,6 +378,26 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_semdedup: cell-blocked kNN edges, never a corpus product") {
+    // the component rounds checkpoint eagerly, so build only the edge
+    // stage the way the query does and pin ITS plan: the candidate
+    // self-join must key on the quantizer cell
+    import org.apache.spark.sql.functions._
+    graft.plans.VecKernels.register(spark)
+    val base = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"),
+        col("label").cast("bigint").as("cell"))
+    val a = base.select(col("vec_id"), col("embedding").as("ea"), col("cell"))
+    val b = base.select(col("vec_id").as("nbr_id"),
+      col("embedding").as("eb"), col("cell"))
+    val scored = a.join(b, Seq("cell")).filter(col("vec_id") =!= col("nbr_id"))
+      .withColumn("sim", expr("round(vec_dot(ea, eb), 4)"))
+    val p = scored.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"semdedup candidates must equi-join on the cell, never a product:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_embed_covariance: one typed-Aggregator reduce, broadcast index unflatten") {
     val p = plan("q_embed_covariance", graft.queries.SimilarityQueries.queries)
     assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
