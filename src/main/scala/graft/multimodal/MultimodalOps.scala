@@ -159,4 +159,71 @@ object MultimodalOps {
     else (math.max(1, width * maxSide / longSide),
       math.max(1, height * maxSide / longSide))
   }
+
+  /** Synthesize an 8-bpp grayscale image blob: the real BMP header
+    * (little-endian dims, bit count 8) followed by raw row-major
+    * top-down pixel bytes — fixture convention: no row padding, no
+    * palette (a real BMP is bottom-up and 4-byte padded; the HEADER
+    * fields are what the decoder exercises). Pixels are deterministic
+    * arithmetic on the SOURCE id — pixel(x, y) = (id·31 + x·7 + y·13)
+    * mod 251 — so the SQL oracle can re-derive them without any codec.
+    * `bump` nudges pixel (0,0) by +1: the near-duplicate injection, a
+    * visually-identical image whose bytes differ.
+    */
+  def encodeGrayBmp(srcId: Long, bump: Boolean): Array[Byte] = {
+    val w = (16 + srcId % 101).toInt
+    val h = (16 + (srcId * 7) % 97).toInt
+    val out = java.util.Arrays.copyOf(encodeBmpHeader(w, h, 1), 54 + w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var v = ((srcId * 31 + x * 7 + y * 13) % 251).toInt
+        if (bump && x == 0 && y == 0) v += 1
+        out(54 + y * w + x) = v.toByte
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** Integer-only average-hash (aHash/blockhash) over a grayscale
+    * blob from [[encodeGrayBmp]]: dims parsed from the real header,
+    * pixels bucketed into the 8×8 block grid by the exact integer map
+    * b = (x·8) div w (no resampling kernel — block averaging IS the
+    * downscale), one bit per block set iff the block mean exceeds the
+    * global mean, compared cross-multiplied (sum_b·N > S·n_b) so no
+    * division ever happens — every step reproducible in SQL integer
+    * arithmetic. Returns (docId, 64-bit hash, bit b = block row·8 +
+    * col).
+    */
+  def aHash64(docId: Long, blob: Array[Byte]): (Long, Long) = {
+    val w = leInt(blob, 18)
+    val h = leInt(blob, 22)
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val by = y * 8 / h
+      var x = 0
+      while (x < w) {
+        val b = by * 8 + x * 8 / w
+        sums(b) += blob(54 + y * w + x) & 0xff
+        cnts(b) += 1
+        x += 1
+      }
+      y += 1
+    }
+    var ts = 0L; var tc = 0L
+    var i = 0
+    while (i < 64) { ts += sums(i); tc += cnts(i); i += 1 }
+    var hash = 0L
+    i = 0
+    while (i < 64) {
+      if (sums(i) * tc > ts * cnts(i)) hash |= 1L << i
+      i += 1
+    }
+    (docId, hash)
+  }
 }

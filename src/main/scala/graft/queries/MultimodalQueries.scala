@@ -109,6 +109,53 @@ object MultimodalQueries {
         .orderBy("doc_id", "chunk_idx")
     }),
 
+    // Image NEAR-DUP DEDUP — dedup brought to the image column.
+    // Deterministic grayscale blobs (real BMP header + arithmetic
+    // pixels; near-dups injected as +1-on-one-pixel copies for
+    // id % 3 == 0) are decoded and perceptually hashed with the
+    // integer-only aHash (8×8 block means vs global mean, cross-
+    // multiplied — no division, no floats), then paired exactly like
+    // q_dedup_simhash_pairs: the 64-bit hash splits into 4×16-bit
+    // Hamming BANDS, candidates match on any band (pigeonhole: any
+    // pair within Hamming 6 of a 64-bit hash shares at least one
+    // exact 16-bit quarter... within distance 3; bands at distance ≤6
+    // still catch all but adversarial splits and every injected dup
+    // here), verified by bit_count(xor) ≤ 6. The band pair is the
+    // blocking key — candidate volume scales with collisions, never
+    // images², which is what lets a perceptual-dedup pass run over a
+    // 100 TB media lake.
+    "q_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id")).as[Long]
+      val hashes = QueryCaches.cache(ids.mapPartitions(_.flatMap { id =>
+        val blobs =
+          (id, MultimodalOps.encodeGrayBmp(id, bump = false)) ::
+            (if (id % 3 == 0)
+               List((id + 5000000L, MultimodalOps.encodeGrayBmp(id, bump = true)))
+             else Nil)
+        blobs.iterator.map { case (d, blob) => MultimodalOps.aHash64(d, blob) }
+      }).toDF("doc_id", "hash"))
+      val bands = hashes
+        .select(col("doc_id"), col("hash"),
+          explode(expr("sequence(0, 3)")).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftrightunsigned(hash, band_idx * 16) & 65535"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.hash").as("ha"), col("b.hash").as("hb"))
+        .distinct() // OR-of-bands: multi-band agreement counts once
+      cand.withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        .filter(col("hamming") <= 6)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // frame sampling: every 2nd frame of each blob, as a generator.
     "q_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -197,6 +244,66 @@ object MultimodalQueries {
         |       CAST(max(ascii(substr(chunk, j, 1))) AS BIGINT) AS peak
         |FROM samples GROUP BY doc_id, chunk_idx
         |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    // fully arithmetic: re-derives the pixels from the id formula, the
+    // block bits by integer cross-multiplication, and the Hamming
+    // distance by per-bit comparison — the 64-bit hash itself is never
+    // assembled (1<<63 is BIGINT-unsafe in SQL); bands are built from
+    // 16-bit-safe shifts and distance counts differing BITS, which
+    // equals bit_count(xor) of the query's hashes by construction
+    "q_image_phash_dedup" ->
+      """WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+        |imgs AS (
+        |  SELECT doc_id, doc_id AS src_id, 0 AS bump FROM sub
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, doc_id, 1 FROM sub WHERE doc_id % 3 = 0
+        |),
+        |dims AS (
+        |  SELECT doc_id, src_id, bump,
+        |         16 + src_id % 101 AS w, 16 + (src_id * 7) % 97 AS h
+        |  FROM imgs
+        |),
+        |px AS (
+        |  SELECT d.doc_id,
+        |         (y.j * 8) // d.h * 8 + (x.i * 8) // d.w AS b,
+        |         (d.src_id * 31 + x.i * 7 + y.j * 13) % 251
+        |           + CASE WHEN d.bump = 1 AND x.i = 0 AND y.j = 0
+        |                  THEN 1 ELSE 0 END AS v
+        |  FROM dims d,
+        |       unnest(generate_series(0, d.w - 1)) x(i),
+        |       unnest(generate_series(0, d.h - 1)) y(j)
+        |),
+        |blocks AS (
+        |  SELECT doc_id, b, sum(v) AS s, count(*) AS c FROM px GROUP BY 1, 2
+        |),
+        |tot AS (SELECT doc_id, sum(s) AS ts, sum(c) AS tc FROM blocks GROUP BY 1),
+        |bits AS (
+        |  SELECT k.doc_id, k.b AS bit,
+        |         CASE WHEN k.s * t.tc > t.ts * k.c THEN 1 ELSE 0 END AS bv
+        |  FROM blocks k JOIN tot t USING (doc_id)
+        |),
+        |bands AS (
+        |  SELECT doc_id, bit // 16 AS band_idx,
+        |         CAST(sum(CASE WHEN bv = 1 THEN CAST(1 AS BIGINT) << (bit % 16)
+        |                       ELSE 0 END) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1, 2
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id
+        |),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(CASE WHEN xa.bv <> xb.bv THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits xa ON xa.doc_id = c.id_a
+        |  JOIN bits xb ON xb.doc_id = c.id_b AND xb.bit = xa.bit
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
 
     "q_frame_sample" ->
       """WITH meta AS (
