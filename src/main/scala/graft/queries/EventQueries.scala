@@ -151,6 +151,64 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // CDC latest-state materialization: the streaming upsert view —
+    // per entity (user), the most recent event's attributes plus a
+    // lifetime counter, maintained as a Complete-mode aggregation.
+    // max(struct(ts, event_id, …)) picks the row with the greatest
+    // (ts, event_id) — one shuffle on the entity key, state = one
+    // struct per entity. This is how a pipeline materializes "current
+    // state of every entity" from a change stream; at 100 TB the
+    // Complete-mode memory sink becomes Update mode over an upsert
+    // sink (foreachBatch MERGE), but the aggregation plan — and its
+    // per-key state bound — is identical. Ties: event_id is unique, so
+    // the struct order is total and engine-independent; event times are
+    // random over a month so µs-vs-ns truncation cannot reorder a
+    // user's events (see the asof note below).
+    "q_stream_cdc_latest" -> ((s, dir) => {
+      val name = s"stream_cdc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.drainTuned(s) {
+        graft.streaming.EventStreams.runToCompletion(
+          graft.sources.EventSource.stream(s, dir)
+            .groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+              col("value"))).as("last"),
+              count(lit(1)).as("n_events")),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }
+        .select(col("user_id"),
+          unix_timestamp(col("last.ts")).as("last_s"),
+          col("last.event_id").as("last_event_id"),
+          col("last.event_type").as("last_event_type"),
+          col("last.value").as("last_value"),
+          col("n_events"))
+        .orderBy("user_id")
+    }),
+
+    // Streaming top-k: the live leaderboard — event types ranked by
+    // running count, re-emitted complete each batch. Sort + limit are
+    // legal on a streaming Dataset only after an aggregation in
+    // Complete mode (the engine re-ranks the full aggregate state per
+    // batch); the aggregate itself is map-side-combined on the type
+    // key, so the sort input is |distinct keys| rows, not |events| —
+    // the property that keeps a leaderboard cheap when the stream is
+    // 100 TB/day but the key space is small. Counts are integer-exact;
+    // the value sum rounds to 2 dp before emission.
+    "q_stream_topk" -> ((s, dir) => {
+      val name = s"stream_topk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.drainTuned(s) {
+        graft.streaming.EventStreams.runToCompletion(
+          graft.sources.EventSource.stream(s, dir)
+            .groupBy(col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              round(sum(col("value")), 2).as("sum_value"))
+            .orderBy(col("n").desc, col("event_type"))
+            .limit(3),
+          name,
+          org.apache.spark.sql.streaming.OutputMode.Complete())
+      }.orderBy(col("n").desc, col("event_type"))
+    }),
+
     // As-of join: each purchase matched to the latest click of the
     // same user at-or-before its timestamp. Implemented as the
     // union-merge pattern — tag both sides, one shuffle on user_id, one
@@ -702,6 +760,24 @@ object EventQueries {
     "q_stream_user_totals" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS total_value
         |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_stream_cdc_latest" ->
+      """WITH ranked AS (
+        |  SELECT user_id, ts, event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn,
+        |         count(*) OVER (PARTITION BY user_id) AS n_events
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS last_s,
+        |       event_id AS last_event_id, event_type AS last_event_type,
+        |       value AS last_value, n_events
+        |FROM ranked WHERE rn = 1 ORDER BY user_id""".stripMargin,
+
+    "q_stream_topk" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY event_type
+        |ORDER BY n DESC, event_type LIMIT 3""".stripMargin,
 
     // ns-vs-µs note: ordering inside a user compares full-precision ns
     // in DuckDB vs µs-truncated in Spark; event timestamps are random

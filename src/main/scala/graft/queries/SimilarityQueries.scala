@@ -244,6 +244,56 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // Two-stage retrieval (coarse-to-fine rerank) — the production ANN
+    // serving pattern, composed from the pieces above: (1) candidates
+    // come from the query's IVF cell (equi-join on label, never a
+    // product); (2) the CHEAP score — int8-quantized dot product, exact
+    // int64 arithmetic in the native vec_idot kernel — shortlists the
+    // top-10 per query; (3) only those 10 pay the exact float cosine,
+    // fetched by a join-back on vec_id so the wide float vectors never
+    // ride through the coarse pair stream. At 100 TB the quantized
+    // corpus is ~4× smaller than the float one (memory-bandwidth bound
+    // scan), the cell join bounds pair volume to |cell| per query, and
+    // exact-scoring work is k'·queries regardless of corpus size.
+    // Output keeps coarse_rank next to the final rank so recall loss
+    // from quantization is observable (rows where the two disagree).
+    // Determinism: the shortlist is integer-exact (int8 dots); the fine
+    // sim rounds to 4 dp before ranking; all ties break on vec_id.
+    "q_ann_rerank" -> ((s, dir) => {
+      val e = QueryCaches.cache(emb(s, dir)
+        .withColumn("maxabs", expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE))))"))
+        .withColumn("qv", expr(
+          "transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * (127.0 / maxabs)) AS BIGINT))"))
+        .withColumn("nrm", norm("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("label"), col("qv").as("qa"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("label"), col("qv").as("qb"))
+      val coarse = q.join(c, "label")
+        .withColumn("score", expr("vec_idot(qa, qb)"))
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("score").desc, col("vec_id"))
+      val shortlist = coarse
+        .withColumn("coarse_rank", row_number().over(w1).cast("bigint"))
+        .filter(col("coarse_rank") <= 10)
+        .select("query_id", "vec_id", "coarse_rank")
+      val fine = shortlist
+        .join(e.select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn")), "query_id")
+        .join(e.select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn")), "vec_id")
+        .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("sim").desc, col("vec_id"))
+      fine.withColumn("rank", row_number().over(w2).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "coarse_rank", "sim")
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF/k-means centroid update (the M-step): per cell (label), the
     // elementwise mean of member embeddings — how a vector index's
     // coarse quantizer is (re)trained. The sum runs in the typed
@@ -762,6 +812,50 @@ object SimilarityQueries {
          |  FROM scored
          |)
          |SELECT query_id, rank, vec_id, score FROM ranked
+         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_rerank" ->
+      s"""WITH ma AS (
+         |  SELECT vec_id, label, embedding,
+         |         (SELECT max(abs(CAST(embedding[i] AS DOUBLE)))
+         |          FROM generate_series(1, 64) t(i)) AS maxabs
+         |  FROM embeddings
+         |),
+         |qz AS (
+         |  SELECT vec_id, label, i,
+         |         CAST(round(CAST(embedding[i] AS DOUBLE) * (127.0 / maxabs)) AS BIGINT) AS qv
+         |  FROM ma CROSS JOIN (SELECT unnest(generate_series(1, 64)) AS i)
+         |),
+         |coarse AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id,
+         |         CAST(sum(a.qv * b.qv) AS BIGINT) AS score
+         |  FROM qz a JOIN qz b ON a.i = b.i AND a.label = b.label
+         |  WHERE a.vec_id < 5 AND b.vec_id >= 5
+         |  GROUP BY 1, 2
+         |),
+         |shortlist AS (
+         |  SELECT query_id, vec_id,
+         |         CAST(row_number() OVER (PARTITION BY query_id
+         |                                 ORDER BY score DESC, vec_id) AS BIGINT) AS coarse_rank
+         |  FROM coarse
+         |),
+         |fine AS (
+         |  SELECT s.query_id, s.vec_id, s.coarse_rank,
+         |         round(${dotSql("q.embedding", "ca.embedding")} /
+         |               (sqrt(${dotSql("q.embedding", "q.embedding")}) *
+         |                sqrt(${dotSql("ca.embedding", "ca.embedding")})), 4) AS sim
+         |  FROM shortlist s
+         |  JOIN embeddings q ON q.vec_id = s.query_id
+         |  JOIN embeddings ca ON ca.vec_id = s.vec_id
+         |  WHERE s.coarse_rank <= 10
+         |),
+         |ranked AS (
+         |  SELECT query_id, vec_id, coarse_rank, sim,
+         |         row_number() OVER (PARTITION BY query_id
+         |                            ORDER BY sim DESC, vec_id) AS rank
+         |  FROM fine
+         |)
+         |SELECT query_id, rank, vec_id, coarse_rank, sim FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_quantize" ->

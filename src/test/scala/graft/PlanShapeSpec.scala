@@ -346,6 +346,22 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_ann_rerank: cell-blocked coarse stage, integer kernel shortlist, pruned ranks") {
+    val p = plan("q_ann_rerank", graft.queries.SimilarityQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the IVF cell equi-join, never a product:\n$p")
+    assert(p.contains("vec_idot"),
+      s"the coarse shortlist must score with the codegen'd integer dot:\n$p")
+    assert(p.contains("vec_dot"),
+      s"the fine rerank must score with the codegen'd float dot:\n$p")
+    // both rank filters (coarse_rank<=10, rank<=3) must prune to running
+    // top-k per group rather than fully sorting each group
+    val limits = "WindowGroupLimit".r.findAllIn(p).length
+    assert(limits >= 2,
+      s"both rank stages must run as WindowGroupLimit, got $limits:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_knn_join: cell-blocked self-join — equi-join on label, native dot, pruned top-k") {
     val p = plan("q_knn_join", graft.queries.SimilarityQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
