@@ -472,6 +472,45 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // BM25 ranking — the lexical retrieval scorer (complement of
+    // q_tfidf's corpus summary): every doc scored against a
+    // deterministic query (the 3 globally most-document-frequent
+    // terms, ties on token), top-20 by score. INTEGER end-to-end, same
+    // discipline as q_lm_score: IDF is the floor-log2 bit-length of
+    // the scaled odds (2N−2df+1)·2^20/(2df+1) — no float log — and the
+    // tf-saturation fraction tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl)) with
+    // k1=1.2, b=0.75 is brought to the common denominator 20·A (A =
+    // total tokens, avgdl = A/N): sat_pm = 44·A·tf·10⁴ div
+    // (20·A·tf + 6·A + 18·dl·N) — exact int64 at fixture scale (a
+    // 100 TB corpus pre-reduces avgdl to a scaled constant instead of
+    // carrying A·tf products). Shape: one cached token explode feeding
+    // df, dl, and tf; the query-term set is a broadcast 3-row dim so
+    // the tf filter is a broadcast join (no shuffle); scoring shuffles
+    // only on doc_id. Docs sharing no query term score nothing —
+    // retrieval semantics, not a scan of non-matches.
+    "q_bm25" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .transform(QueryCaches.cache(_))
+      val dfreq = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+      val qterms = broadcast(dfreq.orderBy(col("df").desc, col("tok")).limit(3))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val totals = broadcast(dl.agg(count(lit(1)).as("nd"),
+        sum(col("dl")).as("at")))
+      val tf = toks.join(qterms, "tok")
+        .groupBy("doc_id", "tok", "df").agg(count(lit(1)).as("tf"))
+      tf.join(dl, "doc_id").crossJoin(totals)
+        .withColumn("idf_b", expr(
+          "CAST(length(bin((2*nd - 2*df + 1) * 1048576 div (2*df + 1))) AS BIGINT)"))
+        .withColumn("sat_pm", expr(
+          "tf * 44 * at * 10000 div (20 * at * tf + 6 * at + 18 * dl * nd)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          sum(expr("idf_b * sat_pm")).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Mixture weighting: given per-source token counts and a target
     // mixture (deterministic weights), derive each source's target
     // share, its token allocation out of a half-corpus budget, and the
@@ -713,6 +752,33 @@ object TextQueries {
         |       CAST(sum(bits) AS BIGINT) AS sum_bits,
         |       CAST(sum(bits) AS BIGINT) * 10000 // count(*) AS mean_bits_pm
         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ')[i] AS tok
+        |  FROM documents,
+        |       unnest(generate_series(1,
+        |         greatest(len(string_split(text, ' ')), 0))) AS u(i)
+        |),
+        |dfr AS (SELECT tok, count(DISTINCT doc_id) AS df FROM t GROUP BY tok),
+        |qt AS (SELECT tok, df FROM dfr ORDER BY df DESC, tok LIMIT 3),
+        |d AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |tot AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS at FROM d),
+        |f AS (
+        |  SELECT t.doc_id, t.tok, qt.df, count(*) AS tf
+        |  FROM t JOIN qt USING (tok) GROUP BY 1, 2, 3
+        |),
+        |scored AS (
+        |  SELECT f.doc_id,
+        |         CAST(length(bin((2*tot.nd - 2*f.df + 1) * 1048576 //
+        |           (2*f.df + 1))) AS BIGINT) AS idf_b,
+        |         f.tf * 44 * tot.at * 10000 //
+        |           (20 * tot.at * f.tf + 6 * tot.at + 18 * d.dl * tot.nd) AS sat_pm
+        |  FROM f JOIN d USING (doc_id) CROSS JOIN tot
+        |)
+        |SELECT doc_id, count(*) AS n_terms,
+        |       CAST(sum(idf_b * sat_pm) AS BIGINT) AS score
+        |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
 
     "q_token_histogram" ->
       """WITH t AS (
