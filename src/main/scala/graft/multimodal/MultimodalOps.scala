@@ -188,6 +188,43 @@ object MultimodalOps {
     out
   }
 
+  /** Synthesize a raw audio blob (PCM-u8-mono fixture convention: no
+    * header, one byte per sample, 4160 samples = 65 windows × 64).
+    * Samples are deterministic arithmetic on the SOURCE id —
+    * sample(t) = (id·17 + t·11) mod 251 — so the SQL oracle re-derives
+    * them without a codec. `bump` nudges sample 0 by +1: the
+    * near-duplicate injection, an audibly-identical clip whose bytes
+    * differ.
+    */
+  def encodePcm(srcId: Long, bump: Boolean): Array[Byte] = {
+    val out = new Array[Byte](4160)
+    var t = 0
+    while (t < 4160) {
+      var v = ((srcId * 17 + t * 11) % 251).toInt
+      if (bump && t == 0) v += 1
+      out(t) = v.toByte
+      t += 1
+    }
+    out
+  }
+
+  /** Integer-only energy-delta audio fingerprint (the Haitsma–Kalker
+    * construction at its core): the blob splits into 65 fixed windows,
+    * per-window energy = sum of sample magnitudes, and bit w of the
+    * 64-bit hash is set iff energy(w+1) > energy(w). Pure integer
+    * comparisons — robust to uniform gain changes in a real pipeline
+    * and reproducible in SQL. Returns (docId, hash).
+    */
+  def audioFp64(docId: Long, blob: Array[Byte]): (Long, Long) = {
+    val en = new Array[Long](65)
+    var t = 0
+    while (t < blob.length) { en(t / 64) += blob(t) & 0xff; t += 1 }
+    var hash = 0L
+    var w = 0
+    while (w < 64) { if (en(w + 1) > en(w)) hash |= 1L << w; w += 1 }
+    (docId, hash)
+  }
+
   /** Integer-only average-hash (aHash/blockhash) over a grayscale
     * blob from [[encodeGrayBmp]]: dims parsed from the real header,
     * pixels bucketed into the 8×8 block grid by the exact integer map

@@ -156,6 +156,47 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // Audio NEAR-DUP DEDUP — dedup brought to the audio column,
+    // completing the modality set (text MinHash/SimHash, image aHash,
+    // audio energy-delta). Deterministic PCM blobs (near-dups injected
+    // as +1-on-one-sample copies for id % 3 == 0) are fingerprinted
+    // with the integer-only energy-delta hash (bit w = window w+1
+    // louder than window w — the Haitsma–Kalker shape), then paired
+    // through the same 4×16-bit Hamming-band blocking as
+    // q_image_phash_dedup: the band pair is the shuffle key, so
+    // candidate volume scales with collisions, never clips².
+    "q_audio_fp_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id")).as[Long]
+      val hashes = QueryCaches.cache(ids.mapPartitions(_.flatMap { id =>
+        val blobs =
+          (id, MultimodalOps.encodePcm(id, bump = false)) ::
+            (if (id % 3 == 0)
+               List((id + 5000000L, MultimodalOps.encodePcm(id, bump = true)))
+             else Nil)
+        blobs.iterator.map { case (d, blob) => MultimodalOps.audioFp64(d, blob) }
+      }).toDF("doc_id", "hash"))
+      val bands = hashes
+        .select(col("doc_id"), col("hash"),
+          explode(expr("sequence(0, 3)")).as("band_idx"))
+        .withColumn("band_val",
+          expr("shiftrightunsigned(hash, band_idx * 16) & 65535"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band_idx") === col("b.band_idx") &&
+            col("a.band_val") === col("b.band_val") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          col("a.hash").as("ha"), col("b.hash").as("hb"))
+        .distinct() // OR-of-bands: multi-band agreement counts once
+      cand.withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+        .filter(col("hamming") <= 6)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .orderBy("id_a", "id_b")
+    }),
+
     // frame sampling: every 2nd frame of each blob, as a generator.
     "q_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -281,6 +322,50 @@ object MultimodalQueries {
         |  SELECT k.doc_id, k.b AS bit,
         |         CASE WHEN k.s * t.tc > t.ts * k.c THEN 1 ELSE 0 END AS bv
         |  FROM blocks k JOIN tot t USING (doc_id)
+        |),
+        |bands AS (
+        |  SELECT doc_id, bit // 16 AS band_idx,
+        |         CAST(sum(CASE WHEN bv = 1 THEN CAST(1 AS BIGINT) << (bit % 16)
+        |                       ELSE 0 END) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1, 2
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id
+        |),
+        |ham AS (
+        |  SELECT c.id_a, c.id_b,
+        |         CAST(sum(CASE WHEN xa.bv <> xb.bv THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+        |  FROM cand c
+        |  JOIN bits xa ON xa.doc_id = c.id_a
+        |  JOIN bits xb ON xb.doc_id = c.id_b AND xb.bit = xa.bit
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, hamming FROM ham
+        |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_audio_fp_dedup" ->
+      """WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+        |auds AS (
+        |  SELECT doc_id, doc_id AS src_id, 0 AS bump FROM sub
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, doc_id, 1 FROM sub WHERE doc_id % 3 = 0
+        |),
+        |en AS (
+        |  SELECT a.doc_id, t.t // 64 AS w,
+        |         CAST(sum((a.src_id * 17 + t.t * 11) % 251
+        |           + CASE WHEN a.bump = 1 AND t.t = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS e
+        |  FROM auds a, unnest(generate_series(0, 4159)) t(t)
+        |  GROUP BY 1, 2
+        |),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS bit,
+        |         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bv
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w <= 63
         |),
         |bands AS (
         |  SELECT doc_id, bit // 16 AS band_idx,

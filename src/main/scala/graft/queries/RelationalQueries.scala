@@ -195,6 +195,38 @@ object RelationalQueries {
             / col("n_exact"), 4).as("rel_error"))
     }),
 
+    // Grouped KMV sketches: distinct orders per ship-month, estimated
+    // by an independent k=64 sketch PER GROUP — the pattern that
+    // replaces count(distinct) at 100 TB: per-partition/day sketches
+    // are tiny (k doubles), map-side combined, and mergeable across
+    // any group range later without rescanning (union of KMV minima =
+    // KMV of the union). The exact count rides along per group so the
+    // output is its own error report. One hash-shuffle on the group
+    // key for the sketch, one (with distinct expand) for the exact
+    // side — at scale you ship ONLY the sketch side; exact is the
+    // fixture's oracle yardstick. k=64 < per-month cardinality, so the
+    // estimate is a real extrapolation, not a saturated sketch.
+    "q_kmv_by_group" -> ((s, dir) => {
+      val k = 64
+      val frac = conv(substring(md5(col("l_orderkey").cast("string")), 1, 8), 16, 10)
+        .cast("double") / 4294967296.0
+      val kmv = udaf(new graft.functions.KmvAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Double]())
+      val li = t(s, dir, "lineitem")
+        .withColumn("mon", date_format(col("l_shipdate"), "yyyy-MM"))
+      val sk = li.select(col("mon"), frac.as("h"))
+        .groupBy("mon").agg(kmv(col("h")).as("minima"))
+        .select(col("mon"), element_at(col("minima"), -1).as("hk"),
+          size(col("minima")).cast("bigint").as("k_used"))
+      val ex = li.groupBy("mon").agg(countDistinct(col("l_orderkey")).as("n_exact"))
+      sk.join(ex, "mon")
+        .select(col("mon"), col("n_exact"), col("k_used"),
+          round((col("k_used") - 1).cast("double") / col("hk"), 2).as("n_estimate"),
+          round(abs((col("k_used") - 1).cast("double") / col("hk") - col("n_exact"))
+            / col("n_exact"), 4).as("rel_error"))
+        .orderBy("mon")
+    }),
+
     // MERGE/upsert semantics — the table-maintenance primitive every
     // curated dataset needs (apply a change feed of inserts, updates,
     // and deletes to a base table). Spark has no MERGE INTO against
@@ -1263,6 +1295,40 @@ object RelationalQueries {
          |       round((k_used - 1) * 1.0 / hk, 2) AS n_estimate,
          |       round(abs((k_used - 1) * 1.0 / hk - n_exact) / n_exact, 4) AS rel_error
          |FROM agg CROSS JOIN ex""".stripMargin
+    },
+
+    "q_kmv_by_group" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val hexSum = (1 to 8).map { i =>
+        val mult = math.pow(16, 8 - i).toLong
+        s"CAST(${hv(s"substr(md5(CAST(l_orderkey AS VARCHAR)), $i, 1)")} AS BIGINT) * $mult"
+      }.mkString(" + ")
+      s"""WITH hs AS (
+         |  SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS mon,
+         |         ($hexSum) / 4294967296.0 AS h
+         |  FROM lineitem
+         |),
+         |ranked AS (
+         |  SELECT mon, h, row_number() OVER (PARTITION BY mon ORDER BY h) AS rn
+         |  FROM hs
+         |),
+         |mins AS (
+         |  SELECT mon, max(h) AS hk, count(*) AS k_used
+         |  FROM ranked WHERE rn <= 64 GROUP BY mon
+         |),
+         |ex AS (
+         |  SELECT strftime(l_shipdate, '%Y-%m') AS mon,
+         |         count(DISTINCT l_orderkey) AS n_exact
+         |  FROM lineitem GROUP BY 1
+         |)
+         |SELECT m.mon, e.n_exact, m.k_used,
+         |       round((m.k_used - 1) * 1.0 / m.hk, 2) AS n_estimate,
+         |       round(abs((m.k_used - 1) * 1.0 / m.hk - e.n_exact) / e.n_exact, 4) AS rel_error
+         |FROM mins m JOIN ex e ON m.mon = e.mon ORDER BY m.mon""".stripMargin
     },
 
     "q_table_checksum" -> {
