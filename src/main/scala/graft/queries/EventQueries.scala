@@ -86,7 +86,16 @@ object EventQueries {
     }
     val out = graft.streaming.EventStreams.runToCompletion(joined, name,
       org.apache.spark.sql.streaming.OutputMode.Append())
-    if (flush) out.filter(col("user_id") =!= 999999999L) else out
+    // drop sentinel rows from EITHER side: under full_outer the
+    // purchase-side sentinel surfaces as a null-extended row whose
+    // user_id is NULL (only p_user_id is set), which a bare
+    // user_id =!= filter could never catch — and would silently drop
+    // every legitimate unmatched-purchase row too (NULL predicate).
+    // coalesce(-1) keeps null-extended real rows and kills sentinels.
+    if (flush) out.filter(
+      coalesce(col("user_id"), lit(-1L)) =!= 999999999L &&
+        coalesce(col("p_user_id"), lit(-1L)) =!= 999999999L)
+    else out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -416,6 +425,31 @@ object EventQueries {
       graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
         sentinelStreamJoin(s, dir, "left_outer", name, flush = true)
           .select(col("click_id"), col("user_id"),
+            coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
+            coalesce(unix_timestamp(col("purchase_ts")) -
+              unix_timestamp(col("click_ts")), lit(-1L)).as("gap_s"))
+          .orderBy("click_id", "purchase_id")
+      }
+    }),
+
+    // FULL OUTER stream-stream join — the reconciliation shape: every
+    // click AND every purchase exactly once, matched where the
+    // time-range predicate holds, null-extended (as -1 markers)
+    // otherwise. Completes the stream-join family (inner, left-outer,
+    // left-semi, full-outer). Both unmatched directions only
+    // materialize when the watermark proves no partner can still
+    // arrive, so both sides get a control MemoryStream and one
+    // far-future sentinel (flush = true); the helper's two-sided
+    // sentinel filter then removes the sentinels themselves, including
+    // the purchase-side null extension whose user_id is NULL.
+    // (click_id, purchase_id) is a unique pair across all three row
+    // shapes, so the verify ORDER BY is total.
+    "q_stream_full_join" -> ((s, dir) => {
+      val name = s"stream_fj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+        sentinelStreamJoin(s, dir, "full_outer", name, flush = true)
+          .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
+            coalesce(col("user_id"), col("p_user_id")).as("uid"),
             coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
             coalesce(unix_timestamp(col("purchase_ts")) -
               unix_timestamp(col("click_ts")), lit(-1L)).as("gap_s"))
@@ -987,6 +1021,27 @@ object EventQueries {
         |  ON p.user_id = c.user_id AND p.event_type = 'purchase'
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click'
+        |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_stream_full_join" ->
+      """WITH c AS (
+        |  SELECT event_id AS click_id, user_id, ts AS click_ts
+        |  FROM events WHERE event_type = 'click'
+        |),
+        |p AS (
+        |  SELECT event_id AS purchase_id, user_id AS p_user_id,
+        |         ts AS purchase_ts
+        |  FROM events WHERE event_type = 'purchase'
+        |)
+        |SELECT coalesce(c.click_id, -1) AS click_id,
+        |       coalesce(c.user_id, p.p_user_id) AS uid,
+        |       coalesce(p.purchase_id, -1) AS purchase_id,
+        |       coalesce(CAST(floor(epoch(p.purchase_ts)) AS BIGINT)
+        |         - CAST(floor(epoch(c.click_ts)) AS BIGINT), -1) AS gap_s
+        |FROM c FULL JOIN p
+        |  ON p.p_user_id = c.user_id
+        | AND p.purchase_ts >= c.click_ts
+        | AND p.purchase_ts <= c.click_ts + INTERVAL 1 HOUR
         |ORDER BY click_id, purchase_id""".stripMargin,
 
     "q_stream_sliding" ->

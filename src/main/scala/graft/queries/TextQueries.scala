@@ -125,6 +125,33 @@ object TextQueries {
         .select("doc_id", "ws_tokens", "re_tokens", "chars_per_token")
         .orderBy("doc_id")),
 
+    // Character-level entropy — the information-theoretic gibberish /
+    // boilerplate detector (low entropy = repeated chars or templated
+    // text, abnormally high = random noise), complementing
+    // q_text_quality's token-shape features and q_repetition_ratio's
+    // n-gram view. Integer-exact end-to-end, same floor-log2 discipline
+    // as q_lm_score: per-char "bits" = length(bin(n·1024 div c)) —
+    // a scaled ⌊log2(n/c)⌋ surrogate, no float log in either engine —
+    // and the weighted sum lands as centi-bits per char. Scale shape:
+    // chars explode map-side and partially aggregate before the only
+    // real exchange, whose key space is docs × alphabet (≤ ~100 keys
+    // per doc regardless of text size) — survives 100 TB unchanged.
+    "q_char_entropy" -> ((s, dir) => {
+      val counts = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          explode(expr("filter(split(lower(text), ''), c -> c <> '')")).as("ch"))
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+      val tot = counts.groupBy("doc_id")
+        .agg(sum("c").as("n"), count(lit(1)).as("n_distinct"))
+      counts.join(tot, "doc_id")
+        .withColumn("wbits", expr("c * CAST(length(bin(n * 1024 div c)) AS BIGINT)"))
+        .groupBy("doc_id")
+        .agg(max(col("n")).as("n_chars"),
+          max(col("n_distinct")).as("n_distinct"),
+          expr("sum(wbits) * 100 div max(n)").as("entropy_cb"))
+        .orderBy("doc_id")
+    }),
+
     // Winnowing fingerprint summary per doc (oracle: SQL window-min).
     "q_doc_fingerprint" -> ((s, dir) => {
       graft.plans.TextKernels.register(s)
@@ -975,6 +1002,26 @@ object TextQueries {
          |       round(least(1.0, n_stop * 1.0 / n_tokens * 2
          |         + 1.0 / (1.0 + abs((n_chars_actual - n_tokens + 1) * 1.0 / n_tokens - 5))), 4) AS quality
          |FROM feats ORDER BY doc_id""".stripMargin,
+
+    "q_char_entropy" ->
+      """WITH counts AS (
+        |  SELECT doc_id, substr(lower(text), u.i, 1) AS ch, count(*) AS c
+        |  FROM documents,
+        |       unnest(generate_series(1, length(text))) AS u(i)
+        |  GROUP BY 1, 2
+        |),
+        |tot AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+        |         count(*) AS n_distinct
+        |  FROM counts GROUP BY 1
+        |)
+        |SELECT c.doc_id,
+        |       max(t.n) AS n_chars,
+        |       max(t.n_distinct) AS n_distinct,
+        |       CAST(sum(c.c * length(bin(t.n * 1024 // c.c))) * 100
+        |         // max(t.n) AS BIGINT) AS entropy_cb
+        |FROM counts c JOIN tot t USING (doc_id)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
 
     // polynomial hash of the 5-gram at i, all terms exact in BIGINT
     // (127·131^4 ≈ 3.7e10, sum < 2^53) with one final mod — equal to
