@@ -294,6 +294,93 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PRODUCT QUANTIZATION code assignment (Jégou et al., "Product
+    // Quantization for Nearest Neighbor Search", TPAMI'11) — the
+    // memory story of vector search at 100 TB: each 64-dim vector
+    // compresses to 8 nibble codes (4 bytes), a 64× reduction over
+    // float32, by splitting into 8 subspaces of 8 dims and snapping
+    // each subvector to the nearest of 16 per-subspace centroids.
+    // Codebooks here are anchor-derived (the subvectors of vec_id<16 —
+    // deterministic, no k-means iterations to mirror in SQL); the
+    // arithmetic is integer-exact end-to-end (components floor-
+    // quantized at 2^10, distances exact int64 sums of squares, ties
+    // on centroid id), the same discipline as the int8 path. Scale
+    // shape: the 128-row codebook BROADCASTS, the N×8×16 distance
+    // stream is narrow (three ids + one int64) and partially
+    // aggregates map-side; the only exchanges are keyed on vec_id.
+    "q_pq_assign" -> ((s, dir) => {
+      val qv = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))")
+      val base = QueryCaches.cache(
+        emb(s, dir).select(col("vec_id"), qv.as("qv")))
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("j"), explode(expr("sequence(0, 7)")).as("sp"),
+          col("qv"))
+        .select(col("j"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("cs"))
+      val subs = base.select(col("vec_id"),
+          explode(expr("sequence(0, 7)")).as("sp"), col("qv"))
+        .select(col("vec_id"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
+      val best = subs.join(broadcast(cents), "sp")
+        .withColumn("dist", expr(
+          """aggregate(zip_with(sv, cs, (a, b) -> (a - b) * (a - b)),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+        .groupBy("vec_id", "sp")
+        .agg(min(struct(col("dist"), col("j"))).as("b"))
+      best.groupBy("vec_id")
+        .agg(sum(expr("shiftleft(b.j, sp * 4)")).as("pq_code"),
+          sum(col("b.dist")).as("q_err"))
+        .orderBy("vec_id")
+    }),
+
+    // ADC (asymmetric distance computation) top-k over the PQ codes —
+    // how a PQ index is actually SEARCHED: the candidate side carries
+    // ONLY its 8 codes (never the float vectors), each query
+    // precomputes a 8×16 lookup table of exact subspace distances to
+    // every centroid, and a candidate's approximate distance is the
+    // sum of 8 table lookups. Relationally the lookup IS an equi-join:
+    // candidate (sp, code) against the broadcast query tables'
+    // (sp, j), followed by a (query, candidate)-keyed sum — at 100 TB
+    // the scan is the 4-byte-per-vector code table and the per-query
+    // work is 128 table entries, independent of corpus size. Integer-
+    // exact like the assignment, so ranking needs no rounding guard;
+    // ties break on vec_id.
+    "q_pq_adc_topk" -> ((s, dir) => {
+      val qv = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))")
+      val base = QueryCaches.cache(
+        emb(s, dir).select(col("vec_id"), qv.as("qv")))
+      val cents = base.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("j"), explode(expr("sequence(0, 7)")).as("sp"),
+          col("qv"))
+        .select(col("j"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("cs"))
+      val subs = base.select(col("vec_id"),
+          explode(expr("sequence(0, 7)")).as("sp"), col("qv"))
+        .select(col("vec_id"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
+      val dists = subs.join(broadcast(cents), "sp")
+        .withColumn("dist", expr(
+          """aggregate(zip_with(sv, cs, (a, b) -> (a - b) * (a - b)),
+            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+      // candidates keep only their argmin code per subspace (the PQ
+      // compression); queries keep the full 8×16 distance table
+      val codes = dists.filter(col("vec_id") >= 16)
+        .groupBy("vec_id", "sp")
+        .agg(min(struct(col("dist"), col("j"))).as("b"))
+        .select(col("vec_id"), col("sp"), col("b.j").as("code"))
+      val qtab = dists.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("sp"),
+          col("j").as("code"), col("dist"))
+      val adc = codes.join(broadcast(qtab), Seq("sp", "code"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum(col("dist")).as("adc_dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+      adc.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF/k-means centroid update (the M-step): per cell (label), the
     // elementwise mean of member embeddings — how a vector index's
     // coarse quantizer is (re)trained. The sum runs in the typed
@@ -857,6 +944,68 @@ object SimilarityQueries {
          |)
          |SELECT query_id, rank, vec_id, coarse_rank, sim FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_assign" ->
+      """WITH qz AS (
+        |  SELECT vec_id, u.i,
+        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |),
+        |d AS (
+        |  SELECT v.vec_id, c.vec_id AS j, (v.i - 1) // 8 AS sp,
+        |         CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+        |  FROM qz v JOIN qz c ON c.i = v.i AND c.vec_id < 16
+        |  GROUP BY 1, 2, 3
+        |),
+        |best AS (
+        |  SELECT vec_id, sp, j, dist,
+        |         row_number() OVER (PARTITION BY vec_id, sp
+        |                            ORDER BY dist, j) AS rn
+        |  FROM d
+        |)
+        |SELECT vec_id,
+        |       CAST(sum(j << (sp * 4)) AS BIGINT) AS pq_code,
+        |       CAST(sum(dist) AS BIGINT) AS q_err
+        |FROM best WHERE rn = 1
+        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_pq_adc_topk" ->
+      """WITH qz AS (
+        |  SELECT vec_id, u.i,
+        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |),
+        |d AS (
+        |  SELECT v.vec_id, c.vec_id AS j, (v.i - 1) // 8 AS sp,
+        |         CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
+        |  FROM qz v JOIN qz c ON c.i = v.i AND c.vec_id < 16
+        |  GROUP BY 1, 2, 3
+        |),
+        |codes AS (
+        |  SELECT vec_id, sp, j AS code FROM (
+        |    SELECT vec_id, sp, j,
+        |           row_number() OVER (PARTITION BY vec_id, sp
+        |                              ORDER BY dist, j) AS rn
+        |    FROM d WHERE vec_id >= 16)
+        |  WHERE rn = 1
+        |),
+        |qtab AS (
+        |  SELECT vec_id AS query_id, sp, j AS code, dist
+        |  FROM d WHERE vec_id < 5
+        |),
+        |adc AS (
+        |  SELECT q.query_id, c.vec_id, CAST(sum(q.dist) AS BIGINT) AS adc_dist
+        |  FROM codes c JOIN qtab q ON q.sp = c.sp AND q.code = c.code
+        |  GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, adc_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY adc_dist, vec_id) AS rank
+        |  FROM adc
+        |)
+        |SELECT query_id, rank, vec_id, adc_dist FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_quantize" ->
       s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
