@@ -475,6 +475,36 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_pq_assign: the 128-row codebook broadcasts under the subvector stream") {
+    val p = plan("q_pq_assign", graft.queries.SimilarityQueries.queries)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the codebook must broadcast, never shuffle the corpus for it:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"no assignment-path join may sort-merge the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_pq_adc_topk: codebook and query tables broadcast; top-k prunes via group limit") {
+    val p = plan("q_pq_adc_topk", graft.queries.SimilarityQueries.queries)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"codebook AND per-query distance tables must broadcast, got $broadcasts:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"per-query top-3 must prune with a running group limit, not a full sort:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_kmv_by_group: per-group sketches partially aggregate map-side") {
+    val p = plan("q_kmv_by_group", graft.queries.RelationalQueries.queries)
+    assert(p.contains("partial_kmvagg"),
+      s"the KMV buffers must combine before the group exchange:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the per-month exact side (≤ months rows) must broadcast:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_ann_ivf_probe2: centroid table broadcasts; candidate search joins on the probed cell") {
     val p = plan("q_ann_ivf_probe2", graft.queries.SimilarityQueries.queries)
     // specifically the query×centroid cross join — only it can produce a
