@@ -320,15 +320,21 @@ object SimilarityQueries {
       val subs = base.select(col("vec_id"),
           explode(expr("sequence(0, 7)")).as("sp"), col("qv"))
         .select(col("vec_id"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
+      // ‖sv−cs‖² expanded so every term runs in the native codegen'd
+      // integer kernel — the interpreted zip_with HOF paid a lambda
+      // call per element at N×8×16×8 volume. The argmin packs
+      // (dist, j) into ONE bigint (dist·16 + j; j < 16, so integer min
+      // IS the lexicographic (dist, j) min): a plain bigint min
+      // HASH-aggregates with map-side combine, where min(struct)
+      // forces a SortAggregate over the full N×128 stream.
       val best = subs.join(broadcast(cents), "sp")
         .withColumn("dist", expr(
-          """aggregate(zip_with(sv, cs, (a, b) -> (a - b) * (a - b)),
-            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+          "vec_idot(sv, sv) + vec_idot(cs, cs) - 2 * vec_idot(sv, cs)"))
         .groupBy("vec_id", "sp")
-        .agg(min(struct(col("dist"), col("j"))).as("b"))
+        .agg(min(expr("dist * 16 + j")).as("bk"))
       best.groupBy("vec_id")
-        .agg(sum(expr("shiftleft(b.j, sp * 4)")).as("pq_code"),
-          sum(col("b.dist")).as("q_err"))
+        .agg(sum(expr("shiftleft(bk % 16, sp * 4)")).as("pq_code"),
+          sum(expr("bk div 16")).as("q_err"))
         .orderBy("vec_id")
     }),
 
@@ -356,16 +362,22 @@ object SimilarityQueries {
       val subs = base.select(col("vec_id"),
           explode(expr("sequence(0, 7)")).as("sp"), col("qv"))
         .select(col("vec_id"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
-      val dists = subs.join(broadcast(cents), "sp")
+      // cached: the code side AND the query-table side both read the
+      // distance stream; the distance itself runs in the native
+      // integer kernel (see q_pq_assign), and the cache keeps only the
+      // three ids + dist — the subvector arrays would be 5× dead
+      // weight in the stored batches
+      val dists = QueryCaches.cache(subs.join(broadcast(cents), "sp")
         .withColumn("dist", expr(
-          """aggregate(zip_with(sv, cs, (a, b) -> (a - b) * (a - b)),
-            |  CAST(0 AS BIGINT), (acc, x) -> acc + x)""".stripMargin))
+          "vec_idot(sv, sv) + vec_idot(cs, cs) - 2 * vec_idot(sv, cs)"))
+        .select(col("vec_id"), col("sp"), col("j"), col("dist")))
       // candidates keep only their argmin code per subspace (the PQ
-      // compression); queries keep the full 8×16 distance table
+      // compression); queries keep the full 8×16 distance table.
+      // Same packed-bigint argmin as q_pq_assign: hash-aggregable min.
       val codes = dists.filter(col("vec_id") >= 16)
         .groupBy("vec_id", "sp")
-        .agg(min(struct(col("dist"), col("j"))).as("b"))
-        .select(col("vec_id"), col("sp"), col("b.j").as("code"))
+        .agg(min(expr("dist * 16 + j")).as("bk"))
+        .select(col("vec_id"), col("sp"), expr("bk % 16").as("code"))
       val qtab = dists.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("sp"),
           col("j").as("code"), col("dist"))

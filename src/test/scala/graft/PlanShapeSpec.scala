@@ -481,6 +481,8 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the codebook must broadcast, never shuffle the corpus for it:\n$p")
     assert(!p.contains("SortMergeJoin"),
       s"no assignment-path join may sort-merge the corpus:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"the packed-bigint argmin must hash-aggregate (min(struct) would sort):\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
@@ -492,6 +494,8 @@ class PlanShapeSpec extends SparkSpecBase {
       s"codebook AND per-query distance tables must broadcast, got $broadcasts:\n$p")
     assert(p.contains("WindowGroupLimit"),
       s"per-query top-3 must prune with a running group limit, not a full sort:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"code argmin and ADC sums must hash-aggregate:\n$p")
     assert(!p.contains("CartesianProduct"), s"plan:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
