@@ -511,6 +511,45 @@ object EventQueries {
       }
     }),
 
+    // CHAINED STATEFUL aggregations — two stateful operators in ONE
+    // streaming query (windowed per-user counts feeding a per-window
+    // rollup), the multi-stateful-operator support Spark grew in 3.5:
+    // the first aggregation's append output (windows finalized by the
+    // watermark) flows straight into a second stateful aggregation
+    // keyed on the window, no intermediate sink — previously this
+    // required two queries and a storage hop. Both operators share the
+    // event-time watermark; the control-stream sentinel advances it
+    // past every real window so the drained static file flushes both
+    // stages (same pattern as q_stream_session), and the sentinel's
+    // own far-future window filters out by its start epoch.
+    "q_stream_chained_agg" -> ((s, dir) => {
+      val name = s"stream_chain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val sentinel = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, Long)]
+        val real = graft.sources.EventSource.stream(s, dir)
+          .select(col("ts"), col("user_id"))
+        val src = real.unionByName(sentinel.toDF().toDF("ts", "user_id"))
+          .withWatermark("ts", "2 hours")
+        val perUser = src
+          .groupBy(window(col("ts"), "1 hour").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n"))
+        val perWindow = perUser
+          .groupBy(col("w"))
+          .agg(count(lit(1)).as("n_users"), sum(col("n")).as("n_events"))
+          .select(unix_timestamp(col("w.start")).as("window_start_s"),
+            col("n_users"), col("n_events"))
+        sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+          999999999L))
+        graft.streaming.EventStreams.runToCompletion(perWindow, name,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .filter(col("window_start_s") < 4000000000L) // sentinel's window
+          .orderBy("window_start_s")
+      }
+    }),
+
     // RANGE-frame window: per user, the trailing-1-hour event count and
     // value sum at every event — a true RANGE frame over epoch seconds
     // (peers at the same second share a frame), distinct from the ROWS
@@ -1022,6 +1061,16 @@ object EventQueries {
         | AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
         |WHERE c.event_type = 'click'
         |ORDER BY click_id, purchase_id""".stripMargin,
+
+    "q_stream_chained_agg" ->
+      """WITH pu AS (
+        |  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
+        |         user_id, count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT window_start_s, count(*) AS n_users,
+        |       CAST(sum(n) AS BIGINT) AS n_events
+        |FROM pu GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_stream_full_join" ->
       """WITH c AS (
