@@ -131,6 +131,47 @@ object RasterQueries {
         .filter(col("value") =!= GridGen.Nodata)
         .orderBy("n_nationkey", "cell_idx")
     }),
+
+    // FOCAL map algebra — slope/gradient by central differences, the
+    // neighborhood-stencil operator every DEM pipeline runs after the
+    // ETL this library reproduces. Relationally a stencil IS a set of
+    // equi-joins: each interior cell meets its E/W/N/S neighbors on
+    // (grid, row, col±1)/(row±1, col), so the shuffle keys on the grid
+    // id and a 100 TB raster lake runs it tile-parallel with no
+    // cross-grid traffic (halo exchange only at tile borders — here
+    // whole grids are single rows, so there is none). Gradients stay
+    // in exact integer-valued doubles (cell values are integers by
+    // construction; differences and squares stay exact), so the gate
+    // needs no rounding guard. Cells with any missing or nodata
+    // neighbor are excluded — the standard edge contract.
+    "q_raster_slope" -> ((s, dir) => {
+      val parseRC = udf { (text: String) =>
+        val g = AsciiGrid.parse(text)
+        (0 until g.nrows * g.ncols).map { i =>
+          (i, i / g.ncols, i % g.ncols, g.value(i / g.ncols, i % g.ncols))
+        }
+      }
+      val cells = QueryCaches.cache(gridsWithRegions(s, dir)
+        .withColumn("cell", explode(parseRC(col("grid_text"))))
+        .select(col("n_nationkey"), col("cell._1").cast("bigint").as("cell_idx"),
+          col("cell._2").cast("bigint").as("r"), col("cell._3").cast("bigint").as("c"),
+          col("cell._4").as("value"))
+        .filter(col("value") =!= GridGen.Nodata))
+      def nbr(alias: String, dr: Int, dc: Int) = cells
+        .select(col("n_nationkey"), (col("r") + dr).as("r"), (col("c") + dc).as("c"),
+          col("value").as(alias))
+      cells
+        .join(nbr("ze", 0, -1), Seq("n_nationkey", "r", "c"))
+        .join(nbr("zw", 0, 1), Seq("n_nationkey", "r", "c"))
+        .join(nbr("zn", 1, 0), Seq("n_nationkey", "r", "c"))
+        .join(nbr("zs", -1, 0), Seq("n_nationkey", "r", "c"))
+        .select(col("n_nationkey"), col("cell_idx"),
+          (col("ze") - col("zw")).cast("bigint").as("dzdx"),
+          (col("zn") - col("zs")).cast("bigint").as("dzdy"))
+        .withColumn("grad2",
+          col("dzdx") * col("dzdx") + col("dzdy") * col("dzdy"))
+        .orderBy("n_nationkey", "cell_idx")
+    }),
   )
 
   /** Shared oracle CTE: the same cells by pure arithmetic. */
@@ -194,6 +235,24 @@ object RasterQueries {
          |SELECT n_nationkey, i AS cell_idx, cx, cy, value
          |FROM cells WHERE value <> -9999.0
          |ORDER BY n_nationkey, cell_idx""".stripMargin,
+
+    "q_raster_slope" ->
+      s"""WITH $cellsCte,
+         |good AS (
+         |  SELECT n_nationkey, i, i // nc AS r, i % nc AS c, value
+         |  FROM cells WHERE value <> -9999.0
+         |)
+         |SELECT g.n_nationkey, g.i AS cell_idx,
+         |       CAST(e.value - w.value AS BIGINT) AS dzdx,
+         |       CAST(n.value - s.value AS BIGINT) AS dzdy,
+         |       CAST((e.value - w.value) * (e.value - w.value)
+         |          + (n.value - s.value) * (n.value - s.value) AS BIGINT) AS grad2
+         |FROM good g
+         |JOIN good e ON e.n_nationkey = g.n_nationkey AND e.r = g.r AND e.c = g.c + 1
+         |JOIN good w ON w.n_nationkey = g.n_nationkey AND w.r = g.r AND w.c = g.c - 1
+         |JOIN good n ON n.n_nationkey = g.n_nationkey AND n.c = g.c AND n.r = g.r - 1
+         |JOIN good s ON s.n_nationkey = g.n_nationkey AND s.c = g.c AND s.r = g.r + 1
+         |ORDER BY g.n_nationkey, cell_idx""".stripMargin,
 
     "q_raster_downsample" ->
       s"""WITH $cellsCte
