@@ -327,6 +327,29 @@ object TextQueries {
     // → one partial-aggregated count shuffle → TakeOrdered top-k; the
     // 100 TB shape is identical (pair counting is the dominant cost of
     // every merge round in real BPE trainers).
+    // BPE merge-candidate statistics — the first step of tokenizer
+    // TRAINING (the greedy merge picks argmax of exactly this table):
+    // within-word adjacent character-pair frequencies. Computed the
+    // way real BPE trainers do at scale: aggregate the corpus to its
+    // DISTINCT word table first (vocab-sized, corpus-size-independent)
+    // and weight each word's pairs by its frequency — pair counting
+    // never rescans the text. Shuffles key on word then pair; the
+    // top-20 is a TakeOrderedAndProject.
+    "q_bpe_merges" -> ((s, dir) => {
+      val words = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) >= 2)
+        .groupBy("w").agg(count(lit(1)).as("wf"))
+      words
+        .select(col("w"), col("wf"),
+          explode(expr("sequence(1, length(w) - 1)")).as("i"))
+        .select(concat(expr("substring(w, i, 1)"), lit("+"),
+          expr("substring(w, i + 1, 1)")).as("pair"), col("wf"))
+        .groupBy("pair").agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     "q_bigram_vocab" -> ((s, dir) => {
       val bigrams = expr(
         """element_at(transform(array(split(text, ' ')), toks ->
@@ -976,6 +999,19 @@ object TextQueries {
         |)
         |SELECT bigram, count(*) AS n FROM bg GROUP BY bigram
         |ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+
+    "q_bpe_merges" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w
+        |),
+        |pairs AS (
+        |  SELECT substr(w, u.i, 1) || '+' || substr(w, u.i + 1, 1) AS pair, wf
+        |  FROM words, unnest(generate_series(1, length(w) - 1)) u(i)
+        |)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+        |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q_contamination" ->
       s"""WITH sh AS (
