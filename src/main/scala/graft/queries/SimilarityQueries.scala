@@ -561,6 +561,40 @@ object SimilarityQueries {
         .select(col("vec_id"), col("rank"), col("nbr_id"), col("sim"))
     }),
 
+    // HARD-NEGATIVE MINING — the contrastive-training pair op: for
+    // each anchor, the k most-similar candidates inside a similarity
+    // BAND — semantically close enough to be informative, below the
+    // near-dup threshold that would make the "negative" a false one.
+    // The band edges are calibrated to the corpus similarity
+    // distribution (here the dup-free fixture's within-cell sims are
+    // ~N(0, 0.13), so the hard band is its upper tail [0.15, 0.30);
+    // a production corpus with real near-dups slides the upper edge
+    // to its dedup threshold, e.g. 0.95). Same IVF-cell blocking and
+    // WindowGroupLimit top-k as q_knn_join; the band filter sits on
+    // the rounded sim so both engines cut identically. At 100 TB this
+    // runs as the mining pass between dedup and training, candidate
+    // volume bounded by the cell like every ANN path here.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = QueryCaches.cache(
+        emb(s, dir).select(col("vec_id"), col("embedding"), col("label"))
+          .withColumn("nrm", norm("embedding")))
+      val a = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("ea"),
+          col("nrm").as("na"), col("label"))
+      val b = e.select(col("vec_id").as("cand_id"), col("embedding").as("eb"),
+        col("nrm").as("nb"), col("label"))
+      val scored = a.join(b, Seq("label"))
+        .filter(col("anchor_id") =!= col("cand_id"))
+        .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
+        .filter(col("sim") >= 0.15 && col("sim") < 0.30)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("anchor_id")).orderBy(col("sim").desc, col("cand_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select(col("anchor_id"), col("rank"), col("cand_id"), col("sim"))
+        .orderBy("anchor_id", "rank")
+    }),
+
     // SemDeDup END-TO-END: the semantic-dedup operator as ONE query —
     // coarse cells → per-cell kNN graph → threshold edges → connected
     // components → min-id survivor keep-list. Composition of the
@@ -709,6 +743,26 @@ object SimilarityQueries {
          |)
          |SELECT vec_id, rank, nbr_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY vec_id, rank""".stripMargin,
+
+    "q_hard_negatives" ->
+      s"""WITH e AS (SELECT vec_id, embedding, label FROM embeddings),
+         |scored AS (
+         |  SELECT a.vec_id AS anchor_id, b.vec_id AS cand_id,
+         |         round(${dotSql("a.embedding", "b.embedding")} /
+         |               (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |                * sqrt(${dotSql("b.embedding", "b.embedding")})), 4) AS sim
+         |  FROM e a JOIN e b ON a.label = b.label AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id < 10
+         |),
+         |banded AS (SELECT * FROM scored WHERE sim >= 0.15 AND sim < 0.30),
+         |ranked AS (
+         |  SELECT anchor_id, cand_id, sim,
+         |         row_number() OVER (PARTITION BY anchor_id
+         |                            ORDER BY sim DESC, cand_id) AS rank
+         |  FROM banded
+         |)
+         |SELECT anchor_id, rank, cand_id, sim FROM ranked
+         |WHERE rank <= 3 ORDER BY anchor_id, rank""".stripMargin,
 
     "q_semdedup" ->
       s"""WITH RECURSIVE corpus AS (
