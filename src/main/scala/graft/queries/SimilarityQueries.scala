@@ -393,6 +393,114 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // PQ codebook TRAINING — two Lloyd iterations per subspace, closing
+    // the round-8 caveat that the PQ codebook was anchor-derived only.
+    // Components floor-quantize at 2^10 and then SHIFT by +2048 so every
+    // value is non-negative: squared distances are shift-invariant, and
+    // the centroid update's integer division (sum div n) only equals
+    // floor division in both engines when the numerator cannot go
+    // negative. Init = the anchor codebook (subvectors of vec_id < 16);
+    // each iteration is an assignment (exact int64 squared distances,
+    // argmin packed as dist*16+j so a plain bigint MIN hash-aggregates
+    // with map-side combine) and an update (per-component integer mean).
+    // Output per surviving centroid: its iteration-2 membership, how far
+    // the last update moved it (shift_sq), and a component-sum checksum
+    // of the trained codebook — all integer-exact, so both engines agree
+    // bit-for-bit. Scale shape: the codebook (<=128 rows x 8 components)
+    // BROADCASTS at every assignment; the component stream shuffles
+    // keyed on (vec_id, sp) / (sp, j, d) only — Lloyd's at 100 TB is
+    // exactly this loop with more iterations, never an all-pairs
+    // product, and empty clusters drop out identically in both engines.
+    "q_pq_kmeans" -> ((s, dir) => {
+      val qv = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT) + 2048)")
+      // one exploded component stream (vec_id, sp, d, v); both
+      // assignments and both centroid updates read it
+      val comp = QueryCaches.cache(
+        emb(s, dir).select(col("vec_id"), posexplode(qv).as(Seq("i", "v")))
+          .select(col("vec_id"), expr("i div 8").as("sp"),
+            expr("i % 8").as("d"), col("v")))
+      val c0 = comp.filter(col("vec_id") < 16)
+        .select(col("sp"), col("vec_id").as("j"), col("d"), col("v").as("c"))
+      def assign(cents: DataFrame): DataFrame =
+        comp.join(broadcast(cents), Seq("sp", "d"))
+          .groupBy("vec_id", "sp", "j")
+          .agg(sum(expr("(v - c) * (v - c)")).as("dist"))
+          .groupBy("vec_id", "sp")
+          .agg(min(expr("dist * 16 + j")).as("bk"))
+          .select(col("vec_id"), col("sp"), expr("bk % 16").as("j"))
+      def update(asg: DataFrame): DataFrame =
+        asg.join(comp, Seq("vec_id", "sp"))
+          .groupBy("sp", "j", "d")
+          .agg(expr("sum(v) div count(1)").as("c"))
+      // c1 feeds assignment 2 AND the shift join; a2 feeds the update
+      // AND the membership count — cache both (<=1k and N*8 rows)
+      val c1 = QueryCaches.cache(update(assign(c0)))
+      val a2 = QueryCaches.cache(assign(c1))
+      val c2 = update(a2)
+      a2.groupBy("sp", "j").agg(count(lit(1)).as("n_members"))
+        .join(c2.select(col("sp"), col("j"), col("d"), col("c").as("c2")),
+          Seq("sp", "j"))
+        .join(c1.select(col("sp"), col("j"), col("d"), col("c").as("c1")),
+          Seq("sp", "j", "d"))
+        .groupBy("sp", "j", "n_members")
+        .agg(sum(expr("(c2 - c1) * (c2 - c1)")).as("shift_sq"),
+          sum(col("c2")).as("c2_sum"))
+        .select(col("sp").cast("bigint").as("sp"), col("j"),
+          col("n_members"), col("shift_sq"), col("c2_sum"))
+        .orderBy("sp", "j")
+    }),
+
+    // Matryoshka-style truncation eval: how much retrieval quality do
+    // the first 16 of 64 dimensions keep? Per query, the top-10 by
+    // exact integer dot over ALL dims vs the top-10 over the 16-dim
+    // prefix, reported as the overlap count (recall@10) plus both
+    // top-1 ids — the measurement that decides whether a deployment
+    // can serve the cheap prefix index and rerank with full vectors.
+    // Both dots are integer-exact (2^10 quantization, native vec_idot
+    // kernel) so ranks never depend on float summation order. Scale
+    // shape: ONE scored pass computes both dots (the prefix dot is a
+    // slice, not a second scan), queries broadcast, and the only wide
+    // exchange is the per-query WindowGroupLimit rank — at 100 TB the
+    // candidate side streams once through the codegen'd kernel.
+    "q_mrl_recall" -> ((s, dir) => {
+      val qv = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))")
+      val base = emb(s, dir).select(col("vec_id"), qv.as("qv"))
+        .withColumn("qv16", expr("slice(qv, 1, 16)"))
+      val q = base.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("qv").as("fq"),
+          col("qv16").as("tq"))
+      val c = base.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("qv").as("fc"), col("qv16").as("tc"))
+      // cached: the full-rank and prefix-rank windows both read it
+      val scored = QueryCaches.cache(c.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          expr("vec_idot(fq, fc)").as("full_dot"),
+          expr("vec_idot(tq, tc)").as("trunc_dot")))
+      def top(dotCol: String) = {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(col(dotCol).desc, col("vec_id"))
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 10)
+          .select(col("query_id"), col("vec_id"), col("rank"))
+      }
+      val f = top("full_dot")
+      val t = top("trunc_dot")
+      val overlap = f.join(t, Seq("query_id", "vec_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      f.filter(col("rank") === 1)
+        .select(col("query_id"), col("vec_id").as("full_top1"))
+        .join(t.filter(col("rank") === 1)
+          .select(col("query_id"), col("vec_id").as("trunc_top1")), "query_id")
+        .join(overlap, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+          col("full_top1"), col("trunc_top1"))
+        .orderBy("query_id")
+    }),
+
     // IVF/k-means centroid update (the M-step): per cell (label), the
     // elementwise mean of member embeddings — how a vector index's
     // coarse quantizer is (re)trained. The sum runs in the typed
@@ -1072,6 +1180,85 @@ object SimilarityQueries {
         |)
         |SELECT query_id, rank, vec_id, adc_dist FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_pq_kmeans" ->
+      """WITH comp AS (
+        |  SELECT vec_id, (u.i - 1) // 8 AS sp, (u.i - 1) % 8 AS d,
+        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) + 2048 AS v
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |),
+        |c0 AS (SELECT sp, vec_id AS j, d, v AS c FROM comp WHERE vec_id < 16),
+        |d1 AS (
+        |  SELECT m.vec_id, m.sp, c.j,
+        |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
+        |  FROM comp m JOIN c0 c ON c.sp = m.sp AND c.d = m.d
+        |  GROUP BY 1, 2, 3
+        |),
+        |a1 AS (SELECT vec_id, sp, min(dist * 16 + j) % 16 AS j FROM d1 GROUP BY 1, 2),
+        |c1 AS (
+        |  SELECT m.sp, a.j, m.d, sum(m.v) // count(*) AS c
+        |  FROM a1 a JOIN comp m ON m.vec_id = a.vec_id AND m.sp = a.sp
+        |  GROUP BY 1, 2, 3
+        |),
+        |d2 AS (
+        |  SELECT m.vec_id, m.sp, c.j,
+        |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
+        |  FROM comp m JOIN c1 c ON c.sp = m.sp AND c.d = m.d
+        |  GROUP BY 1, 2, 3
+        |),
+        |a2 AS (SELECT vec_id, sp, min(dist * 16 + j) % 16 AS j FROM d2 GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT m.sp, a.j, m.d, sum(m.v) // count(*) AS c
+        |  FROM a2 a JOIN comp m ON m.vec_id = a.vec_id AND m.sp = a.sp
+        |  GROUP BY 1, 2, 3
+        |),
+        |members AS (SELECT sp, j, count(*) AS n_members FROM a2 GROUP BY 1, 2)
+        |SELECT CAST(m.sp AS BIGINT) AS sp, CAST(m.j AS BIGINT) AS j,
+        |       CAST(m.n_members AS BIGINT) AS n_members,
+        |       CAST(sum((c2.c - c1.c) * (c2.c - c1.c)) AS BIGINT) AS shift_sq,
+        |       CAST(sum(c2.c) AS BIGINT) AS c2_sum
+        |FROM members m
+        |JOIN c2 ON c2.sp = m.sp AND c2.j = m.j
+        |JOIN c1 ON c1.sp = m.sp AND c1.j = m.j AND c1.d = c2.d
+        |GROUP BY 1, 2, 3 ORDER BY sp, j""".stripMargin,
+
+    "q_mrl_recall" ->
+      """WITH qz AS (
+        |  SELECT vec_id, u.i,
+        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |),
+        |dots AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS full_dot,
+        |         CAST(sum(CASE WHEN a.i <= 16 THEN a.q * b.q ELSE 0 END) AS BIGINT)
+        |           AS trunc_dot
+        |  FROM qz a JOIN qz b ON b.i = a.i AND a.vec_id < 5 AND b.vec_id >= 5
+        |  GROUP BY 1, 2
+        |),
+        |f AS (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY full_dot DESC, vec_id) AS rank
+        |  FROM dots
+        |),
+        |t AS (
+        |  SELECT query_id, vec_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY trunc_dot DESC, vec_id) AS rank
+        |  FROM dots
+        |),
+        |ov AS (
+        |  SELECT f.query_id, count(*) AS n_overlap
+        |  FROM f JOIN t ON t.query_id = f.query_id AND t.vec_id = f.vec_id
+        |  WHERE f.rank <= 10 AND t.rank <= 10 GROUP BY 1
+        |)
+        |SELECT f1.query_id, CAST(COALESCE(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+        |       f1.vec_id AS full_top1, t1.vec_id AS trunc_top1
+        |FROM (SELECT query_id, vec_id FROM f WHERE rank = 1) f1
+        |JOIN (SELECT query_id, vec_id FROM t WHERE rank = 1) t1 USING (query_id)
+        |LEFT JOIN ov ON ov.query_id = f1.query_id
+        |ORDER BY f1.query_id""".stripMargin,
 
     "q_embedding_quantize" ->
       s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
