@@ -365,6 +365,89 @@ object TextQueries {
         .limit(20)
     }),
 
+    // BPE training step 2: APPLY the winning merge and recount —
+    // q_bpe_merges picks the most frequent adjacent pair; this query
+    // performs that merge over the distinct-word table (replace() is
+    // left-to-right non-overlapping in both engines, exactly BPE's
+    // greedy scan, with chr(1) as the merged-symbol placeholder so the
+    // new symbol can't re-pair with its own halves) and emits the NEXT
+    // iteration's pair statistics, merged symbol spelled out in the
+    // pair labels. The whole iteration runs on (word, wf) — pair stats
+    // never rescan the corpus, the property that makes BPE training
+    // feasible at 100 TB: the corpus is read once, every subsequent
+    // merge is vocabulary-sized work. The 1-row winner BROADCASTS.
+    "q_bpe_apply" -> ((s, dir) => {
+      val words = QueryCaches.cache(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("w"))
+          .filter(length(col("w")) >= 2)
+          .groupBy("w").agg(count(lit(1)).as("wf")))
+      val top = words
+        .select(col("w"), col("wf"),
+          explode(expr("sequence(1, length(w) - 1)")).as("i"))
+        .select(concat(expr("substring(w, i, 1)"), lit("+"),
+          expr("substring(w, i + 1, 1)")).as("pair"), col("wf"))
+        .groupBy("pair").agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("pair")).limit(1)
+        .select(expr("substring(pair, 1, 1)").as("ma"),
+          expr("substring(pair, 3, 1)").as("mb"))
+      // filter BEFORE the position explode: Spark's sequence(1, 0)
+      // yields a DESCENDING [1, 0], not an empty array, so a fully
+      // merged 2-char word must never reach the sequence()
+      words.crossJoin(broadcast(top))
+        .withColumn("w2", expr("replace(w, concat(ma, mb), chr(1))"))
+        .filter(length(col("w2")) >= 2)
+        .select(col("wf"), col("ma"), col("mb"), col("w2"),
+          explode(expr("sequence(1, length(w2) - 1)")).as("i"))
+        .select(concat(
+          expr("CASE WHEN substring(w2, i, 1) = chr(1) " +
+            "THEN concat(ma, mb) ELSE substring(w2, i, 1) END"),
+          lit("+"),
+          expr("CASE WHEN substring(w2, i + 1, 1) = chr(1) " +
+            "THEN concat(ma, mb) ELSE substring(w2, i + 1, 1) END")).as("pair"),
+          col("wf"))
+        .groupBy("pair").agg(sum(col("wf")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
+    // Positional-index phrase search: the engine-side shape of
+    // `"t1 t2"` quoted-phrase retrieval — a positional posting list
+    // (term, doc, pos) filtered to the two phrase terms, self-joined on
+    // (doc, pos+1) adjacency, occurrence counts per document. The
+    // phrase itself is data-derived (the corpus's top bigram) so the
+    // query is self-contained at any SF. Scale shape: the posting list
+    // is the only corpus-sized table and it's filtered to the phrase
+    // terms BEFORE the adjacency join, so join volume tracks the
+    // phrase's document frequency, not the corpus; the 1-row phrase
+    // broadcasts, and the adjacency join keys on (doc_id, pos).
+    "q_phrase_search" -> ((s, dir) => {
+      val toks = QueryCaches.cache(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term"))))
+      val top = toks.as("a")
+        .join(toks.as("b"),
+          col("a.doc_id") === col("b.doc_id") &&
+            col("b.pos") === col("a.pos") + 1)
+        .select(concat(col("a.term"), lit(" "), col("b.term")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(1)
+        .select(expr("split_part(bigram, ' ', 1)").as("t1"),
+          expr("split_part(bigram, ' ', 2)").as("t2"))
+      val tq = toks.crossJoin(broadcast(top))
+      val p1 = tq.filter(col("term") === col("t1"))
+        .select(col("doc_id"), col("pos"), col("t1"), col("t2"))
+      val p2 = tq.filter(col("term") === col("t2"))
+        .select(col("doc_id").as("d2"), col("pos").as("pos2"))
+      p1.join(p2, col("d2") === col("doc_id") && col("pos2") === col("pos") + 1)
+        .groupBy(col("doc_id"),
+          concat(col("t1"), lit(" "), col("t2")).as("phrase"))
+        .agg(count(lit(1)).as("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Benchmark-contamination check: which eval documents share 3-gram
     // shingles with the training split? Both sides explode to
     // (doc, shingle), the join keys on the shingle — the same
@@ -1012,6 +1095,62 @@ object TextQueries {
         |)
         |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
         |FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q_bpe_apply" ->
+      """WITH words AS (
+        |  SELECT w, count(*) AS wf FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE length(w) >= 2 GROUP BY w
+        |),
+        |pairs AS (
+        |  SELECT substr(w, u.i, 1) || '+' || substr(w, u.i + 1, 1) AS pair, wf
+        |  FROM words, unnest(generate_series(1, length(w) - 1)) u(i)
+        |),
+        |top1 AS (
+        |  SELECT substr(pair, 1, 1) AS ma, substr(pair, 3, 1) AS mb
+        |  FROM (SELECT pair, sum(wf) AS n FROM pairs GROUP BY pair
+        |        ORDER BY n DESC, pair LIMIT 1)
+        |),
+        |merged AS (
+        |  SELECT wf, ma, mb, replace(w, ma || mb, chr(1)) AS w2
+        |  FROM words CROSS JOIN top1
+        |),
+        |pairs2 AS (
+        |  SELECT (CASE WHEN substr(w2, u.i, 1) = chr(1)
+        |               THEN ma || mb ELSE substr(w2, u.i, 1) END)
+        |         || '+' ||
+        |         (CASE WHEN substr(w2, u.i + 1, 1) = chr(1)
+        |               THEN ma || mb ELSE substr(w2, u.i + 1, 1) END) AS pair,
+        |         wf
+        |  FROM merged, unnest(generate_series(1, length(w2) - 1)) u(i)
+        |  WHERE length(w2) >= 2
+        |)
+        |SELECT pair, CAST(sum(wf) AS BIGINT) AS n
+        |FROM pairs2 GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+
+    "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) u(i)
+        |),
+        |big AS (
+        |  SELECT a.term || ' ' || b.term AS bigram, count(*) AS n
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1
+        |),
+        |top1 AS (
+        |  SELECT string_split(bigram, ' ')[1] AS t1,
+        |         string_split(bigram, ' ')[2] AS t2
+        |  FROM (SELECT bigram FROM big ORDER BY n DESC, bigram LIMIT 1)
+        |)
+        |SELECT p1.doc_id, t1 || ' ' || t2 AS phrase,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM toks p1
+        |JOIN top1 ON p1.term = t1
+        |JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |            AND p2.term = t2
+        |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
 
     "q_contamination" ->
       s"""WITH sh AS (
