@@ -53,6 +53,35 @@ object RasterQueries {
         lit("))")))
   }
 
+  /** Shared stencil base for the focal map-algebra queries (slope,
+    * flow direction): every non-nodata cell of every grid keyed
+    * (n_nationkey, r, c). Cached — the neighbor shifts re-scan it up
+    * to 8 times, and each shift is a narrow projection of this frame.
+    */
+  private def stencilCells(s: SparkSession, dir: String): DataFrame = {
+    val parseRC = udf { (text: String) =>
+      val g = AsciiGrid.parse(text)
+      (0 until g.nrows * g.ncols).map { i =>
+        (i, i / g.ncols, i % g.ncols, g.value(i / g.ncols, i % g.ncols))
+      }
+    }
+    QueryCaches.cache(gridsWithRegions(s, dir)
+      .withColumn("cell", explode(parseRC(col("grid_text"))))
+      .select(col("n_nationkey"), col("cell._1").cast("bigint").as("cell_idx"),
+        col("cell._2").cast("bigint").as("r"), col("cell._3").cast("bigint").as("c"),
+        col("cell._4").as("value"))
+      .filter(col("value") =!= GridGen.Nodata))
+  }
+
+  /** D8 neighbor table shared by the flow-direction query and its
+    * oracle: code k -> (dr, dc) with the row index growing SOUTHWARD
+    * (row 0 is the grid's top edge), so 1=E 2=SE 3=S 4=SW 5=W 6=NW
+    * 7=N 8=NE.
+    */
+  private val d8: Seq[(Int, (Int, Int))] = Seq(
+    1 -> ((0, 1)), 2 -> ((1, 1)), 3 -> ((1, 0)), 4 -> ((1, -1)),
+    5 -> ((0, -1)), 6 -> ((-1, -1)), 7 -> ((-1, 0)), 8 -> ((-1, 1)))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // AGG-2: per-raster statistics (parse → single-pass stats).
@@ -145,18 +174,7 @@ object RasterQueries {
     // needs no rounding guard. Cells with any missing or nodata
     // neighbor are excluded — the standard edge contract.
     "q_raster_slope" -> ((s, dir) => {
-      val parseRC = udf { (text: String) =>
-        val g = AsciiGrid.parse(text)
-        (0 until g.nrows * g.ncols).map { i =>
-          (i, i / g.ncols, i % g.ncols, g.value(i / g.ncols, i % g.ncols))
-        }
-      }
-      val cells = QueryCaches.cache(gridsWithRegions(s, dir)
-        .withColumn("cell", explode(parseRC(col("grid_text"))))
-        .select(col("n_nationkey"), col("cell._1").cast("bigint").as("cell_idx"),
-          col("cell._2").cast("bigint").as("r"), col("cell._3").cast("bigint").as("c"),
-          col("cell._4").as("value"))
-        .filter(col("value") =!= GridGen.Nodata))
+      val cells = stencilCells(s, dir)
       def nbr(alias: String, dr: Int, dc: Int) = cells
         .select(col("n_nationkey"), (col("r") + dr).as("r"), (col("c") + dc).as("c"),
           col("value").as(alias))
@@ -170,6 +188,42 @@ object RasterQueries {
           (col("zn") - col("zs")).cast("bigint").as("dzdy"))
         .withColumn("grad2",
           col("dzdx") * col("dzdx") + col("dzdy") * col("dzdy"))
+        .orderBy("n_nationkey", "cell_idx")
+    }),
+
+    // D8 flow direction — hydrology's steepest-descent operator, the
+    // second focal map-algebra kernel after slope. Per cell, the flow
+    // goes to whichever of the 8 neighbors maximizes drop/distance;
+    // with distances only 1 and sqrt(2), comparing 2*drop^2 (cardinal)
+    // vs drop^2 (diagonal) over POSITIVE drops is the exact integer
+    // equivalent, so the whole selection is int64 arithmetic. The
+    // argmax packs score*16 + (8-k) into one bigint so a single
+    // greatest() resolves both the max score and the smallest-code
+    // tie-break; cells with no downhill neighbor (pits, flats, nodata-
+    // ringed) emit direction 0. Scale shape: same as slope — 8 equi-
+    // joins keyed (grid, row, col), tile-parallel, no products; at
+    // 100 TB of tiles each join co-partitions on the grid key and the
+    // stencil never leaves the executor holding the tile.
+    "q_flow_direction" -> ((s, dir) => {
+      val cells = stencilCells(s, dir)
+      val joined = d8.foldLeft(cells) { case (df, (k, (dr, dc))) =>
+        df.join(cells.select(col("n_nationkey"),
+            (col("r") - dr).as("r"), (col("c") - dc).as("c"),
+            col("value").cast("bigint").as(s"v$k")),
+          Seq("n_nationkey", "r", "c"), "left")
+      }
+      val packed = d8.map { case (k, (dr, dc)) =>
+        val mult = if (dr == 0 || dc == 0) 2L else 1L
+        expr(s"CASE WHEN v$k IS NOT NULL AND CAST(value AS BIGINT) - v$k > 0 " +
+          s"THEN (CAST(value AS BIGINT) - v$k) * (CAST(value AS BIGINT) - v$k)" +
+          s" * $mult * 16 + ${8 - k} ELSE -1 END")
+      }
+      joined.withColumn("best", greatest(packed: _*))
+        .select(col("n_nationkey"), col("cell_idx"),
+          expr("CASE WHEN best < 0 THEN 0 ELSE 8 - best % 16 END")
+            .as("flow_dir"),
+          expr("CASE WHEN best < 0 THEN 0 ELSE best div 16 END")
+            .as("drop2x"))
         .orderBy("n_nationkey", "cell_idx")
     }),
   )
@@ -262,5 +316,36 @@ object RasterQueries {
          |       round(avg(value) FILTER (WHERE value <> -9999.0), 4) AS block_mean
          |FROM cells
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_flow_direction" -> {
+      val joins = d8.map { case (k, (dr, dc)) =>
+        s"LEFT JOIN good n$k ON n$k.n_nationkey = g.n_nationkey " +
+          s"AND n$k.r = g.r + ($dr) AND n$k.c = g.c + ($dc)"
+      }.mkString("\n")
+      val cases = d8.map { case (k, (dr, dc)) =>
+        val mult = if (dr == 0 || dc == 0) 2 else 1
+        s"CASE WHEN n$k.z IS NOT NULL AND g.z - n$k.z > 0 " +
+          s"THEN (g.z - n$k.z) * (g.z - n$k.z) * $mult * 16 + ${8 - k} " +
+          "ELSE -1 END"
+      }.mkString(",\n")
+      s"""WITH $cellsCte,
+         |good AS (
+         |  SELECT n_nationkey, i, i // nc AS r, i % nc AS c,
+         |         CAST(value AS BIGINT) AS z
+         |  FROM cells WHERE value <> -9999.0
+         |),
+         |best AS (
+         |  SELECT g.n_nationkey, g.i AS cell_idx, greatest(
+         |$cases) AS best
+         |  FROM good g
+         |$joins
+         |)
+         |SELECT n_nationkey, cell_idx,
+         |       CAST(CASE WHEN best < 0 THEN 0 ELSE 8 - best % 16 END AS BIGINT)
+         |         AS flow_dir,
+         |       CAST(CASE WHEN best < 0 THEN 0 ELSE best // 16 END AS BIGINT)
+         |         AS drop2x
+         |FROM best ORDER BY n_nationkey, cell_idx""".stripMargin
+    },
   )
 }
