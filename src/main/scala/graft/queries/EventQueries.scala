@@ -648,6 +648,76 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // Position-based (U-shaped) multi-touch attribution — beyond
+    // q_asof_join's single last-touch: every click/view in the 7 days
+    // before a purchase shares the credit, 40%/40% to first and last
+    // touch and the middle 20% split evenly (integer basis points,
+    // remainder to the earliest middles, so the 10000 bp always sum
+    // exactly and both engines agree bit-for-bit). Time is compared in
+    // epoch MICROseconds (Spark unix_micros == DuckDB epoch_us on the
+    // ns fixture). Shape: the purchase-touch pairing is a user-keyed
+    // equi-join bounded by the 7-day window — per-user work tracks
+    // user activity density, never the corpus — and both window
+    // functions share one (purchase)-partitioned exchange.
+    "q_attribution" -> ((s, dir) => {
+      val e = ev(s, dir)
+      val purchases = e.filter(col("event_type") === "purchase" &&
+          col("event_id") % 5 === 0)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"))
+      val touches = e.filter(col("event_type").isin("click", "view"))
+        .select(col("event_id").as("touch_id"), col("user_id"),
+          unix_micros(col("ts")).as("t_us"))
+      val paired = purchases.join(touches, Seq("user_id"))
+        .filter(col("t_us") < col("p_us") &&
+          col("t_us") >= col("p_us") - lit(7L * 86400L * 1000000L))
+      val wOrd = org.apache.spark.sql.expressions.Window
+        .partitionBy("purchase_id").orderBy(col("t_us"), col("touch_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("purchase_id")
+      paired
+        .withColumn("trank", row_number().over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("credit_bp", expr(
+          """CASE WHEN n = 1 THEN 10000
+            |     WHEN n = 2 THEN 5000
+            |     WHEN trank = 1 OR trank = n THEN 4000
+            |     ELSE 2000 div (n - 2) +
+            |          (CASE WHEN trank - 1 <= 2000 % (n - 2) THEN 1 ELSE 0 END)
+            |END""".stripMargin).cast("bigint"))
+        .select(col("purchase_id"),
+          col("trank").cast("bigint").as("touch_rank"),
+          col("touch_id"), col("credit_bp"))
+        .orderBy("purchase_id", "touch_rank")
+    }),
+
+    // Negative sampling for contrastive / recommendation training:
+    // per user, deterministic candidate items ((user*37 + i*7) mod 100
+    // — 7 coprime to the catalog size, so the 16 probes are distinct)
+    // are rejected against the user's observed interactions (the JSON
+    // props key doubles as the item id) and the first 4 survivors by
+    // probe order become that user's negatives. The rejection is a
+    // LEFT ANTI join keyed (user, item) — the candidate table is
+    // |users| x 16, linear, and nothing ever enumerates the full
+    // user x catalog cross product, which is the whole trick at
+    // recommendation scale.
+    "q_negative_sample" -> ((s, dir) => {
+      val inter = ev(s, dir).select(col("user_id"),
+          from_json(col("props"), lit("k INT")).getField("k")
+            .cast("bigint").as("item"))
+        .distinct()
+      val cands = inter.select("user_id").distinct()
+        .select(col("user_id"), explode(expr("sequence(0, 15)")).as("i"))
+        .withColumn("item", (col("user_id") * 37 + col("i") * 7) % 100)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("i")
+      cands.join(inter, Seq("user_id", "item"), "left_anti")
+        .withColumn("neg_rank", row_number().over(w).cast("bigint"))
+        .filter(col("neg_rank") <= 4)
+        .select(col("user_id"), col("neg_rank"), col("item"))
+        .orderBy("user_id", "neg_rank")
+    }),
+
     // Train-in-batch, score-in-stream: the deployment shape of every
     // statistical quality/anomaly gate — thresholds (per-type median +
     // MAD, same derivation as q_anomaly_mad) are fit on the historical
@@ -1032,6 +1102,61 @@ object EventQueries {
         |      AND p.ts >= c.ts
         |      AND p.ts <= c.ts + INTERVAL 1 HOUR)
         |ORDER BY click_id""".stripMargin,
+
+    "q_attribution" ->
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us
+        |  FROM events WHERE event_type = 'purchase' AND event_id % 5 = 0
+        |),
+        |t AS (
+        |  SELECT event_id AS touch_id, user_id, epoch_us(ts) AS t_us
+        |  FROM events WHERE event_type IN ('click', 'view')
+        |),
+        |paired AS (
+        |  SELECT p.purchase_id, t.touch_id, t.t_us
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |  WHERE t.t_us < p.p_us AND t.t_us >= p.p_us - 604800000000
+        |),
+        |ranked AS (
+        |  SELECT purchase_id, touch_id,
+        |         row_number() OVER (PARTITION BY purchase_id
+        |                            ORDER BY t_us, touch_id) AS trank,
+        |         count(*) OVER (PARTITION BY purchase_id) AS n
+        |  FROM paired
+        |)
+        |SELECT purchase_id, CAST(trank AS BIGINT) AS touch_rank, touch_id,
+        |       CAST(CASE WHEN n = 1 THEN 10000
+        |                 WHEN n = 2 THEN 5000
+        |                 WHEN trank = 1 OR trank = n THEN 4000
+        |                 ELSE 2000 // (n - 2) +
+        |                      (CASE WHEN trank - 1 <= 2000 % (n - 2)
+        |                            THEN 1 ELSE 0 END)
+        |            END AS BIGINT) AS credit_bp
+        |FROM ranked ORDER BY purchase_id, touch_rank""".stripMargin,
+
+    "q_negative_sample" ->
+      """WITH inter AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT) AS item
+        |  FROM events
+        |),
+        |cands AS (
+        |  SELECT u.user_id, i.i, (u.user_id * 37 + i.i * 7) % 100 AS item
+        |  FROM (SELECT DISTINCT user_id FROM inter) u,
+        |       unnest(generate_series(0, 15)) i(i)
+        |),
+        |negs AS (
+        |  SELECT c.user_id, c.i, c.item FROM cands c
+        |  WHERE NOT EXISTS (SELECT 1 FROM inter v
+        |                    WHERE v.user_id = c.user_id AND v.item = c.item)
+        |),
+        |ranked AS (
+        |  SELECT user_id, item,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY i) AS neg_rank
+        |  FROM negs
+        |)
+        |SELECT user_id, CAST(neg_rank AS BIGINT) AS neg_rank, item
+        |FROM ranked WHERE neg_rank <= 4 ORDER BY user_id, neg_rank""".stripMargin,
 
     "q_stream_stream_join" ->
       """SELECT c.event_id AS click_id, p.event_id AS purchase_id,

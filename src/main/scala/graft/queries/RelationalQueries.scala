@@ -662,6 +662,34 @@ object RelationalQueries {
         .orderBy("n_name")
     }),
 
+    // Skyline (Pareto frontier) — the preference-query operator: parts
+    // not dominated in (size, price), i.e. no other part is >= in both
+    // dimensions and strictly better in one. Naively O(n²); here the
+    // group-then-window form does it in one aggregation plus a window
+    // over the DISTINCT sizes: per size keep the best price (anything
+    // else at that size is dominated in-place), then a point survives
+    // iff its price strictly beats the running max over all LARGER
+    // sizes. Prices compare in exact cents. The unpartitioned window
+    // runs over |distinct sizes| rows (50 here, bounded by the
+    // attribute's domain, not the table) — the corpus-sized work is
+    // all in the hash aggregate, which is why this shape survives
+    // 100 TB while the textbook self-join does not.
+    "q_skyline" -> ((s, dir) => {
+      val bySize = t(s, dir, "part")
+        .select(col("p_size").cast("bigint").as("p_size"),
+          round(col("p_retailprice") * 100).cast("bigint").as("price_c"))
+        .groupBy("p_size")
+        .agg(max(col("price_c")).as("best_price_c"),
+          count(lit(1)).as("n_parts"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("p_size").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      bySize.withColumn("better", max(col("best_price_c")).over(w))
+        .filter(col("better").isNull || col("best_price_c") > col("better"))
+        .select(col("p_size"), col("best_price_c"), col("n_parts"))
+        .orderBy("p_size")
+    }),
+
     // Typed cogroup (KeyValueGroupedDataset.cogroup): per-key merge of
     // two grouped inputs with arbitrary Scala logic — the typed-API
     // escape hatch when a per-key merge isn't expressible as a join +
@@ -1416,6 +1444,23 @@ object RelationalQueries {
         |       count(*) AS n_cust
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_skyline" ->
+      """WITH by_size AS (
+        |  SELECT CAST(p_size AS BIGINT) AS p_size,
+        |         max(CAST(round(p_retailprice * 100) AS BIGINT)) AS best_price_c,
+        |         count(*) AS n_parts
+        |  FROM part GROUP BY 1
+        |),
+        |flagged AS (
+        |  SELECT p_size, best_price_c, n_parts,
+        |         max(best_price_c) OVER (ORDER BY p_size DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS better
+        |  FROM by_size
+        |)
+        |SELECT p_size, best_price_c, CAST(n_parts AS BIGINT) AS n_parts
+        |FROM flagged WHERE better IS NULL OR best_price_c > better
+        |ORDER BY p_size""".stripMargin,
 
     "q_cogroup" ->
       """WITH o AS (

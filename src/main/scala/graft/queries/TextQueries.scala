@@ -485,6 +485,32 @@ object TextQueries {
           (floor(col("c_acctbal") / 1000) * 1000).cast("bigint").as("acct_bucket"))
         .orderBy("c_custkey")),
 
+    // k-anonymity SUPPRESSION — the release gate q_anonymize preps
+    // for: after generalizing the quasi-identifiers (nation, market
+    // segment, 1000-wide balance band), any equivalence class smaller
+    // than k=5 is suppressed, because its members are re-identifiable
+    // by the QI combination alone. The suppressed mass is reported as
+    // one sentinel row (nat=-1, segment='*') rather than silently
+    // dropped — an auditor needs to see how much data the gate cost.
+    // One hash aggregate keyed on the QI tuple; the class-size filter
+    // is a post-aggregation predicate, so nothing here widens at scale.
+    "q_kanon_suppress" -> ((s, dir) => {
+      val classes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_nationkey").cast("bigint").as("nat"),
+          col("c_mktsegment").as("segment"),
+          (floor(col("c_acctbal") / lit(1000.0)) * 1000).cast("bigint")
+            .as("bal_band"))
+        .groupBy("nat", "segment", "bal_band")
+        .agg(count(lit(1)).as("n"))
+      val kept = classes.filter(col("n") >= 5)
+      val suppressed = classes.filter(col("n") < 5)
+        .agg(coalesce(sum(col("n")), lit(0L)).as("n"))
+        .select(lit(-1L).as("nat"), lit("*").as("segment"),
+          lit(-1L).as("bal_band"), col("n"))
+      kept.unionByName(suppressed)
+        .orderBy("nat", "segment", "bal_band")
+    }),
+
     // The composite curation pipeline — what a real training-data prep
     // job chains: language-ID gate → quality gate → length gate →
     // exact-dedup survivor selection, over the duplicated re-crawl
@@ -1357,6 +1383,21 @@ object TextQueries {
         |       regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
         |       CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT) AS acct_bucket
         |FROM customer WHERE c_custkey % 25 = 0 ORDER BY c_custkey""".stripMargin,
+
+    "q_kanon_suppress" ->
+      """WITH classes AS (
+        |  SELECT CAST(c_nationkey AS BIGINT) AS nat,
+        |         c_mktsegment AS segment,
+        |         CAST(floor(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band,
+        |         count(*) AS n
+        |  FROM customer GROUP BY 1, 2, 3
+        |)
+        |SELECT nat, segment, bal_band, CAST(n AS BIGINT) AS n
+        |FROM classes WHERE n >= 5
+        |UNION ALL
+        |SELECT -1, '*', -1, CAST(COALESCE(sum(n), 0) AS BIGINT)
+        |FROM classes WHERE n < 5
+        |ORDER BY nat, segment, bal_band""".stripMargin,
 
     "q_curation_pipeline" ->
       s"""WITH ${graft.text.Corpus.corpusCte},
