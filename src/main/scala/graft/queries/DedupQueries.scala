@@ -461,6 +461,43 @@ object DedupQueries {
         .select("n_nodes", "n_edges", "n_triangles")
     }),
 
+    // Bounded k-core peeling (k=5, 3 rounds) over the same synthetic
+    // graph as q_triangle_count: each round drops every node whose
+    // degree in the CURRENT induced subgraph is below k, then keeps
+    // only edges with both endpoints surviving — the standard
+    // dense-subgraph / spam-cluster extraction primitive. The round
+    // budget is fixed so the computation is deterministic and SQL-
+    // oracle-able (a production run loops to fixpoint; the per-round
+    // cost model is identical). Shape: per round one degree aggregate
+    // plus two LEFT SEMI joins, every exchange keyed on the node id —
+    // O(E) per round at any scale, and the edge set only shrinks.
+    "q_graph_kcore" -> ((s, dir) => {
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      val n = nodes.count()
+      val raw = nodes.select(col("id").as("u"), ((col("id") + 1) % n).as("v"))
+        .unionByName(nodes.select(col("id").as("u"), ((col("id") + 2) % n).as("v")))
+        .unionByName(nodes.select(col("id").as("u"), ((col("id") * 3 + 7) % n).as("v")))
+      var edges = raw.filter(col("u") =!= col("v"))
+        .select(least(col("u"), col("v")).as("a"),
+          greatest(col("u"), col("v")).as("b"))
+        .distinct()
+        .transform(QueryCaches.cache(_))
+      val rounds = (1 to 3).map { r =>
+        val deg = edges.select(explode(array(col("a"), col("b"))).as("id"))
+          .groupBy("id").agg(count(lit(1)).as("deg"))
+        // consumed three times (two semi-joins + the survivor count)
+        val keep = QueryCaches.cache(deg.filter(col("deg") >= 5).select("id"))
+        edges = QueryCaches.cache(edges
+          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
+          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
+        keep.agg(count(lit(1)).as("n_nodes"))
+          .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
+          .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
+      }
+      rounds.reduce(_ unionByName _).orderBy("round")
+    }),
+
     // The bloom-filter pre-pass in front of incremental dedup — the
     // shape that matters at 100 TB: the historical index collapses to a
     // fixed-size sketch (n·~10 bits at 1% fpp) built by one aggregation
@@ -1022,6 +1059,44 @@ object DedupQueries {
         |        FROM und e1
         |        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    "q_graph_kcore" ->
+      """WITH nodes AS (SELECT c_custkey AS id FROM customer),
+        |cnt AS (SELECT count(*) AS n FROM customer),
+        |raw AS (
+        |  SELECT id AS u, (id + 1) % (SELECT n FROM cnt) AS v FROM nodes
+        |  UNION ALL
+        |  SELECT id, (id + 2) % (SELECT n FROM cnt) FROM nodes
+        |  UNION ALL
+        |  SELECT id, (id * 3 + 7) % (SELECT n FROM cnt) FROM nodes
+        |),
+        |e0 AS (
+        |  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+        |  FROM raw WHERE u <> v
+        |),
+        |d0 AS (SELECT id, count(*) AS deg
+        |       FROM (SELECT a AS id FROM e0 UNION ALL SELECT b FROM e0) GROUP BY 1),
+        |k1 AS (SELECT id FROM d0 WHERE deg >= 5),
+        |e1 AS (SELECT a, b FROM e0 WHERE a IN (SELECT id FROM k1)
+        |                             AND b IN (SELECT id FROM k1)),
+        |d1 AS (SELECT id, count(*) AS deg
+        |       FROM (SELECT a AS id FROM e1 UNION ALL SELECT b FROM e1) GROUP BY 1),
+        |k2 AS (SELECT id FROM d1 WHERE deg >= 5),
+        |e2 AS (SELECT a, b FROM e1 WHERE a IN (SELECT id FROM k2)
+        |                             AND b IN (SELECT id FROM k2)),
+        |d2 AS (SELECT id, count(*) AS deg
+        |       FROM (SELECT a AS id FROM e2 UNION ALL SELECT b FROM e2) GROUP BY 1),
+        |k3 AS (SELECT id FROM d2 WHERE deg >= 5),
+        |e3 AS (SELECT a, b FROM e2 WHERE a IN (SELECT id FROM k3)
+        |                             AND b IN (SELECT id FROM k3))
+        |SELECT CAST(1 AS BIGINT) AS round,
+        |       (SELECT count(*) FROM k1) AS n_nodes,
+        |       (SELECT count(*) FROM e1) AS n_edges
+        |UNION ALL
+        |SELECT 2, (SELECT count(*) FROM k2), (SELECT count(*) FROM e2)
+        |UNION ALL
+        |SELECT 3, (SELECT count(*) FROM k3), (SELECT count(*) FROM e3)
+        |ORDER BY round""".stripMargin,
 
     // identical answer to the exact anti-join — the bloom pre-pass is a
     // plan optimization, never a semantics change

@@ -691,6 +691,41 @@ object EventQueries {
         .orderBy("purchase_id", "touch_rank")
     }),
 
+    // RFM segmentation — the classic customer-scoring operator: per
+    // user, recency (days since last purchase, anchored to the
+    // corpus's max purchase time so the query is self-contained),
+    // frequency (purchase count) and monetary value (exact cents),
+    // each quintile-scored with ntile(5) and composed into the 3-digit
+    // RFM segment. Every ntile ordering carries user_id as the final
+    // tie-break: ntile's bucket boundaries depend on the TOTAL order,
+    // so an under-specified sort would let the two engines split ties
+    // differently. Shape: one user-keyed aggregate, a 1-row max
+    // broadcast, then three windows over |users| rows (already
+    // aggregated — the windows never see the event stream).
+    "q_rfm" -> ((s, dir) => {
+      val perUser = ev(s, dir).filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(unix_timestamp(col("ts"))).as("last_s"),
+          count(lit(1)).as("n_purch"),
+          sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      val anchor = perUser.agg(max(col("last_s")).as("max_s"))
+      def nt(order: org.apache.spark.sql.Column*) = ntile(5).over(
+        org.apache.spark.sql.expressions.Window.orderBy(order: _*))
+      perUser.crossJoin(broadcast(anchor))
+        .withColumn("recency_days", expr("(max_s - last_s) div 86400"))
+        .withColumn("r_score",
+          nt(col("recency_days").desc, col("user_id")).cast("bigint"))
+        .withColumn("f_score",
+          nt(col("n_purch").asc, col("user_id")).cast("bigint"))
+        .withColumn("m_score",
+          nt(col("cents").asc, col("user_id")).cast("bigint"))
+        .withColumn("segment",
+          col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
+        .select("user_id", "recency_days", "n_purch", "cents",
+          "r_score", "f_score", "m_score", "segment")
+        .orderBy("user_id")
+    }),
+
     // Negative sampling for contrastive / recommendation training:
     // per user, deterministic candidate items ((user*37 + i*7) mod 100
     // — 7 coprime to the catalog size, so the 16 probes are distinct)
@@ -1133,6 +1168,35 @@ object EventQueries {
         |                            THEN 1 ELSE 0 END)
         |            END AS BIGINT) AS credit_bp
         |FROM ranked ORDER BY purchase_id, touch_rank""".stripMargin,
+
+    "q_rfm" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_s,
+        |         count(*) AS n_purch,
+        |         CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+        |),
+        |rec AS (
+        |  SELECT user_id, n_purch, cents,
+        |         ((SELECT max(last_s) FROM pu) - last_s) // 86400 AS recency_days
+        |  FROM pu
+        |),
+        |scored AS (
+        |  SELECT user_id, recency_days, n_purch, cents,
+        |         CAST(ntile(5) OVER (ORDER BY recency_days DESC, user_id) AS BIGINT)
+        |           AS r_score,
+        |         CAST(ntile(5) OVER (ORDER BY n_purch ASC, user_id) AS BIGINT)
+        |           AS f_score,
+        |         CAST(ntile(5) OVER (ORDER BY cents ASC, user_id) AS BIGINT)
+        |           AS m_score
+        |  FROM rec
+        |)
+        |SELECT user_id, CAST(recency_days AS BIGINT) AS recency_days,
+        |       CAST(n_purch AS BIGINT) AS n_purch, cents,
+        |       r_score, f_score, m_score,
+        |       r_score * 100 + f_score * 10 + m_score AS segment
+        |FROM scored ORDER BY user_id""".stripMargin,
 
     "q_negative_sample" ->
       """WITH inter AS (

@@ -501,6 +501,44 @@ object SimilarityQueries {
         .orderBy("query_id")
     }),
 
+    // Late-interaction (ColBERT MaxSim) scoring: instead of one dot
+    // per (query, doc), each side is a BAG of sub-vectors (here the 8
+    // PQ-style 8-dim subspaces stand in for token embeddings) and the
+    // score is sum over query sub-vectors of the max dot against any
+    // doc sub-vector — the retrieval model where fine-grained term
+    // matching beats single-vector pooling. Arithmetic is integer-
+    // exact (2^10 quantization, native vec_idot), so the max/sum/rank
+    // chain is order-independent. Shape: the query bag (24 rows)
+    // BROADCASTS; per candidate the 8x8 interaction matrix reduces
+    // map-side through two hash aggregates before the per-query rank.
+    // At 100 TB the candidate bag would be IVF-cell-prefiltered first
+    // (q_ann_ivf machinery) — here the %7 subset plays that role.
+    "q_late_interaction" -> ((s, dir) => {
+      val qv = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))")
+      val base = emb(s, dir).select(col("vec_id"), qv.as("qv"))
+        .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("sp"),
+          col("qv"))
+        .select(col("vec_id"), col("sp"),
+          expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
+      val qsubs = base.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("sp").as("q_sp"),
+          col("sv").as("qsv"))
+      val csubs = base.filter(col("vec_id") >= 16 && col("vec_id") % 7 === 0)
+      val scored = csubs.crossJoin(broadcast(qsubs))
+        .withColumn("dot", expr("vec_idot(qsv, sv)"))
+        .groupBy("query_id", "vec_id", "q_sp")
+        .agg(max(col("dot")).as("best"))
+        .groupBy("query_id", "vec_id")
+        .agg(sum(col("best")).as("maxsim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(col("maxsim").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 5)
+        .select("query_id", "rank", "vec_id", "maxsim")
+        .orderBy("query_id", "rank")
+    }),
+
     // IVF/k-means centroid update (the M-step): per cell (label), the
     // elementwise mean of member embeddings — how a vector index's
     // coarse quantizer is (re)trained. The sum runs in the typed
@@ -1259,6 +1297,39 @@ object SimilarityQueries {
         |JOIN (SELECT query_id, vec_id FROM t WHERE rank = 1) t1 USING (query_id)
         |LEFT JOIN ov ON ov.query_id = f1.query_id
         |ORDER BY f1.query_id""".stripMargin,
+
+    "q_late_interaction" ->
+      """WITH qz AS (
+        |  SELECT vec_id, u.i,
+        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |),
+        |subs AS (
+        |  SELECT vec_id, (i - 1) // 8 AS sp, (i - 1) % 8 AS d, q FROM qz
+        |),
+        |pairs AS (
+        |  SELECT qs.vec_id AS query_id, cs.vec_id, qs.sp AS q_sp, cs.sp AS c_sp,
+        |         CAST(sum(qs.q * cs.q) AS BIGINT) AS dot
+        |  FROM subs qs JOIN subs cs ON cs.d = qs.d
+        |  WHERE qs.vec_id < 3 AND cs.vec_id >= 16 AND cs.vec_id % 7 = 0
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |best AS (
+        |  SELECT query_id, vec_id, q_sp, max(dot) AS best
+        |  FROM pairs GROUP BY 1, 2, 3
+        |),
+        |ms AS (
+        |  SELECT query_id, vec_id, CAST(sum(best) AS BIGINT) AS maxsim
+        |  FROM best GROUP BY 1, 2
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, maxsim,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY maxsim DESC, vec_id) AS rank
+        |  FROM ms
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, vec_id, maxsim
+        |FROM ranked WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
 
     "q_embedding_quantize" ->
       s"""WITH sub AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
