@@ -520,4 +520,63 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the corpus-side candidate join must be the cell equi-join:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
+
+  test("q_pq_kmeans: codebook broadcasts at every Lloyd assignment, argmin hash-aggregates") {
+    val p = plan("q_pq_kmeans", graft.queries.SimilarityQueries.queries)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 2,
+      s"both iterations' codebooks must broadcast, got $broadcasts:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"the packed-bigint argmin must hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_skyline: one aggregate then a window over distinct sizes — no join anywhere") {
+    val p = plan("q_skyline", RelationalQueries.queries)
+    assert(!p.contains("Join"), s"the skyline must not self-join:\n$p")
+    assert(p.contains("HashAggregate"), s"per-size max must hash-aggregate:\n$p")
+    assert(p.contains("Window"), s"dominance must resolve in a window:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_negative_sample: candidate rejection is a left-anti equi-join") {
+    val p = plan("q_negative_sample", graft.queries.EventQueries.queries)
+    assert(p.contains("LeftAnti"),
+      s"interaction rejection must anti-join, never enumerate the catalog:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_attribution: user-keyed pairing; both windows share one purchase exchange") {
+    val p = plan("q_attribution", graft.queries.EventQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"purchase-touch pairing must stay a user equi-join:\n$p")
+    val purchaseExchanges =
+      "Exchange hashpartitioning\\(purchase_id".r.findAllIn(p).length
+    assert(purchaseExchanges == 1,
+      s"rank and count windows must share one purchase_id exchange, got $purchaseExchanges:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_late_interaction: query bag broadcasts; MaxSim reduces through hash aggregates") {
+    val p = plan("q_late_interaction", graft.queries.SimilarityQueries.queries)
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the 24-row query bag must broadcast under the candidate stream:\n$p")
+    assert(p.contains("vec_idot"),
+      s"subvector dots must run in the native integer kernel:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"max/sum reductions must hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), s"plan:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_flow_direction: eight stencil equi-joins, no product, cells cached once") {
+    val p = plan("q_flow_direction", graft.queries.RasterQueries.queries)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every neighbor lookup must be a (grid, row, col) equi-join:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the parsed cell table must come from the shared cache:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
 }
