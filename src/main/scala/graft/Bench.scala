@@ -35,6 +35,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -44,6 +45,12 @@ object Bench {
       spark.range(1000000).selectExpr("sum(id)").collect()
       spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).collect()
     } catch { case _: Throwable => () }
+    // fixture-schema tripwire (non-fatal here — the bench should still
+    // measure whatever runs — but drift gets named up front instead of
+    // surfacing as an opaque per-query error cluster)
+    try graft.sources.FixtureContract.violations(spark, sfDir)
+      .foreach(v => System.err.println(s"[bench] FIXTURE CONTRACT: $v"))
+    catch { case _: Throwable => () }
 
     // Previous round's per-query medians, read BEFORE this run overwrites
     // the detail file — the committed BENCH_DETAIL.json from the prior
@@ -112,15 +119,32 @@ object Bench {
       canaryDf.collect()
       (System.nanoTime() - t0) / 1e9
     }
-    canaryTime() // untimed compile/JIT of the canary plan itself
+    // I/O canary: a one-column scan of a fixed tiny parquet. The CPU
+    // canary is blind to filesystem contention (round 8: broad ≥2×
+    // inflation on untouched I/O-heavy queries under a flat CPU canary
+    // left 18 rows unadjudicated); this one opens the file, parses the
+    // footer, and decodes one column every sample, so I/O-side load
+    // shows up in ITS series. Plan built once; every collect re-reads
+    // the file (parquet scans are not cached).
+    val ioCanaryDf = spark.read.parquet(s"$sfDir/nation.parquet")
+      .selectExpr("sum(n_nationkey) as s")
+    def ioCanaryTime(): Double = {
+      val t0 = System.nanoTime()
+      ioCanaryDf.collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    canaryTime(); ioCanaryTime() // untimed compile/JIT of the canary plans
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    val ioCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val timesBy = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errBy = scala.collection.mutable.LinkedHashMap.empty[String, String]
     for (pass <- 1 to passes) {
       var pos = 0
       order.foreach { case (name, fn) =>
-        if (pos % canaryEvery == 0)
+        if (pos % canaryEvery == 0) {
           canarySeries += ((pass, pos, canaryTime()))
+          ioCanarySeries += ((pass, pos, ioCanaryTime()))
+        }
         val t0 = System.nanoTime()
         val err =
           try { fn(spark, sfDir).count(); None }
@@ -134,6 +158,7 @@ object Bench {
         pos += 1
       }
       canarySeries += ((pass, pos, canaryTime()))
+      ioCanarySeries += ((pass, pos, ioCanaryTime()))
     }
     def med(xs: Seq[Double]): Double = {
       val t = xs.sorted
@@ -193,26 +218,41 @@ object Bench {
         s""""$k":[${"%.6f".format(mn)},${"%.6f".format(mx)}]""" }
       .mkString("{", ",", "}")
     // Canary load index: the full [pass, position, sec] series plus a
-    // one-number summary. load_ratio = max/median of the canary — ≈1.0
-    // means the machine was quiet for the whole run; >>1 means some
-    // timed windows were load-poisoned and regressions inside them are
-    // suspect (the series says WHICH windows).
-    val canaryTimes = canarySeries.map(_._3).toSeq
-    val canaryMed = if (canaryTimes.nonEmpty) med(canaryTimes) else 0.0
-    val canaryMax = if (canaryTimes.nonEmpty) canaryTimes.max else 0.0
-    val loadRatio = if (canaryMed > 0) canaryMax / canaryMed else 1.0
-    val canaryJson = canarySeries
+    // one-number summary per canary. load_ratio = p90/median of the
+    // series EXCLUDING the first sample — the first post-warmup sample
+    // still carries JIT/page-cache warm-in (round 8: a single 0.246 s
+    // first sample over a flat 0.02–0.07 s series reported a false 6.2×
+    // max/median alarm), and p90 over max keeps one stray blip from
+    // owning the one-number index. ≈1.0 = quiet machine for the whole
+    // run; >>1 = load-poisoned windows (the series says WHICH). The CPU
+    // canary implicates compute contention, the I/O canary filesystem
+    // contention — a regressed query under flat canaries implicates the
+    // code.
+    def loadIdx(series: Seq[Double]): (Double, Double) = {
+      val s = (if (series.size > 2) series.drop(1) else series).sorted
+      if (s.isEmpty) (0.0, 1.0)
+      else {
+        val m = med(s)
+        val p90 = s(math.min(s.size - 1, math.ceil(0.9 * s.size).toInt - 1))
+        (m, if (m > 0) p90 / m else 1.0)
+      }
+    }
+    def seriesJson(series: Seq[(Int, Int, Double)]): String = series
       .map { case (p, pos, t) => s"[$p,$pos,${"%.4f".format(t)}]" }
       .mkString("[", ",", "]")
+    val (canaryMed, loadRatio) = loadIdx(canarySeries.map(_._3).toSeq)
+    val (ioCanaryMed, ioLoadRatio) = loadIdx(ioCanarySeries.map(_._3).toSeq)
+    val canaryJson = seriesJson(canarySeries.toSeq)
+    val ioCanaryJson = seriesJson(ioCanarySeries.toSeq)
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
 
     // Compact summary line (fits the tail): total of per-query medians over
     // ALL queries + a fixed headline subset of per-query medians.
     val hl = medians.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec","warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -18,6 +18,13 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // fixture-schema tripwire: a regenerated fixture with a drifted
+    // encoding must surface as ONE named problem here, not as N
+    // individually-erroring queries downstream
+    val contractViolations =
+      graft.sources.FixtureContract.violations(spark, sfDir)
+    contractViolations.foreach(v =>
+      System.err.println(s"[verify] FIXTURE CONTRACT: $v"))
     // a typo'd subset name must not silently verify nothing
     only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
       System.err.println(s"[verify] WARNING: unknown query in subset: $n")))
@@ -25,11 +32,13 @@ object Verify {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None      => SparkEntry.queries
     }
+    val failures = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}"
       }
       // drop per-query caches (band tables, bucketed embeddings, …) so a
       // 100-query dump doesn't accumulate storage across queries
@@ -51,6 +60,25 @@ object Verify {
       .filter { case (k, _) => only.forall(_(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // self-contained error record: a green-row-only correctness report
+    // can mask a zeroed pack (round 8) — errors.json names every query
+    // that threw, plus any fixture-contract violations, so the dump is
+    // auditable standalone
+    val errJson =
+      (contractViolations.zipWithIndex.map { case (v, i) =>
+        s"${q(s"_fixture_contract_$i")}: ${q(v)}" } ++
+       failures.map { case (k, v) => s"${q(k)}: ${q(v)}" })
+        .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    val nBad = failures.size + contractViolations.size
+    if (nBad > 0)
+      System.err.println(s"[verify] $nBad problem(s): " +
+        s"${failures.size} failing quer(ies), " +
+        s"${contractViolations.size} fixture-contract violation(s) — see $outDir/errors.json")
     spark.stop()
+    // strict mode (tools/preflight.sh): any throw or contract violation
+    // fails the process — default stays exit-0 for driver compatibility
+    if (nBad > 0 && sys.env.get("SPARK_GRAFT_STRICT").contains("1"))
+      sys.exit(1)
   }
 }

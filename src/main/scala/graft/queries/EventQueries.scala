@@ -9,11 +9,12 @@ import org.apache.spark.sql.functions._
   * `session_window()` operators run unchanged under Structured
   * Streaming — see graft.streaming and StreamingSpec).
   *
-  * Cross-engine note: the fixture's timestamps carry real NANOsecond
-  * components; Spark truncates parquet ns → µs while DuckDB keeps ns.
-  * Raw timestamps therefore never appear in output — windows are
-  * emitted as epoch-second longs (truncation by <1 µs can never cross
-  * a whole-second boundary, so both engines agree).
+  * Cross-engine note: the fixture's `ts` encoding has drifted across
+  * regenerations (INT64 nanos, then TIMESTAMP_MICROS/NTZ —
+  * EventSource.convert normalizes all variants). Raw timestamps never
+  * appear in output regardless — windows are emitted as epoch-second
+  * longs, so sub-second precision differences between Spark and the
+  * DuckDB oracle can never cross a boundary and both engines agree.
   */
 object EventQueries {
 
