@@ -104,6 +104,88 @@ object SimilarityQueries {
       .agg(vecsum(col("embedding")).as("sums"), count(lit(1)).as("n"))
   }
 
+  /** The shared PQ quantization: components floor-quantized at 2^10 and
+    * SHIFTED by +2048 so every value is non-negative — squared
+    * distances are shift-invariant, and the Lloyd update's integer
+    * division (`sum div n`) only equals DuckDB's floor division when
+    * the numerator cannot go negative. One definition so training and
+    * the trained-codebook assignment/search queries can never disagree
+    * on the integer grid.
+    */
+  private val pqShiftedQv = expr(
+    "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT) + 2048)")
+
+  /** Cached exploded component stream (vec_id, sp, d, v) — the training
+    * side's working set: 8 subspaces (sp) × 8 components (d) per vector.
+    */
+  private def pqComp(s: SparkSession, dir: String): DataFrame =
+    QueryCaches.cache(
+      emb(s, dir).select(col("vec_id"), posexplode(pqShiftedQv).as(Seq("i", "v")))
+        .select(col("vec_id"), expr("i div 8").as("sp"),
+          expr("i % 8").as("d"), col("v")))
+
+  /** One Lloyd assignment: every (vector, subspace) to its nearest
+    * centroid by exact int64 squared distance, ties on centroid id.
+    * The codebook (<=128 component rows × 8 dims) BROADCASTS; the
+    * (dist, j) argmin packs into one bigint (dist·16 + j; j < 16, so
+    * integer min IS the lexicographic min) — a plain bigint MIN
+    * hash-aggregates with map-side combine where min(struct) would
+    * force a SortAggregate over the full N×128 stream.
+    */
+  private def pqAssignStep(comp: DataFrame, cents: DataFrame): DataFrame =
+    comp.join(broadcast(cents), Seq("sp", "d"))
+      .groupBy("vec_id", "sp", "j")
+      .agg(sum(expr("(v - c) * (v - c)")).as("dist"))
+      .groupBy("vec_id", "sp")
+      .agg(min(expr("dist * 16 + j")).as("bk"))
+      .select(col("vec_id"), col("sp"), expr("bk % 16").as("j"))
+
+  /** One Lloyd update: per-component integer mean of each cluster's
+    * members (exact under the +2048 shift). Exchanges keyed on
+    * (vec_id, sp)/(sp, j, d) only — never an all-pairs product.
+    */
+  private def pqUpdateStep(comp: DataFrame, asg: DataFrame): DataFrame =
+    asg.join(comp, Seq("vec_id", "sp"))
+      .groupBy("sp", "j", "d")
+      .agg(expr("sum(v) div count(1)").as("c"))
+
+  /** The anchor init (subvector components of vec_id < 16) — shared by
+    * training and by q_pq_kmeans's reporting.
+    */
+  private def pqAnchorInit(comp: DataFrame): DataFrame =
+    comp.filter(col("vec_id") < 16)
+      .select(col("sp"), col("vec_id").as("j"), col("d"), col("v").as("c"))
+
+  /** Two Lloyd iterations from the anchor init — THE trained codebook
+    * (deterministic: fixed iteration count, integer-exact steps), the
+    * same recipe q_pq_kmeans reports on. Surviving-centroid component
+    * rows (sp, j, d, c).
+    */
+  private def pqTrainedCodebook(comp: DataFrame): DataFrame = {
+    val c0 = pqAnchorInit(comp)
+    val c1 = pqUpdateStep(comp, pqAssignStep(comp, c0))
+    pqUpdateStep(comp, pqAssignStep(comp, c1))
+  }
+
+  /** Trained codebook re-packed as per-(sp, j) component ARRAYS so the
+    * hot full-corpus assignment runs in the codegen'd vec_idot kernel
+    * over 8-dim slices (N×8×16 kernel rows) instead of the exploded
+    * N×8×16×8 component join the training steps use.
+    */
+  private def pqCodebookArrays(comp: DataFrame): DataFrame =
+    pqTrainedCodebook(comp).groupBy("sp", "j")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)")
+        .as("cs"))
+
+  /** Per-(vector, subspace) 8-dim shifted integer subvectors — the
+    * candidate/query side of the trained-codebook assignment and ADC
+    * search.
+    */
+  private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"), pqShiftedQv.as("qv"))
+      .select(col("vec_id"), explode(expr("sequence(0, 7)")).as("sp"), col("qv"))
+      .select(col("vec_id"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Brute-force cosine top-3 per query vector. Norms are computed
@@ -300,26 +382,20 @@ object SimilarityQueries {
     // compresses to 8 nibble codes (4 bytes), a 64× reduction over
     // float32, by splitting into 8 subspaces of 8 dims and snapping
     // each subvector to the nearest of 16 per-subspace centroids.
-    // Codebooks here are anchor-derived (the subvectors of vec_id<16 —
-    // deterministic, no k-means iterations to mirror in SQL); the
-    // arithmetic is integer-exact end-to-end (components floor-
-    // quantized at 2^10, distances exact int64 sums of squares, ties
-    // on centroid id), the same discipline as the int8 path. Scale
-    // shape: the 128-row codebook BROADCASTS, the N×8×16 distance
-    // stream is narrow (three ids + one int64) and partially
-    // aggregates map-side; the only exchanges are keyed on vec_id.
+    // The codebook is TRAINED — two Lloyd iterations from the anchor
+    // init (pqTrainedCodebook, the same deterministic recipe
+    // q_pq_kmeans reports on), closing the round-8 caveat that
+    // assignment ran against the raw anchors. Arithmetic is integer-
+    // exact end-to-end (components floor-quantized at 2^10 then
+    // shifted +2048 so the training means floor identically in both
+    // engines, distances exact int64 sums of squares, ties on centroid
+    // id). Scale shape: training exchanges are keyed on
+    // (vec_id, sp)/(sp, j, d) only, the trained <=128-row codebook
+    // BROADCASTS into the assignment join, the N×8×16 distance stream
+    // is narrow and partially aggregates map-side; the only wide
+    // exchange is keyed on vec_id.
     "q_pq_assign" -> ((s, dir) => {
-      val qv = expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))")
-      val base = QueryCaches.cache(
-        emb(s, dir).select(col("vec_id"), qv.as("qv")))
-      val cents = base.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("j"), explode(expr("sequence(0, 7)")).as("sp"),
-          col("qv"))
-        .select(col("j"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("cs"))
-      val subs = base.select(col("vec_id"),
-          explode(expr("sequence(0, 7)")).as("sp"), col("qv"))
-        .select(col("vec_id"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
+      val centsArr = QueryCaches.cache(pqCodebookArrays(pqComp(s, dir)))
       // ‖sv−cs‖² expanded so every term runs in the native codegen'd
       // integer kernel — the interpreted zip_with HOF paid a lambda
       // call per element at N×8×16×8 volume. The argmin packs
@@ -327,7 +403,7 @@ object SimilarityQueries {
       // IS the lexicographic (dist, j) min): a plain bigint min
       // HASH-aggregates with map-side combine, where min(struct)
       // forces a SortAggregate over the full N×128 stream.
-      val best = subs.join(broadcast(cents), "sp")
+      val best = pqSubvectors(s, dir).join(broadcast(centsArr), "sp")
         .withColumn("dist", expr(
           "vec_idot(sv, sv) + vec_idot(cs, cs) - 2 * vec_idot(sv, cs)"))
         .groupBy("vec_id", "sp")
@@ -347,27 +423,20 @@ object SimilarityQueries {
     // candidate (sp, code) against the broadcast query tables'
     // (sp, j), followed by a (query, candidate)-keyed sum — at 100 TB
     // the scan is the 4-byte-per-vector code table and the per-query
-    // work is 128 table entries, independent of corpus size. Integer-
-    // exact like the assignment, so ranking needs no rounding guard;
-    // ties break on vec_id.
+    // work is 128 table entries, independent of corpus size. Codes and
+    // query tables both come from the TRAINED codebook (two Lloyd
+    // iterations, pqTrainedCodebook — the round-8 anchor-only caveat is
+    // closed), integer-exact like the assignment, so ranking needs no
+    // rounding guard; ties break on vec_id.
     "q_pq_adc_topk" -> ((s, dir) => {
-      val qv = expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))")
-      val base = QueryCaches.cache(
-        emb(s, dir).select(col("vec_id"), qv.as("qv")))
-      val cents = base.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("j"), explode(expr("sequence(0, 7)")).as("sp"),
-          col("qv"))
-        .select(col("j"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("cs"))
-      val subs = base.select(col("vec_id"),
-          explode(expr("sequence(0, 7)")).as("sp"), col("qv"))
-        .select(col("vec_id"), col("sp"), expr("slice(qv, sp * 8 + 1, 8)").as("sv"))
+      val centsArr = QueryCaches.cache(pqCodebookArrays(pqComp(s, dir)))
       // cached: the code side AND the query-table side both read the
       // distance stream; the distance itself runs in the native
       // integer kernel (see q_pq_assign), and the cache keeps only the
       // three ids + dist — the subvector arrays would be 5× dead
       // weight in the stored batches
-      val dists = QueryCaches.cache(subs.join(broadcast(cents), "sp")
+      val dists = QueryCaches.cache(
+        pqSubvectors(s, dir).join(broadcast(centsArr), "sp")
         .withColumn("dist", expr(
           "vec_idot(sv, sv) + vec_idot(cs, cs) - 2 * vec_idot(sv, cs)"))
         .select(col("vec_id"), col("sp"), col("j"), col("dist")))
@@ -412,32 +481,18 @@ object SimilarityQueries {
     // exactly this loop with more iterations, never an all-pairs
     // product, and empty clusters drop out identically in both engines.
     "q_pq_kmeans" -> ((s, dir) => {
-      val qv = expr(
-        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT) + 2048)")
       // one exploded component stream (vec_id, sp, d, v); both
-      // assignments and both centroid updates read it
-      val comp = QueryCaches.cache(
-        emb(s, dir).select(col("vec_id"), posexplode(qv).as(Seq("i", "v")))
-          .select(col("vec_id"), expr("i div 8").as("sp"),
-            expr("i % 8").as("d"), col("v")))
-      val c0 = comp.filter(col("vec_id") < 16)
-        .select(col("sp"), col("vec_id").as("j"), col("d"), col("v").as("c"))
-      def assign(cents: DataFrame): DataFrame =
-        comp.join(broadcast(cents), Seq("sp", "d"))
-          .groupBy("vec_id", "sp", "j")
-          .agg(sum(expr("(v - c) * (v - c)")).as("dist"))
-          .groupBy("vec_id", "sp")
-          .agg(min(expr("dist * 16 + j")).as("bk"))
-          .select(col("vec_id"), col("sp"), expr("bk % 16").as("j"))
-      def update(asg: DataFrame): DataFrame =
-        asg.join(comp, Seq("vec_id", "sp"))
-          .groupBy("sp", "j", "d")
-          .agg(expr("sum(v) div count(1)").as("c"))
+      // assignments and both centroid updates read it. Steps are the
+      // SHARED pqAssignStep/pqUpdateStep — the codebook this query
+      // reports on is definitionally the one q_pq_assign/q_pq_adc_topk
+      // search against.
+      val comp = pqComp(s, dir)
+      val c0 = pqAnchorInit(comp)
       // c1 feeds assignment 2 AND the shift join; a2 feeds the update
       // AND the membership count — cache both (<=1k and N*8 rows)
-      val c1 = QueryCaches.cache(update(assign(c0)))
-      val a2 = QueryCaches.cache(assign(c1))
-      val c2 = update(a2)
+      val c1 = QueryCaches.cache(pqUpdateStep(comp, pqAssignStep(comp, c0)))
+      val a2 = QueryCaches.cache(pqAssignStep(comp, c1))
+      val c2 = pqUpdateStep(comp, a2)
       a2.groupBy("sp", "j").agg(count(lit(1)).as("n_members"))
         .join(c2.select(col("sp"), col("j"), col("d"), col("c").as("c2")),
           Seq("sp", "j"))
@@ -869,6 +924,44 @@ object SimilarityQueries {
       |       round(sum(x) / count(*), 4) AS centroid
       |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
 
+  /** Shared oracle CTE fragment mirroring pqComp + pqTrainedCodebook:
+    * the +2048-shifted component stream and two Lloyd iterations from
+    * the anchor init, ending in the trained codebook `c2`. Pre-
+    * stripMargin'd — interpolate at line ends only (see the
+    * stripMargin gotcha in etl/Manifest.scala).
+    */
+  private val pqTrainSql: String =
+    """comp AS (
+      |  SELECT vec_id, (u.i - 1) // 8 AS sp, (u.i - 1) % 8 AS d,
+      |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) + 2048 AS v
+      |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+      |),
+      |c0 AS (SELECT sp, vec_id AS j, d, v AS c FROM comp WHERE vec_id < 16),
+      |d1 AS (
+      |  SELECT m.vec_id, m.sp, c.j,
+      |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
+      |  FROM comp m JOIN c0 c ON c.sp = m.sp AND c.d = m.d
+      |  GROUP BY 1, 2, 3
+      |),
+      |a1 AS (SELECT vec_id, sp, min(dist * 16 + j) % 16 AS j FROM d1 GROUP BY 1, 2),
+      |c1 AS (
+      |  SELECT m.sp, a.j, m.d, sum(m.v) // count(*) AS c
+      |  FROM a1 a JOIN comp m ON m.vec_id = a.vec_id AND m.sp = a.sp
+      |  GROUP BY 1, 2, 3
+      |),
+      |d2 AS (
+      |  SELECT m.vec_id, m.sp, c.j,
+      |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
+      |  FROM comp m JOIN c1 c ON c.sp = m.sp AND c.d = m.d
+      |  GROUP BY 1, 2, 3
+      |),
+      |a2 AS (SELECT vec_id, sp, min(dist * 16 + j) % 16 AS j FROM d2 GROUP BY 1, 2),
+      |c2 AS (
+      |  SELECT m.sp, a.j, m.d, sum(m.v) // count(*) AS c
+      |  FROM a2 a JOIN comp m ON m.vec_id = a.vec_id AND m.sp = a.sp
+      |  GROUP BY 1, 2, 3
+      |)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_ivf_centroids" -> ivfFullRecomputeSql,
     "q_ivf_update" -> ivfFullRecomputeSql,
@@ -1158,52 +1251,38 @@ object SimilarityQueries {
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_pq_assign" ->
-      """WITH qz AS (
-        |  SELECT vec_id, u.i,
-        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
-        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
-        |),
-        |d AS (
-        |  SELECT v.vec_id, c.vec_id AS j, (v.i - 1) // 8 AS sp,
-        |         CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
-        |  FROM qz v JOIN qz c ON c.i = v.i AND c.vec_id < 16
+      (s"""WITH $pqTrainSql,""" +
+      """
+        |dass AS (
+        |  SELECT m.vec_id, m.sp, c.j,
+        |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
+        |  FROM comp m JOIN c2 c ON c.sp = m.sp AND c.d = m.d
         |  GROUP BY 1, 2, 3
         |),
         |best AS (
-        |  SELECT vec_id, sp, j, dist,
-        |         row_number() OVER (PARTITION BY vec_id, sp
-        |                            ORDER BY dist, j) AS rn
-        |  FROM d
+        |  SELECT vec_id, sp, min(dist * 16 + j) AS bk FROM dass GROUP BY 1, 2
         |)
         |SELECT vec_id,
-        |       CAST(sum(j << (sp * 4)) AS BIGINT) AS pq_code,
-        |       CAST(sum(dist) AS BIGINT) AS q_err
-        |FROM best WHERE rn = 1
-        |GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+        |       CAST(sum((bk % 16) << (sp * 4)) AS BIGINT) AS pq_code,
+        |       CAST(sum(bk // 16) AS BIGINT) AS q_err
+        |FROM best GROUP BY vec_id ORDER BY vec_id""".stripMargin),
 
     "q_pq_adc_topk" ->
-      """WITH qz AS (
-        |  SELECT vec_id, u.i,
-        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
-        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
-        |),
-        |d AS (
-        |  SELECT v.vec_id, c.vec_id AS j, (v.i - 1) // 8 AS sp,
-        |         CAST(sum((v.q - c.q) * (v.q - c.q)) AS BIGINT) AS dist
-        |  FROM qz v JOIN qz c ON c.i = v.i AND c.vec_id < 16
+      (s"""WITH $pqTrainSql,""" +
+      """
+        |dall AS (
+        |  SELECT m.vec_id, m.sp, c.j,
+        |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
+        |  FROM comp m JOIN c2 c ON c.sp = m.sp AND c.d = m.d
         |  GROUP BY 1, 2, 3
         |),
         |codes AS (
-        |  SELECT vec_id, sp, j AS code FROM (
-        |    SELECT vec_id, sp, j,
-        |           row_number() OVER (PARTITION BY vec_id, sp
-        |                              ORDER BY dist, j) AS rn
-        |    FROM d WHERE vec_id >= 16)
-        |  WHERE rn = 1
+        |  SELECT vec_id, sp, CAST(min(dist * 16 + j) % 16 AS BIGINT) AS code
+        |  FROM dall WHERE vec_id >= 16 GROUP BY 1, 2
         |),
         |qtab AS (
         |  SELECT vec_id AS query_id, sp, j AS code, dist
-        |  FROM d WHERE vec_id < 5
+        |  FROM dall WHERE vec_id < 5
         |),
         |adc AS (
         |  SELECT q.query_id, c.vec_id, CAST(sum(q.dist) AS BIGINT) AS adc_dist
@@ -1217,39 +1296,11 @@ object SimilarityQueries {
         |  FROM adc
         |)
         |SELECT query_id, rank, vec_id, adc_dist FROM ranked
-        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin),
 
     "q_pq_kmeans" ->
-      """WITH comp AS (
-        |  SELECT vec_id, (u.i - 1) // 8 AS sp, (u.i - 1) % 8 AS d,
-        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) + 2048 AS v
-        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
-        |),
-        |c0 AS (SELECT sp, vec_id AS j, d, v AS c FROM comp WHERE vec_id < 16),
-        |d1 AS (
-        |  SELECT m.vec_id, m.sp, c.j,
-        |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
-        |  FROM comp m JOIN c0 c ON c.sp = m.sp AND c.d = m.d
-        |  GROUP BY 1, 2, 3
-        |),
-        |a1 AS (SELECT vec_id, sp, min(dist * 16 + j) % 16 AS j FROM d1 GROUP BY 1, 2),
-        |c1 AS (
-        |  SELECT m.sp, a.j, m.d, sum(m.v) // count(*) AS c
-        |  FROM a1 a JOIN comp m ON m.vec_id = a.vec_id AND m.sp = a.sp
-        |  GROUP BY 1, 2, 3
-        |),
-        |d2 AS (
-        |  SELECT m.vec_id, m.sp, c.j,
-        |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
-        |  FROM comp m JOIN c1 c ON c.sp = m.sp AND c.d = m.d
-        |  GROUP BY 1, 2, 3
-        |),
-        |a2 AS (SELECT vec_id, sp, min(dist * 16 + j) % 16 AS j FROM d2 GROUP BY 1, 2),
-        |c2 AS (
-        |  SELECT m.sp, a.j, m.d, sum(m.v) // count(*) AS c
-        |  FROM a2 a JOIN comp m ON m.vec_id = a.vec_id AND m.sp = a.sp
-        |  GROUP BY 1, 2, 3
-        |),
+      (s"""WITH $pqTrainSql,""" +
+      """
         |members AS (SELECT sp, j, count(*) AS n_members FROM a2 GROUP BY 1, 2)
         |SELECT CAST(m.sp AS BIGINT) AS sp, CAST(m.j AS BIGINT) AS j,
         |       CAST(m.n_members AS BIGINT) AS n_members,
@@ -1258,7 +1309,7 @@ object SimilarityQueries {
         |FROM members m
         |JOIN c2 ON c2.sp = m.sp AND c2.j = m.j
         |JOIN c1 ON c1.sp = m.sp AND c1.j = m.j AND c1.d = c2.d
-        |GROUP BY 1, 2, 3 ORDER BY sp, j""".stripMargin,
+        |GROUP BY 1, 2, 3 ORDER BY sp, j""".stripMargin),
 
     "q_mrl_recall" ->
       """WITH qz AS (
