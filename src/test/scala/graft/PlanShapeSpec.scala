@@ -579,4 +579,15 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the parsed cell table must come from the shared cache:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
+
+  test("q_dedup_bloom: plan-internal native bloom — might_contain binds, no UDF") {
+    val p = plan("q_dedup_bloom", graft.queries.DedupQueries.queries)
+    assert(p.contains("might_contain"),
+      s"the probe must be the native BloomFilterMightContain expression:\n$p")
+    assert(p.contains("bloom_filter_agg") || p.contains("Subquery"),
+      s"the sketch must be built by a plan-internal scalar subquery:\n$p")
+    assert(!p.contains("ScalaUDF"),
+      s"the dedup pack must be UDF-free:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
 }
