@@ -845,6 +845,57 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // SemDeDup epsilon SWEEP — the tuning loop every semantic-dedup
+    // deployment runs: how many documents survive at similarity
+    // threshold 0.5 vs 0.7 vs 0.9? The expensive work (cell-blocked
+    // pairwise scoring + per-vector kNN) happens ONCE into a cached
+    // edge set carrying sims; each threshold then only FILTERS that
+    // edge set and re-runs the (cheap, edge-count-bounded) component
+    // step — one corpus pass, multiple operating points. At 100 TB
+    // this is the difference between one Σ|cell|² scoring pass and
+    // one per threshold; the per-eps component rounds touch only the
+    // surviving edges (monotonically fewer as eps rises).
+    "q_semdedup_sweep" -> ((s, dir) => {
+      val base = emb(s, dir)
+        .select(col("vec_id"), col("embedding"),
+          col("label").cast("bigint").as("cell"))
+      val copies = base.filter(col("vec_id") % 7 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"),
+          col("cell"))
+      val corpus = QueryCaches.cache(
+        base.unionByName(copies).withColumn("nrm", norm("embedding")))
+      val a = corpus.select(col("vec_id"), col("embedding").as("ea"),
+        col("nrm").as("na"), col("cell"))
+      val b = corpus.select(col("vec_id").as("nbr_id"),
+        col("embedding").as("eb"), col("nrm").as("nb"), col("cell"))
+      val scored = a.join(b, Seq("cell"))
+        .filter(col("vec_id") =!= col("nbr_id"))
+        .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nbr_id"))
+      // the ONE-PASS edge set: kNN with sims retained, cached — every
+      // threshold below reads this, never the corpus
+      val knn = QueryCaches.cache(
+        scored.withColumn("rank", row_number().over(w))
+          .filter(col("rank") <= 3 && col("sim") >= 0.5)
+          .select(col("vec_id"), col("nbr_id"), col("sim")))
+      val nodes = corpus.select(col("vec_id").as("id"))
+      Seq(0.5, 0.7, 0.9).map { eps =>
+        val pairs = knn.filter(col("sim") >= eps)
+          .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+            greatest(col("vec_id"), col("nbr_id")).as("id_b"))
+          .distinct()
+        val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+          .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+        GraphOps.alternatingStarComponents(nodes, edges)._1
+          .agg(sum(when(col("id") === col("label"), 1L).otherwise(0L))
+            .as("n_kept"), count(lit(1)).as("n_total"))
+          .crossJoin(broadcast(pairs.agg(count(lit(1)).as("n_pairs"))))
+          .select(lit(eps).as("eps"), col("n_pairs"), col("n_kept"),
+            (col("n_total") - col("n_kept")).as("n_dropped"))
+      }.reduce(_ unionByName _).orderBy("eps")
+    }),
+
     // Corpus covariance matrix over the embedding space — the moment
     // computation under PCA/whitening and drift monitoring. Per row, a
     // codegen'd HOF builds the dims²/2 upper-triangle products; ONE
@@ -1042,6 +1093,76 @@ object SimilarityQueries {
          |SELECT id AS vec_id, survivor_id,
          |       CAST(CASE WHEN id = survivor_id THEN 1 ELSE 0 END AS BIGINT) AS kept
          |FROM comp ORDER BY vec_id""".stripMargin,
+
+    "q_semdedup_sweep" ->
+      s"""WITH RECURSIVE corpus AS (
+         |  SELECT vec_id, embedding, CAST(label AS BIGINT) AS cell FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id + 1000000, embedding, CAST(label AS BIGINT)
+         |  FROM embeddings WHERE vec_id % 7 = 0
+         |),
+         |scored AS (
+         |  SELECT a.vec_id AS vid, b.vec_id AS nid,
+         |         round(${dotSql("a.embedding", "b.embedding")} /
+         |               (sqrt(${dotSql("a.embedding", "a.embedding")})
+         |                * sqrt(${dotSql("b.embedding", "b.embedding")})), 4) AS sim
+         |  FROM corpus a JOIN corpus b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+         |),
+         |knn AS (
+         |  SELECT vid, nid, sim FROM (
+         |    SELECT vid, nid, sim,
+         |           row_number() OVER (PARTITION BY vid ORDER BY sim DESC, nid) AS rnk
+         |    FROM scored
+         |  ) WHERE rnk <= 3 AND sim >= 0.5
+         |),
+         |p05 AS (SELECT DISTINCT least(vid, nid) AS id_a, greatest(vid, nid) AS id_b
+         |        FROM knn WHERE sim >= 0.5),
+         |e05 AS (SELECT id_a AS src, id_b AS dst FROM p05
+         |        UNION ALL SELECT id_b, id_a FROM p05),
+         |r05(id, label) AS (
+         |  SELECT vec_id, vec_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.label FROM r05 r JOIN e05 e ON e.src = r.id
+         |),
+         |c05 AS (SELECT id, min(label) AS lbl FROM r05 GROUP BY id),
+         |p07 AS (SELECT DISTINCT least(vid, nid) AS id_a, greatest(vid, nid) AS id_b
+         |        FROM knn WHERE sim >= 0.7),
+         |e07 AS (SELECT id_a AS src, id_b AS dst FROM p07
+         |        UNION ALL SELECT id_b, id_a FROM p07),
+         |r07(id, label) AS (
+         |  SELECT vec_id, vec_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.label FROM r07 r JOIN e07 e ON e.src = r.id
+         |),
+         |c07 AS (SELECT id, min(label) AS lbl FROM r07 GROUP BY id),
+         |p09 AS (SELECT DISTINCT least(vid, nid) AS id_a, greatest(vid, nid) AS id_b
+         |        FROM knn WHERE sim >= 0.9),
+         |e09 AS (SELECT id_a AS src, id_b AS dst FROM p09
+         |        UNION ALL SELECT id_b, id_a FROM p09),
+         |r09(id, label) AS (
+         |  SELECT vec_id, vec_id FROM corpus
+         |  UNION
+         |  SELECT e.dst, r.label FROM r09 r JOIN e09 e ON e.src = r.id
+         |),
+         |c09 AS (SELECT id, min(label) AS lbl FROM r09 GROUP BY id)
+         |SELECT CAST(0.5 AS DOUBLE) AS eps,
+         |       (SELECT count(*) FROM p05) AS n_pairs,
+         |       CAST(sum(CASE WHEN id = lbl THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       CAST(sum(CASE WHEN id = lbl THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped
+         |FROM c05
+         |UNION ALL
+         |SELECT CAST(0.7 AS DOUBLE),
+         |       (SELECT count(*) FROM p07),
+         |       CAST(sum(CASE WHEN id = lbl THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(sum(CASE WHEN id = lbl THEN 0 ELSE 1 END) AS BIGINT)
+         |FROM c07
+         |UNION ALL
+         |SELECT CAST(0.9 AS DOUBLE),
+         |       (SELECT count(*) FROM p09),
+         |       CAST(sum(CASE WHEN id = lbl THEN 1 ELSE 0 END) AS BIGINT),
+         |       CAST(sum(CASE WHEN id = lbl THEN 0 ELSE 1 END) AS BIGINT)
+         |FROM c09
+         |ORDER BY eps""".stripMargin,
 
     // Mirrors the query's floor-quantized integer moments exactly: both
     // engines sum the SAME int64s (DuckDB's sum(BIGINT) widens to
