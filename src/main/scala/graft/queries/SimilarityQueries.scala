@@ -506,6 +506,73 @@ object SimilarityQueries {
         .orderBy("sp", "j")
     }),
 
+    // IVF-PQ residual search (Jégou et al. TPAMI'11 §IV, the FAISS
+    // "IVFADC" index) — the full composition every production vector
+    // store runs: a coarse quantizer picks nprobe=2 candidate cells by
+    // exact distance to the integer cell centroids, and within a cell
+    // the candidate is represented ONLY by the PQ codes of its
+    // RESIDUAL (vector minus its cell centroid — residuals are what
+    // make 4-bit codes accurate: they're centered near zero with far
+    // less variance than raw vectors). Queries build one 8×16 ADC
+    // table PER PROBED CELL from their own residual against that cell
+    // centroid, and a candidate's score is 8 table lookups. Integer-
+    // exact end-to-end: 2^10 quantization +2048 shift (cell centroids
+    // are integer floor-means — the shift keeps the numerator
+    // non-negative so both engines floor identically), residual
+    // distances are exact int64, argmins pack as dist·16+j, ranking
+    // ties on vec_id. Scale shape: cell centroids (cells×64 rows),
+    // the residual codebook (128×8), and the per-query ADC tables
+    // (queries×nprobe×128) all BROADCAST; the corpus-side work is one
+    // residual pass + code assignment keyed on vec_id, and search
+    // touches only the probed cells' code lists — at 100 TB the scan
+    // is 4 bytes/vector within nprobe/cells of the corpus.
+    "q_ivfpq_search" -> ((s, dir) => {
+      val comp = QueryCaches.cache(
+        emb(s, dir).select(col("vec_id"), col("label").cast("bigint").as("cell"),
+          posexplode(pqShiftedQv).as(Seq("i", "v"))))
+      val cc = comp.groupBy("cell", "i")
+        .agg(expr("sum(v) div count(1)").as("c"))
+      // residual component stream — candidates and the codebook read it
+      val r = QueryCaches.cache(comp.join(broadcast(cc), Seq("cell", "i"))
+        .select(col("vec_id"), col("cell"), expr("i div 8").as("sp"),
+          expr("i % 8").as("d"), (col("v") - col("c")).as("r")))
+      val cb = r.filter(col("vec_id") < 16)
+        .select(col("sp"), col("vec_id").as("j"), col("d"), col("r").as("rc"))
+      val codes = r.filter(col("vec_id") >= 16)
+        .join(broadcast(cb), Seq("sp", "d"))
+        .groupBy("vec_id", "cell", "sp", "j")
+        .agg(sum(expr("(r - rc) * (r - rc)")).as("dist"))
+        .groupBy("vec_id", "cell", "sp")
+        .agg(min(expr("dist * 16 + j")).as("bk"))
+        .select(col("vec_id"), col("cell"), col("sp"), expr("bk % 16").as("code"))
+      val qcomp = comp.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("i"), col("v"))
+      val qd = qcomp.join(broadcast(cc), Seq("i"))
+        .groupBy("query_id", "cell")
+        .agg(sum(expr("(v - c) * (v - c)")).as("cdist"))
+      val wp = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("cdist"), col("cell"))
+      val probe = qd.withColumn("pr", row_number().over(wp))
+        .filter(col("pr") <= 2).select("query_id", "cell")
+      val qtab = qcomp.join(broadcast(probe), Seq("query_id"))
+        .join(broadcast(cc), Seq("cell", "i"))
+        .select(col("query_id"), col("cell"), expr("i div 8").as("sp"),
+          expr("i % 8").as("d"), (col("v") - col("c")).as("r"))
+        .join(broadcast(cb), Seq("sp", "d"))
+        .groupBy("query_id", "cell", "sp", "j")
+        .agg(sum(expr("(r - rc) * (r - rc)")).as("dist"))
+        .withColumnRenamed("j", "code")
+      val adc = codes.join(broadcast(qtab), Seq("cell", "sp", "code"))
+        .groupBy("query_id", "vec_id", "cell")
+        .agg(sum(col("dist")).as("adc_dist"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("adc_dist"), col("vec_id"))
+      adc.withColumn("rank", row_number().over(w).cast("bigint"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "rank", "vec_id", "cell", "adc_dist")
+        .orderBy("query_id", "rank")
+    }),
+
     // Matryoshka-style truncation eval: how much retrieval quality do
     // the first 16 of 64 dimensions keep? Per query, the top-10 by
     // exact integer dot over ALL dims vs the top-10 over the 16-dim
@@ -1431,6 +1498,71 @@ object SimilarityQueries {
         |JOIN c2 ON c2.sp = m.sp AND c2.j = m.j
         |JOIN c1 ON c1.sp = m.sp AND c1.j = m.j AND c1.d = c2.d
         |GROUP BY 1, 2, 3 ORDER BY sp, j""".stripMargin),
+
+    "q_ivfpq_search" ->
+      """WITH comp AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS cell, u.i - 1 AS i,
+        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) + 2048 AS v
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |),
+        |cc AS (SELECT cell, i, sum(v) // count(*) AS c FROM comp GROUP BY 1, 2),
+        |res AS (
+        |  SELECT m.vec_id, m.cell, m.i // 8 AS sp, m.i % 8 AS d, m.v - c.c AS r
+        |  FROM comp m JOIN cc c ON c.cell = m.cell AND c.i = m.i
+        |),
+        |cb AS (SELECT sp, vec_id AS j, d, r AS rc FROM res WHERE vec_id < 16),
+        |cd AS (
+        |  SELECT v.vec_id, v.cell, v.sp, c.j,
+        |         CAST(sum((v.r - c.rc) * (v.r - c.rc)) AS BIGINT) AS dist
+        |  FROM res v JOIN cb c ON c.sp = v.sp AND c.d = v.d
+        |  WHERE v.vec_id >= 16
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |codes AS (
+        |  SELECT vec_id, cell, sp, min(dist * 16 + j) % 16 AS code
+        |  FROM cd GROUP BY 1, 2, 3
+        |),
+        |qd AS (
+        |  SELECT q.vec_id AS query_id, c.cell,
+        |         CAST(sum((q.v - c.c) * (q.v - c.c)) AS BIGINT) AS cdist
+        |  FROM comp q JOIN cc c ON c.i = q.i
+        |  WHERE q.vec_id < 5 GROUP BY 1, 2
+        |),
+        |probe AS (
+        |  SELECT query_id, cell FROM (
+        |    SELECT query_id, cell,
+        |           row_number() OVER (PARTITION BY query_id
+        |                              ORDER BY cdist, cell) AS pr
+        |    FROM qd) WHERE pr <= 2
+        |),
+        |qres AS (
+        |  SELECT q.vec_id AS query_id, p.cell, q.i // 8 AS sp, q.i % 8 AS d,
+        |         q.v - c.c AS r
+        |  FROM comp q
+        |  JOIN probe p ON p.query_id = q.vec_id
+        |  JOIN cc c ON c.cell = p.cell AND c.i = q.i
+        |  WHERE q.vec_id < 5
+        |),
+        |qtab AS (
+        |  SELECT query_id, cell, qr.sp, c.j AS code,
+        |         CAST(sum((qr.r - c.rc) * (qr.r - c.rc)) AS BIGINT) AS dist
+        |  FROM qres qr JOIN cb c ON c.sp = qr.sp AND c.d = qr.d
+        |  GROUP BY 1, 2, 3, 4
+        |),
+        |adc AS (
+        |  SELECT t.query_id, k.vec_id, k.cell, CAST(sum(t.dist) AS BIGINT) AS adc_dist
+        |  FROM codes k
+        |  JOIN qtab t ON t.cell = k.cell AND t.sp = k.sp AND t.code = k.code
+        |  GROUP BY 1, 2, 3
+        |),
+        |ranked AS (
+        |  SELECT query_id, vec_id, cell, adc_dist,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY adc_dist, vec_id) AS rank
+        |  FROM adc
+        |)
+        |SELECT query_id, rank, vec_id, cell, adc_dist FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
 
     "q_mrl_recall" ->
       """WITH qz AS (

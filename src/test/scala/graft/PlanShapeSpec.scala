@@ -580,6 +580,18 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_ivfpq_search: centroids, residual codebook and ADC tables all broadcast") {
+    val p = plan("q_ivfpq_search", graft.queries.SimilarityQueries.queries)
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(broadcasts >= 4,
+      s"cell centroids, codebook, probe list and ADC tables must broadcast, got $broadcasts:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"every lookup must be an equi-join:\n$p")
+    assert(!p.contains("SortAggregate"),
+      s"residual distances and argmins must hash-aggregate:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_dedup_bloom: plan-internal native bloom — might_contain binds, no UDF") {
     val p = plan("q_dedup_bloom", graft.queries.DedupQueries.queries)
     assert(p.contains("might_contain"),
