@@ -124,21 +124,33 @@ object SimilarityQueries {
         .select(col("vec_id"), expr("i div 8").as("sp"),
           expr("i % 8").as("d"), col("v")))
 
+  /** Centroid component rows re-packed as per-(sp, j) ARRAYS so every
+    * Lloyd assignment runs in the codegen'd vec_idot kernel over 8-dim
+    * slices (N×8×16 kernel rows) instead of an exploded N×8×16×8
+    * component join.
+    */
+  private def pqPack(cents: DataFrame): DataFrame =
+    cents.groupBy("sp", "j")
+      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)")
+        .as("cs"))
+
   /** One Lloyd assignment: every (vector, subspace) to its nearest
-    * centroid by exact int64 squared distance, ties on centroid id.
-    * The codebook (<=128 component rows × 8 dims) BROADCASTS; the
+    * centroid by exact int64 squared distance (‖sv−cs‖² expanded so
+    * every term runs in the native integer kernel), ties on centroid
+    * id. The packed codebook (<=128 array rows) BROADCASTS; the
     * (dist, j) argmin packs into one bigint (dist·16 + j; j < 16, so
     * integer min IS the lexicographic min) — a plain bigint MIN
     * hash-aggregates with map-side combine where min(struct) would
-    * force a SortAggregate over the full N×128 stream.
+    * force a SortAggregate over the full N×128 stream. Returns
+    * (vec_id, sp, bk): callers take `bk % 16` for the code and
+    * `bk div 16` for the distance.
     */
-  private def pqAssignStep(comp: DataFrame, cents: DataFrame): DataFrame =
-    comp.join(broadcast(cents), Seq("sp", "d"))
-      .groupBy("vec_id", "sp", "j")
-      .agg(sum(expr("(v - c) * (v - c)")).as("dist"))
+  private def pqAssignStep(subs: DataFrame, centsArr: DataFrame): DataFrame =
+    subs.join(broadcast(centsArr), "sp")
+      .withColumn("dist", expr(
+        "vec_idot(sv, sv) + vec_idot(cs, cs) - 2 * vec_idot(sv, cs)"))
       .groupBy("vec_id", "sp")
       .agg(min(expr("dist * 16 + j")).as("bk"))
-      .select(col("vec_id"), col("sp"), expr("bk % 16").as("j"))
 
   /** One Lloyd update: per-component integer mean of each cluster's
     * members (exact under the +2048 shift). Exchanges keyed on
@@ -149,37 +161,27 @@ object SimilarityQueries {
       .groupBy("sp", "j", "d")
       .agg(expr("sum(v) div count(1)").as("c"))
 
-  /** The anchor init (subvector components of vec_id < 16) — shared by
-    * training and by q_pq_kmeans's reporting.
-    */
-  private def pqAnchorInit(comp: DataFrame): DataFrame =
-    comp.filter(col("vec_id") < 16)
-      .select(col("sp"), col("vec_id").as("j"), col("d"), col("v").as("c"))
+  /** The anchor init as packed arrays (subvectors of vec_id < 16). */
+  private def pqAnchorArrays(subs: DataFrame): DataFrame =
+    subs.filter(col("vec_id") < 16)
+      .select(col("sp"), col("vec_id").as("j"), col("sv").as("cs"))
+
+  private def pqCodeOf(asg: DataFrame): DataFrame =
+    asg.select(col("vec_id"), col("sp"), expr("bk % 16").as("j"))
 
   /** Two Lloyd iterations from the anchor init — THE trained codebook
     * (deterministic: fixed iteration count, integer-exact steps), the
     * same recipe q_pq_kmeans reports on. Surviving-centroid component
-    * rows (sp, j, d, c).
+    * rows (sp, j, d, c); pqPack for the kernel-ready array form.
     */
-  private def pqTrainedCodebook(comp: DataFrame): DataFrame = {
-    val c0 = pqAnchorInit(comp)
-    val c1 = pqUpdateStep(comp, pqAssignStep(comp, c0))
-    pqUpdateStep(comp, pqAssignStep(comp, c1))
+  private def pqTrainedCodebook(comp: DataFrame, subs: DataFrame): DataFrame = {
+    val c1 = pqUpdateStep(comp,
+      pqCodeOf(pqAssignStep(subs, pqAnchorArrays(subs))))
+    pqUpdateStep(comp, pqCodeOf(pqAssignStep(subs, pqPack(c1))))
   }
 
-  /** Trained codebook re-packed as per-(sp, j) component ARRAYS so the
-    * hot full-corpus assignment runs in the codegen'd vec_idot kernel
-    * over 8-dim slices (N×8×16 kernel rows) instead of the exploded
-    * N×8×16×8 component join the training steps use.
-    */
-  private def pqCodebookArrays(comp: DataFrame): DataFrame =
-    pqTrainedCodebook(comp).groupBy("sp", "j")
-      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)")
-        .as("cs"))
-
   /** Per-(vector, subspace) 8-dim shifted integer subvectors — the
-    * candidate/query side of the trained-codebook assignment and ADC
-    * search.
+    * assignment/search side of every PQ query.
     */
   private def pqSubvectors(s: SparkSession, dir: String): DataFrame =
     emb(s, dir).select(col("vec_id"), pqShiftedQv.as("qv"))
@@ -395,20 +397,11 @@ object SimilarityQueries {
     // is narrow and partially aggregates map-side; the only wide
     // exchange is keyed on vec_id.
     "q_pq_assign" -> ((s, dir) => {
-      val centsArr = QueryCaches.cache(pqCodebookArrays(pqComp(s, dir)))
-      // ‖sv−cs‖² expanded so every term runs in the native codegen'd
-      // integer kernel — the interpreted zip_with HOF paid a lambda
-      // call per element at N×8×16×8 volume. The argmin packs
-      // (dist, j) into ONE bigint (dist·16 + j; j < 16, so integer min
-      // IS the lexicographic (dist, j) min): a plain bigint min
-      // HASH-aggregates with map-side combine, where min(struct)
-      // forces a SortAggregate over the full N×128 stream.
-      val best = pqSubvectors(s, dir).join(broadcast(centsArr), "sp")
-        .withColumn("dist", expr(
-          "vec_idot(sv, sv) + vec_idot(cs, cs) - 2 * vec_idot(sv, cs)"))
-        .groupBy("vec_id", "sp")
-        .agg(min(expr("dist * 16 + j")).as("bk"))
-      best.groupBy("vec_id")
+      val subs = QueryCaches.cache(pqSubvectors(s, dir))
+      val centsArr = QueryCaches.cache(
+        pqPack(pqTrainedCodebook(pqComp(s, dir), subs)))
+      pqAssignStep(subs, centsArr)
+        .groupBy("vec_id")
         .agg(sum(expr("shiftleft(bk % 16, sp * 4)")).as("pq_code"),
           sum(expr("bk div 16")).as("q_err"))
         .orderBy("vec_id")
@@ -429,14 +422,16 @@ object SimilarityQueries {
     // closed), integer-exact like the assignment, so ranking needs no
     // rounding guard; ties break on vec_id.
     "q_pq_adc_topk" -> ((s, dir) => {
-      val centsArr = QueryCaches.cache(pqCodebookArrays(pqComp(s, dir)))
+      val subs = QueryCaches.cache(pqSubvectors(s, dir))
+      val centsArr = QueryCaches.cache(
+        pqPack(pqTrainedCodebook(pqComp(s, dir), subs)))
       // cached: the code side AND the query-table side both read the
       // distance stream; the distance itself runs in the native
-      // integer kernel (see q_pq_assign), and the cache keeps only the
+      // integer kernel (see pqAssignStep), and the cache keeps only the
       // three ids + dist — the subvector arrays would be 5× dead
       // weight in the stored batches
       val dists = QueryCaches.cache(
-        pqSubvectors(s, dir).join(broadcast(centsArr), "sp")
+        subs.join(broadcast(centsArr), "sp")
         .withColumn("dist", expr(
           "vec_idot(sv, sv) + vec_idot(cs, cs) - 2 * vec_idot(sv, cs)"))
         .select(col("vec_id"), col("sp"), col("j"), col("dist")))
@@ -487,11 +482,12 @@ object SimilarityQueries {
       // reports on is definitionally the one q_pq_assign/q_pq_adc_topk
       // search against.
       val comp = pqComp(s, dir)
-      val c0 = pqAnchorInit(comp)
+      val subs = QueryCaches.cache(pqSubvectors(s, dir))
       // c1 feeds assignment 2 AND the shift join; a2 feeds the update
       // AND the membership count — cache both (<=1k and N*8 rows)
-      val c1 = QueryCaches.cache(pqUpdateStep(comp, pqAssignStep(comp, c0)))
-      val a2 = QueryCaches.cache(pqAssignStep(comp, c1))
+      val c1 = QueryCaches.cache(pqUpdateStep(comp,
+        pqCodeOf(pqAssignStep(subs, pqAnchorArrays(subs)))))
+      val a2 = QueryCaches.cache(pqCodeOf(pqAssignStep(subs, pqPack(c1))))
       val c2 = pqUpdateStep(comp, a2)
       a2.groupBy("sp", "j").agg(count(lit(1)).as("n_members"))
         .join(c2.select(col("sp"), col("j"), col("d"), col("c").as("c2")),
