@@ -526,25 +526,23 @@ object DedupQueries {
         .filter(col("doc_id") >= 1000000)
         .withColumn("content_hash", md5(col("text")))
         .createOrReplaceTempView("graft_bloom_fresh")
-      s.sql(
-        s"""WITH idx AS (
-           |  SELECT md5(text) AS content_hash
-           |  FROM parquet.`$dir/documents.parquet`
-           |),
-           |bloomed AS (
-           |  SELECT doc_id, content_hash,
-           |         might_contain(
-           |           (SELECT bloom_filter_agg(xxhash64(content_hash), ${nItems}L, ${nBits}L)
-           |            FROM idx),
-           |           xxhash64(content_hash)) AS maybe_dup
-           |  FROM graft_bloom_fresh
-           |)
-           |SELECT doc_id, content_hash FROM bloomed WHERE NOT maybe_dup
-           |UNION ALL
-           |SELECT b.doc_id, b.content_hash
-           |FROM bloomed b LEFT ANTI JOIN idx ON idx.content_hash = b.content_hash
-           |WHERE b.maybe_dup
-           |ORDER BY doc_id""".stripMargin)
+      // cached: BOTH output branches (definitely-new, verify-positives)
+      // read the probed stream — without the cache each branch re-scans
+      // the corpus AND re-executes the bloom-build subquery
+      val bloomed = QueryCaches.cache(s.sql(
+        s"""SELECT doc_id, content_hash,
+           |       might_contain(
+           |         (SELECT bloom_filter_agg(xxhash64(md5(text)), ${nItems}L, ${nBits}L)
+           |          FROM parquet.`$dir/documents.parquet`),
+           |         xxhash64(content_hash)) AS maybe_dup
+           |FROM graft_bloom_fresh""".stripMargin))
+      val index = s.read.parquet(s"$dir/documents.parquet")
+        .select(md5(col("text")).as("content_hash"))
+      bloomed.filter(!col("maybe_dup")).select("doc_id", "content_hash")
+        .unionByName(bloomed.filter(col("maybe_dup"))
+          .join(index, Seq("content_hash"), "left_anti")
+          .select("doc_id", "content_hash"))
+        .orderBy("doc_id")
     }),
 
     // Dedup clustering: connected components over a candidate-pair
