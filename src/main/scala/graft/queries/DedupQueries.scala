@@ -471,6 +471,38 @@ object DedupQueries {
     // cost model is identical). Shape: per round one degree aggregate
     // plus two LEFT SEMI joins, every exchange keyed on the node id —
     // O(E) per round at any scale, and the edge set only shrinks.
+    // Multi-source BFS, bounded depth — the traversal primitive under
+    // "what's within k hops of these seeds" (contamination spread,
+    // account-linking rings, neighborhood feature extraction). Frontier
+    // expansion is one equi-join per hop with a min-combine after each
+    // union, so the working set stays one row per REACHED node — never
+    // a path enumeration (paths explode combinatorially; distances
+    // don't). Three fixed rounds; exchanges keyed on node id only. The
+    // graph is the deterministic customer chain (edges (c, c+1) for
+    // c % 10 ∈ {1,2,3}, both directions), seeds are chain roots ending
+    // in 01, so the oracle is a recursive CTE both engines agree on.
+    "q_graph_bfs" -> ((s, dir) => {
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      val fwd = nodes.filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+        .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+      val edges = QueryCaches.cache(fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst"))))
+      var dist = nodes.filter(col("id") % 100 === 1)
+        .select(col("id"), lit(0L).as("hop"))
+      for (h <- 1 to 3) {
+        val next = dist.filter(col("hop") === (h - 1))
+          .join(edges, col("id") === col("src"))
+          .select(col("dst").as("id"), lit(h.toLong).as("hop"))
+        dist = dist.unionByName(next)
+          .groupBy("id").agg(min(col("hop")).as("hop"))
+      }
+      dist.groupBy("hop").agg(count(lit(1)).as("n_nodes"),
+          min(col("id")).as("min_id"), max(col("id")).as("max_id"))
+        .orderBy("hop")
+    }),
+
     "q_graph_kcore" -> ((s, dir) => {
       val nodes = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("id"))
@@ -1065,6 +1097,25 @@ object DedupQueries {
         |        FROM und e1
         |        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    "q_graph_bfs" ->
+      """WITH RECURSIVE nodes AS (SELECT c_custkey AS id FROM customer),
+        |fwd AS (
+        |  SELECT n.id AS src, n.id + 1 AS dst FROM nodes n
+        |  WHERE n.id % 10 BETWEEN 1 AND 3
+        |    AND EXISTS (SELECT 1 FROM nodes m WHERE m.id = n.id + 1)
+        |),
+        |edges AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+        |walk(id, hop) AS (
+        |  SELECT id, 0 FROM nodes WHERE id % 100 = 1
+        |  UNION ALL
+        |  SELECT e.dst, w.hop + 1 FROM walk w JOIN edges e ON e.src = w.id
+        |  WHERE w.hop < 3
+        |),
+        |dist AS (SELECT id, min(hop) AS hop FROM walk GROUP BY id)
+        |SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes,
+        |       min(id) AS min_id, max(id) AS max_id
+        |FROM dist GROUP BY hop ORDER BY hop""".stripMargin,
 
     "q_graph_kcore" ->
       """WITH nodes AS (SELECT c_custkey AS id FROM customer),

@@ -694,6 +694,44 @@ object TextQueries {
     // float log whose exactness differs at power-of-two boundaries);
     // the bucket's lower bound re-derives via an integer shift. One
     // narrow projection + one tiny hash aggregate.
+    // Vocabulary growth curve (Heaps' law): distinct-vocabulary size
+    // after 10% / 50% / 100% of the corpus, in doc-id order — the
+    // measurement behind "how much NEW vocabulary does more data buy"
+    // (tokenizer sizing, dedup-marginal-value, crawl-cutoff decisions).
+    // The scalable trick: cumulative distinct counting needs no ordered
+    // accumulation — a token contributes to checkpoint c iff its FIRST
+    // occurrence (min doc_id, one hash aggregate) is ≤ c, so the whole
+    // curve is one conditional aggregate over the first-seen table.
+    // Checkpoints derive from max(doc_id) (scale-free); all three
+    // corpus passes are single hash aggregates, and the only joins are
+    // 1-row broadcast bounds.
+    "q_vocab_growth" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val toks = docs
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val firstSeen = toks.groupBy("tok").agg(min("doc_id").as("first_doc"))
+      val bounds = docs.agg(max("doc_id").as("mx"))
+      def cuts(df: DataFrame, idCol: String, p: String) =
+        df.crossJoin(broadcast(bounds)).agg(
+          sum(when(col(idCol) <= expr("floor(mx * 0.1)"), 1L).otherwise(0L))
+            .as(s"${p}1"),
+          sum(when(col(idCol) <= expr("floor(mx * 0.5)"), 1L).otherwise(0L))
+            .as(s"${p}5"),
+          count(lit(1)).as(s"${p}x"))
+      cuts(docs, "doc_id", "d")
+        .crossJoin(cuts(toks, "doc_id", "t"))
+        .crossJoin(cuts(firstSeen, "first_doc", "v"))
+        .selectExpr(
+          """stack(3,
+            |  CAST(0.1 AS DOUBLE), d1, t1, v1,
+            |  CAST(0.5 AS DOUBLE), d5, t5, v5,
+            |  CAST(1.0 AS DOUBLE), dx, tx, vx
+            |) AS (frac, n_docs, n_tokens, vocab)""".stripMargin)
+        .orderBy("frac")
+    }),
+
     "q_token_histogram" -> ((s, dir) =>
       s.read.parquet(s"$dir/documents.parquet")
         .select(expr("size(split(text, ' '))").cast("bigint").as("toks"))
@@ -938,6 +976,27 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_terms,
         |       CAST(sum(idf_b * sat_pm) AS BIGINT) AS score
         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_vocab_growth" ->
+      """WITH b AS (SELECT max(doc_id) AS mx FROM documents),
+        |tk AS (
+        |  SELECT doc_id, t.tok
+        |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+        |  WHERE length(t.tok) > 0
+        |),
+        |fs AS (SELECT tok, min(doc_id) AS first_doc FROM tk GROUP BY tok),
+        |cps AS (
+        |  SELECT CAST(0.1 AS DOUBLE) AS frac, CAST(floor(mx * 0.1) AS BIGINT) AS cp FROM b
+        |  UNION ALL
+        |  SELECT CAST(0.5 AS DOUBLE), CAST(floor(mx * 0.5) AS BIGINT) FROM b
+        |  UNION ALL
+        |  SELECT CAST(1.0 AS DOUBLE), mx FROM b
+        |)
+        |SELECT c.frac,
+        |       (SELECT count(*) FROM documents d WHERE d.doc_id <= c.cp) AS n_docs,
+        |       (SELECT count(*) FROM tk WHERE tk.doc_id <= c.cp) AS n_tokens,
+        |       (SELECT count(*) FROM fs WHERE fs.first_doc <= c.cp) AS vocab
+        |FROM cps c ORDER BY frac""".stripMargin,
 
     "q_token_histogram" ->
       """WITH t AS (
