@@ -343,6 +343,63 @@ object SimilarityQueries {
     // from quantization is observable (rows where the two disagree).
     // Determinism: the shortlist is integer-exact (int8 dots); the fine
     // sim rounds to 4 dp before ranking; all ties break on vec_id.
+    // Hybrid retrieval with reciprocal-rank fusion (Cormack et al.,
+    // SIGIR'09) — the composition every production search stack runs:
+    // a LEXICAL ranking (token-set Jaccard here; ranks are what RRF
+    // consumes, so any lexical scorer slots in) and a VECTOR ranking
+    // (exact integer dot) are computed independently per query, then
+    // fused as Σ 1/(60 + rank) without ever comparing raw scores —
+    // RRF's whole point is that lexical and vector scores live on
+    // incomparable scales but RANKS always fuse. Integer-exact
+    // end-to-end: Jaccard ×10⁴ integer-floored, dots on 2^10-quantized
+    // components, RRF terms ×10⁶ integer-floored, all ties on doc_id.
+    // Scale shape: the 3-query bag broadcasts into both scorers (the
+    // corpus streams once per modality, never q×corpus shuffled), each
+    // modality's rank is one window over its own per-query slice, and
+    // the fusion join keys on (query_id, doc_id). At 100 TB each
+    // modality would feed its top-k only — the fusion stage is
+    // unchanged.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val tokSets = QueryCaches.cache(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            expr("array_distinct(filter(split(text, ' '), t -> length(t) > 0))")
+              .as("ts")))
+      val qtok = tokSets.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"), col("ts").as("qt"))
+      val lex = tokSets.filter(col("doc_id") >= 10)
+        .crossJoin(broadcast(qtok))
+        .select(col("query_id"), col("doc_id"), expr(
+          "CAST(size(array_intersect(qt, ts)) AS BIGINT) * 10000 div size(array_union(qt, ts))")
+          .as("jacc"))
+      val vecs = QueryCaches.cache(emb(s, dir).select(col("vec_id"), expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))")
+        .as("qv")))
+      val qvec = vecs.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("query_id"), col("qv").as("qqv"))
+      val vec = vecs.filter(col("vec_id") >= 10)
+        .crossJoin(broadcast(qvec))
+        .select(col("query_id"), col("vec_id").as("doc_id"),
+          expr("vec_idot(qv, qqv)").as("vdot"))
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("jacc").desc, col("doc_id"))
+      val wv = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("vdot").desc, col("doc_id"))
+      val lexR = lex.withColumn("lex_rank", row_number().over(wl).cast("bigint"))
+        .select("query_id", "doc_id", "lex_rank")
+      val vecR = vec.withColumn("vec_rank", row_number().over(wv).cast("bigint"))
+        .select("query_id", "doc_id", "vec_rank")
+      val fused = lexR.join(vecR, Seq("query_id", "doc_id"))
+        .withColumn("rrf_pm", expr(
+          "1000000 div (60 + lex_rank) + 1000000 div (60 + vec_rank)"))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("rrf_pm").desc, col("doc_id"))
+      fused.withColumn("rank", row_number().over(wf).cast("bigint"))
+        .filter(col("rank") <= 10)
+        .select("query_id", "rank", "doc_id", "lex_rank", "vec_rank", "rrf_pm")
+        .orderBy("query_id", "rank")
+    }),
+
     "q_ann_rerank" -> ((s, dir) => {
       val e = QueryCaches.cache(emb(s, dir)
         .withColumn("maxabs", expr(
@@ -1433,6 +1490,61 @@ object SimilarityQueries {
          |)
          |SELECT query_id, rank, vec_id, coarse_rank, sim FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_hybrid_rrf" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |         list_distinct(list_filter(string_split(text, ' '),
+        |                                   t -> length(t) > 0)) AS ts
+        |  FROM documents
+        |),
+        |lexp AS (
+        |  SELECT q.doc_id AS query_id, c.doc_id,
+        |         CAST(len(list_intersect(q.ts, c.ts)) AS BIGINT) * 10000 //
+        |         len(list_distinct(list_concat(q.ts, c.ts))) AS jacc
+        |  FROM toks q JOIN toks c ON q.doc_id < 3 AND c.doc_id >= 10
+        |),
+        |lexr AS (
+        |  SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY jacc DESC, doc_id) AS lex_rank
+        |  FROM lexp
+        |),
+        |qz AS (
+        |  SELECT vec_id, u.i,
+        |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) AS q
+        |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
+        |),
+        |vd AS (
+        |  SELECT a.vec_id AS query_id, b.vec_id AS doc_id,
+        |         CAST(sum(a.q * b.q) AS BIGINT) AS vdot
+        |  FROM qz a JOIN qz b ON b.i = a.i
+        |  WHERE a.vec_id < 3 AND b.vec_id >= 10
+        |  GROUP BY 1, 2
+        |),
+        |vecr AS (
+        |  SELECT query_id, doc_id,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY vdot DESC, doc_id) AS vec_rank
+        |  FROM vd
+        |),
+        |fused AS (
+        |  SELECT l.query_id, l.doc_id, l.lex_rank, v.vec_rank,
+        |         1000000 // (60 + l.lex_rank) + 1000000 // (60 + v.vec_rank) AS rrf_pm
+        |  FROM lexr l JOIN vecr v
+        |    ON v.query_id = l.query_id AND v.doc_id = l.doc_id
+        |),
+        |ranked AS (
+        |  SELECT query_id, doc_id, lex_rank, vec_rank, rrf_pm,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY rrf_pm DESC, doc_id) AS rank
+        |  FROM fused
+        |)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, doc_id,
+        |       CAST(lex_rank AS BIGINT) AS lex_rank,
+        |       CAST(vec_rank AS BIGINT) AS vec_rank,
+        |       CAST(rrf_pm AS BIGINT) AS rrf_pm
+        |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
 
     "q_pq_assign" ->
       (s"""WITH $pqTrainSql,""" +
