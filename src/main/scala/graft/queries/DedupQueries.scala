@@ -471,6 +471,41 @@ object DedupQueries {
     // cost model is identical). Shape: per round one degree aggregate
     // plus two LEFT SEMI joins, every exchange keyed on the node id —
     // O(E) per round at any scale, and the edge set only shrinks.
+    // Count-min sketch, expressed RELATIONALLY — the frequency sketch
+    // under heavy-hitter monitoring when exact per-key state is
+    // unaffordable: 4 hash rows × 1024 cells of counts (the d×w grid
+    // is the ENTIRE state — bounded regardless of corpus size), a
+    // key's estimate is the MIN over its 4 cells, overcounts only
+    // (collisions add, never subtract). The sketch build is one hash
+    // aggregate over ≤4096 keys — map-side combine collapses the
+    // token stream before the exchange, which is the whole 100 TB
+    // story: the shuffle carries cells, not tokens. Reported against
+    // exact counts for the top-10 tokens so the collision overcount is
+    // visible and oracle-checked. Hashes are md5-derived (12 bits %
+    // 1024), deterministic in both engines.
+    "q_countmin_est" -> ((s, dir) => {
+      val toks = QueryCaches.cache(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(explode(split(col("text"), " ")).as("tok"))
+          .filter(length(col("tok")) > 0))
+      val cellExpr = expr(
+        "CAST(conv(substring(md5(concat(tok, '#', CAST(d AS STRING))), 1, 3), 16, 10) AS BIGINT) % 1024")
+      val keyed = toks
+        .select(col("tok"), explode(expr("sequence(0, 3)")).as("d"))
+        .withColumn("cell", cellExpr)
+      val cms = keyed.groupBy("d", "cell").agg(count(lit(1)).as("cn"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
+        .orderBy(col("exact_n").desc, col("tok")).limit(10)
+      val probes = broadcast(top)
+        .select(col("tok"), col("exact_n"), explode(expr("sequence(0, 3)")).as("d"))
+        .withColumn("cell", cellExpr)
+      probes.join(cms, Seq("d", "cell"))
+        .groupBy("tok", "exact_n").agg(min(col("cn")).as("cms_est"))
+        .select(col("tok"), col("exact_n"), col("cms_est"),
+          (col("cms_est") - col("exact_n")).as("overcount"))
+        .orderBy(col("exact_n").desc, col("tok"))
+    }),
+
     // Multi-source BFS, bounded depth — the traversal primitive under
     // "what's within k hops of these seeds" (contamination spread,
     // account-linking rings, neighborhood feature extraction). Frontier
@@ -1097,6 +1132,37 @@ object DedupQueries {
         |        FROM und e1
         |        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
         |        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b) AS n_triangles""".stripMargin,
+
+    "q_countmin_est" ->
+      s"""WITH tk AS (
+         |  SELECT t.tok FROM documents, unnest(string_split(text, ' ')) t(tok)
+         |  WHERE length(t.tok) > 0
+         |),
+         |ds AS (SELECT unnest(generate_series(0, 3)) AS d),
+         |keyed AS (
+         |  SELECT tok, d, md5(tok || '#' || CAST(d AS VARCHAR)) AS h FROM tk, ds
+         |),
+         |cells AS (
+         |  SELECT tok, d,
+         |         (${hexVal("substr(h, 1, 1)")} * 256
+         |          + ${hexVal("substr(h, 2, 1)")} * 16
+         |          + ${hexVal("substr(h, 3, 1)")}) % 1024 AS cell
+         |  FROM keyed
+         |),
+         |cms AS (SELECT d, cell, count(*) AS cn FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT tok, count(*) AS exact_n FROM tk GROUP BY tok),
+         |top AS (SELECT tok, exact_n FROM exact ORDER BY exact_n DESC, tok LIMIT 10),
+         |cellmap AS (SELECT DISTINCT tok, d, cell FROM cells),
+         |est AS (
+         |  SELECT t.tok, t.exact_n, min(m.cn) AS cms_est
+         |  FROM top t
+         |  JOIN cellmap k ON k.tok = t.tok
+         |  JOIN cms m ON m.d = k.d AND m.cell = k.cell
+         |  GROUP BY 1, 2
+         |)
+         |SELECT tok, exact_n, CAST(cms_est AS BIGINT) AS cms_est,
+         |       CAST(cms_est - exact_n AS BIGINT) AS overcount
+         |FROM est ORDER BY exact_n DESC, tok""".stripMargin,
 
     "q_graph_bfs" ->
       """WITH RECURSIVE nodes AS (SELECT c_custkey AS id FROM customer),
