@@ -481,23 +481,28 @@ object DedupQueries {
     // token stream before the exchange, which is the whole 100 TB
     // story: the shuffle carries cells, not tokens. Reported against
     // exact counts for the top-10 tokens so the collision overcount is
-    // visible and oracle-checked. Hashes are md5-derived (12 bits %
-    // 1024), deterministic in both engines.
+    // visible and oracle-checked. The 4 hash rows are 4 DISJOINT
+    // 12-bit windows of ONE md5 per token (chars 1-3, 4-6, 7-9, 10-12
+    // of the 32-hex digest — independent bits of the same digest, the
+    // standard cheap-CMS construction), so the hot path hashes each
+    // token once, not once per row.
     "q_countmin_est" -> ((s, dir) => {
       val toks = QueryCaches.cache(
         s.read.parquet(s"$dir/documents.parquet")
           .select(explode(split(col("text"), " ")).as("tok"))
           .filter(length(col("tok")) > 0))
       val cellExpr = expr(
-        "CAST(conv(substring(md5(concat(tok, '#', CAST(d AS STRING))), 1, 3), 16, 10) AS BIGINT) % 1024")
-      val keyed = toks
-        .select(col("tok"), explode(expr("sequence(0, 3)")).as("d"))
+        "CAST(conv(substring(h, d * 3 + 1, 3), 16, 10) AS BIGINT) % 1024")
+      val keyed = toks.withColumn("h", md5(col("tok")))
+        .select(col("tok"), col("h"), explode(expr("sequence(0, 3)")).as("d"))
         .withColumn("cell", cellExpr)
       val cms = keyed.groupBy("d", "cell").agg(count(lit(1)).as("cn"))
       val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
         .orderBy(col("exact_n").desc, col("tok")).limit(10)
       val probes = broadcast(top)
-        .select(col("tok"), col("exact_n"), explode(expr("sequence(0, 3)")).as("d"))
+        .withColumn("h", md5(col("tok")))
+        .select(col("tok"), col("exact_n"), col("h"),
+          explode(expr("sequence(0, 3)")).as("d"))
         .withColumn("cell", cellExpr)
       probes.join(cms, Seq("d", "cell"))
         .groupBy("tok", "exact_n").agg(min(col("cn")).as("cms_est"))
@@ -1140,13 +1145,13 @@ object DedupQueries {
          |),
          |ds AS (SELECT unnest(generate_series(0, 3)) AS d),
          |keyed AS (
-         |  SELECT tok, d, md5(tok || '#' || CAST(d AS VARCHAR)) AS h FROM tk, ds
+         |  SELECT tok, d, md5(tok) AS h FROM tk, ds
          |),
          |cells AS (
          |  SELECT tok, d,
-         |         (${hexVal("substr(h, 1, 1)")} * 256
-         |          + ${hexVal("substr(h, 2, 1)")} * 16
-         |          + ${hexVal("substr(h, 3, 1)")}) % 1024 AS cell
+         |         (${hexVal("substr(h, d * 3 + 1, 1)")} * 256
+         |          + ${hexVal("substr(h, d * 3 + 2, 1)")} * 16
+         |          + ${hexVal("substr(h, d * 3 + 3, 1)")}) % 1024 AS cell
          |  FROM keyed
          |),
          |cms AS (SELECT d, cell, count(*) AS cn FROM cells GROUP BY 1, 2),
