@@ -592,6 +592,54 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_semdedup_sweep: every threshold reads the cached edge set, never the corpus") {
+    val p = plan("q_semdedup_sweep", graft.queries.SimilarityQueries.queries)
+    assert(p.contains("InMemoryTableScan"),
+      s"the kNN edge set must come from the shared cache:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"cell blocking must keep the scoring an equi-join:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_graph_bfs: frontier expansion is equi-joins over the cached edge list") {
+    val p = plan("q_graph_bfs", graft.queries.DedupQueries.queries)
+    assert(!p.contains("CartesianProduct"),
+      s"hops must be src-keyed equi-joins:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"the edge list must come from the shared cache:\n$p")
+    assert(p.contains("HashAggregate"),
+      s"the per-hop min-combine must hash-aggregate:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_vocab_growth: conditional aggregates + 1-row broadcast bounds, no wide join") {
+    val p = plan("q_vocab_growth", graft.queries.TextQueries.queries)
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"checkpoint cuts must not join the corpus wide:\n$p")
+    assert(p.contains("HashAggregate"), s"first-seen must hash-aggregate:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_hybrid_rrf: query bags broadcast into both scorers; fusion is an equi-join") {
+    val p = plan("q_hybrid_rrf", graft.queries.SimilarityQueries.queries)
+    val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(bnl >= 2,
+      s"both modality scorers must broadcast the 3-query bag, got $bnl:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast product anywhere:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_countmin_est: the sketch is one bounded hash aggregate; probes broadcast") {
+    val p = plan("q_countmin_est", graft.queries.DedupQueries.queries)
+    assert(p.contains("HashAggregate"),
+      s"cell counts must partially aggregate map-side:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the 40-row probe table must broadcast into the sketch:\n$p")
+    assert(!p.contains("ScalaUDF"), s"pure expression pipeline:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_dedup_bloom: plan-internal native bloom — might_contain binds, no UDF") {
     val p = plan("q_dedup_bloom", graft.queries.DedupQueries.queries)
     assert(p.contains("might_contain"),
