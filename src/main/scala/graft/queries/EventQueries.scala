@@ -852,6 +852,44 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // EWMA smoothing, DYADIC-exact — the streaming-telemetry smoother
+    // (per-user engagement level, rate baselines) computed without any
+    // float pow: weights over the last 10 events are powers of two
+    // (newest 2⁹ … oldest 2⁰), values floor-quantize at 10², so the
+    // weighted numerator and the availability-adjusted denominator are
+    // exact int64 and the per-mille level divides the SAME integers in
+    // both engines. The frame is 10 explicit lag() columns (codegen'd;
+    // a weighted frame aggregate can't express per-lag weights) over
+    // ONE (user, ts, event_id) sort — the same single exchange any
+    // per-user window pays; output is each user's latest smoothed
+    // level, so state is one row per user at any scale.
+    "q_ewma_dyadic" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val base = ev(s, dir).select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(floor(value * 100) AS BIGINT)").as("qv"))
+      val lagged = (0 to 9).foldLeft(base) { (df, k) =>
+        df.withColumn(s"l$k", lag(col("qv"), k).over(w))
+      }
+      val numSql = (0 to 9)
+        .map(k => s"coalesce(l$k, 0L) * ${1L << (9 - k)}L").mkString(" + ")
+      val denSql = (0 to 9)
+        .map(k => s"(CASE WHEN l$k IS NOT NULL THEN ${1L << (9 - k)}L ELSE 0L END)")
+        .mkString(" + ")
+      val wn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      lagged.withColumn("ewma_pm", expr(s"($numSql) * 1000 div ($denSql)"))
+        .withColumn("rn", row_number().over(wn))
+        .filter(col("rn") === 1)
+        .groupBy("user_id")
+        .agg(max(col("ewma_pm")).as("last_ewma_pm"))
+        .join(base.groupBy("user_id").agg(count(lit(1)).as("n_events")),
+          Seq("user_id"))
+        .select("user_id", "n_events", "last_ewma_pm")
+        .orderBy("user_id")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_window_session" -> ((s, dir) =>
       ev(s, dir)
@@ -1081,6 +1119,32 @@ object EventQueries {
         |       g.n_active * 10000 // s.n_cohort AS retention_pm
         |FROM grid g JOIN sizes s USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_ewma_dyadic" -> {
+      val lags = (0 to 9).map(k => s"lag(qv, $k) OVER w AS l$k").mkString(",\n        |         ")
+      val num = (0 to 9).map(k => s"coalesce(l$k, 0) * ${1L << (9 - k)}").mkString(" + ")
+      val den = (0 to 9).map(k => s"(CASE WHEN l$k IS NOT NULL THEN ${1L << (9 - k)} ELSE 0 END)").mkString(" + ")
+      s"""WITH base AS (
+        |  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS qv
+        |  FROM events
+        |),
+        |lagged AS (
+        |  SELECT user_id,
+        |         $lags,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM base
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |),
+        |last AS (
+        |  SELECT user_id,
+        |         CAST(($num) * 1000 // ($den) AS BIGINT) AS last_ewma_pm
+        |  FROM lagged WHERE rn = 1
+        |),
+        |n AS (SELECT user_id, count(*) AS n_events FROM base GROUP BY user_id)
+        |SELECT l.user_id, n.n_events, l.last_ewma_pm
+        |FROM last l JOIN n USING (user_id) ORDER BY user_id""".stripMargin
+    },
 
     "q_anomaly_mad" ->
       """WITH e AS (SELECT event_type, value FROM events),
