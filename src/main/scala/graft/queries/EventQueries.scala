@@ -389,6 +389,34 @@ object EventQueries {
       }
     }),
 
+    // The custom-state EWMA (EventStreams.ewmaLevels) under the same
+    // oracle as its batch twin q_ewma_dyadic: bounded 10-entry ring +
+    // counter per user, finalized by event-time timeout when the
+    // far-future sentinel advances the watermark past every real event.
+    "q_stream_ewma" -> ((s, dir) => {
+      val name = s"stream_ewma_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.withStatePartitions(s,
+        graft.streaming.EventStreams.statePartitions(s)) {
+        import s.implicits._
+        implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+        val sentinel = org.apache.spark.sql.execution.streaming.runtime
+          .MemoryStream[(java.sql.Timestamp, Long, Long, Double)]
+        val real = graft.sources.EventSource.stream(s, dir)
+          .select(col("ts"), col("user_id"), col("event_id"), col("value"))
+        val src = real.unionByName(
+            sentinel.toDF().toDF("ts", "user_id", "event_id", "value"))
+          .withWatermark("ts", "1 hour")
+        val levels = graft.streaming.EventStreams.ewmaLevels(src).toDF()
+        // sentinel pre-start → single drain (see q_stream_custom_session)
+        sentinel.addData((java.sql.Timestamp.valueOf("2100-01-01 00:00:00"),
+          999999999L, 0L, 0.0))
+        graft.streaming.EventStreams.runToCompletion(levels, name,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .filter(col("user_id") =!= 999999999L)
+          .orderBy("user_id")
+      }
+    }),
+
     // STREAM-STATIC join: the streaming event feed enriched against a
     // static dimension table. Stateless — the dim side broadcasts to
     // every executor once and each micro-batch joins map-side, so there
@@ -938,6 +966,39 @@ object EventQueries {
     }),
   )
 
+  /** One oracle for BOTH EWMA surfaces (batch lag-plan and streaming
+    * ring-state) — they compute the same exact integers by design.
+    */
+  private val ewmaOracleSql: String = {
+    val lags = (0 to 9).map(k => s"lag(qv, $k) OVER w AS l$k")
+      .mkString(",\n         ")
+    val num = (0 to 9).map(k => s"coalesce(l$k, 0) * ${1L << (9 - k)}")
+      .mkString(" + ")
+    val den = (0 to 9)
+      .map(k => s"(CASE WHEN l$k IS NOT NULL THEN ${1L << (9 - k)} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH base AS (
+      |  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS qv
+      |  FROM events
+      |),
+      |lagged AS (
+      |  SELECT user_id,
+      |         $lags,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM base
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |),
+      |last AS (
+      |  SELECT user_id,
+      |         CAST(($num) * 1000 // ($den) AS BIGINT) AS last_ewma_pm
+      |  FROM lagged WHERE rn = 1
+      |),
+      |n AS (SELECT user_id, count(*) AS n_events FROM base GROUP BY user_id)
+      |SELECT l.user_id, n.n_events, l.last_ewma_pm
+      |FROM last l JOIN n USING (user_id) ORDER BY user_id""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
     "q_window_ohlc" ->
       """WITH base AS (
@@ -1120,31 +1181,11 @@ object EventQueries {
         |FROM grid g JOIN sizes s USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
 
-    "q_ewma_dyadic" -> {
-      val lags = (0 to 9).map(k => s"lag(qv, $k) OVER w AS l$k").mkString(",\n        |         ")
-      val num = (0 to 9).map(k => s"coalesce(l$k, 0) * ${1L << (9 - k)}").mkString(" + ")
-      val den = (0 to 9).map(k => s"(CASE WHEN l$k IS NOT NULL THEN ${1L << (9 - k)} ELSE 0 END)").mkString(" + ")
-      s"""WITH base AS (
-        |  SELECT user_id, ts, event_id, CAST(floor(value * 100) AS BIGINT) AS qv
-        |  FROM events
-        |),
-        |lagged AS (
-        |  SELECT user_id,
-        |         $lags,
-        |         row_number() OVER (PARTITION BY user_id
-        |                            ORDER BY ts DESC, event_id DESC) AS rn
-        |  FROM base
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |),
-        |last AS (
-        |  SELECT user_id,
-        |         CAST(($num) * 1000 // ($den) AS BIGINT) AS last_ewma_pm
-        |  FROM lagged WHERE rn = 1
-        |),
-        |n AS (SELECT user_id, count(*) AS n_events FROM base GROUP BY user_id)
-        |SELECT l.user_id, n.n_events, l.last_ewma_pm
-        |FROM last l JOIN n USING (user_id) ORDER BY user_id""".stripMargin
-    },
+    "q_ewma_dyadic" -> ewmaOracleSql,
+
+    // identical answer by construction: the streaming operator's ring +
+    // timeout finalize computes the same integers as the batch lag plan
+    "q_stream_ewma" -> ewmaOracleSql,
 
     "q_anomaly_mad" ->
       """WITH e AS (SELECT event_type, value FROM events),

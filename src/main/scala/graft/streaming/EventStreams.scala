@@ -139,6 +139,64 @@ object EventStreams {
       }
   }
 
+  final case class EwmaEvent(user_id: Long, ts: java.sql.Timestamp, ts_ms: Long,
+      event_id: Long, qv: Long)
+  final case class EwmaEntry(ts_ms: Long, event_id: Long, qv: Long)
+  final case class EwmaState(n: Long, ring: Seq[EwmaEntry])
+  final case class EwmaOut(user_id: Long, n_events: Long, last_ewma_pm: Long)
+
+  /** Per-user dyadic EWMA levels via flatMapGroupsWithState — the
+    * streaming twin of batch q_ewma_dyadic, and the canonical shape of
+    * a streaming feature store: BOUNDED state per key (the 10-entry
+    * ring plus a counter — never the event history), merged
+    * incrementally per micro-batch, finalized by event-time timeout
+    * once the watermark proves no on-time event can still reorder the
+    * ring. Weights are powers of two over 10²-quantized values, so the
+    * emitted per-mille level is the exact integer the batch plan (ten
+    * lag() columns) computes — one oracle serves both.
+    *
+    * State fields hold MICROSECONDS (despite the generic _ms names);
+    * the watermark API speaks milliseconds — conversions happen only
+    * at that boundary, like customSessions.
+    */
+  def ewmaLevels(events: DataFrame): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("ts_ms"),
+        col("event_id"), expr("CAST(floor(value * 100) AS BIGINT)").as("qv"))
+      .as[EwmaEvent]
+    typed.groupByKey(_.user_id)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (uid: Long, rows: Iterator[EwmaEvent], state: GroupState[EwmaState]) =>
+          val prev = state.getOption.getOrElse(EwmaState(0L, Vector.empty))
+          val fresh = rows.toSeq
+          if (fresh.nonEmpty) {
+            // merge, keep only the 10 latest (ts, event_id) entries —
+            // everything older can never re-enter the window
+            val ring = (prev.ring ++
+              fresh.map(e => EwmaEntry(e.ts_ms, e.event_id, e.qv)))
+              .sortBy(e => (-e.ts_ms, -e.event_id)).take(10)
+            state.update(EwmaState(prev.n + fresh.size, ring))
+            // finalize once the watermark passes the newest entry (ceil
+            // to ms, clamped strictly past the current watermark)
+            val closeMs = math.max((ring.head.ts_ms + 999L) / 1000L,
+              state.getCurrentWatermarkMs() + 1L)
+            state.setTimeoutTimestamp(closeMs)
+            Iterator.empty
+          } else {
+            // timeout: the ring is final — same weights as the batch
+            // plan's lag columns (newest 2⁹ … oldest 2⁰)
+            val num = prev.ring.zipWithIndex
+              .map { case (e, i) => e.qv * (512L >> i) }.sum
+            val den = prev.ring.zipWithIndex.map { case (_, i) => 512L >> i }.sum
+            state.remove()
+            if (den == 0L) Iterator.empty
+            else Iterator.single(EwmaOut(uid, prev.n, num * 1000L / den))
+          }
+      }
+  }
+
   /** Custom stateful operator: per-user running totals via
     * mapGroupsWithState (KeyValueGroupedDataset) — the §2.10 surface
     * Spark's built-ins don't cover. In batch mode Spark executes the
