@@ -148,4 +148,14 @@ class StreamingSpec extends SparkSpecBase {
     assert(out.count() == 3, "each input row lands exactly once")
     assert(out.select("id").as[Long].collect().toSet == Set(1L, 2L, 3L))
   }
+
+  test("custom EWMA ring state: stream output equals the batch lag plan") {
+    val batch = graft.queries.EventQueries.queries("q_ewma_dyadic")(spark, sf)
+      .collect().toSeq
+    val stream = graft.queries.EventQueries.queries("q_stream_ewma")(spark, sf)
+      .collect().toSeq
+    assert(batch.nonEmpty, "batch EWMA produced no rows")
+    assert(stream == batch,
+      s"stream/batch divergence:\n  batch=${batch.take(5)}\n  stream=${stream.take(5)}")
+  }
 }
