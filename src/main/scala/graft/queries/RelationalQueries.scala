@@ -870,6 +870,57 @@ object RelationalQueries {
     // empty-group edge (correlated COUNT must see 0, not NULL, for
     // customers without orders) is exactly the case the rewrite's
     // default-value handling covers — and the oracle checks it.
+    // A/B experiment readout — the experimentation-platform staple:
+    // DETERMINISTIC hash assignment (md5 of the unit id, so the same
+    // customer lands in the same arm in every engine, every run, every
+    // re-computation — the property that makes assignment auditable),
+    // then per-arm exposure/outcome aggregates joined unit-level. The
+    // per-unit order rollup happens BEFORE the arm aggregate (one
+    // customer-keyed exchange, then a 2-row reduce); rates are
+    // per-mille integers over exact counts, so the readout is
+    // bit-stable. At 100 TB the assignment is a projection on the
+    // exposure scan — no assignment table to join.
+    "q_ab_testing" -> ((s, dir) => {
+      val units = t(s, dir, "customer").select(col("c_custkey"),
+        expr("CAST(conv(substring(md5(CAST(c_custkey AS STRING)), 1, 4), 16, 10) AS BIGINT) % 2")
+          .as("arm"))
+      val perUnit = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)")).as("spend_cents"))
+      units.join(perUnit, units("c_custkey") === perUnit("o_custkey"), "left")
+        .groupBy("arm")
+        .agg(count(lit(1)).as("n_units"),
+          sum(when(col("n_orders").isNotNull, 1L).otherwise(0L)).as("n_buyers"),
+          coalesce(sum(col("n_orders")), lit(0L)).as("n_orders"),
+          coalesce(sum(col("spend_cents")), lit(0L)).as("spend_cents"))
+        .withColumn("buyer_rate_pm", expr("n_buyers * 1000 div n_units"))
+        .withColumn("spend_per_unit_c", expr("spend_cents div n_units"))
+        .orderBy("arm")
+    }),
+
+    // Leave-one-out target encoding — the supervised-feature staple
+    // (encode a categorical by the target mean of the OTHER rows in
+    // its class, so a row never leaks its own label into its feature).
+    // LOO mean = (S_class − target_i) / (n_class − 1): one per-class
+    // aggregate (O(classes) rows, broadcast back onto the fact) and a
+    // projection — the target sums are exact int64 so the integer
+    // division matches across engines; a singleton class falls back to
+    // the class mean itself. At 100 TB this is one narrow scan + one
+    // tiny broadcast, the cheapest possible encode.
+    "q_target_encode" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val cls = docs.groupBy("lang")
+        .agg(sum("n_chars").as("s"), count(lit(1)).as("n"))
+      docs.join(broadcast(cls), "lang")
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          expr("CASE WHEN n > 1 THEN (s - n_chars) div (n - 1) ELSE s div n END")
+            .as("loo_mean"))
+        .orderBy("doc_id")
+    }),
+
     "q_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "customer").createOrReplaceTempView("graft_sq_customer")
       t(s, dir, "orders").createOrReplaceTempView("graft_sq_orders")
@@ -958,7 +1009,51 @@ object RelationalQueries {
         .orderBy("col_name")),
   )
 
+  private val hexVal: String => String = c =>
+    s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+      s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+      s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+      s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+
   val oracles: Map[String, String] = Map(
+
+    "q_ab_testing" ->
+      s"""WITH units AS (
+         |  SELECT c_custkey,
+         |         (${hexVal("substr(md5(CAST(c_custkey AS VARCHAR)), 1, 1)")} * 4096
+         |          + ${hexVal("substr(md5(CAST(c_custkey AS VARCHAR)), 2, 1)")} * 256
+         |          + ${hexVal("substr(md5(CAST(c_custkey AS VARCHAR)), 3, 1)")} * 16
+         |          + ${hexVal("substr(md5(CAST(c_custkey AS VARCHAR)), 4, 1)")}) % 2 AS arm
+         |  FROM customer
+         |),
+         |per_unit AS (
+         |  SELECT o_custkey, count(*) AS n_orders,
+         |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents
+         |  FROM orders GROUP BY o_custkey
+         |),
+         |arms AS (
+         |  SELECT u.arm, count(*) AS n_units,
+         |         CAST(sum(CASE WHEN p.o_custkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_buyers,
+         |         CAST(coalesce(sum(p.n_orders), 0) AS BIGINT) AS n_orders,
+         |         CAST(coalesce(sum(p.spend_cents), 0) AS BIGINT) AS spend_cents
+         |  FROM units u LEFT JOIN per_unit p ON p.o_custkey = u.c_custkey
+         |  GROUP BY u.arm
+         |)
+         |SELECT CAST(arm AS BIGINT) AS arm, n_units, n_buyers, n_orders, spend_cents,
+         |       CAST(n_buyers * 1000 // n_units AS BIGINT) AS buyer_rate_pm,
+         |       CAST(spend_cents // n_units AS BIGINT) AS spend_per_unit_c
+         |FROM arms ORDER BY arm""".stripMargin,
+
+    "q_target_encode" ->
+      """WITH cls AS (
+        |  SELECT lang, CAST(sum(n_chars) AS BIGINT) AS s, count(*) AS n
+        |  FROM documents GROUP BY lang
+        |)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       CAST(CASE WHEN c.n > 1 THEN (c.s - d.n_chars) // (c.n - 1)
+        |                 ELSE c.s // c.n END AS BIGINT) AS loo_mean
+        |FROM documents d JOIN cls c ON c.lang = d.lang
+        |WHERE d.doc_id < 100 ORDER BY d.doc_id""".stripMargin,
     // full recompute over the whole table: the incremental merge must
     // equal the rebuild exactly
     "q_incremental_agg" ->
