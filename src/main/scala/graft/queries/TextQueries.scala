@@ -694,6 +694,30 @@ object TextQueries {
     // float log whose exactness differs at power-of-two boundaries);
     // the bucket's lower bound re-derives via an integer shift. One
     // narrow projection + one tiny hash aggregate.
+    // Feature hashing (the "hashing trick", Weinberger et al.
+    // ICML'09) — fixed-width bag-of-words vectors with NO vocabulary
+    // table: a token's bucket is a hash, so the feature space is
+    // 16-dimensional regardless of vocabulary size and new tokens
+    // never require re-fitting — the property that lets a 100 TB
+    // featurization run as one stateless projection + one per-doc
+    // aggregate (no vocab broadcast, no dictionary join, unlike
+    // TF-IDF). The dense vector builds as 16 conditional sums in ONE
+    // hash aggregate — never a sparse-to-dense pivot join. md5-derived
+    // buckets keep both engines bit-identical.
+    "q_feature_hashing" -> ((s, dir) => {
+      val toks = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") < 50)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .withColumn("bucket", expr(
+          "CAST(conv(substring(md5(tok), 1, 2), 16, 10) AS BIGINT) % 16"))
+      toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          concat_ws("|", (0 to 15).map(b =>
+            sum(when(col("bucket") === b, 1L).otherwise(0L))): _*).as("fv"))
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary growth curve (Heaps' law): distinct-vocabulary size
     // after 10% / 50% / 100% of the corpus, in doc-id order — the
     // measurement behind "how much NEW vocabulary does more data buy"
@@ -976,6 +1000,31 @@ object TextQueries {
         |SELECT doc_id, count(*) AS n_terms,
         |       CAST(sum(idf_b * sat_pm) AS BIGINT) AS score
         |FROM scored GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q_feature_hashing" -> {
+      // bucket = value of first TWO hex chars % 16 ≡ value of the 2nd
+      // hex char (the 16s digit vanishes mod 16)
+      val hv =
+        "(CASE substr(md5(tok), 2, 1) WHEN '0' THEN 0 WHEN '1' THEN 1 " +
+          "WHEN '2' THEN 2 WHEN '3' THEN 3 WHEN '4' THEN 4 WHEN '5' THEN 5 " +
+          "WHEN '6' THEN 6 WHEN '7' THEN 7 WHEN '8' THEN 8 WHEN '9' THEN 9 " +
+          "WHEN 'a' THEN 10 WHEN 'b' THEN 11 WHEN 'c' THEN 12 " +
+          "WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      // pipe-joined string, not a list: the driver's row comparator
+      // sorts rows by every column, and array cells don't sort (the
+      // same reason q_group_collect emits array_join)
+      val cells = (0 to 15)
+        .map(b => s"CAST(sum(CASE WHEN bucket = $b THEN 1 ELSE 0 END) AS VARCHAR)")
+        .mkString("concat_ws('|', ", ", ", ")")
+      s"""WITH tk AS (
+         |  SELECT doc_id, t.tok
+         |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+         |  WHERE doc_id < 50 AND length(t.tok) > 0
+         |),
+         |bk AS (SELECT doc_id, $hv % 16 AS bucket FROM tk)
+         |SELECT doc_id, count(*) AS n_tokens, $cells AS fv
+         |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
 
     "q_vocab_growth" ->
       """WITH b AS (SELECT max(doc_id) AS mx FROM documents),

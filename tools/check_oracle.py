@@ -25,11 +25,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
-    df = df[sorted(df.columns)]
+    df = df[sorted(df.columns)].copy()
     # unify column-wise types for sorting stability
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime"):
             df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            # list/array cells are unhashable and unsortable — stringify
+            # (queries should emit joined strings anyway, like
+            # q_group_collect; this keeps the tool from crashing when
+            # one doesn't)
+            import numpy as np
+            if df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
+                df[c] = df[c].map(
+                    lambda v: ",".join(map(str, v))
+                    if isinstance(v, (list, tuple, np.ndarray)) else str(v))
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
