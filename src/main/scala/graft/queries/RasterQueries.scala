@@ -161,6 +161,26 @@ object RasterQueries {
         .orderBy("n_nationkey", "cell_idx")
     }),
 
+    // ZONAL statistics — reclassify + per-zone aggregate, the
+    // ZonalStatistics half of the reference's toolbox family (the
+    // other half, per-raster stats, is AGG-2 above): each valid cell
+    // maps to an elevation band (value div 100 — the reclassification)
+    // and every band reduces to count/min/max/sum. All integer-exact
+    // (cell values are integer-valued doubles by construction). Scale
+    // shape: zone assignment is a projection on the cell stream, the
+    // aggregate is ONE hash aggregate keyed (raster, zone) with
+    // map-side combine — at 100 TB no join and a single exchange of
+    // O(rasters × bands) rows, regardless of pixel count.
+    "q_zonal_stats" -> ((s, dir) =>
+      stencilCells(s, dir)
+        .withColumn("zone", expr("CAST(value AS BIGINT) div 100"))
+        .groupBy("n_nationkey", "zone")
+        .agg(count(lit(1)).as("n_cells"),
+          min(expr("CAST(value AS BIGINT)")).as("vmin"),
+          max(expr("CAST(value AS BIGINT)")).as("vmax"),
+          sum(expr("CAST(value AS BIGINT)")).as("vsum"))
+        .orderBy("n_nationkey", "zone")),
+
     // FOCAL map algebra — slope/gradient by central differences, the
     // neighborhood-stencil operator every DEM pipeline runs after the
     // ETL this library reproduces. Relationally a stencil IS a set of
@@ -289,6 +309,17 @@ object RasterQueries {
          |SELECT n_nationkey, i AS cell_idx, cx, cy, value
          |FROM cells WHERE value <> -9999.0
          |ORDER BY n_nationkey, cell_idx""".stripMargin,
+
+    "q_zonal_stats" ->
+      s"""WITH $cellsCte
+         |SELECT n_nationkey,
+         |       CAST(CAST(value AS BIGINT) // 100 AS BIGINT) AS zone,
+         |       count(*) AS n_cells,
+         |       CAST(min(CAST(value AS BIGINT)) AS BIGINT) AS vmin,
+         |       CAST(max(CAST(value AS BIGINT)) AS BIGINT) AS vmax,
+         |       CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS vsum
+         |FROM cells WHERE value <> -9999.0
+         |GROUP BY 1, 2 ORDER BY n_nationkey, zone""".stripMargin,
 
     "q_raster_slope" ->
       s"""WITH $cellsCte,
