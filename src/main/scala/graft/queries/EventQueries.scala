@@ -918,6 +918,32 @@ object EventQueries {
         .orderBy("user_id")
     }),
 
+    // First-order transition matrix over per-user event sequences —
+    // the Markov-chain view behind journey modeling, next-event
+    // prediction baselines, and funnel-dropoff diagnosis: for every
+    // consecutive (prev → next) event-type pair within a user's
+    // (ts, event_id)-ordered stream, the global count and a per-mille
+    // row-conditional probability. One lag() over the same single
+    // (user, ts, event_id) exchange every per-user window pays, then
+    // one tiny hash aggregate over |types|² keys; probabilities are
+    // integer per-mille over exact counts, so the matrix is bit-stable.
+    "q_event_transitions" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val rowTotals = pairs.groupBy("prev_type")
+        .agg(count(lit(1)).as("row_n"))
+      pairs.groupBy("prev_type", "event_type")
+        .agg(count(lit(1)).as("n"))
+        .join(broadcast(rowTotals), "prev_type")
+        .select(col("prev_type"), col("event_type").as("next_type"), col("n"),
+          expr("n * 1000 div row_n").as("p_pm"))
+        .orderBy("prev_type", "next_type")
+    }),
+
     // Session windows: 30-minute inactivity gap per user.
     "q_window_session" -> ((s, dir) =>
       ev(s, dir)
@@ -1180,6 +1206,24 @@ object EventQueries {
         |       g.n_active * 10000 // s.n_cohort AS retention_pm
         |FROM grid g JOIN sizes s USING (cw)
         |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_event_transitions" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type,
+        |         lag(event_type, 1) OVER (PARTITION BY user_id
+        |                                  ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |),
+        |pairs AS (SELECT prev_type, event_type FROM seq WHERE prev_type IS NOT NULL),
+        |cnt AS (
+        |  SELECT prev_type, event_type AS next_type, count(*) AS n
+        |  FROM pairs GROUP BY 1, 2
+        |),
+        |rt AS (SELECT prev_type, count(*) AS row_n FROM pairs GROUP BY 1)
+        |SELECT c.prev_type, c.next_type, c.n,
+        |       CAST(c.n * 1000 // r.row_n AS BIGINT) AS p_pm
+        |FROM cnt c JOIN rt r ON r.prev_type = c.prev_type
+        |ORDER BY c.prev_type, c.next_type""".stripMargin,
 
     "q_ewma_dyadic" -> ewmaOracleSql,
 
