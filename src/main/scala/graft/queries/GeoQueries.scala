@@ -151,6 +151,49 @@ object GeoQueries {
     // in closed form from the triangle parameters; all inputs are
     // integer-valued doubles, keeping both engines' arithmetic exact
     // enough that 2–4-decimal rounding is stable.
+    // Distance-bounded nearest-neighbor spatial join — "the closest
+    // facility within R" (service-area assignment, store matching).
+    // The SCALABLE form of spatial kNN: an unbounded nearest join
+    // cannot be grid-blocked (the nearest point may sit arbitrarily
+    // far away), but with a radius bound R ≤ the blocking cell size,
+    // a point's 3×3 cell neighborhood provably contains every
+    // candidate — so the join is a (cx, cy) equi-join, never a
+    // product. Squared distances are exact int64 (both point lattices
+    // sit on half-integer coords, so the deltas are integers), ranking
+    // ties on supplier key, and the DuckDB oracle computes the FULL
+    // pairwise nearest — equality proves the blocking loses nothing.
+    "q_geo_nearest" -> ((s, dir) => {
+      val cell = 8000.0
+      val r2 = 64000000L // R = 8000 m = cell size
+      val cust = s.read.parquet(s"$dir/customer.parquet")
+        .filter(col("c_custkey") % 20 === 0)
+        .select(col("c_custkey"),
+          (lit(1600000.0) + (col("c_custkey") * 37 % 250000).cast("double") + 0.5).as("px"),
+          (lit(5000000.0) + (col("c_custkey") * 53 % 180000).cast("double") + 0.5).as("py"))
+      val supp = s.read.parquet(s"$dir/supplier.parquet")
+        .select(col("s_suppkey"),
+          (lit(1600000.0) + (col("s_suppkey") * 41 % 250000).cast("double") + 0.5).as("sx"),
+          (lit(5000000.0) + (col("s_suppkey") * 59 % 180000).cast("double") + 0.5).as("sy"))
+        .withColumn("cx", floor(col("sx") / cell).cast("bigint"))
+        .withColumn("cy", floor(col("sy") / cell).cast("bigint"))
+      val probes = cust
+        .withColumn("dx", explode(expr("sequence(-1, 1)")))
+        .withColumn("dy", explode(expr("sequence(-1, 1)")))
+        .withColumn("cx", (floor(col("px") / cell) + col("dx")).cast("bigint"))
+        .withColumn("cy", (floor(col("py") / cell) + col("dy")).cast("bigint"))
+      val cand = probes.join(supp, Seq("cx", "cy"))
+        .withColumn("d2", expr(
+          "CAST(px - sx AS BIGINT) * CAST(px - sx AS BIGINT) + " +
+            "CAST(py - sy AS BIGINT) * CAST(py - sy AS BIGINT)"))
+        .filter(col("d2") <= r2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("c_custkey")).orderBy(col("d2"), col("s_suppkey"))
+      cand.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("c_custkey"), col("s_suppkey"), col("d2"))
+        .orderBy("c_custkey")
+    }),
+
     "q_geo_measures" -> ((s, dir) => {
       val measures = udf { (wkt: String) =>
         val g = graft.geo.Jts.parseWkt(wkt)
@@ -316,6 +359,36 @@ object GeoQueries {
   }
 
   val oracles: Map[String, String] = Map(
+
+    // full pairwise nearest (no blocking) — equality with the Spark
+    // plan's 3x3-cell candidate set proves the bound is lossless
+    "q_geo_nearest" ->
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |         1600000 + (c_custkey * 37 % 250000) + 0.5 AS px,
+        |         5000000 + (c_custkey * 53 % 180000) + 0.5 AS py
+        |  FROM customer WHERE c_custkey % 20 = 0
+        |),
+        |supp AS (
+        |  SELECT s_suppkey,
+        |         1600000 + (s_suppkey * 41 % 250000) + 0.5 AS sx,
+        |         5000000 + (s_suppkey * 59 % 180000) + 0.5 AS sy
+        |  FROM supplier
+        |),
+        |cand AS (
+        |  SELECT c.c_custkey, s.s_suppkey,
+        |         CAST(c.px - s.sx AS BIGINT) * CAST(c.px - s.sx AS BIGINT)
+        |       + CAST(c.py - s.sy AS BIGINT) * CAST(c.py - s.sy AS BIGINT) AS d2
+        |  FROM cust c, supp s
+        |),
+        |ranked AS (
+        |  SELECT c_custkey, s_suppkey, d2,
+        |         row_number() OVER (PARTITION BY c_custkey
+        |                            ORDER BY d2, s_suppkey) AS rn
+        |  FROM cand WHERE d2 <= 64000000
+        |)
+        |SELECT c_custkey, s_suppkey, d2 FROM ranked WHERE rn = 1
+        |ORDER BY c_custkey""".stripMargin,
     "q_reproject_4326" -> reprojectOracle,
     "q_extent_envelope" ->
       s"""WITH $triCte
