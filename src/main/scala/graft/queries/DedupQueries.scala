@@ -590,10 +590,21 @@ object DedupQueries {
       graft.plans.NativeBloom.register(s)
       // sized from the table's row count — an unfiltered parquet count()
       // is a footer-metadata aggregate, not a data scan; ~10 bits/item
-      // ≈ 1% fpp
-      val nItems =
-        math.max(s.read.parquet(s"$dir/documents.parquet").count(), 1000L)
-      val nBits = nItems * 10
+      // ≈ 1% fpp. CLAMPED to the analyzer's hard caps (default 4M
+      // items / 2²⁶ bits): bloom_filter_agg REJECTS arguments above
+      // spark.sql.optimizer.runtime.bloomFilter.maxNum{Items,Bits} at
+      // analysis time, so past ~6.7M rows an unclamped sketch would
+      // fail the whole query instead of degrading — with the clamp the
+      // sketch saturates and the fpp rises, which only sends more rows
+      // to the exact verify branch (the result stays exact by
+      // construction).
+      val maxItems = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumItems", "4000000").toLong
+      val maxBits = s.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.maxNumBits", "67108864").toLong
+      val nItems = math.min(maxItems,
+        math.max(s.read.parquet(s"$dir/documents.parquet").count(), 1000L))
+      val nBits = math.min(maxBits, nItems * 10)
       Corpus.withDuplicates(s, dir)
         .filter(col("doc_id") >= 1000000)
         .withColumn("content_hash", md5(col("text")))

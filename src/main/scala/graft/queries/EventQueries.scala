@@ -891,6 +891,15 @@ object EventQueries {
     // ONE (user, ts, event_id) sort — the same single exchange any
     // per-user window pays; output is each user's latest smoothed
     // level, so state is one row per user at any scale.
+    // Sign-robustness audit (round 10): qv = floor(value·100) uses
+    // floor() BEFORE the bigint cast, so both engines quantize
+    // identically for negative values (double→bigint CAST alone would
+    // diverge: Spark truncates, DuckDB rounds — verified empirically);
+    // the subsequent integer divisions agree too, because DuckDB's
+    // integer `//` TRUNCATES toward zero exactly like Spark `div` and
+    // the streaming twin's JVM `/` (SELECT -7 // 2 = -3 in DuckDB).
+    // No shift needed — the three engines are bit-consistent for any
+    // sign of `value`.
     "q_ewma_dyadic" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

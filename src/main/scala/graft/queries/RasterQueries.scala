@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.geo.Jts
-import graft.raster.{AsciiGrid, GridGen, RasterOps}
+import graft.raster.{AsciiGrid, GeoTiff, GridGen, RasterOps}
 
 /** Raster kernel queries (OP-SP-2/3, AGG-2): ASCII-grid parsing, per-
   * grid statistics, and polygon clip-mask — the reference's
@@ -171,9 +171,18 @@ object RasterQueries {
     // aggregate is ONE hash aggregate keyed (raster, zone) with
     // map-side combine — at 100 TB no join and a single exchange of
     // O(rasters × bands) rows, regardless of pixel count.
+    // zone id via SHIFTED truncating division: Spark `div` truncates
+    // toward zero while the oracle's `//` floors — equal only on
+    // non-negative operands, which cell values are today by GridGen
+    // construction. The +10⁶ shift (subtracted back) makes both sides
+    // compute the mathematical floor for any value ≥ −10⁶, so a future
+    // fixture with negative elevations cannot diverge (same discipline
+    // as the PQ pack's pqShiftedQv). Oracle applies the identical
+    // shift; results are bit-unchanged for current data.
     "q_zonal_stats" -> ((s, dir) =>
       stencilCells(s, dir)
-        .withColumn("zone", expr("CAST(value AS BIGINT) div 100"))
+        .withColumn("zone",
+          expr("(CAST(value AS BIGINT) + 1000000L) div 100 - 10000L"))
         .groupBy("n_nationkey", "zone")
         .agg(count(lit(1)).as("n_cells"),
           min(expr("CAST(value AS BIGINT)")).as("vmin"),
@@ -246,6 +255,34 @@ object RasterQueries {
             .as("drop2x"))
         .orderBy("n_nationkey", "cell_idx")
     }),
+
+    // SNK-1 catalog gate: encode every grid with the pure-JVM GeoTIFF
+    // writer, decode it back with the independent IFD-walking reader,
+    // and gate the EMITTED BYTES arithmetically — the oracle computes
+    // the writer's closed-form layout length (header + IFD + geo tags
+    // + tile arrays + ntiles·tile bytes) and the whole-file pixel sum
+    // (padding writes 0.0f, so it equals the plain cell-value sum;
+    // GridGen values are integers, exact in float32) from the same
+    // formulas, in SQL, from `nation` alone. A writer layout bug,
+    // tile-addressing bug, or georeferencing drop shows up as a hash
+    // mismatch here, not just in the JVM spec. One task per raster,
+    // no shuffle — at 100 TB this is the same embarrassingly-parallel
+    // per-file shape as the reference's CopyRaster loop (ETL.py:259).
+    "q_geotiff_catalog" -> ((s, dir) => {
+      val metaUdf = udf { (k: Int) =>
+        val bytes = GeoTiff.write(GridGen.gen(k))
+        val p = GeoTiff.read(bytes)
+        (bytes.length.toLong, p.nTiles.toLong, p.grid.ncols.toLong,
+          p.grid.nrows.toLong, p.srid.toLong, p.grid.values.sum.toLong)
+      }
+      s.read.parquet(s"$dir/nation.parquet")
+        .withColumn("m", metaUdf(col("n_nationkey")))
+        .select(col("n_nationkey"),
+          col("m._1").as("n_bytes"), col("m._2").as("n_tiles"),
+          col("m._3").as("width"), col("m._4").as("height"),
+          col("m._5").as("srid"), col("m._6").as("px_sum"))
+        .orderBy("n_nationkey")
+    }),
   )
 
   /** Shared oracle CTE: the same cells by pure arithmetic. */
@@ -313,13 +350,40 @@ object RasterQueries {
     "q_zonal_stats" ->
       s"""WITH $cellsCte
          |SELECT n_nationkey,
-         |       CAST(CAST(value AS BIGINT) // 100 AS BIGINT) AS zone,
+         |       CAST((CAST(value AS BIGINT) + 1000000) // 100 - 10000 AS BIGINT) AS zone,
          |       count(*) AS n_cells,
          |       CAST(min(CAST(value AS BIGINT)) AS BIGINT) AS vmin,
          |       CAST(max(CAST(value AS BIGINT)) AS BIGINT) AS vmax,
          |       CAST(sum(CAST(value AS BIGINT)) AS BIGINT) AS vsum
          |FROM cells WHERE value <> -9999.0
          |GROUP BY 1, 2 ORDER BY n_nationkey, zone""".stripMargin,
+
+    // the writer's deterministic layout in SQL: 304 fixed bytes
+    // (8 header + 186 IFD + 24 pixel-scale + 48 tiepoint + 32 geokeys
+    // + 6 nodata-ascii) + offset/count arrays (8·nt, only when nt > 1
+    // overflows the inline slots) + nt·256 tile bytes (8×8 float32);
+    // px_sum = plain cell sum because tile padding is written as 0.0f
+    "q_geotiff_catalog" ->
+      s"""WITH $cellsCte,
+         |sums AS (
+         |  SELECT n_nationkey, CAST(sum(value) AS BIGINT) AS px_sum
+         |  FROM cells GROUP BY 1
+         |),
+         |meta AS (
+         |  SELECT n_nationkey, nc, nr,
+         |         ((nc + 7) // 8) * ((nr + 7) // 8) AS nt
+         |  FROM dims
+         |)
+         |SELECT m.n_nationkey,
+         |       CAST(304 + CASE WHEN nt > 1 THEN 8 * nt ELSE 0 END
+         |            + 256 * nt AS BIGINT) AS n_bytes,
+         |       CAST(nt AS BIGINT) AS n_tiles,
+         |       CAST(nc AS BIGINT) AS width,
+         |       CAST(nr AS BIGINT) AS height,
+         |       CAST(2193 AS BIGINT) AS srid,
+         |       s.px_sum
+         |FROM meta m JOIN sums s USING (n_nationkey)
+         |ORDER BY m.n_nationkey""".stripMargin,
 
     "q_raster_slope" ->
       s"""WITH $cellsCte,

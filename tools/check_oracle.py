@@ -36,10 +36,27 @@ def normalize(df: pd.DataFrame) -> pd.DataFrame:
             # q_group_collect; this keeps the tool from crashing when
             # one doesn't)
             import numpy as np
+
+            def _scalar_str(v):
+                # normalize missing values to ONE sentinel before
+                # stringifying: Spark/DuckDB parquet may materialize a
+                # missing cell as None, NaN, or NaT, and str() would
+                # render those as distinct ('None' vs 'nan') — a
+                # spurious mismatch — or let a real None-vs-'None' type
+                # drift hash equal. One sentinel that no query emits.
+                if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+                    return "<NULL>"
+                return str(v)
+
+            def _cell_str(v):
+                if isinstance(v, (list, tuple, np.ndarray)):
+                    return ",".join(_scalar_str(x) for x in v)
+                return _scalar_str(v)
+
             if df[c].map(lambda v: isinstance(v, (list, tuple, np.ndarray))).any():
-                df[c] = df[c].map(
-                    lambda v: ",".join(map(str, v))
-                    if isinstance(v, (list, tuple, np.ndarray)) else str(v))
+                print(f"  [warn] column {c!r}: array-stringify fallback "
+                      "engaged (queries should emit joined strings)")
+                df[c] = df[c].map(_cell_str)
     df = df.sort_values(by=list(df.columns), ignore_index=True)
     return df
 
