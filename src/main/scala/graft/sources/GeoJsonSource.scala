@@ -66,6 +66,46 @@ object GeoJsonSource {
     target.toString
   }
 
+  /** Pluggable document fetcher for URL locations (SRC-3's live
+    * feature-service shape, ETL.py:184–187): maps a URL to the bytes of
+    * its FeatureCollection response. The default opens the URL directly
+    * — the reference's `MakeFeatureLayer(service_url)` behavior — and
+    * tests inject a supplier serving fixture bytes, so the URL→parse
+    * path is exercised offline end to end. Driver-side by design: the
+    * service response is ONE small document (the region dimension),
+    * fetched once and then parsed/broadcast like any dim; bulk data
+    * never flows through this hook.
+    */
+  @volatile private[graft] var fetcher: String => java.io.InputStream =
+    url => new java.net.URI(url).toURL.openStream()
+
+  /** Scope a mock fetcher around `body`, restoring the default after —
+    * test hygiene for the shared object.
+    */
+  def withFetcher[T](f: String => java.io.InputStream)(body: => T): T = {
+    val prev = fetcher
+    fetcher = f
+    try body finally fetcher = prev
+  }
+
+  private def isRemote(loc: String): Boolean =
+    loc.startsWith("http://") || loc.startsWith("https://")
+
+  /** URL-or-path resolution: remote locations are fetched via `fetcher`
+    * into a temp file Spark's json reader can scan; local paths pass
+    * through untouched.
+    */
+  def materialize(loc: String): String =
+    if (!isRemote(loc)) loc
+    else {
+      val in = fetcher(loc)
+      val tmp = Files.createTempFile("graft_geojson_fetch_", ".geojson")
+      try Files.copy(in, tmp, StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      tmp.toFile.deleteOnExit()
+      tmp.toString
+    }
+
   /** Polygon `coordinates` array → WKT text, as pure column expressions. */
   def coordsToWkt(coords: Column): Column =
     concat(lit("POLYGON ("),
@@ -81,7 +121,7 @@ object GeoJsonSource {
     * `code, raw_title, gtype, n_rings, n_vertices, wkt`.
     */
   def features(spark: SparkSession, path: String): DataFrame =
-    spark.read.option("multiLine", "true").schema(schema).json(path)
+    spark.read.option("multiLine", "true").schema(schema).json(materialize(path))
       .select(explode(col("features")).as("f"))
       .select(
         col("f.properties.REGC_code").as("code"),
