@@ -21,7 +21,7 @@ object Bench {
     "q_mix_sample", "q_semantic_cluster", "q_fuzzy_join",
     "q_runtime_filter", "q_passage_overlap", "q_split_leakage",
     "q_ann_ivf_probe2", "q_skew_join_aqe", "q_scalar_subquery",
-    "q_containment")
+    "q_containment", "q_pipeline_e2e")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -44,6 +44,39 @@ object EtlQueries {
 
   private val sidecarExts = Seq(".tif", ".tfw", ".tif.aux.xml", ".tif.ovr", ".tif.lock")
 
+  /** On-disk .asc tree for the END-TO-END pipeline bench row: one file
+    * per nation key k (25 at every SF), named from the same dim
+    * arithmetic as the manifest (param k%16, period k%17, stat k%3),
+    * content = GridGen grid k, under the k%17 region-code source dir.
+    * SF-independent by construction — nation is fixed-size — so ONE
+    * tree serves every scale's gate and the oracle rebuilds names and
+    * clip statistics from `nation` alone.
+    */
+  private[graft] def pipelineTree(s: SparkSession): String = {
+    val out = s"${System.getProperty("java.io.tmpdir")}/graft_pipe_tree"
+    SideStores.ensure(out) {
+      val root = new java.io.File(out)
+      if (root.exists()) {
+        java.nio.file.Files.walk(root.toPath)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.delete(p); () })
+      }
+      val pCodes = Lookups.parameters.map(_._1)
+      val tCodes = Lookups.periods.map(_._1)
+      val rCodes = Lookups.regions.map(_._1)
+      for (k <- 0 until 25) {
+        val base = s"grid_${pCodes(k % 16)}_NZ_norm_" +
+          s"${Lookups.statistics(k % 3)}_1991-2020_${tCodes(k % 17)}"
+        val sub = new java.io.File(out, rCodes(k % 17))
+        sub.mkdirs()
+        java.nio.file.Files.writeString(sub.toPath.resolve(s"$base.asc"),
+          graft.raster.GridGen.genText(k))
+        ()
+      }
+    }
+    out
+  }
+
   /** On-disk twin of a deterministic manifest subset (file_id % 97 = 0,
     * ≤ ~1 ‰ of the listing at any SF) for the streaming file-ingest
     * query: real region-dir/file layout, content `"cell <file_id>\n"`
@@ -376,6 +409,38 @@ object EtlQueries {
         .orderBy("region")
     }),
 
+    // The FLAGSHIP PATH end to end as a tracked bench row (VERDICT r9
+    // item 6): a real etl/Pipeline.run — asciigrid DSv2 scan →
+    // filename decode → broadcast dim joins → ×regions cross join →
+    // clip+stats → metadata docs → zip/json/catalog SINKS — over the
+    // 25-grid tree, returning the written catalog store. Every stage
+    // the decomposed q_* queries gate piecewise here runs COMPOSED,
+    // with the sinks' I/O in the timed window. The full-cover region
+    // boxes make the clip arithmetic closed-form (clip = whole grid),
+    // so the oracle rebuilds all 400 catalog rows — names, titles, and
+    // clip statistics — from `nation` + the dim CTEs alone.
+    "q_pipeline_e2e" -> ((s, dir) => {
+      val tree = pipelineTree(s)
+      val out = java.nio.file.Files.createTempDirectory("graft_pipe_e2e_")
+        .toString
+      import s.implicits._
+      val regions = Lookups.regions.map { case (code, name) =>
+        val rawTitle =
+          if (code == "99") "Area Outside Region"
+          else name.replace("-", " ") + " Region"
+        (code, name, rawTitle,
+          "POLYGON ((1000000 4700000, 2200000 4700000, 2200000 6300000, 1000000 6300000, 1000000 4700000))")
+      }.toDF("code", "name", "raw_title", "wkt")
+      val res = graft.etl.Pipeline.run(s, tree, regions, out,
+        updatedAt = "2026-01-01T00:00:00Z")
+      res.catalog.select(col("base_name"), col("region_code"),
+          col("region_title"), col("new_file_name"), col("clipped_name"),
+          col("ncols_out").cast("bigint"), col("nrows_out").cast("bigint"),
+          col("n_valid").cast("bigint"), col("n_nodata").cast("bigint"),
+          round(col("sum_valid"), 2).as("sum_valid"))
+        .orderBy("base_name", "region_code")
+    }),
+
     // SRC-1 as a STREAM (SURVEY §2.9 stretch, VERDICT r9 item 3): the
     // recursive .asc tree consumed by Structured Streaming's file
     // source (binaryFile) with the suffix predicate pushed down as a
@@ -577,6 +642,56 @@ object EtlQueries {
     "q_rename_lookup" ->
       s"""$W, $renamedSql
          |SELECT base_name, new_file_name FROM renamed ORDER BY base_name""".stripMargin,
+
+    // the composed pipeline's catalog rebuilt arithmetically: names
+    // from the k%16/k%17/k%3 dim joins, clip stats from the GridGen
+    // cell formula (full-cover boxes ⇒ clip = whole grid), ×16
+    // clipping regions
+    "q_pipeline_e2e" ->
+      s"""WITH ${Lookups.parameterCte},
+         |${Lookups.periodCte},
+         |${Lookups.regionCte},
+         |${Lookups.statisticCte},
+         |gdims AS (
+         |  SELECT n_nationkey, 8 + n_nationkey % 5 AS nc,
+         |         6 + n_nationkey % 4 AS nr
+         |  FROM nation
+         |),
+         |gcells AS (
+         |  SELECT n_nationkey,
+         |         CASE WHEN (13 * i + 7 * n_nationkey) % 11 = 0 THEN -9999.0
+         |              ELSE CAST((37 * i + 17 * n_nationkey) % 1000 AS DOUBLE) END AS value
+         |  FROM (SELECT *, unnest(generate_series(0, nc * nr - 1)) AS i FROM gdims)
+         |),
+         |gstats AS (
+         |  SELECT n_nationkey,
+         |         count(*) FILTER (WHERE value <> -9999.0) AS n_valid,
+         |         count(*) FILTER (WHERE value = -9999.0) AS n_nodata,
+         |         round(sum(value) FILTER (WHERE value <> -9999.0), 2) AS sum_valid
+         |  FROM gcells GROUP BY 1
+         |),
+         |named AS (
+         |  SELECT d.n_nationkey, d.nc, d.nr,
+         |         'grid_' || pd.code || '_NZ_norm_' || sd.stat || '_1991-2020_' || td.code AS base_name,
+         |         pd.name || '_' || sd.stat || '_1991-2020_' || td.name AS new_file_name
+         |  FROM gdims d
+         |  JOIN parameter_dim pd ON pd.idx = d.n_nationkey % 16
+         |  JOIN period_dim td ON td.idx = d.n_nationkey % 17
+         |  JOIN stat_dim sd ON sd.idx = d.n_nationkey % 3
+         |)
+         |SELECT nm.base_name, rd.code AS region_code,
+         |       replace(rd.name, '-', ' ') AS region_title,
+         |       nm.new_file_name,
+         |       nm.new_file_name || '_' || rd.name || '.tif' AS clipped_name,
+         |       CAST(nm.nc AS BIGINT) AS ncols_out,
+         |       CAST(nm.nr AS BIGINT) AS nrows_out,
+         |       CAST(st.n_valid AS BIGINT) AS n_valid,
+         |       CAST(st.n_nodata AS BIGINT) AS n_nodata,
+         |       st.sum_valid
+         |FROM named nm
+         |JOIN gstats st USING (n_nationkey)
+         |CROSS JOIN (SELECT code, name FROM region_dim WHERE code <> '99') rd
+         |ORDER BY base_name, region_code""".stripMargin,
 
     // content is "cell <file_id>\n" → 6 + decimal-digit count; DISTINCT
     // because two partkeys CAN share a (region, base_name) path at very
