@@ -48,6 +48,16 @@ object Pipeline {
     else s"${g.cellsize}\n0.0\n0.0\n-${g.cellsize}\n${g.centerX(0)}\n${g.centerY(0)}\n"
   }
 
+  // SNK-1: the clipped raster itself as GeoTIFF bytes in NZTM2000 —
+  // the reference zips the .tif Clip_management wrote (ETL.py:303–346);
+  // an empty clip (region outside the grid) zips a zero-byte entry,
+  // mirroring how the reference's failed clips leave no raster payload
+  private val geoTiffUdf = udf { (text: String) =>
+    val g = AsciiGrid.parse(text)
+    if (g.ncols == 0 || g.nrows == 0) Array.empty[Byte]
+    else graft.raster.GeoTiff.write(g, srid = 2193)
+  }
+
   /** The pipeline's source stage: the asciigrid DataSource V2 scan,
     * pruned to (path, text) — the scan never tokenizes cell values the
     * clip UDF re-parses anyway — with an optional source-region scope.
@@ -195,7 +205,11 @@ object Pipeline {
         struct(concat(col("file_stem"), lit(".asc")).as("name"), col("clipped_text").as("content")),
         struct(concat(col("file_stem"), lit(".wld")).as("name"), worldFileUdf(col("clipped_text")).as("content")),
         struct(concat(col("file_stem"), lit(".stats.txt")).as("name"), col("stats_text").as("content")),
-      ).as("entries"))
+      ).as("entries"),
+      array(
+        struct(concat(col("file_stem"), lit(".tif")).as("name"),
+          geoTiffUdf(col("clipped_text")).as("content")),
+      ).as("bin_entries"))
     ZipSink.write(zips, s"$sinkRoot/zipped")
 
     // SNK-4: one metadata .json per product, written partition-side

@@ -22,11 +22,15 @@ import org.apache.spark.sql.{DataFrame, Row}
 object ZipSink {
 
   /** Expects schema: zip_name STRING, entries ARRAY<STRUCT<name STRING,
-    * content STRING>>. Writes `outDir/<zip_name>` files.
+    * content STRING>>, and optionally bin_entries ARRAY<STRUCT<name
+    * STRING, content BINARY>> for non-text sidecars (the clipped
+    * GeoTIFF itself, ETL.py:315–346 zips the .tif alongside its text
+    * sidecars). Writes `outDir/<zip_name>` files.
     */
   def write(df: DataFrame, outDir: String): Unit = {
     val fsConf = S3Sink.fsConfEntries(df.sparkSession)
     S3Sink.fileSystemFor(outDir, fsConf).mkdirs(new Path(outDir))
+    val hasBin = df.columns.contains("bin_entries")
     df.foreachPartition { rows: Iterator[Row] =>
       val fs = S3Sink.fileSystemFor(outDir, fsConf)
       rows.foreach { row =>
@@ -38,6 +42,11 @@ object ZipSink {
           entries.foreach { e =>
             out.putNextEntry(new ZipEntry(e.getAs[String]("name")))
             out.write(e.getAs[String]("content").getBytes(StandardCharsets.UTF_8))
+            out.closeEntry()
+          }
+          if (hasBin) row.getAs[collection.Seq[Row]]("bin_entries").foreach { e =>
+            out.putNextEntry(new ZipEntry(e.getAs[String]("name")))
+            out.write(e.getAs[Array[Byte]]("content"))
             out.closeEntry()
           }
         } finally out.close()

@@ -104,27 +104,43 @@ class PipelineSpec extends SparkSpecBase {
     assert(cat.columns.contains("clipped_text") && cat.columns.contains("metadata_json"))
   }
 
-  test("zips exist with the three sidecar entries") {
+  test("zips exist with the sidecar entries plus the GeoTIFF payload") {
     // force sinks to have run
     result.catalog.count()
     val zipDir = Paths.get(s"$work/out/zipped")
     val zips = Files.list(zipDir).iterator()
     var zipCount = 0
+    var parsedTifs = 0
     zips.forEachRemaining { p =>
       if (p.toString.endsWith(".zip")) {
         zipCount += 1
         val zf = new ZipFile(p.toFile)
         try {
-          val names = zf.entries()
           var exts = Set.empty[String]
-          names.asIterator().forEachRemaining { e =>
+          zf.entries().asIterator().forEachRemaining { e =>
             exts += e.getName.replaceAll("^.*?(\\.[a-z.]+)$", "$1")
+            if (e.getName.endsWith(".tif") && e.getSize > 0) {
+              // non-empty clip → the payload is a decodable GeoTIFF
+              // whose pixels match the zipped .asc sidecar
+              val bytes = zf.getInputStream(e).readAllBytes()
+              val ascName = e.getName.stripSuffix(".tif") + ".asc"
+              val asc = graft.raster.AsciiGrid.parse(new String(
+                zf.getInputStream(zf.getEntry(ascName)).readAllBytes(), "UTF-8"))
+              val tif = graft.raster.GeoTiff.read(bytes)
+              assert(tif.srid == 2193)
+              assert(tif.grid.ncols == asc.ncols && tif.grid.nrows == asc.nrows)
+              assert(tif.grid.values.sameElements(asc.values),
+                s"pixel drift between zipped .tif and .asc in $p")
+              parsedTifs += 1
+            }
           }
-          assert(exts == Set(".asc", ".wld", ".stats.txt"), s"entries in $p: $exts")
+          assert(exts == Set(".asc", ".wld", ".stats.txt", ".tif"),
+            s"entries in $p: $exts")
         } finally zf.close()
       }
     }
     assert(zipCount == 48, s"expected 48 zips, got $zipCount")
+    assert(parsedTifs > 0, "no non-empty GeoTIFF payload was round-trip checked")
   }
 
   test("source stage: asciigrid DSv2 scan, columns pruned, region scope pushed to listing") {
