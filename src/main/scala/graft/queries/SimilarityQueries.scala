@@ -949,19 +949,49 @@ object SimilarityQueries {
         .withColumn("sim", round(dot("ea", "eb") / (col("na") * col("nb")), 4))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("sim").desc, col("nbr_id"))
-      val knn = scored.withColumn("rank", row_number().over(w))
+      // components are CELL-LOCAL (every kNN edge is scored within one
+      // quantizer cell), so the survivor labels come from one
+      // groupBy(cell) + per-cell min-root union-find instead of global
+      // star-contraction rounds — same single-exchange rewrite as
+      // q_semdedup_sweep, exact same labels (the union-find roots at
+      // the component min id, which is also what star contraction
+      // emits). The alternating-star machinery remains the plan for
+      // graphs with NO bounding key — q_dedup_cluster exercises it on
+      // key-spanning chain components where cell-locality doesn't hold.
+      val canonical = scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 3 && col("sim") >= 0.5)
-        .select(col("vec_id"), col("nbr_id"))
-      val pairs = knn
-        .select(least(col("vec_id"), col("nbr_id")).as("id_a"),
+        .select(col("cell"),
+          least(col("vec_id"), col("nbr_id")).as("id_a"),
           greatest(col("vec_id"), col("nbr_id")).as("id_b"))
         .distinct()
-      val nodes = corpus.select(col("vec_id").as("id"))
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      GraphOps.alternatingStarComponents(nodes, edges)._1
-        .select(col("id").as("vec_id"), col("label").as("survivor_id"),
-          when(col("id") === col("label"), 1L).otherwise(0L).as("kept"))
+      val compUdf = udf { (edges: Seq[org.apache.spark.sql.Row]) =>
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          val p = parent.getOrElse(x, x)
+          if (p == x) x
+          else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { e =>
+          val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+          if (a != b) parent(math.max(a, b)) = math.min(a, b)
+        }
+        edges.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
+          .map(n => (n, find(n)))
+      }
+      // cached: both output branches (labels union, singleton anti-
+      // join) read it — without the cache the groupBy+union-find runs
+      // twice
+      val touched = QueryCaches.cache(canonical.groupBy("cell")
+        .agg(collect_list(struct(col("id_a"), col("id_b"))).as("es"))
+        .select(explode(compUdf(col("es"))).as("r"))
+        .select(col("r._1").as("vec_id"), col("r._2").as("survivor_id")))
+      val singles = corpus.select(col("vec_id"))
+        .join(touched.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("vec_id").as("survivor_id"))
+      touched.unionByName(singles)
+        .select(col("vec_id"), col("survivor_id"),
+          when(col("vec_id") === col("survivor_id"), 1L).otherwise(0L)
+            .as("kept"))
         .orderBy("vec_id")
     }),
 
