@@ -278,6 +278,37 @@ object TextQueries {
           expr("m.top_count * 10000 div m.n_tokens").as("top_pm"))
         .orderBy("doc_id")),
 
+    // Corpus-frequency BOILERPLATE REMOVAL (CCNet/RefinedWeb-style):
+    // segment every document into consecutive 3-token chunks, count
+    // each chunk's document frequency corpus-wide, flag chunks shared
+    // by ≥2 documents as boilerplate (headers/footers/nav text in a
+    // real crawl), and emit the per-doc cleaned text digest with
+    // before/after counts. Plan shape at 100 TB: one explode + ONE
+    // hash aggregate keyed by segment (map-side combined) for the
+    // frequency table, one shuffle join back on the segment key
+    // (never a broadcast — the frequency table scales with corpus
+    // vocabulary), one per-doc re-assembly aggregate. No driver-side
+    // state, no all-pairs anything.
+    "q_boilerplate_lines" -> ((s, dir) => {
+      val segs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), posexplode(expr(
+          """transform(
+            |  sequence(0, CAST(ceil(size(split(text, ' ')) / 3.0) AS INT) - 1),
+            |  i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"""
+            .stripMargin)).as(Seq("pos", "seg")))
+      val freq = segs.groupBy("seg")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      segs.join(freq, "seg")
+        .withColumn("boiler", col("df") >= 2)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("boiler"), 1L).otherwise(0L)).as("n_boilerplate"),
+          md5(array_join(expr(
+            "transform(filter(sort_array(collect_list(struct(pos, boiler, seg))), x -> NOT x.boiler), x -> x.seg)"),
+            " ")).as("cleaned_md5"))
+        .orderBy("doc_id")
+    }),
+
     // Sequence packing — the concat-and-chunk step that turns a curated
     // corpus into fixed-size training windows: per SOURCE SHARD (the
     // unit of parallelism — global packing would serialize the corpus
@@ -1170,6 +1201,26 @@ object TextQueries {
         |             x -> len(list_filter(t, y -> y = x)))) AS BIGINT)
         |         * 10000 // CAST(len(t) AS BIGINT) AS top_pm
         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_boilerplate_lines" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS pos,
+        |         array_to_string(ws[i*3+1 : i*3+3], ' ') AS seg
+        |  FROM (SELECT *, unnest(generate_series(0,
+        |          CAST(ceil(len(ws) / 3.0) AS INT) - 1)) AS i FROM w)
+        |),
+        |freq AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY 1),
+        |fl AS (
+        |  SELECT s.doc_id, s.pos, s.seg, f.df >= 2 AS boiler
+        |  FROM segs s JOIN freq f USING (seg)
+        |)
+        |SELECT doc_id,
+        |       count(*) AS n_segments,
+        |       CAST(sum(CASE WHEN boiler THEN 1 ELSE 0 END) AS BIGINT) AS n_boilerplate,
+        |       md5(coalesce(string_agg(CASE WHEN NOT boiler THEN seg END,
+        |             ' ' ORDER BY pos), '')) AS cleaned_md5
+        |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_pack_sequences" ->
       """WITH t AS (
