@@ -285,10 +285,14 @@ object TextQueries {
     // real crawl), and emit the per-doc cleaned text digest with
     // before/after counts. Plan shape at 100 TB: one explode + ONE
     // hash aggregate keyed by segment (map-side combined) for the
-    // frequency table, one shuffle join back on the segment key
-    // (never a broadcast — the frequency table scales with corpus
-    // vocabulary), one per-doc re-assembly aggregate. No driver-side
-    // state, no all-pairs anything.
+    // frequency table, one join back on the segment key — left to AQE,
+    // which broadcasts the frequency table while it fits (it does at
+    // fixture scale; .explain shows BroadcastHashJoin) and degrades to
+    // a shuffle join once corpus vocabulary outgrows the threshold —
+    // and one per-doc re-assembly aggregate. The segment table is
+    // deliberately NOT cached: re-deriving it from the (pruned) scan
+    // twice is cheaper at scale than materializing an exploded copy of
+    // the corpus. No driver-side state, no all-pairs anything.
     "q_boilerplate_lines" -> ((s, dir) => {
       val segs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), posexplode(expr(

@@ -60,4 +60,18 @@ object RoundTripProps extends Properties("graft") {
       val (e2, _) = Transform.forward(lat, lon + d)
       e2 > e1
     }
+
+  property("geoTiff.writeReadIdentity") = Prop.forAll(gridGen) { g =>
+    // arbitrary doubles quantize to float32 in the TIFF; everything
+    // else — dims, georeferencing, nodata, srid, tile math — is exact
+    val p = graft.raster.GeoTiff.read(graft.raster.GeoTiff.write(g))
+    p.grid.ncols == g.ncols && p.grid.nrows == g.nrows &&
+      p.grid.xllcorner == g.xllcorner && p.grid.yllcorner == g.yllcorner &&
+      p.grid.cellsize == g.cellsize && p.srid == 2193 &&
+      p.nTiles == graft.raster.GeoTiff.nTiles(g.ncols, g.nrows) &&
+      p.grid.values.length == g.values.length &&
+      p.grid.values.zip(g.values).forall { case (a, b) =>
+        a == b.toFloat.toDouble
+      }
+  }
 }
