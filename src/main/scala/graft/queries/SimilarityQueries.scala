@@ -273,6 +273,44 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // ANN RECALL EVALUATION — the harness every vector-index
+    // deployment runs before trusting an approximate path: per query,
+    // recall@10 of the 1-probe IVF search against the brute-force
+    // ground truth. Standard practice at scale is exactly this shape:
+    // the exhaustive truth is computed only for a small QUERY SAMPLE
+    // (5 here), so the cross join is bounded by |sample|·|corpus| — a
+    // broadcast of 5 vectors against the candidate scan — while the
+    // IVF side touches one cell per query. Per-mille recall in exact
+    // integer division; both top-k's tie-break on vec_id so ranks are
+    // bit-stable cross-engine.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = QueryCaches.cache(emb(s, dir).withColumn("nrm", norm("embedding")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qe"),
+          col("nrm").as("qn"), col("label").as("qlabel"))
+      val c = e.filter(col("vec_id") >= 5)
+        .select(col("vec_id"), col("embedding").as("ce"),
+          col("nrm").as("cn"), col("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id"))
+      val exact = broadcast(q).crossJoin(c)
+        .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("query_id"), col("vec_id"))
+      val ivf = q.join(c, col("qlabel") === col("label"))
+        .withColumn("sim", round(dot("qe", "ce") / (col("qn") * col("cn")), 4))
+        .withColumn("rank", row_number().over(w)).filter(col("rank") <= 10)
+        .select(col("query_id").as("qid2"), col("vec_id").as("vid2"))
+      exact.join(ivf,
+          exact("query_id") === ivf("qid2") && exact("vec_id") === ivf("vid2"),
+          "left")
+        .groupBy("query_id")
+        .agg(count(lit(1)).as("n_exact"),
+          sum(when(col("qid2").isNotNull, 1L).otherwise(0L)).as("n_hit"))
+        .withColumn("recall_pm", expr("n_hit * 1000 div n_exact"))
+        .orderBy("query_id")
+    }),
+
     // Int8 quantization of the embedding column — the storage/transfer
     // compression step real vector indexes apply before ANN search.
     // scale = 127/max|v|; q_d = round(v_d · scale) — every step is an
@@ -1433,6 +1471,38 @@ object SimilarityQueries {
          |)
          |SELECT query_id, rank, vec_id, sim FROM ranked
          |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin,
+
+    "q_ann_recall" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS qlabel
+         |           FROM embeddings WHERE vec_id < 5),
+         |c AS (SELECT vec_id, embedding AS ce, label FROM embeddings WHERE vec_id >= 5),
+         |scored AS (
+         |  SELECT q.query_id, q.qlabel, c.vec_id, c.label,
+         |         round(${dotSql("qe", "ce")} /
+         |               (sqrt(${dotSql("qe", "qe")}) * sqrt(${dotSql("ce", "ce")})), 4) AS sim
+         |  FROM q CROSS JOIN c
+         |),
+         |exact AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, vec_id) AS rank
+         |    FROM scored) WHERE rank <= 10
+         |),
+         |ivf AS (
+         |  SELECT query_id, vec_id FROM (
+         |    SELECT query_id, vec_id,
+         |           row_number() OVER (PARTITION BY query_id
+         |                              ORDER BY sim DESC, vec_id) AS rank
+         |    FROM scored WHERE qlabel = label) WHERE rank <= 10
+         |)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+         |       CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END) * 1000
+         |            // count(*) AS BIGINT) AS recall_pm
+         |FROM exact e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.vec_id = i.vec_id
+         |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin,
 
     "q_ann_lsh" ->
       s"""WITH bands AS (
