@@ -252,7 +252,21 @@ object EventStreams {
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       } catch { case _: Throwable => () }
     }
-    df.sparkSession.table(name)
+    val out = df.sparkSession.table(name)
+    // the memory sink's temp view (UUID name, never reused) would
+    // otherwise pin its full result array in the driver for the rest
+    // of the session — across a 3-pass bench that is 50+ leaked result
+    // tables. The returned frame holds its resolved plan, so dropping
+    // the NAME after the consumer is done (releaseAll) frees the rows
+    // to GC without breaking the in-flight result.
+    graft.queries.QueryCaches.defer { () =>
+      df.sparkSession.catalog.dropTempView(name)
+      // forget the stopped query too: the manager tracks terminated
+      // queries (for awaitAnyTermination) until reset, and each one
+      // pins its sink
+      df.sparkSession.streams.resetTerminated()
+    }
+    out
   }
 
   /** State-partition count for graft's streaming queries
