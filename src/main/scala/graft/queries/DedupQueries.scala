@@ -340,6 +340,80 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // CONSENSUS (ensemble) dedup — the high-precision mode production
+    // pipelines run before destructive deletion: a pair is dropped
+    // only when flagged by ≥2 INDEPENDENT signals (exact hash,
+    // MinHash-LSH verified Jaccard, SimHash banded Hamming). Exact
+    // twins vote 3/3; appended-tail near-dups vote 2/3 (minhash +
+    // simhash — exact hashing deliberately misses them); any single-
+    // method false positive dies at the vote. All three pair streams
+    // are the SAME blocked/banded constructions the standalone queries
+    // gate — no new all-pairs anything — and the vote is one hash
+    // aggregate keyed on the pair.
+    "q_dedup_consensus" -> ((s, dir) => {
+      // the minhash sub-corpus plus VERBATIM re-crawl copies of every
+      // 20th doc: exact twins vote 3/3 (hash + jaccard 1 + hamming 0),
+      // appended-tail twins vote 2/3, so both consensus tiers are
+      // exercised
+      val docs = minhashDocs(s, dir).unionByName(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      // exact: self-join on the content hash (identical-text pairs)
+      val hashed = QueryCaches.cache(
+        docs.select(col("doc_id"), md5(col("text")).as("h")))
+      val ex = hashed.as("a").join(hashed.as("b"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // minhash: banded LSH candidates verified at jaccard >= 0.5
+      val mbands = QueryCaches.cache(docs
+        .withColumn("sh", Corpus.shingles("text"))
+        .select(col("doc_id"),
+          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey"))))
+      val mcands = mbands.as("a").join(mbands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
+      val mh = mcands
+        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4) >= 0.5)
+        .select("id_a", "id_b")
+      // simhash: band-word collision candidates verified at hamming <= 12
+      val words = QueryCaches.cache(docs
+        .select(col("doc_id"), simhash64Udf(col("text")).as("w")))
+      val sbands = words.select(col("doc_id"),
+        posexplode(col("w")).as(Seq("band", "bv")))
+      val scands = sbands.as("a").join(sbands.as("b"),
+          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val sh = scands
+        .join(words.select(col("doc_id").as("id_a"), col("w").as("wa")), "id_a")
+        .join(words.select(col("doc_id").as("id_b"), col("w").as("wb")), "id_b")
+        .filter(expr(
+          "bit_count(wa[0] ^ wb[0]) + bit_count(wa[1] ^ wb[1]) + " +
+            "bit_count(wa[2] ^ wb[2]) + bit_count(wa[3] ^ wb[3])") <= 12)
+        .select("id_a", "id_b")
+      ex.withColumn("m", lit("e"))
+        .unionByName(mh.withColumn("m", lit("m")))
+        .unionByName(sh.withColumn("m", lit("s")))
+        .groupBy("id_a", "id_b")
+        .agg(max(when(col("m") === "e", 1L).otherwise(0L)).as("in_exact"),
+          max(when(col("m") === "m", 1L).otherwise(0L)).as("in_minhash"),
+          max(when(col("m") === "s", 1L).otherwise(0L)).as("in_simhash"))
+        .withColumn("votes",
+          col("in_exact") + col("in_minhash") + col("in_simhash"))
+        .filter(col("votes") >= 2)
+        .orderBy("id_a", "id_b")
+    }),
+
     // Fuzzy matching: edit-distance similarity between adjacent catalog
     // entries — levenshtein is the classic record-linkage verifier run
     // AFTER blocking bounds the candidate pairs (here: consecutive
@@ -952,6 +1026,116 @@ object DedupQueries {
          |FROM sets sa JOIN sets sb ON sb.doc_id = sa.doc_id + 1000000
          |WHERE sa.doc_id % 3 = 0 AND sa.doc_id < 1000000
          |ORDER BY base_id""".stripMargin,
+
+    // the three standalone constructions re-stated verbatim (exact /
+    // minhash-verified / simhash-verified pair sets over the same
+    // sub-corpus), then one vote aggregate — pairs kept at >= 2 votes
+    "q_dedup_consensus" ->
+      s"""WITH msub AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zzz tail' FROM documents WHERE doc_id % 10 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 20 = 0
+         |),
+         |expairs AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM msub a JOIN msub b
+         |    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+         |),
+         |msh AS (SELECT doc_id, unnest(${Corpus.shinglesSql.replace("text", "msub.text")}) AS shingle FROM msub),
+         |mhx AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM msh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+         |  GROUP BY doc_id, seed
+         |),
+         |sig AS (
+         |  SELECT doc_id,
+         |         min(CASE WHEN seed = 0 THEN h END) AS s0, min(CASE WHEN seed = 1 THEN h END) AS s1,
+         |         min(CASE WHEN seed = 2 THEN h END) AS s2, min(CASE WHEN seed = 3 THEN h END) AS s3,
+         |         min(CASE WHEN seed = 4 THEN h END) AS s4, min(CASE WHEN seed = 5 THEN h END) AS s5,
+         |         min(CASE WHEN seed = 6 THEN h END) AS s6, min(CASE WHEN seed = 7 THEN h END) AS s7
+         |  FROM mhx GROUP BY doc_id
+         |),
+         |mbands AS (
+         |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+         |),
+         |mcand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM mbands a JOIN mbands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |msets AS (SELECT doc_id, ${Corpus.shinglesSql.replace("text", "msub.text")} AS sh FROM msub),
+         |mhpairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         |    FROM mcand c
+         |    JOIN msets sa ON sa.doc_id = c.id_a
+         |    JOIN msets sb ON sb.doc_id = c.id_b
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM msub),
+         |tw AS (
+         |  SELECT doc_id,
+         |         ${hexVal("substr(md5(tok), 1, 1)")} * 4096 + ${hexVal("substr(md5(tok), 2, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 3, 1)")} * 16 + ${hexVal("substr(md5(tok), 4, 1)")} AS v0,
+         |         ${hexVal("substr(md5(tok), 5, 1)")} * 4096 + ${hexVal("substr(md5(tok), 6, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 7, 1)")} * 16 + ${hexVal("substr(md5(tok), 8, 1)")} AS v1,
+         |         ${hexVal("substr(md5(tok), 9, 1)")} * 4096 + ${hexVal("substr(md5(tok), 10, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 11, 1)")} * 16 + ${hexVal("substr(md5(tok), 12, 1)")} AS v2,
+         |         ${hexVal("substr(md5(tok), 13, 1)")} * 4096 + ${hexVal("substr(md5(tok), 14, 1)")} * 256 +
+         |         ${hexVal("substr(md5(tok), 15, 1)")} * 16 + ${hexVal("substr(md5(tok), 16, 1)")} AS v3
+         |  FROM toks
+         |),
+         |svotes AS (
+         |  SELECT doc_id, j,
+         |         sum(2 * ((CASE j // 16 WHEN 0 THEN v0 WHEN 1 THEN v1
+         |                   WHEN 2 THEN v2 ELSE v3 END >> (j % 16)) & 1) - 1) AS s
+         |  FROM tw CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+         |  GROUP BY doc_id, j
+         |),
+         |words AS (
+         |  SELECT doc_id, j // 16 AS band,
+         |         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << (j % 16)) ELSE 0 END) AS BIGINT) AS bv
+         |  FROM svotes GROUP BY doc_id, j // 16
+         |),
+         |scand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM words a JOIN words b
+         |    ON a.band = b.band AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |),
+         |wp AS (
+         |  SELECT doc_id,
+         |         min(CASE WHEN band = 0 THEN bv END) AS w0,
+         |         min(CASE WHEN band = 1 THEN bv END) AS w1,
+         |         min(CASE WHEN band = 2 THEN bv END) AS w2,
+         |         min(CASE WHEN band = 3 THEN bv END) AS w3
+         |  FROM words GROUP BY doc_id
+         |),
+         |shpairs AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b,
+         |           bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) +
+         |           bit_count(xor(a.w2, b.w2)) + bit_count(xor(a.w3, b.w3)) AS hamming
+         |    FROM scand c JOIN wp a ON a.doc_id = c.id_a JOIN wp b ON b.doc_id = c.id_b
+         |  ) WHERE hamming <= 12
+         |),
+         |allp AS (
+         |  SELECT id_a, id_b, 1 AS e, 0 AS m, 0 AS s FROM expairs
+         |  UNION ALL SELECT id_a, id_b, 0, 1, 0 FROM mhpairs
+         |  UNION ALL SELECT id_a, id_b, 0, 0, 1 FROM shpairs
+         |)
+         |SELECT id_a, id_b,
+         |       CAST(max(e) AS BIGINT) AS in_exact,
+         |       CAST(max(m) AS BIGINT) AS in_minhash,
+         |       CAST(max(s) AS BIGINT) AS in_simhash,
+         |       CAST(max(e) + max(m) + max(s) AS BIGINT) AS votes
+         |FROM allp GROUP BY id_a, id_b
+         |HAVING max(e) + max(m) + max(s) >= 2
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_minhash" ->
       s"""WITH msub AS (
