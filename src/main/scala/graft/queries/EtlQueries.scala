@@ -87,7 +87,11 @@ object EtlQueries {
     * the stream that READS the tree.
     */
   private[graft] def streamTree(s: SparkSession, dir: String): String = {
-    val key = new java.io.File(dir).getName
+    // key on the sanitized ABSOLUTE path (ADVICE r10): two fixture dirs
+    // sharing a basename but not a parent must not silently reuse each
+    // other's memoized tree within one JVM
+    val key = new java.io.File(dir).getAbsolutePath
+      .replaceAll("[^A-Za-z0-9._-]", "_")
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_tree_$key"
     SideStores.ensure(out) {
       val root = new java.io.File(out)
@@ -99,6 +103,7 @@ object EtlQueries {
       Manifest.build(s, dir)
         .filter(col("file_id") % 97 === 0)
         .select("file_id", "region_code", "file_name")
+        .orderBy("file_id") // last writer on a colliding path = max(file_id)
         .collect()
         .foreach { r =>
           val sub = new java.io.File(out, r.getAs[String]("region_code"))
@@ -693,19 +698,23 @@ object EtlQueries {
          |CROSS JOIN (SELECT code, name FROM region_dim WHERE code <> '99') rd
          |ORDER BY base_name, region_code""".stripMargin,
 
-    // content is "cell <file_id>\n" → 6 + decimal-digit count; DISTINCT
-    // because two partkeys CAN share a (region, base_name) path at very
-    // large SF (the writer would overwrite; the oracle must not
-    // double-count)
+    // content is "cell <file_id>\n" → 6 + decimal-digit count. Two
+    // partkeys CAN share a (region, base_name) path at very large SF;
+    // the writer walks ascending file_id and overwrites, so one path =
+    // one on-disk file holding the LARGEST file_id's content — the
+    // oracle groups per path and takes max(file_id)'s byte count
+    // (ADVICE r10: a bare DISTINCT double-counted colliding paths
+    // whose file_ids differ in digit count)
     "q_stream_file_ingest" ->
       s"""$W
-         |SELECT DISTINCT m.region_code, m.base_name,
+         |SELECT m.region_code, m.base_name,
          |       pd.name || '_' || split_part(m.base_name, '_', 5) || '_1991-2020_' || td.name AS new_file_name,
-         |       CAST(6 + length(CAST(m.file_id AS VARCHAR)) AS BIGINT) AS n_bytes
+         |       CAST(6 + length(CAST(max(m.file_id) AS VARCHAR)) AS BIGINT) AS n_bytes
          |FROM manifest m
          |JOIN parameter_dim pd ON pd.code = split_part(m.base_name, '_', 2)
          |JOIN period_dim td ON td.code = split_part(m.base_name, '_', 7)
          |WHERE m.file_id % 97 = 0 AND m.ext = '.asc'
+         |GROUP BY m.region_code, m.base_name, pd.name, td.name
          |ORDER BY region_code, base_name""".stripMargin,
 
     "q_broadcast_lookup_join" ->

@@ -256,31 +256,40 @@ object RasterQueries {
         .orderBy("n_nationkey", "cell_idx")
     }),
 
-    // SNK-1 catalog gate: encode every grid with the pure-JVM GeoTIFF
-    // writer, decode it back with the independent IFD-walking reader,
-    // and gate the EMITTED BYTES arithmetically — the oracle computes
-    // the writer's closed-form layout length (header + IFD + geo tags
-    // + tile arrays + ntiles·tile bytes) and the whole-file pixel sum
-    // (padding writes 0.0f, so it equals the plain cell-value sum;
-    // GridGen values are integers, exact in float32) from the same
-    // formulas, in SQL, from `nation` alone. A writer layout bug,
-    // tile-addressing bug, or georeferencing drop shows up as a hash
-    // mismatch here, not just in the JVM spec. One task per raster,
-    // no shuffle — at 100 TB this is the same embarrassingly-parallel
-    // per-file shape as the reference's CopyRaster loop (ETL.py:259).
+    // SNK-1 catalog gate: encode every grid with the pure-JVM COG
+    // writer, decode it back with the independent IFD-chain-walking
+    // reader, and gate the EMITTED BYTES arithmetically — the oracle
+    // computes the writer's closed-form layout length (header + main
+    // IFD + overview IFDs + geo tags + tile arrays + Σ ntiles·tile
+    // bytes, with the 2× pyramid reproduced by a recursive CTE), the
+    // full-res pixel sum (padding writes 0.0f, so it equals the plain
+    // cell-value sum; GridGen values are integers, exact in float32),
+    // AND the overview pixel sum: each overview pixel is the NODATA-
+    // aware 2×2 block mean cast to float32 (q_raster_downsample's
+    // math), which the oracle reproduces with AVG FILTER + CAST AS
+    // REAL — block means of ≤4 integer cells round identically in
+    // both engines, and a sum of ≤35 float32 values is exact in
+    // double, so the DOUBLE column hash-matches bit-for-bit. A writer
+    // layout bug, tile-addressing bug, broken overview chain, or
+    // georeferencing drop shows up as a hash mismatch here, not just
+    // in the JVM spec. One task per raster, no shuffle — at 100 TB
+    // this is the same embarrassingly-parallel per-file shape as the
+    // reference's CopyRaster loop (ETL.py:259).
     "q_geotiff_catalog" -> ((s, dir) => {
       val metaUdf = udf { (k: Int) =>
         val bytes = GeoTiff.write(GridGen.gen(k))
         val p = GeoTiff.read(bytes)
         (bytes.length.toLong, p.nTiles.toLong, p.grid.ncols.toLong,
-          p.grid.nrows.toLong, p.srid.toLong, p.grid.values.sum.toLong)
+          p.grid.nrows.toLong, p.srid.toLong, p.grid.values.sum.toLong,
+          p.nIfds.toLong, p.overviews.map(_.values.sum).sum)
       }
       s.read.parquet(s"$dir/nation.parquet")
         .withColumn("m", metaUdf(col("n_nationkey")))
         .select(col("n_nationkey"),
           col("m._1").as("n_bytes"), col("m._2").as("n_tiles"),
           col("m._3").as("width"), col("m._4").as("height"),
-          col("m._5").as("srid"), col("m._6").as("px_sum"))
+          col("m._5").as("srid"), col("m._6").as("px_sum"),
+          col("m._7").as("n_ifds"), col("m._8").as("ov_px_sum"))
         .orderBy("n_nationkey")
     }),
   )
@@ -358,32 +367,68 @@ object RasterQueries {
          |FROM cells WHERE value <> -9999.0
          |GROUP BY 1, 2 ORDER BY n_nationkey, zone""".stripMargin,
 
-    // the writer's deterministic layout in SQL: 304 fixed bytes
-    // (8 header + 186 IFD + 24 pixel-scale + 48 tiepoint + 32 geokeys
-    // + 6 nodata-ascii) + offset/count arrays (8·nt, only when nt > 1
-    // overflows the inline slots) + nt·256 tile bytes (8×8 float32);
-    // px_sum = plain cell sum because tile padding is written as 0.0f
+    // the COG writer's deterministic layout in SQL: a recursive CTE
+    // rebuilds the 2× pyramid (halve-ceiling until the level fits one
+    // 8×8 tile), then n_bytes = 8 header + 186 main IFD + 150 per
+    // overview IFD + 110 geo/nodata externals + per-level offset/count
+    // arrays (8·nt, only when nt > 1 overflows the inline slots) +
+    // 256 bytes per tile across ALL levels. px_sum = plain full-res
+    // cell sum (tile padding is written as 0.0f); ov_px_sum = the
+    // level-1 overview's pixel sum, reproduced as the NODATA-aware 2×2
+    // block mean cast to float32 (nodata blocks store -9999) — at
+    // fixture sizes the pyramid never exceeds 2 levels (deeper
+    // cascades are spec-tested JVM-side in GeoTiffSpec).
     "q_geotiff_catalog" ->
-      s"""WITH $cellsCte,
+      s"""WITH RECURSIVE $cellsCte,
+         |lvls AS (
+         |  SELECT n_nationkey, 0 AS lvl, nc AS w, nr AS h FROM dims
+         |  UNION ALL
+         |  SELECT n_nationkey, lvl + 1, (w + 1) // 2, (h + 1) // 2
+         |  FROM lvls WHERE w > 8 OR h > 8
+         |),
+         |lmeta AS (
+         |  SELECT n_nationkey, lvl,
+         |         ((w + 7) // 8) * ((h + 7) // 8) AS nt
+         |  FROM lvls
+         |),
+         |layout AS (
+         |  SELECT n_nationkey,
+         |         count(*) AS n_levels,
+         |         sum(nt) AS nt_all,
+         |         sum(CASE WHEN nt > 1 THEN 8 * nt ELSE 0 END) AS arr_bytes,
+         |         max(CASE WHEN lvl = 0 THEN nt END) AS nt0
+         |  FROM lmeta GROUP BY 1
+         |),
          |sums AS (
          |  SELECT n_nationkey, CAST(sum(value) AS BIGINT) AS px_sum
          |  FROM cells GROUP BY 1
          |),
-         |meta AS (
-         |  SELECT n_nationkey, nc, nr,
-         |         ((nc + 7) // 8) * ((nr + 7) // 8) AS nt
-         |  FROM dims
+         |blocks AS (
+         |  SELECT n_nationkey,
+         |         ((i // nc) // 2) * ((nc + 1) // 2) + (i % nc) // 2 AS block_idx,
+         |         CAST(CAST(avg(value) FILTER (WHERE value <> -9999.0) AS REAL)
+         |              AS DOUBLE) AS bm
+         |  FROM cells GROUP BY 1, 2
+         |),
+         |ovsum AS (
+         |  SELECT n_nationkey, sum(COALESCE(bm, -9999.0)) AS ov_sum
+         |  FROM blocks GROUP BY 1
          |)
-         |SELECT m.n_nationkey,
-         |       CAST(304 + CASE WHEN nt > 1 THEN 8 * nt ELSE 0 END
-         |            + 256 * nt AS BIGINT) AS n_bytes,
-         |       CAST(nt AS BIGINT) AS n_tiles,
-         |       CAST(nc AS BIGINT) AS width,
-         |       CAST(nr AS BIGINT) AS height,
+         |SELECT d.n_nationkey,
+         |       CAST(8 + 186 + (l.n_levels - 1) * 150 + 110
+         |            + l.arr_bytes + 256 * l.nt_all AS BIGINT) AS n_bytes,
+         |       CAST(l.nt0 AS BIGINT) AS n_tiles,
+         |       CAST(d.nc AS BIGINT) AS width,
+         |       CAST(d.nr AS BIGINT) AS height,
          |       CAST(2193 AS BIGINT) AS srid,
-         |       s.px_sum
-         |FROM meta m JOIN sums s USING (n_nationkey)
-         |ORDER BY m.n_nationkey""".stripMargin,
+         |       s.px_sum,
+         |       CAST(l.n_levels AS BIGINT) AS n_ifds,
+         |       CASE WHEN l.n_levels > 1 THEN o.ov_sum ELSE 0.0 END AS ov_px_sum
+         |FROM dims d
+         |JOIN layout l USING (n_nationkey)
+         |JOIN sums s USING (n_nationkey)
+         |JOIN ovsum o USING (n_nationkey)
+         |ORDER BY d.n_nationkey""".stripMargin,
 
     "q_raster_slope" ->
       s"""WITH $cellsCte,

@@ -79,6 +79,22 @@ object SimilarityQueries {
       .filter(col("sim") >= 0.99)
   }
 
+  /** Iterative union-find `find` with two-pass path compression,
+    * shared by the cell-local SemDeDup component UDFs. ITERATIVE on
+    * purpose (ADVICE r10): union-by-min can chain parents proportional
+    * to a cell's edge count, and a recursive find inside an executor
+    * UDF would StackOverflow on the large cells the 100 TB regime
+    * produces — the loop walks to the root, then compresses.
+    */
+  private def ufFind(parent: scala.collection.mutable.HashMap[Long, Long],
+      x: Long): Long = {
+    var r = x
+    while (parent.getOrElse(r, r) != r) r = parent(r)
+    var c = x
+    while (c != r) { val nx = parent(c); parent(c) = r; c = nx }
+    r
+  }
+
   /** The fixture is a single row group → a single scan partition, so
     * the dot/bucket kernels downstream would run on one core. A
     * round-robin redistribute after the skinny scan spreads the
@@ -1038,17 +1054,12 @@ object SimilarityQueries {
         .distinct()
       val compUdf = udf { (edges: Seq[org.apache.spark.sql.Row]) =>
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-        def find(x: Long): Long = {
-          val p = parent.getOrElse(x, x)
-          if (p == x) x
-          else { val r = find(p); parent(x) = r; r }
-        }
         edges.foreach { e =>
-          val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+          val (a, b) = (ufFind(parent, e.getLong(0)), ufFind(parent, e.getLong(1)))
           if (a != b) parent(math.max(a, b)) = math.min(a, b)
         }
         edges.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
-          .map(n => (n, find(n)))
+          .map(n => (n, ufFind(parent, n)))
       }
       // cached: both output branches (labels union, singleton anti-
       // join) read it — without the cache the groupBy+union-find runs
@@ -1124,17 +1135,12 @@ object SimilarityQueries {
         epsList.map { eps =>
           val es = edges.filter(_.getDouble(2) >= eps)
           val parent = scala.collection.mutable.HashMap.empty[Long, Long]
-          def find(x: Long): Long = {
-            val p = parent.getOrElse(x, x)
-            if (p == x) x
-            else { val r = find(p); parent(x) = r; r }
-          }
           es.foreach { e =>
-            val (a, b) = (find(e.getLong(0)), find(e.getLong(1)))
+            val (a, b) = (ufFind(parent, e.getLong(0)), ufFind(parent, e.getLong(1)))
             if (a != b) parent(math.max(a, b)) = math.min(a, b)
           }
           val touched = es.flatMap(e => Seq(e.getLong(0), e.getLong(1))).distinct
-          val comps = touched.map(find).distinct.size
+          val comps = touched.map(ufFind(parent, _)).distinct.size
           (eps, es.size.toLong, (touched.size - comps).toLong)
         }
       }

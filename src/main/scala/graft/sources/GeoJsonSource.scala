@@ -77,7 +77,15 @@ object GeoJsonSource {
     * never flows through this hook.
     */
   @volatile private[graft] var fetcher: String => java.io.InputStream =
-    url => new java.net.URI(url).toURL.openStream()
+    url => {
+      // explicit timeouts (ADVICE r10): a stalled feature service must
+      // fail the fetch after 30 s, not hang the driver inside
+      // materialize() forever (URL.openStream defaults to no timeout)
+      val conn = new java.net.URI(url).toURL.openConnection()
+      conn.setConnectTimeout(30000)
+      conn.setReadTimeout(30000)
+      conn.getInputStream
+    }
 
   /** Scope a mock fetcher around `body`, restoring the default after —
     * test hygiene for the shared object.

@@ -49,6 +49,27 @@ class GeoJsonSourceSpec extends SparkSpecBase {
     assert(r.filter(col("code") === "06").head().getString(1) == "Hawkes-Bay")
   }
 
+  test("opt-in: the DEFAULT fetcher works against a live endpoint (GRAFT_ONLINE=1)") {
+    // The sandbox has no egress, so the default URL path can only be
+    // exercised end-to-end where the operator opts in. Any https URL
+    // returning a GeoJSON FeatureCollection works; default is the
+    // public Stats NZ regional-council service the reference consumes
+    // (ETL.py:184–187). Offline (the normal case) this test is skipped.
+    assume(sys.env.get("GRAFT_ONLINE").contains("1"),
+      "set GRAFT_ONLINE=1 (and optionally GRAFT_ONLINE_URL) to run the live-fetch test")
+    val url = sys.env.getOrElse("GRAFT_ONLINE_URL",
+      "https://raw.githubusercontent.com/datasets/geo-countries/master/data/countries.geojson")
+    // materialize() is the path that has never run online: default
+    // fetcher (with its 30 s timeouts) → temp file
+    val local = GeoJsonSource.materialize(url)
+    val bytes = java.nio.file.Files.size(java.nio.file.Paths.get(local))
+    assert(bytes > 0, s"live endpoint $url produced an empty document")
+    // any FeatureCollection must parse as json with a features array
+    val n = spark.read.option("multiLine", true).json(local)
+      .selectExpr("size(features) AS n").head().getInt(0)
+    assert(n > 0, s"live endpoint $url returned no features")
+  }
+
   test("local paths bypass the fetcher entirely") {
     GeoJsonSource.withFetcher(_ =>
       fail("fetcher must not be consulted for a local path")) {

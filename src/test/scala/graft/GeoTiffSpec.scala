@@ -87,6 +87,85 @@ class GeoTiffSpec extends AnyFunSuite {
     }
   }
 
+  test("COG overview chain: every fixture grid's overviews round-trip and equal the downsample kernel") {
+    (0 until 25).foreach { k =>
+      val g = GridGen.gen(k)
+      val lv = GeoTiff.levelDims(g.ncols, g.nrows)
+      val p = GeoTiff.read(GeoTiff.write(g))
+      assert(p.nIfds == lv.size, s"k=$k nIfds")
+      assert(p.overviews.size == lv.size - 1, s"k=$k overview count")
+      var prev = g.values.map(_.toFloat.toDouble)
+      var pw = g.ncols; var ph = g.nrows
+      p.overviews.zipWithIndex.foreach { case (ov, i) =>
+        val (w, h) = lv(i + 1)
+        assert(ov.ncols == w && ov.nrows == h, s"k=$k level ${i + 1} dims")
+        val expect = GeoTiff.downsample(prev, pw, ph, g.nodata)
+        assert(ov.values.sameElements(expect), s"k=$k level ${i + 1} pixels")
+        prev = expect; pw = w; ph = h
+      }
+    }
+  }
+
+  test("deep pyramid: a 40x28 grid cascades three overview levels bit-exactly") {
+    val g = AsciiGrid(40, 28, 1600000.0, 5000000.0, 500.0, -9999.0,
+      Array.tabulate(40 * 28)(i => if (i % 11 == 0) -9999.0 else (i * 37 % 1000).toDouble))
+    val lv = GeoTiff.levelDims(40, 28)
+    assert(lv == Vector((40, 28), (20, 14), (10, 7), (5, 4)))
+    val bytes = GeoTiff.write(g)
+    assert(bytes.length.toLong == GeoTiff.expectedLength(40, 28))
+    val p = GeoTiff.read(bytes)
+    assert(p.overviews.size == 3)
+    assert(p.grid.values.sameElements(g.values))
+    // each stored level is exactly the downsample of the previous one
+    var prev = g.values
+    var pw = 40; var ph = 28
+    p.overviews.zipWithIndex.foreach { case (ov, i) =>
+      val (w, h) = lv(i + 1)
+      val expect = GeoTiff.downsample(prev, pw, ph, g.nodata)
+      assert(ov.values.sameElements(expect), s"level ${i + 1} pixels")
+      assert(ov.cellsize == g.cellsize * (1L << (i + 1)), s"level ${i + 1} cellsize")
+      prev = expect; pw = w; ph = h
+    }
+  }
+
+  test("COG byte layout: all IFDs precede pixel data; overview tiles precede full-res tiles") {
+    val g = GridGen.gen(3) // 11x9 -> one 6x5 overview
+    assert(GeoTiff.levelDims(g.ncols, g.nrows).size == 2)
+    val b = GeoTiff.write(g)
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // walk IFD chain manually, collecting each IFD's minimum tile offset
+    def tileMin(ifd: Int): (Int, Int) = { // (minTileOffset, nextIfd)
+      val n = buf.getShort(ifd) & 0xffff
+      var minOff = Int.MaxValue
+      (0 until n).foreach { i =>
+        val e = ifd + 2 + i * 12
+        if ((buf.getShort(e) & 0xffff) == 324) {
+          val count = buf.getInt(e + 4)
+          if (count == 1) minOff = buf.getInt(e + 8)
+          else {
+            val arr = buf.getInt(e + 8)
+            minOff = (0 until count).map(j => buf.getInt(arr + 4 * j)).min
+          }
+        }
+      }
+      (minOff, buf.getInt(ifd + 2 + n * 12))
+    }
+    val ifd0 = buf.getInt(4)
+    val (main0, ifd1) = tileMin(ifd0)
+    assert(ifd1 != 0, "overview IFD must be chained")
+    val (ov0, next) = tileMin(ifd1)
+    assert(next == 0)
+    assert(ifd1 < main0 && ifd1 < ov0, "IFDs must precede all pixel data")
+    assert(ov0 < main0, "overview tile data must precede full-resolution data (COG order)")
+  }
+
+  test("writer refuses rasters past the 2 GiB classic-TIFF offset limit") {
+    GeoTiff.checkWritable(8192, 8192) // ~268 MB + pyramid: fine
+    val e = intercept[IllegalArgumentException](GeoTiff.checkWritable(40000, 40000))
+    assert(e.getMessage.contains("2 GiB"))
+    assert(GeoTiff.expectedLength(40000, 40000) > Int.MaxValue.toLong)
+  }
+
   test("GridGen invariant: cell values are non-negative integers or the nodata sentinel") {
     // q_zonal_stats' zone arithmetic and q_geotiff_catalog's float32
     // exactness both lean on this; a GridGen change that breaks it must
