@@ -650,4 +650,34 @@ class PlanShapeSpec extends SparkSpecBase {
       s"the dedup pack must be UDF-free:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
+
+  test("q_dedup_bloom: a saturated (clamped) sketch degrades fpp, not correctness") {
+    // Scale-cliff check (VERDICT r10): force the analyzer caps far
+    // below the corpus size — the clamp must size the sketch AT the
+    // cap (no analysis-time rejection), the saturated filter's extra
+    // false positives must flow to the exact verify branch, and the
+    // result must stay identical to the plain anti-join
+    // (q_dedup_incremental) row for row.
+    val items = "spark.sql.optimizer.runtime.bloomFilter.maxNumItems"
+    val bits = "spark.sql.optimizer.runtime.bloomFilter.maxNumBits"
+    val prevI = spark.conf.getOption(items)
+    val prevB = spark.conf.getOption(bits)
+    try {
+      spark.conf.set(items, "50")
+      spark.conf.set(bits, "512") // ~1 bit/doc at sf0.001: heavy saturation
+      val got = graft.queries.DedupQueries.queries("q_dedup_bloom")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      graft.queries.QueryCaches.releaseAll(spark)
+      val want = graft.queries.DedupQueries.queries("q_dedup_incremental")(spark, sf)
+        .collect().map(_.toSeq).toSeq
+      assert(got.nonEmpty, "saturation check needs a non-empty survivor set")
+      assert(got == want,
+        s"clamped-bloom result diverged from the exact anti-join: " +
+          s"${got.size} vs ${want.size} rows")
+    } finally {
+      prevI.fold(spark.conf.unset(items))(spark.conf.set(items, _))
+      prevB.fold(spark.conf.unset(bits))(spark.conf.set(bits, _))
+      graft.queries.QueryCaches.releaseAll(spark)
+    }
+  }
 }
