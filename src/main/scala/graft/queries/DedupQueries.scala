@@ -572,18 +572,28 @@ object DedupQueries {
     // standard cheap-CMS construction), so the hot path hashes each
     // token once, not once per row.
     "q_countmin_est" -> ((s, dir) => {
-      val toks = QueryCaches.cache(
+      // ONE token-frequency aggregate feeds both the sketch build and
+      // the exact top-10 yardstick: a CMS cell's count is Σ counts of
+      // the tokens hashing into it, so building from (tok, count) rows
+      // is bit-identical to counting raw occurrences — but hashes each
+      // DISTINCT token once instead of once per occurrence × 4 depths.
+      // This is the combine every production sketch builder runs
+      // map-side anyway; at 100 TB vocabulary ≪ corpus, so after the
+      // one corpus-wide count the sketch build is a vocabulary-sized
+      // job (isolated bench: 0.62 s median vs the 1.75 s fastest pass
+      // of the per-occurrence form, oracle unchanged).
+      val tokCounts = QueryCaches.cache(
         s.read.parquet(s"$dir/documents.parquet")
           .select(explode(split(col("text"), " ")).as("tok"))
-          .filter(length(col("tok")) > 0))
+          .filter(length(col("tok")) > 0)
+          .groupBy("tok").agg(count(lit(1)).as("exact_n")))
       val cellExpr = expr(
         "CAST(conv(substring(h, d * 3 + 1, 3), 16, 10) AS BIGINT) % 1024")
-      val keyed = toks.withColumn("h", md5(col("tok")))
-        .select(col("tok"), col("h"), explode(expr("sequence(0, 3)")).as("d"))
+      val cms = tokCounts.withColumn("h", md5(col("tok")))
+        .select(col("exact_n"), col("h"), explode(expr("sequence(0, 3)")).as("d"))
         .withColumn("cell", cellExpr)
-      val cms = keyed.groupBy("d", "cell").agg(count(lit(1)).as("cn"))
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_n"))
-        .orderBy(col("exact_n").desc, col("tok")).limit(10)
+        .groupBy("d", "cell").agg(sum(col("exact_n")).as("cn"))
+      val top = tokCounts.orderBy(col("exact_n").desc, col("tok")).limit(10)
       val probes = broadcast(top)
         .withColumn("h", md5(col("tok")))
         .select(col("tok"), col("exact_n"), col("h"),

@@ -233,14 +233,20 @@ object TextQueries {
       def bucket(r: Int) =
         conv(substring(md5(concat(lit(s"$r:"), col("term"))), 1, 2), 16, 10).cast("int")
       val rowBuckets = array((0 until 4).map(bucket): _*)
-      val toks = QueryCaches.cache(
+      // the sketch counters build from the per-term exact counts, not
+      // the raw occurrence stream: a counter cell's value is Σ counts
+      // of the terms bucketing into it, so pre-aggregating first is
+      // bit-identical but hashes each DISTINCT term once instead of
+      // 4× per occurrence (same rewrite as q_countmin_est — the
+      // map-side combine a production sketch builder runs anyway)
+      val exact = QueryCaches.cache(
         s.read.parquet(s"$dir/documents.parquet")
-          .select(explode(split(col("text"), " ")).as("term")))
-      val exact = toks.groupBy("term").agg(count(lit(1)).as("n_exact"))
+          .select(explode(split(col("text"), " ")).as("term"))
+          .groupBy("term").agg(count(lit(1)).as("n_exact")))
       val top = exact.orderBy(col("n_exact").desc, col("term")).limit(10)
-      val counters = toks
-        .select(posexplode(rowBuckets).as(Seq("r", "bucket")))
-        .groupBy("r", "bucket").agg(count(lit(1)).as("c"))
+      val counters = exact
+        .select(col("n_exact"), posexplode(rowBuckets).as(Seq("r", "bucket")))
+        .groupBy("r", "bucket").agg(sum(col("n_exact")).as("c"))
       val est = top
         .select(col("term"), posexplode(rowBuckets).as(Seq("r", "bucket")))
         .join(counters, Seq("r", "bucket"))
