@@ -74,4 +74,38 @@ object RoundTripProps extends Properties("graft") {
         a == b.toFloat.toDouble
       }
   }
+
+  // wider grids so multi-level pyramids occur (up to 3 overview levels
+  // at 60×40 with 8×8 tiles)
+  private val bigGridGen: Gen[AsciiGrid] = for {
+    ncols <- Gen.choose(1, 60)
+    nrows <- Gen.choose(1, 40)
+    values <- Gen.listOfN(ncols * nrows,
+      Gen.oneOf(Gen.choose(-100.0, 3000.0), Gen.const(-9999.0)))
+  } yield AsciiGrid(ncols, nrows, 1600000.0, 5000000.0, 500.0, -9999.0,
+    values.toArray)
+
+  property("geoTiff.cogOverviewChain") = Prop.forAll(bigGridGen) { g =>
+    // the decoded overview chain must exist at exactly the closed-form
+    // level count, emit the closed-form byte length, and every level must
+    // equal the float32-rounded NODATA-aware block-mean downsample of
+    // the level above it (cascaded from the float-rounded full res)
+    val GT = graft.raster.GeoTiff
+    val bytes = GT.write(g)
+    val p = GT.read(bytes)
+    val lv = GT.levelDims(g.ncols, g.nrows)
+    var ok = bytes.length.toLong == GT.expectedLength(g.ncols, g.nrows) &&
+      p.nIfds == lv.size && p.overviews.size == lv.size - 1
+    var prev = g.values.map(_.toFloat.toDouble)
+    var pw = g.ncols; var ph = g.nrows
+    p.overviews.zipWithIndex.foreach { case (ov, i) =>
+      val (w, h) = lv(i + 1)
+      val expect = GT.downsample(prev, pw, ph, g.nodata)
+      ok = ok && ov.ncols == w && ov.nrows == h &&
+        ov.values.sameElements(expect) &&
+        ov.cellsize == g.cellsize * (1L << (i + 1))
+      prev = expect; pw = w; ph = h
+    }
+    ok
+  }
 }
