@@ -350,45 +350,45 @@ object DedupQueries {
     // are the SAME blocked/banded constructions the standalone queries
     // gate — no new all-pairs anything — and the vote is one hash
     // aggregate keyed on the pair.
+    //
+    // KEPT AS RECOMPUTE-PER-SIGNAL DELIBERATELY (round-11 three-way
+    // A/B, same mini-suite, quiet machine, sf0.1 minima): this form
+    // 1.81 s; one cached wide (hash, words, shingles, bands) artifact
+    // frame 2.51 s (and 6.8 s median in the full suite — ~10
+    // deserialized InMemoryTableScans of array-heavy rows); skinny
+    // per-signal caches with re-keyed re-crawl twins 2.52 s. The
+    // kernels are cheap enough that recomputation FUSED into each
+    // signal's codegen'd join pipeline beats any cache's
+    // materialization barrier + row-scan tax at this scale. (The
+    // apparent r10 3.86 s median that motivated sharing was
+    // adjudicated as machine load — the quiet base is 1.78 s.)
     "q_dedup_consensus" -> ((s, dir) => {
       // the minhash sub-corpus plus VERBATIM re-crawl copies of every
       // 20th doc: exact twins vote 3/3 (hash + jaccard 1 + hamming 0),
       // appended-tail twins vote 2/3, so both consensus tiers are
-      // exercised.
-      //
-      // ARTIFACT SHARING (VERDICT r10 item 4): every per-doc signature
-      // the three signals need — content hash, simhash words, shingle
-      // set, minhash bands — is computed in ONE projection pass over
-      // the BASE sub-corpus and cached. The re-crawl twins are
-      // verbatim text copies of docs the sub-corpus already contains
-      // (doc_id % 20 == 0 ⊂ % 5 == 0), so their signatures are DERIVED
-      // by re-keying the cached base rows (+2M) — zero kernel work for
-      // the twin corpus, and the md5/shingle/simhash/minhash kernels
-      // run exactly once per doc for the whole ensemble (previously:
-      // once per signal, plus twice more for the Jaccard verify sides).
-      val baseArt = minhashDocs(s, dir)
-        .withColumn("h", md5(col("text")))
-        .withColumn("w", simhash64Udf(col("text")))
-        .withColumn("sh", Corpus.shingles("text"))
-        .select(col("doc_id"), col("h"), col("w"), col("sh"),
-          minhashBandsUdf(col("sh")).as("bands"))
-      val art = QueryCaches.cache(baseArt.unionByName(
-        baseArt.filter(col("doc_id") % 20 === 0 && col("doc_id") < 1000000)
-          .withColumn("doc_id", col("doc_id") + 2000000L)))
+      // exercised
+      val docs = minhashDocs(s, dir).unionByName(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"), col("text"))
+          .filter(col("doc_id") % 20 === 0)
+          .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       // exact: self-join on the content hash (identical-text pairs)
-      val hashed = art.select(col("doc_id"), col("h"))
+      val hashed = QueryCaches.cache(
+        docs.select(col("doc_id"), md5(col("text")).as("h")))
       val ex = hashed.as("a").join(hashed.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       // minhash: banded LSH candidates verified at jaccard >= 0.5
-      val mbands = art.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band", "bkey")))
+      val mbands = QueryCaches.cache(docs
+        .withColumn("sh", Corpus.shingles("text"))
+        .select(col("doc_id"),
+          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey"))))
       val mcands = mbands.as("a").join(mbands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
-      val sets = art.select(col("doc_id"), col("sh"))
+      val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
       val mh = mcands
         .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
         .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
@@ -397,7 +397,8 @@ object DedupQueries {
             size(array_union(col("sh_a"), col("sh_b"))), 4) >= 0.5)
         .select("id_a", "id_b")
       // simhash: band-word collision candidates verified at hamming <= 12
-      val words = art.select(col("doc_id"), col("w"))
+      val words = QueryCaches.cache(docs
+        .select(col("doc_id"), simhash64Udf(col("text")).as("w")))
       val sbands = words.select(col("doc_id"),
         posexplode(col("w")).as(Seq("band", "bv")))
       val scands = sbands.as("a").join(sbands.as("b"),

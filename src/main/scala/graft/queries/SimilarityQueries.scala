@@ -248,19 +248,21 @@ object SimilarityQueries {
       .groupBy("vec_id").agg(min(expr("dist * 16 + j")).as("bk"))
       .select(col("vec_id"), expr("bk % 16").as("j"))
 
-  /** Lloyd update: exact integer floor-mean per (centroid, component) —
-    * non-negative under the +2048 shift, so `div` floors like DuckDB's
-    * `//`.
+  /** Lloyd update straight to packed (j, cs) arrays: one VecSumLongAgg
+    * reduction per cell (map-side combined — only 64-long buffers cross
+    * the wire, never an exploded |vectors|·64 component stream) followed
+    * by the per-component integer floor-mean (`s div n` — exact and
+    * DuckDB-`//`-identical because the +2048 shift keeps sums
+    * non-negative). Cells that lost every member simply don't appear.
     */
-  private def cellUpdateFull(comp: DataFrame, asg: DataFrame): DataFrame =
-    asg.join(comp, "vec_id")
-      .groupBy("j", "i").agg(expr("sum(v) div count(1)").as("c"))
-
-  /** Component rows → packed per-centroid arrays for the kernel. */
-  private def cellPackFull(cents: DataFrame): DataFrame =
-    cents.groupBy("j")
-      .agg(expr("transform(array_sort(collect_list(struct(i, c))), x -> x.c)")
-        .as("cs"))
+  private def cellUpdateFull(qvs: DataFrame, asg: DataFrame): DataFrame = {
+    val vecsuml = udaf(graft.functions.VecSumLongAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    asg.join(qvs, "vec_id")
+      .groupBy("j")
+      .agg(vecsuml(col("qv")).as("sums"), count(lit(1)).as("n"))
+      .select(col("j"), expr("transform(sums, s -> s div n)").as("cs"))
+  }
 
   /** The trained coarse cells as a PERSISTED index artifact (≤16 rows,
     * memoized per fixture like the PQ codebook): q_ivf_train measures
@@ -270,12 +272,10 @@ object SimilarityQueries {
     val (schema, rows) = SideStores.memo(s"ivf_trained_cells:$dir") {
       val qvs = QueryCaches.cache(
         emb(s, dir).select(col("vec_id"), pqShiftedQv.as("qv")))
-      val comp = qvs.select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "v")))
       val anchors = qvs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("j"), col("qv").as("cs"))
-      val c1 = cellUpdateFull(comp, cellAssignFull(qvs, anchors))
-      val c2 = cellUpdateFull(comp, cellAssignFull(qvs, cellPackFull(c1)))
-      val df = cellPackFull(c2)
+      val c1 = cellUpdateFull(qvs, cellAssignFull(qvs, anchors))
+      val df = cellUpdateFull(qvs, cellAssignFull(qvs, c1))
       (df.schema, df.collect().toSeq)
     }
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
@@ -375,25 +375,28 @@ object SimilarityQueries {
     // convergence diagnostic every k-means loop watches), and the
     // centroid component sum. Scale shape: assignments broadcast the
     // ≤16-row packed centroids and hash-aggregate per vector; updates
-    // are one (j, i)-keyed map-side-combined aggregate — no all-pairs
-    // stage anywhere, N×k kernel rows per iteration.
+    // are ONE VecSumLongAgg array reduction per cell (map-side
+    // combined — 64-long buffers cross the wire, never an exploded
+    // |vectors|·64 component stream) — no all-pairs stage anywhere,
+    // N×k kernel rows per iteration.
     "q_ivf_train" -> ((s, dir) => {
       val qvs = QueryCaches.cache(
         emb(s, dir).select(col("vec_id"), pqShiftedQv.as("qv")))
-      val comp = QueryCaches.cache(
-        qvs.select(col("vec_id"), posexplode(col("qv")).as(Seq("i", "v"))))
       val anchors = qvs.filter(col("vec_id") < 16)
         .select(col("vec_id").as("j"), col("qv").as("cs"))
-      val c1 = QueryCaches.cache(
-        cellUpdateFull(comp, cellAssignFull(qvs, anchors)))
-      val a2 = QueryCaches.cache(cellAssignFull(qvs, cellPackFull(c1)))
-      val c2 = cellUpdateFull(comp, a2)
+      val c1 = QueryCaches.cache(cellUpdateFull(qvs, cellAssignFull(qvs, anchors)))
+      val a2 = QueryCaches.cache(cellAssignFull(qvs, c1))
+      val c2 = cellUpdateFull(qvs, a2)
+      // the convergence diagnostics are per-cell folds over the two
+      // ≤16-row packed centroid frames — pure HOF arithmetic
       a2.groupBy("j").agg(count(lit(1)).as("n_members"))
-        .join(c2.select(col("j"), col("i"), col("c").as("c2"))
-          .join(c1.select(col("j"), col("i"), col("c").as("c1")), Seq("j", "i"))
-          .groupBy("j")
-          .agg(sum(expr("(c2 - c1) * (c2 - c1)")).as("shift_sq"),
-            sum(col("c2")).as("c2_sum")), Seq("j"))
+        .join(c2.select(col("j"), col("cs").as("cs2"))
+          .join(c1.select(col("j"), col("cs").as("cs1")), Seq("j"))
+          .select(col("j"),
+            expr("aggregate(zip_with(cs2, cs1, (a, b) -> (a - b) * (a - b)), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("shift_sq"),
+            expr("aggregate(cs2, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+              .as("c2_sum")), Seq("j"))
         .select(col("j").cast("bigint").as("j"), col("n_members"),
           col("shift_sq"), col("c2_sum"))
         .orderBy("j")
