@@ -131,25 +131,6 @@ object SimilarityQueries {
   private val pqShiftedQv = expr(
     "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT) + 2048)")
 
-  /** Cached exploded component stream (vec_id, sp, d, v) — the training
-    * side's working set: 8 subspaces (sp) × 8 components (d) per vector.
-    */
-  private def pqComp(s: SparkSession, dir: String): DataFrame =
-    QueryCaches.cache(
-      emb(s, dir).select(col("vec_id"), posexplode(pqShiftedQv).as(Seq("i", "v")))
-        .select(col("vec_id"), expr("i div 8").as("sp"),
-          expr("i % 8").as("d"), col("v")))
-
-  /** Centroid component rows re-packed as per-(sp, j) ARRAYS so every
-    * Lloyd assignment runs in the codegen'd vec_idot kernel over 8-dim
-    * slices (N×8×16 kernel rows) instead of an exploded N×8×16×8
-    * component join.
-    */
-  private def pqPack(cents: DataFrame): DataFrame =
-    cents.groupBy("sp", "j")
-      .agg(expr("transform(array_sort(collect_list(struct(d, c))), x -> x.c)")
-        .as("cs"))
-
   /** One Lloyd assignment: every (vector, subspace) to its nearest
     * centroid by exact int64 squared distance (‖sv−cs‖² expanded so
     * every term runs in the native integer kernel), ties on centroid
@@ -168,14 +149,21 @@ object SimilarityQueries {
       .groupBy("vec_id", "sp")
       .agg(min(expr("dist * 16 + j")).as("bk"))
 
-  /** One Lloyd update: per-component integer mean of each cluster's
-    * members (exact under the +2048 shift). Exchanges keyed on
-    * (vec_id, sp)/(sp, j, d) only — never an all-pairs product.
+  /** One Lloyd update straight to packed (sp, j, cs) centroid arrays:
+    * a VecSumLongAgg reduction per (subspace, centroid) — map-side
+    * combined, only 8-long buffers cross the wire instead of an
+    * exploded |vectors|·8 component stream — then the per-component
+    * integer floor-mean (`s div n`, exact and DuckDB-`//`-identical
+    * under the +2048 shift). Never an all-pairs product.
     */
-  private def pqUpdateStep(comp: DataFrame, asg: DataFrame): DataFrame =
-    asg.join(comp, Seq("vec_id", "sp"))
-      .groupBy("sp", "j", "d")
-      .agg(expr("sum(v) div count(1)").as("c"))
+  private def pqUpdateStep(subs: DataFrame, asg: DataFrame): DataFrame = {
+    val vecsuml = udaf(graft.functions.VecSumLongAgg,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]())
+    asg.join(subs, Seq("vec_id", "sp"))
+      .groupBy("sp", "j")
+      .agg(vecsuml(col("sv")).as("sums"), count(lit(1)).as("n"))
+      .select(col("sp"), col("j"), expr("transform(sums, s -> s div n)").as("cs"))
+  }
 
   /** The anchor init as packed arrays (subvectors of vec_id < 16). */
   private def pqAnchorArrays(subs: DataFrame): DataFrame =
@@ -187,13 +175,13 @@ object SimilarityQueries {
 
   /** Two Lloyd iterations from the anchor init — THE trained codebook
     * (deterministic: fixed iteration count, integer-exact steps), the
-    * same recipe q_pq_kmeans reports on. Surviving-centroid component
-    * rows (sp, j, d, c); pqPack for the kernel-ready array form.
+    * same recipe q_pq_kmeans reports on. Already in the kernel-ready
+    * packed (sp, j, cs) array form.
     */
-  private def pqTrainedCodebook(comp: DataFrame, subs: DataFrame): DataFrame = {
-    val c1 = pqUpdateStep(comp,
+  private def pqTrainedCodebook(subs: DataFrame): DataFrame = {
+    val c1 = pqUpdateStep(subs,
       pqCodeOf(pqAssignStep(subs, pqAnchorArrays(subs))))
-    pqUpdateStep(comp, pqCodeOf(pqAssignStep(subs, pqPack(c1))))
+    pqUpdateStep(subs, pqCodeOf(pqAssignStep(subs, c1)))
   }
 
   /** The trained, packed codebook as a PERSISTED index artifact: in a
@@ -207,8 +195,7 @@ object SimilarityQueries {
     */
   private def pqPackedCodebook(s: SparkSession, dir: String): DataFrame = {
     val (schema, rows) = SideStores.memo(s"pq_packed_codebook:$dir") {
-      val df = pqPack(pqTrainedCodebook(pqComp(s, dir),
-        QueryCaches.cache(pqSubvectors(s, dir))))
+      val df = pqTrainedCodebook(QueryCaches.cache(pqSubvectors(s, dir)))
       (df.schema, df.collect().toSeq)
     }
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
@@ -714,32 +701,33 @@ object SimilarityQueries {
     // the last update moved it (shift_sq), and a component-sum checksum
     // of the trained codebook — all integer-exact, so both engines agree
     // bit-for-bit. Scale shape: the codebook (<=128 rows x 8 components)
-    // BROADCASTS at every assignment; the component stream shuffles
-    // keyed on (vec_id, sp) / (sp, j, d) only — Lloyd's at 100 TB is
+    // BROADCASTS at every assignment; updates are VecSumLongAgg array
+    // reductions per (sp, j) — 8-long buffers cross the wire, never an
+    // exploded |vectors|·8 component stream — Lloyd's at 100 TB is
     // exactly this loop with more iterations, never an all-pairs
     // product, and empty clusters drop out identically in both engines.
     "q_pq_kmeans" -> ((s, dir) => {
-      // one exploded component stream (vec_id, sp, d, v); both
-      // assignments and both centroid updates read it. Steps are the
-      // SHARED pqAssignStep/pqUpdateStep — the codebook this query
-      // reports on is definitionally the one q_pq_assign/q_pq_adc_topk
-      // search against.
-      val comp = pqComp(s, dir)
+      // steps are the SHARED pqAssignStep/pqUpdateStep — the codebook
+      // this query reports on is definitionally the one
+      // q_pq_assign/q_pq_adc_topk search against
       val subs = QueryCaches.cache(pqSubvectors(s, dir))
       // c1 feeds assignment 2 AND the shift join; a2 feeds the update
-      // AND the membership count — cache both (<=1k and N*8 rows)
-      val c1 = QueryCaches.cache(pqUpdateStep(comp,
+      // AND the membership count — cache both (<=128 and N*8 rows)
+      val c1 = QueryCaches.cache(pqUpdateStep(subs,
         pqCodeOf(pqAssignStep(subs, pqAnchorArrays(subs)))))
-      val a2 = QueryCaches.cache(pqCodeOf(pqAssignStep(subs, pqPack(c1))))
-      val c2 = pqUpdateStep(comp, a2)
+      val a2 = QueryCaches.cache(pqCodeOf(pqAssignStep(subs, c1)))
+      val c2 = pqUpdateStep(subs, a2)
+      // convergence diagnostics fold over the two <=128-row packed
+      // centroid frames — pure HOF integer arithmetic
       a2.groupBy("sp", "j").agg(count(lit(1)).as("n_members"))
-        .join(c2.select(col("sp"), col("j"), col("d"), col("c").as("c2")),
-          Seq("sp", "j"))
-        .join(c1.select(col("sp"), col("j"), col("d"), col("c").as("c1")),
-          Seq("sp", "j", "d"))
-        .groupBy("sp", "j", "n_members")
-        .agg(sum(expr("(c2 - c1) * (c2 - c1)")).as("shift_sq"),
-          sum(col("c2")).as("c2_sum"))
+        .join(c2.select(col("sp"), col("j"), col("cs").as("cs2"))
+          .join(c1.select(col("sp"), col("j"), col("cs").as("cs1")),
+            Seq("sp", "j"))
+          .select(col("sp"), col("j"),
+            expr("aggregate(zip_with(cs2, cs1, (a, b) -> (a - b) * (a - b)), " +
+              "CAST(0 AS BIGINT), (acc, x) -> acc + x)").as("shift_sq"),
+            expr("aggregate(cs2, CAST(0 AS BIGINT), (acc, x) -> acc + x)")
+              .as("c2_sum")), Seq("sp", "j"))
         .select(col("sp").cast("bigint").as("sp"), col("j"),
           col("n_members"), col("shift_sq"), col("c2_sum"))
         .orderBy("sp", "j")
@@ -1356,7 +1344,7 @@ object SimilarityQueries {
       |       round(sum(x) / count(*), 4) AS centroid
       |FROM ex GROUP BY cell, dim ORDER BY cell, dim""".stripMargin
 
-  /** Shared oracle CTE fragment mirroring pqComp + pqTrainedCodebook:
+  /** Shared oracle CTE fragment mirroring pqTrainedCodebook:
     * the +2048-shifted component stream and two Lloyd iterations from
     * the anchor init, ending in the trained codebook `c2`. Pre-
     * stripMargin'd — interpolate at line ends only (see the
