@@ -39,10 +39,14 @@ import java.nio.{ByteBuffer, ByteOrder}
   */
 object GeoTiff {
 
-  /** Small tiles so the tiny test grids (≤12×9) still exercise the
-    * multi-tile path AND grow a real overview level; at production
-    * raster sizes a caller would pick 256/512 — the layout math is
-    * tile-size-independent.
+  /** Default tile size: small so the tiny test grids (≤12×9) still
+    * exercise the multi-tile path AND grow a real overview level, and
+    * so the catalog oracle's closed-form arithmetic stays fixture-
+    * scale. NOTE: TIFF 6.0 requires tile dimensions be multiples of
+    * 16 for strict conformance — production callers should pass
+    * tw/th = 256 (spec-conformant, range-read friendly); the layout
+    * math, writer, and reader are tile-size-independent and the
+    * conformant path is spec-tested (GeoTiffSpec).
     */
   val TileW = 8
   val TileH = 8
@@ -57,19 +61,21 @@ object GeoTiff {
   private val GeoKeysLen = 32 // 16 shorts: 4 header + 3 keys × 4
   private val NodataAsciiLen = 6 // "-9999" + NUL (TIFF ASCII fields are NUL-terminated)
 
-  def nTilesX(ncols: Int): Int = (ncols + TileW - 1) / TileW
-  def nTilesY(nrows: Int): Int = (nrows + TileH - 1) / TileH
-  def nTiles(ncols: Int, nrows: Int): Int = nTilesX(ncols) * nTilesY(nrows)
+  def nTilesX(ncols: Int, tw: Int = TileW): Int = (ncols + tw - 1) / tw
+  def nTilesY(nrows: Int, th: Int = TileH): Int = (nrows + th - 1) / th
+  def nTiles(ncols: Int, nrows: Int, tw: Int = TileW, th: Int = TileH): Int =
+    nTilesX(ncols, tw) * nTilesY(nrows, th)
 
   /** Pyramid level dimensions, full resolution first: halve (ceiling)
     * while the level still spans more than one tile. A grid already
     * fitting one tile gets no overviews.
     */
-  def levelDims(ncols: Int, nrows: Int): Vector[(Int, Int)] = {
+  def levelDims(ncols: Int, nrows: Int, tw: Int = TileW,
+      th: Int = TileH): Vector[(Int, Int)] = {
     val b = Vector.newBuilder[(Int, Int)]
     var w = ncols; var h = nrows
     b += ((w, h))
-    while (w > TileW || h > TileH) {
+    while (w > tw || h > th) {
       w = (w + 1) / 2; h = (h + 1) / 2
       b += ((w, h))
     }
@@ -77,23 +83,25 @@ object GeoTiff {
   }
 
   /** Total tiles across the whole pyramid. */
-  def nTilesAll(ncols: Int, nrows: Int): Int =
-    levelDims(ncols, nrows).map { case (w, h) => nTiles(w, h) }.sum
+  def nTilesAll(ncols: Int, nrows: Int, tw: Int = TileW, th: Int = TileH): Int =
+    levelDims(ncols, nrows, tw, th)
+      .map { case (w, h) => nTiles(w, h, tw, th) }.sum
 
   /** Closed-form emitted length — mirrored by q_geotiff_catalog's
     * oracle SQL (recursive CTE over the same halving). The 8·nt term
     * exists only when a level's tile offset/count arrays overflow
     * their inline 4-byte slots (nt > 1).
     */
-  def expectedLength(ncols: Int, nrows: Int): Long = {
-    val lv = levelDims(ncols, nrows)
+  def expectedLength(ncols: Int, nrows: Int, tw: Int = TileW,
+      th: Int = TileH): Long = {
+    val lv = levelDims(ncols, nrows, tw, th)
     val fixed = HeaderLen.toLong + IfdLen + (lv.size - 1).toLong * IfdOvLen +
       PixelScaleLen + TiepointLen + GeoKeysLen + NodataAsciiLen
     val arrays = lv.iterator.map { case (w, h) =>
-      val nt = nTiles(w, h); if (nt > 1) 8L * nt else 0L
+      val nt = nTiles(w, h, tw, th); if (nt > 1) 8L * nt else 0L
     }.sum
     val tiles = lv.iterator.map { case (w, h) =>
-      nTiles(w, h).toLong * TileW * TileH * 4
+      nTiles(w, h, tw, th).toLong * tw * th * 4
     }.sum
     fixed + arrays + tiles
   }
@@ -143,17 +151,20 @@ object GeoTiff {
     * where they would wrap instead of emitting garbage. Public so sink
     * callers can validate dimensions before materializing pixels.
     */
-  def checkWritable(ncols: Int, nrows: Int): Unit =
-    require(expectedLength(ncols, nrows) <= Int.MaxValue.toLong,
+  def checkWritable(ncols: Int, nrows: Int, tw: Int = TileW,
+      th: Int = TileH): Unit =
+    require(expectedLength(ncols, nrows, tw, th) <= Int.MaxValue.toLong,
       s"raster ${ncols}x$nrows exceeds this writer's 2 GiB " +
         "single-file limit (classic-TIFF Int offsets); shard the raster")
 
-  def write(g: AsciiGrid, srid: Int = 2193): Array[Byte] = {
-    checkWritable(g.ncols, g.nrows)
-    val lv = levelDims(g.ncols, g.nrows)
+  def write(g: AsciiGrid, srid: Int = 2193, tw: Int = TileW,
+      th: Int = TileH): Array[Byte] = {
+    require(tw > 0 && th > 0, "tile dimensions must be positive")
+    checkWritable(g.ncols, g.nrows, tw, th)
+    val lv = levelDims(g.ncols, g.nrows, tw, th)
     val nLevels = lv.size
-    val tileBytes = TileW * TileH * 4
-    val ntBy = lv.map { case (w, h) => nTiles(w, h) }
+    val tileBytes = tw * th * 4
+    val ntBy = lv.map { case (w, h) => nTiles(w, h, tw, th) }
 
     // pixel arrays per level, float32-rounded, cascading
     val valsBy = new Array[Array[Double]](nLevels)
@@ -191,7 +202,7 @@ object GeoTiff {
       cursor += ntBy(i) * tileBytes
       i -= 1
     }
-    val total = expectedLength(g.ncols, g.nrows).toInt
+    val total = expectedLength(g.ncols, g.nrows, tw, th).toInt
     require(cursor == total, s"layout drift: planned $cursor vs formula $total")
     val buf = ByteBuffer.allocate(total).order(ByteOrder.LITTLE_ENDIAN)
 
@@ -205,8 +216,8 @@ object GeoTiff {
     }
     def tileTags(level: Int): Unit = {
       val nt = ntBy(level)
-      tag(322, TLong, 1, TileW)              // TileWidth
-      tag(323, TLong, 1, TileH)              // TileLength
+      tag(322, TLong, 1, tw)                 // TileWidth
+      tag(323, TLong, 1, th)                 // TileLength
       if (nt == 1) tag(324, TLong, 1, tileDataOff(level))
       else tag(324, TLong, nt, arrOff(level))          // TileOffsets
       if (nt == 1) tag(325, TLong, 1, tileBytes)
@@ -279,16 +290,16 @@ object GeoTiff {
     while (i >= 0) {
       val (w, h) = lv(i)
       val vals = valsBy(i)
-      val ntx = nTilesX(w); val nty = nTilesY(h)
+      val ntx = nTilesX(w, tw); val nty = nTilesY(h, th)
       var ty = 0
       while (ty < nty) {
         var tx = 0
         while (tx < ntx) {
           var r = 0
-          while (r < TileH) {
+          while (r < th) {
             var c = 0
-            while (c < TileW) {
-              val gr = ty * TileH + r; val gc = tx * TileW + c
+            while (c < tw) {
+              val gr = ty * th + r; val gc = tx * tw + c
               val v = if (gr < h && gc < w) vals(gr * w + gc) else 0.0
               buf.putFloat(v.toFloat)
               c += 1

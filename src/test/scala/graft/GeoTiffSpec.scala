@@ -159,6 +159,28 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(ov0 < main0, "overview tile data must precede full-resolution data (COG order)")
   }
 
+  test("spec-conformant tile sizes (multiples of 16) round-trip with the same layout math") {
+    // TIFF 6.0 requires tile dims be multiples of 16; the default 8 is
+    // a deliberate fixture-scale choice. The production path (16/256)
+    // must round-trip through the SAME tile-size-independent codec.
+    val g = AsciiGrid(40, 28, 1600000.0, 5000000.0, 500.0, -9999.0,
+      Array.tabulate(40 * 28)(i => if (i % 13 == 0) -9999.0 else (i * 31 % 1000).toDouble))
+    for (t <- Seq(16, 256)) {
+      val bytes = GeoTiff.write(g, srid = 2193, tw = t, th = t)
+      assert(bytes.length.toLong == GeoTiff.expectedLength(40, 28, t, t), s"t=$t length")
+      val p = GeoTiff.read(bytes)
+      assert(p.tileW == t && p.tileH == t, s"t=$t tile dims")
+      assert(p.grid.values.sameElements(g.values), s"t=$t pixels")
+      assert(p.overviews.size == GeoTiff.levelDims(40, 28, t, t).size - 1, s"t=$t overviews")
+    }
+    // 16x16 tiles on 40x28: multi-tile level 0 (3x2) plus a two-level pyramid
+    assert(GeoTiff.nTiles(40, 28, 16, 16) == 6)
+    assert(GeoTiff.levelDims(40, 28, 16, 16) ==
+      Vector((40, 28), (20, 14), (10, 7)))
+    // 256x256: single tile, no pyramid
+    assert(GeoTiff.levelDims(40, 28, 256, 256) == Vector((40, 28)))
+  }
+
   test("writer refuses rasters past the 2 GiB classic-TIFF offset limit") {
     GeoTiff.checkWritable(8192, 8192) // ~268 MB + pyramid: fine
     val e = intercept[IllegalArgumentException](GeoTiff.checkWritable(40000, 40000))
