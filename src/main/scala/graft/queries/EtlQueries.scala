@@ -506,6 +506,59 @@ object EtlQueries {
       }
     }),
 
+    // The reference's conversion loop as a CONTINUOUS service: asc
+    // files arrive (Trigger.AvailableNow drain of the pipeline tree),
+    // each decodes and re-encodes to a Cloud-Optimized GeoTIFF
+    // executor-side, and the stream emits the conversion catalog row —
+    // the streaming composition of SRC-1 (file arrival) + OP-SP-2/SNK-1
+    // (asc→COG). Per-file task, dims broadcast nowhere, no shuffle: at
+    // 100 TB this is the same embarrassingly-parallel shape as the
+    // batch converter, running forever. Gate: emitted byte length and
+    // whole-pyramid tile count are the writer's closed-form layout, so
+    // the oracle rebuilds every row from `nation` + the dim arithmetic
+    // (names k%16/k%3/k%17, dims 8+k%5 × 6+k%4, recursive-CTE pyramid)
+    // with no filesystem in sight.
+    "q_stream_cog_convert" -> ((s, dir) => {
+      val tree = pipelineTree(s)
+      val name =
+        s"stream_cog_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      graft.streaming.EventStreams.drainTuned(s) {
+        val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("path",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("modificationTime",
+            org.apache.spark.sql.types.TimestampType),
+          org.apache.spark.sql.types.StructField("length",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("content",
+            org.apache.spark.sql.types.BinaryType)))
+        val convUdf = udf { (content: Array[Byte]) =>
+          val g = graft.raster.AsciiGrid.parse(new String(content, "US-ASCII"))
+          val tif = graft.raster.GeoTiff.write(g)
+          (tif.length.toLong,
+            graft.raster.GeoTiff.nTilesAll(g.ncols, g.nrows).toLong,
+            g.ncols.toLong, g.nrows.toLong)
+        }
+        val files = s.readStream.format("binaryFile")
+          .schema(binaryFileSchema)
+          .option("pathGlobFilter", "*.asc")
+          .option("recursiveFileLookup", "true")
+          .load(tree)
+        val converted = files
+          .withColumn("file_name", element_at(split(col("path"), "/"), -1))
+          .withColumn("region_code", Filenames.regionCodeFromPath(col("path")))
+          .withColumn("base_name",
+            expr("substring(file_name, 1, length(file_name) - 4)"))
+          .withColumn("m", convUdf(col("content")))
+          .select(col("region_code"), col("base_name"),
+            col("m._1").as("tif_bytes"), col("m._2").as("n_tiles_all"),
+            col("m._3").as("width"), col("m._4").as("height"))
+        graft.streaming.EventStreams.runToCompletion(converted, name,
+            org.apache.spark.sql.streaming.OutputMode.Append())
+          .orderBy("region_code", "base_name")
+      }
+    }),
+
     // SRC-3: the feature-service response parsed as a real GeoJSON
     // FeatureCollection (ETL.py:184–187, 265–270): nested
     // features[].properties attributes + features[].geometry.coordinates
@@ -715,6 +768,50 @@ object EtlQueries {
          |JOIN period_dim td ON td.code = split_part(m.base_name, '_', 7)
          |WHERE m.file_id % 97 = 0 AND m.ext = '.asc'
          |GROUP BY m.region_code, m.base_name, pd.name, td.name
+         |ORDER BY region_code, base_name""".stripMargin,
+
+    // names and grid dims from the k-arithmetic, byte lengths from the
+    // COG writer's closed-form layout (header 8 + main IFD 186 + 150
+    // per overview IFD + 110 geo externals + 8·nt arrays when nt > 1 +
+    // 256 bytes per 8×8 float32 tile across all pyramid levels — the
+    // same recursive halving as q_geotiff_catalog's oracle)
+    "q_stream_cog_convert" ->
+      s"""WITH RECURSIVE ${Lookups.parameterCte},
+         |${Lookups.periodCte},
+         |${Lookups.regionCte},
+         |${Lookups.statisticCte},
+         |gdims AS (
+         |  SELECT n_nationkey, 8 + n_nationkey % 5 AS nc,
+         |         6 + n_nationkey % 4 AS nr
+         |  FROM nation
+         |),
+         |lvls AS (
+         |  SELECT n_nationkey, 0 AS lvl, nc AS w, nr AS h FROM gdims
+         |  UNION ALL
+         |  SELECT n_nationkey, lvl + 1, (w + 1) // 2, (h + 1) // 2
+         |  FROM lvls WHERE w > 8 OR h > 8
+         |),
+         |lmeta AS (
+         |  SELECT n_nationkey, ((w + 7) // 8) * ((h + 7) // 8) AS nt FROM lvls
+         |),
+         |layout AS (
+         |  SELECT n_nationkey, count(*) AS n_levels, sum(nt) AS nt_all,
+         |         sum(CASE WHEN nt > 1 THEN 8 * nt ELSE 0 END) AS arr_bytes
+         |  FROM lmeta GROUP BY 1
+         |)
+         |SELECT rd.code AS region_code,
+         |       'grid_' || pd.code || '_NZ_norm_' || sd.stat || '_1991-2020_' || td.code AS base_name,
+         |       CAST(8 + 186 + (l.n_levels - 1) * 150 + 110
+         |            + l.arr_bytes + 256 * l.nt_all AS BIGINT) AS tif_bytes,
+         |       CAST(l.nt_all AS BIGINT) AS n_tiles_all,
+         |       CAST(d.nc AS BIGINT) AS width,
+         |       CAST(d.nr AS BIGINT) AS height
+         |FROM gdims d
+         |JOIN layout l USING (n_nationkey)
+         |JOIN parameter_dim pd ON pd.idx = d.n_nationkey % 16
+         |JOIN period_dim td ON td.idx = d.n_nationkey % 17
+         |JOIN stat_dim sd ON sd.idx = d.n_nationkey % 3
+         |JOIN region_dim rd ON rd.idx = d.n_nationkey % 17
          |ORDER BY region_code, base_name""".stripMargin,
 
     "q_broadcast_lookup_join" ->
