@@ -28,7 +28,8 @@ object Explain {
         "q_skew_join_aqe", "q_scalar_subquery", "q_containment",
         "q_profile_stats", "q_window_ohlc", "q_knn_join",
         "q_quantile_sketch", "q_lm_score", "q_embed_covariance",
-        "q_anomaly_mad", "q_triangle_count", "q_weighted_sample")
+        "q_anomaly_mad", "q_triangle_count", "q_weighted_sample",
+        "q_ivf_train", "q_ann_recall", "q_geotiff_catalog")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
