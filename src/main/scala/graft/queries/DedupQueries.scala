@@ -296,6 +296,54 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // DEDUP EVALUATION — the audit every dedup deployment runs before
+    // trusting a banding configuration (the q_ann_recall counterpart
+    // for the dedup path): candidate RECALL of the PLANTED near-dup
+    // pairs (every 10th doc's appended-tail twin — ground truth known
+    // by construction) and the verification SURVIVAL rate (what share
+    // of band-collision candidates actually clears the Jaccard
+    // threshold — the precision proxy that sizes the verify stage's
+    // cost). One summary row, all counts integer-exact. Scale shape:
+    // identical to q_dedup_minhash's banding (the thing under test)
+    // plus one broadcast-joinable planted-pair table — nothing here
+    // exceeds the construction being audited.
+    "q_dedup_eval" -> ((s, dir) => {
+      val docs = minhashDocs(s, dir)
+      val bands = QueryCaches.cache(docs
+        .withColumn("sh", Corpus.shingles("text"))
+        .select(col("doc_id"),
+          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey"))))
+      val cands = QueryCaches.cache(bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct())
+      val planted = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 1000000L).as("id_b"))
+      val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
+      val verified = cands
+        .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+        .filter(round(
+          size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+            size(array_union(col("sh_a"), col("sh_b"))), 4) >= 0.5)
+      // one declarative plan: four scalar aggregates cross-joined into
+      // the single summary row — no driver-side actions
+      planted.agg(count(lit(1)).as("n_planted"))
+        .crossJoin(cands.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(cands.join(planted, Seq("id_a", "id_b"), "left_semi")
+          .agg(count(lit(1)).as("planted_found")))
+        .crossJoin(verified.agg(count(lit(1)).as("n_verified")))
+        .select(col("n_planted"), col("n_candidates"), col("planted_found"),
+          expr("planted_found * 1000 div greatest(n_planted, 1)")
+            .as("cand_recall_pm"),
+          col("n_verified"),
+          expr("n_verified * 1000 div greatest(n_candidates, 1)")
+            .as("verify_rate_pm"))
+    }),
+
     // Corpus-level MinHash sketch per source via the typed Aggregator
     // (graft.text.MinHashAgg): per seed, min md5 over every shingle of
     // every doc in the group — partial sketches merge elementwise, so
@@ -1198,6 +1246,65 @@ object DedupQueries {
          |  JOIN sets sb ON sb.doc_id = c.id_b
          |)
          |WHERE jaccard >= 0.5 ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_eval" ->
+      s"""WITH msub AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text || ' zzz tail' FROM documents WHERE doc_id % 10 = 0
+         |),
+         |msh AS (SELECT doc_id, unnest(${Corpus.shinglesSql.replace("text", "msub.text")}) AS shingle FROM msub),
+         |mh AS (
+         |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
+         |  FROM msh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+         |  GROUP BY doc_id, seed
+         |),
+         |sig AS (
+         |  SELECT doc_id,
+         |         min(CASE WHEN seed = 0 THEN h END) AS s0, min(CASE WHEN seed = 1 THEN h END) AS s1,
+         |         min(CASE WHEN seed = 2 THEN h END) AS s2, min(CASE WHEN seed = 3 THEN h END) AS s3,
+         |         min(CASE WHEN seed = 4 THEN h END) AS s4, min(CASE WHEN seed = 5 THEN h END) AS s5,
+         |         min(CASE WHEN seed = 6 THEN h END) AS s6, min(CASE WHEN seed = 7 THEN h END) AS s7
+         |  FROM mh GROUP BY doc_id
+         |),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+         |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+         |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+         |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+         |),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+         |),
+         |planted AS (
+         |  SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+         |  FROM documents WHERE doc_id % 10 = 0
+         |),
+         |sets AS (SELECT doc_id, ${Corpus.shinglesSql.replace("text", "msub.text")} AS sh FROM msub),
+         |verified AS (
+         |  SELECT id_a, id_b FROM (
+         |    SELECT c.id_a, c.id_b, $jaccardSql AS jaccard
+         |    FROM cand c
+         |    JOIN sets sa ON sa.doc_id = c.id_a
+         |    JOIN sets sb ON sb.doc_id = c.id_b
+         |  ) WHERE jaccard >= 0.5
+         |),
+         |agg AS (
+         |  SELECT (SELECT count(*) FROM planted) AS n_planted,
+         |         (SELECT count(*) FROM cand) AS n_candidates,
+         |         (SELECT count(*) FROM cand c JOIN planted p
+         |            ON p.id_a = c.id_a AND p.id_b = c.id_b) AS planted_found,
+         |         (SELECT count(*) FROM verified) AS n_verified
+         |)
+         |SELECT CAST(n_planted AS BIGINT) AS n_planted,
+         |       CAST(n_candidates AS BIGINT) AS n_candidates,
+         |       CAST(planted_found AS BIGINT) AS planted_found,
+         |       CAST(planted_found * 1000 // greatest(n_planted, 1) AS BIGINT) AS cand_recall_pm,
+         |       CAST(n_verified AS BIGINT) AS n_verified,
+         |       CAST(n_verified * 1000 // greatest(n_candidates, 1) AS BIGINT) AS verify_rate_pm
+         |FROM agg""".stripMargin,
 
     "q_source_minhash" ->
       s"""WITH sh AS (
