@@ -418,7 +418,13 @@ object GeoTiff {
     val ovs = Vector.newBuilder[AsciiGrid]
     var next = next0
     var level = 1
+    // a corrupted/hostile file can point the next-IFD offset back into
+    // the chain; without these guards the walk would loop forever
+    var visited = Set(buf.getInt(4))
     while (next != 0) {
+      require(!visited(next), s"cyclic IFD chain (offset $next revisited)")
+      require(visited.size <= 32, "IFD chain longer than 32 levels — refusing")
+      visited += next
       val (tags, n2) = parseIfd(next)
       require(intVal(tags, 254) == 1, "chained IFD is not a reduced-resolution overview")
       val (ow, oh, otw, oth, _, ovals) = pixels(tags)

@@ -181,6 +181,25 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(GeoTiff.levelDims(40, 28, 256, 256) == Vector((40, 28)))
   }
 
+  test("reader rejects a cyclic IFD chain instead of looping forever") {
+    val g = GridGen.gen(3) // 11x9 -> has one overview IFD
+    val bytes = GeoTiff.write(g)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    // corrupt: point the overview IFD's next pointer back at itself
+    val ifd0 = buf.getInt(4)
+    val n0 = buf.getShort(ifd0) & 0xffff
+    val ifd1 = buf.getInt(ifd0 + 2 + n0 * 12)
+    assert(ifd1 != 0)
+    val n1 = buf.getShort(ifd1) & 0xffff
+    buf.putInt(ifd1 + 2 + n1 * 12, ifd1) // self-cycle
+    val e = intercept[IllegalArgumentException](GeoTiff.read(buf.array()))
+    assert(e.getMessage.contains("cyclic IFD chain"), e.getMessage)
+    // and a cycle back to the MAIN IFD is equally rejected
+    buf.putInt(ifd1 + 2 + n1 * 12, ifd0)
+    val e2 = intercept[IllegalArgumentException](GeoTiff.read(buf.array()))
+    assert(e2.getMessage.contains("cyclic IFD chain"), e2.getMessage)
+  }
+
   test("writer refuses rasters past the 2 GiB classic-TIFF offset limit") {
     GeoTiff.checkWritable(8192, 8192) // ~268 MB + pyramid: fine
     val e = intercept[IllegalArgumentException](GeoTiff.checkWritable(40000, 40000))
