@@ -355,14 +355,22 @@ object GeoTiff {
       require(count == 1, s"tag $id: expected scalar, count=$count")
       if (tpe == TShort) buf.getShort(slot) & 0xffff else buf.getInt(slot)
     }
+    // a corrupted count field must fail loudly, never drive a blind
+    // multi-GB allocation; 2^24 entries is far past any classic-TIFF
+    // file this reader can address
+    def checkCount(id: Int, count: Int): Unit =
+      require(count >= 1 && count <= (1 << 24),
+        s"tag $id: implausible value count $count")
     def longArr(tags: Map[Int, (Int, Int, Int)], id: Int): Array[Int] = {
       val (tpe, count, slot) = tags(id)
       require(tpe == TLong, s"tag $id: expected LONG")
+      checkCount(id, count)
       if (count == 1) Array(buf.getInt(slot))
       else { val off = buf.getInt(slot); Array.tabulate(count)(j => buf.getInt(off + 4 * j)) }
     }
     def doubleArr(tags: Map[Int, (Int, Int, Int)], id: Int): Array[Double] = {
       val (_, count, slot) = tags(id)
+      checkCount(id, count)
       val off = buf.getInt(slot)
       Array.tabulate(count)(j => buf.getDouble(off + 8 * j))
     }
@@ -371,9 +379,16 @@ object GeoTiff {
       val w = intVal(tags, 256); val h = intVal(tags, 257)
       require(intVal(tags, 258) == 32 && intVal(tags, 339) == 3, "expected float32 samples")
       require(intVal(tags, 259) == 1, "expected uncompressed")
+      require(w > 0 && h > 0, s"bad image dims ${w}x$h")
       val tw = intVal(tags, 322); val th = intVal(tags, 323)
+      require(tw > 0 && th > 0, s"bad tile dims ${tw}x$th")
       val offsets = longArr(tags, 324); val counts = longArr(tags, 325)
       val ntx = (w + tw - 1) / tw
+      val nty = (h + th - 1) / th
+      // corrupted counts must fail loudly before any blind allocation
+      require(offsets.length == ntx * nty && counts.length == offsets.length,
+        s"tile index mismatch: ${offsets.length} offsets / ${counts.length} " +
+          s"counts for ${ntx}x$nty tiles")
       val values = new Array[Double](w * h)
       var t = 0
       while (t < offsets.length) {
