@@ -117,6 +117,36 @@ object EtlQueries {
     out
   }
 
+  /** Streaming binaryFile scan of an on-disk region tree, decoded to
+    * the shared columns both streaming file queries key on —
+    * (path, modificationTime, length, content) from the source plus
+    * file_name / region_code / base_name. ONE definition so the
+    * explicit source schema and the base-name stripping cannot drift
+    * between q_stream_file_ingest and q_stream_cog_convert.
+    */
+  private def ascFileStream(s: SparkSession, tree: String): DataFrame = {
+    // the streaming file source requires an explicit schema; this is
+    // binaryFile's fixed one
+    val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    s.readStream.format("binaryFile")
+      .schema(binaryFileSchema)
+      .option("pathGlobFilter", "*.asc")
+      .option("recursiveFileLookup", "true")
+      .load(tree)
+      .withColumn("file_name", element_at(split(col("path"), "/"), -1))
+      .withColumn("region_code", Filenames.regionCodeFromPath(col("path")))
+      .withColumn("base_name",
+        expr("substring(file_name, 1, length(file_name) - 4)"))
+  }
+
   /** The deterministic asciigrid side tree shared by q_spj_source and
     * q_runtime_prune_source: region rXX holds XX % 3 + 1 one-row grids
     * with ncols = XX + k + 1, recreated from empty once per JVM (a
@@ -469,27 +499,7 @@ object EtlQueries {
           .select(col("code").as("parameter_code"), col("name").as("parameter_name")))
         val tDim = broadcast(Lookups.periodDim(s)
           .select(col("code").as("period_token"), col("name").as("period_name")))
-        // the streaming file source requires an explicit schema; this
-        // is binaryFile's fixed one
-        val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("modificationTime",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("length",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("content",
-            org.apache.spark.sql.types.BinaryType)))
-        val files = s.readStream.format("binaryFile")
-          .schema(binaryFileSchema)
-          .option("pathGlobFilter", "*.asc")
-          .option("recursiveFileLookup", "true")
-          .load(tree)
-        val decoded = files
-          .withColumn("file_name", element_at(split(col("path"), "/"), -1))
-          .withColumn("region_code", Filenames.regionCodeFromPath(col("path")))
-          .withColumn("base_name",
-            expr("substring(file_name, 1, length(file_name) - 4)"))
+        val decoded = ascFileStream(s, tree)
           .withColumn("parameter_code", Filenames.parameterCode(col("base_name")))
           .withColumn("statistic", Filenames.statistic(col("base_name")))
           .withColumn("period_token", Filenames.periodToken(col("base_name")))
@@ -523,15 +533,6 @@ object EtlQueries {
       val name =
         s"stream_cog_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       graft.streaming.EventStreams.drainTuned(s) {
-        val binaryFileSchema = org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("path",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("modificationTime",
-            org.apache.spark.sql.types.TimestampType),
-          org.apache.spark.sql.types.StructField("length",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("content",
-            org.apache.spark.sql.types.BinaryType)))
         val convUdf = udf { (content: Array[Byte]) =>
           val g = graft.raster.AsciiGrid.parse(new String(content, "US-ASCII"))
           val tif = graft.raster.GeoTiff.write(g)
@@ -539,16 +540,7 @@ object EtlQueries {
             graft.raster.GeoTiff.nTilesAll(g.ncols, g.nrows).toLong,
             g.ncols.toLong, g.nrows.toLong)
         }
-        val files = s.readStream.format("binaryFile")
-          .schema(binaryFileSchema)
-          .option("pathGlobFilter", "*.asc")
-          .option("recursiveFileLookup", "true")
-          .load(tree)
-        val converted = files
-          .withColumn("file_name", element_at(split(col("path"), "/"), -1))
-          .withColumn("region_code", Filenames.regionCodeFromPath(col("path")))
-          .withColumn("base_name",
-            expr("substring(file_name, 1, length(file_name) - 4)"))
+        val converted = ascFileStream(s, tree)
           .withColumn("m", convUdf(col("content")))
           .select(col("region_code"), col("base_name"),
             col("m._1").as("tif_bytes"), col("m._2").as("n_tiles_all"),
@@ -770,11 +762,10 @@ object EtlQueries {
          |GROUP BY m.region_code, m.base_name, pd.name, td.name
          |ORDER BY region_code, base_name""".stripMargin,
 
-    // names and grid dims from the k-arithmetic, byte lengths from the
-    // COG writer's closed-form layout (header 8 + main IFD 186 + 150
-    // per overview IFD + 110 geo externals + 8·nt arrays when nt > 1 +
-    // 256 bytes per 8×8 float32 tile across all pyramid levels — the
-    // same recursive halving as q_geotiff_catalog's oracle)
+    // names and grid dims from the k-arithmetic; byte lengths from the
+    // COG writer's closed-form layout via the SHARED pyramid fragment
+    // (RasterQueries.pyramidCtes/pyramidBytesSql — one source of truth
+    // with q_geotiff_catalog's oracle)
     "q_stream_cog_convert" ->
       s"""WITH RECURSIVE ${Lookups.parameterCte},
          |${Lookups.periodCte},
@@ -785,24 +776,10 @@ object EtlQueries {
          |         6 + n_nationkey % 4 AS nr
          |  FROM nation
          |),
-         |lvls AS (
-         |  SELECT n_nationkey, 0 AS lvl, nc AS w, nr AS h FROM gdims
-         |  UNION ALL
-         |  SELECT n_nationkey, lvl + 1, (w + 1) // 2, (h + 1) // 2
-         |  FROM lvls WHERE w > 8 OR h > 8
-         |),
-         |lmeta AS (
-         |  SELECT n_nationkey, ((w + 7) // 8) * ((h + 7) // 8) AS nt FROM lvls
-         |),
-         |layout AS (
-         |  SELECT n_nationkey, count(*) AS n_levels, sum(nt) AS nt_all,
-         |         sum(CASE WHEN nt > 1 THEN 8 * nt ELSE 0 END) AS arr_bytes
-         |  FROM lmeta GROUP BY 1
-         |)
+         |${RasterQueries.pyramidCtes("gdims")}
          |SELECT rd.code AS region_code,
          |       'grid_' || pd.code || '_NZ_norm_' || sd.stat || '_1991-2020_' || td.code AS base_name,
-         |       CAST(8 + 186 + (l.n_levels - 1) * 150 + 110
-         |            + l.arr_bytes + 256 * l.nt_all AS BIGINT) AS tif_bytes,
+         |       CAST(${RasterQueries.pyramidBytesSql} AS BIGINT) AS tif_bytes,
          |       CAST(l.nt_all AS BIGINT) AS n_tiles_all,
          |       CAST(d.nc AS BIGINT) AS width,
          |       CAST(d.nr AS BIGINT) AS height

@@ -294,6 +294,42 @@ object RasterQueries {
     }),
   )
 
+  /** Shared pyramid-layout CTE fragment (lvls → lmeta → layout): the
+    * COG writer's 2× halve-ceiling overview chain and per-level tile
+    * counts, parameterized on the dims CTE name (must expose
+    * n_nationkey, nc, nr). ONE source of truth for both byte-length
+    * oracles (q_geotiff_catalog here, q_stream_cog_convert in
+    * EtlQueries) — a writer-layout change edits GeoTiff.scala plus
+    * exactly this fragment. Compose under WITH RECURSIVE.
+    */
+  private[queries] def pyramidCtes(dimsCte: String): String =
+    s"""lvls AS (
+       |  SELECT n_nationkey, 0 AS lvl, nc AS w, nr AS h FROM $dimsCte
+       |  UNION ALL
+       |  SELECT n_nationkey, lvl + 1, (w + 1) // 2, (h + 1) // 2
+       |  FROM lvls WHERE w > 8 OR h > 8
+       |),
+       |lmeta AS (
+       |  SELECT n_nationkey, lvl,
+       |         ((w + 7) // 8) * ((h + 7) // 8) AS nt
+       |  FROM lvls
+       |),
+       |layout AS (
+       |  SELECT n_nationkey,
+       |         count(*) AS n_levels,
+       |         sum(nt) AS nt_all,
+       |         sum(CASE WHEN nt > 1 THEN 8 * nt ELSE 0 END) AS arr_bytes,
+       |         max(CASE WHEN lvl = 0 THEN nt END) AS nt0
+       |  FROM lmeta GROUP BY 1
+       |)""".stripMargin
+
+  /** The closed-form whole-file byte length over a `layout` row aliased
+    * `l` — header 8 + main IFD 186 + 150 per overview IFD + 110 geo
+    * externals + offset/count arrays + 256 bytes per 8×8 float32 tile.
+    */
+  private[queries] val pyramidBytesSql: String =
+    "8 + 186 + (l.n_levels - 1) * 150 + 110 + l.arr_bytes + 256 * l.nt_all"
+
   /** Shared oracle CTE: the same cells by pure arithmetic. */
   private val cellsCte =
     """dims AS (
@@ -380,25 +416,7 @@ object RasterQueries {
     // cascades are spec-tested JVM-side in GeoTiffSpec).
     "q_geotiff_catalog" ->
       s"""WITH RECURSIVE $cellsCte,
-         |lvls AS (
-         |  SELECT n_nationkey, 0 AS lvl, nc AS w, nr AS h FROM dims
-         |  UNION ALL
-         |  SELECT n_nationkey, lvl + 1, (w + 1) // 2, (h + 1) // 2
-         |  FROM lvls WHERE w > 8 OR h > 8
-         |),
-         |lmeta AS (
-         |  SELECT n_nationkey, lvl,
-         |         ((w + 7) // 8) * ((h + 7) // 8) AS nt
-         |  FROM lvls
-         |),
-         |layout AS (
-         |  SELECT n_nationkey,
-         |         count(*) AS n_levels,
-         |         sum(nt) AS nt_all,
-         |         sum(CASE WHEN nt > 1 THEN 8 * nt ELSE 0 END) AS arr_bytes,
-         |         max(CASE WHEN lvl = 0 THEN nt END) AS nt0
-         |  FROM lmeta GROUP BY 1
-         |),
+         |${pyramidCtes("dims")},
          |sums AS (
          |  SELECT n_nationkey, CAST(sum(value) AS BIGINT) AS px_sum
          |  FROM cells GROUP BY 1
@@ -415,8 +433,7 @@ object RasterQueries {
          |  FROM blocks GROUP BY 1
          |)
          |SELECT d.n_nationkey,
-         |       CAST(8 + 186 + (l.n_levels - 1) * 150 + 110
-         |            + l.arr_bytes + 256 * l.nt_all AS BIGINT) AS n_bytes,
+         |       CAST($pyramidBytesSql AS BIGINT) AS n_bytes,
          |       CAST(l.nt0 AS BIGINT) AS n_tiles,
          |       CAST(d.nc AS BIGINT) AS width,
          |       CAST(d.nr AS BIGINT) AS height,

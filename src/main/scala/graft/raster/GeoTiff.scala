@@ -379,9 +379,15 @@ object GeoTiff {
       val w = intVal(tags, 256); val h = intVal(tags, 257)
       require(intVal(tags, 258) == 32 && intVal(tags, 339) == 3, "expected float32 samples")
       require(intVal(tags, 259) == 1, "expected uncompressed")
-      require(w > 0 && h > 0, s"bad image dims ${w}x$h")
+      // all size math below in Long first: a corrupt header claiming
+      // huge dims must hit THESE requires, not wrap Int products into
+      // a NegativeArraySize/IndexOutOfBounds further down. 2^29 pixels
+      // is already past what a 2 GiB classic-TIFF file can address.
+      require(w > 0 && h > 0 && w.toLong * h <= (1L << 29),
+        s"bad or implausible image dims ${w}x$h")
       val tw = intVal(tags, 322); val th = intVal(tags, 323)
-      require(tw > 0 && th > 0, s"bad tile dims ${tw}x$th")
+      require(tw > 0 && th > 0 && tw.toLong * th * 4 <= Int.MaxValue.toLong,
+        s"bad or implausible tile dims ${tw}x$th")
       val offsets = longArr(tags, 324); val counts = longArr(tags, 325)
       val ntx = (w + tw - 1) / tw
       val nty = (h + th - 1) / th
@@ -392,7 +398,8 @@ object GeoTiff {
       val values = new Array[Double](w * h)
       var t = 0
       while (t < offsets.length) {
-        require(counts(t) == tw * th * 4, s"tile $t: unexpected byte count")
+        require(counts(t).toLong == tw.toLong * th * 4,
+          s"tile $t: unexpected byte count")
         val ty = t / ntx; val tx = t % ntx
         var r = 0
         while (r < th) {
