@@ -148,6 +148,33 @@ object MultimodalOps {
     } else ImageHeader(docId, "unknown", 0, 0, 0, bytes.length)
   }
 
+  /** REAL nearest-neighbor resize of an 8-bpp grayscale pixel plane
+    * (the production thumbnail kernel, not a stub): destination pixel
+    * (dx, dy) samples source (dx·w ÷ rw, dy·h ÷ rh) — pure integer
+    * floor arithmetic, so the SQL oracle re-derives every output pixel
+    * with `//` and no float-rounding boundary exists between engines.
+    * `pixOff` is where the pixel plane starts in the blob (54 for the
+    * fixture BMPs).
+    */
+  def resizeGrayNearest(blob: Array[Byte], pixOff: Int, w: Int, h: Int,
+      rw: Int, rh: Int): Array[Byte] = {
+    require(w > 0 && h > 0 && rw > 0 && rh > 0, "resize dims must be positive")
+    require(blob.length >= pixOff + w * h, "blob shorter than its pixel plane")
+    val out = new Array[Byte](rw * rh)
+    var dy = 0
+    while (dy < rh) {
+      val sy = (dy.toLong * h / rh).toInt
+      var dx = 0
+      while (dx < rw) {
+        val sx = (dx.toLong * w / rw).toInt
+        out(dy * rw + dx) = blob(pixOff + sy * w + sx)
+        dx += 1
+      }
+      dy += 1
+    }
+    out
+  }
+
   /** STUB resize — a real kernel would rescale pixel data; the stub
     * keeps the metadata arithmetic (aspect-preserving fit) real. Uses
     * FLOOR (integer) arithmetic so the SQL oracle reproduces it with

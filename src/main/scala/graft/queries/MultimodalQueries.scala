@@ -198,6 +198,35 @@ object MultimodalQueries {
     }),
 
     // frame sampling: every 2nd frame of each blob, as a generator.
+    // REAL pixel resize (thumbnail generation) — the remaining member
+    // of the decode/feature/resize/frame-sample family: deterministic
+    // gray BMP blobs are header-decoded (the genuine magic-dispatch
+    // path), the aspect-preserving target dims come from the shared
+    // integer fit (resizeStub, cap 32), and the PIXELS are resampled
+    // by the nearest-neighbor kernel — all floor-integer arithmetic,
+    // so the oracle re-derives every output pixel from the id formula
+    // with `//` alone. Emits dims + the resized-plane checksum. Scale
+    // shape: one mapPartitions batch pass, one row per image, no
+    // shuffle before the presentation sort — the thumbnail job a media
+    // lake runs beside metadata extraction.
+    "q_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 6 === 0)
+        .select(col("doc_id")).as[Long]
+      ids.mapPartitions(_.map { id =>
+        val blob = MultimodalOps.encodeGrayBmp(id, bump = false)
+        val hdr = MultimodalOps.decodeImageHeader(id, blob)
+        val (rw, rh) = MultimodalOps.resizeStub(hdr.width, hdr.height, 32)
+        val px = MultimodalOps.resizeGrayNearest(blob, 54, hdr.width, hdr.height, rw, rh)
+        var sum = 0L
+        var i = 0
+        while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+        (id, hdr.width.toLong, hdr.height.toLong, rw.toLong, rh.toLong, sum)
+      }).toDF("doc_id", "width", "height", "resized_w", "resized_h", "px_sum")
+        .orderBy("doc_id")
+    }),
+
     "q_frame_sample" -> ((s, dir) => {
       import s.implicits._
       val blobs = s.read.parquet(s"$dir/documents.parquet")
@@ -389,6 +418,41 @@ object MultimodalQueries {
         |)
         |SELECT id_a, id_b, hamming FROM ham
         |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // the resize re-derived with integer division only: dims from the
+    // id formula, target dims from the shared aspect-preserving floor
+    // fit (cap 32 ⇒ generate_series(0, 31) bounds both axes), each
+    // output pixel from the source-pixel formula at the floor-mapped
+    // coordinates
+    "q_image_resize" ->
+      """WITH imgs AS (
+        |  SELECT doc_id,
+        |         16 + doc_id % 101 AS w,
+        |         16 + (doc_id * 7) % 97 AS h
+        |  FROM documents WHERE doc_id % 6 = 0
+        |),
+        |rdims AS (
+        |  SELECT doc_id, w, h,
+        |         CASE WHEN greatest(w, h) <= 32 THEN w
+        |              ELSE greatest(1, w * 32 // greatest(w, h)) END AS rw,
+        |         CASE WHEN greatest(w, h) <= 32 THEN h
+        |              ELSE greatest(1, h * 32 // greatest(w, h)) END AS rh
+        |  FROM imgs
+        |),
+        |px AS (
+        |  SELECT d.doc_id, d.w, d.h, d.rw, d.rh,
+        |         (d.doc_id * 31 + ((dx.i * d.w) // d.rw) * 7
+        |          + ((dy.j * d.h) // d.rh) * 13) % 251 AS v
+        |  FROM rdims d,
+        |       generate_series(0, 31) dx(i),
+        |       generate_series(0, 31) dy(j)
+        |  WHERE dx.i < d.rw AND dy.j < d.rh
+        |)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |       CAST(rw AS BIGINT) AS resized_w, CAST(rh AS BIGINT) AS resized_h,
+        |       CAST(sum(v) AS BIGINT) AS px_sum
+        |FROM px GROUP BY doc_id, w, h, rw, rh
+        |ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->
       """WITH meta AS (
