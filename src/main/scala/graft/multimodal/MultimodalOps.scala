@@ -159,7 +159,12 @@ object MultimodalOps {
   def resizeGrayNearest(blob: Array[Byte], pixOff: Int, w: Int, h: Int,
       rw: Int, rh: Int): Array[Byte] = {
     require(w > 0 && h > 0 && rw > 0 && rh > 0, "resize dims must be positive")
-    require(blob.length >= pixOff + w * h, "blob shorter than its pixel plane")
+    // Long arithmetic: corrupt/hostile header dims (e.g. 65536×65536)
+    // would wrap an Int product to 0 and defeat the very check that
+    // exists to catch them
+    require(blob.length.toLong >= pixOff.toLong + w.toLong * h,
+      "blob shorter than its pixel plane")
+    require(rw.toLong * rh <= Int.MaxValue.toLong, "implausible target dims")
     val out = new Array[Byte](rw * rh)
     var dy = 0
     while (dy < rh) {

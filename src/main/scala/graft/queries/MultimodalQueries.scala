@@ -197,7 +197,6 @@ object MultimodalQueries {
         .orderBy("id_a", "id_b")
     }),
 
-    // frame sampling: every 2nd frame of each blob, as a generator.
     // REAL pixel resize (thumbnail generation) — the remaining member
     // of the decode/feature/resize/frame-sample family: deterministic
     // gray BMP blobs are header-decoded (the genuine magic-dispatch
@@ -227,6 +226,7 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // frame sampling: every 2nd frame of each blob, as a generator.
     "q_frame_sample" -> ((s, dir) => {
       import s.implicits._
       val blobs = s.read.parquet(s"$dir/documents.parquet")

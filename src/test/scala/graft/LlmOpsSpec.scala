@@ -133,6 +133,31 @@ class LlmOpsSpec extends SparkSpecBase {
     assert(junk.format == "unknown" && junk.width == 0)
   }
 
+  test("nearest-neighbor resize: identity, downscale mapping, and loud bounds") {
+    import graft.multimodal.MultimodalOps
+    val blob = MultimodalOps.encodeGrayBmp(42L, bump = false)
+    val hdr = MultimodalOps.decodeImageHeader(42L, blob)
+    val (w, h) = (hdr.width, hdr.height)
+    // identity resize returns the source plane byte for byte
+    val same = MultimodalOps.resizeGrayNearest(blob, 54, w, h, w, h)
+    assert(same.sameElements(blob.slice(54, 54 + w * h)))
+    // 2x downscale samples exactly the floor-mapped source pixels
+    val halfW = w / 2; val halfH = h / 2
+    val half = MultimodalOps.resizeGrayNearest(blob, 54, w, h, halfW, halfH)
+    for (dy <- 0 until halfH; dx <- 0 until halfW) {
+      val sx = dx * w / halfW; val sy = dy * h / halfH
+      assert(half(dy * halfW + dx) == blob(54 + sy * w + sx), s"($dx,$dy)")
+    }
+    // a blob shorter than its claimed pixel plane fails loudly...
+    val e = intercept[IllegalArgumentException](
+      MultimodalOps.resizeGrayNearest(blob, 54, w, h + 1000, w, h))
+    assert(e.getMessage.contains("pixel plane"))
+    // ...including when the claimed dims would wrap an Int product
+    val e2 = intercept[IllegalArgumentException](
+      MultimodalOps.resizeGrayNearest(blob, 54, 65536, 65536, 32, 32))
+    assert(e2.getMessage.contains("pixel plane"))
+  }
+
   test("frame sample contains only even frames within bounds") {
     val meta = MultimodalQueries.queries("q_multimodal_meta")(spark, sf)
       .select(col("doc_id"), col("n_frames")).collect()
