@@ -197,14 +197,22 @@ object Bench {
     val total = medians.map(_._2).sum
     val warmTotal = warms.map(_._2).sum
 
-    // Regression report vs the prior round's medians: flag a query when its
-    // median moved ≥30% AND ≥0.3 s — the absolute floor keeps millisecond
-    // queries' jitter out; improvements are listed symmetrically.
+    // Regression report vs the prior round's medians: flag movement ≥30%
+    // AND ≥0.3 s — the absolute floor keeps millisecond queries' jitter out.
     def moved(now: Double, before: Double): Boolean =
       math.abs(now - before) >= 0.3 &&
         math.abs(now - before) >= 0.3 * math.min(now, before)
+    // REGRESSIONS compare this run's MIN-over-passes against the base median
+    // (r11 verdict #2): host load inflates medians suite-wide but rarely all
+    // passes of one query, and this repo's documented cross-run practice is
+    // minima. The median-based list manufactured 14 false regressions in the
+    // load-flagged BENCH_r11 run; a query flagged here was slower than its
+    // base even at its best pass. IMPROVEMENTS stay median-based — a lucky
+    // fast pass must not claim a win the typical pass doesn't show.
+    val mins = results.map { case (k, _, _, mn, _, _) => (k, mn) }
     val compared = medians.flatMap { case (k, now) => prev.get(k).map(p => (k, now, p)) }
-    val regressed = compared.filter { case (_, now, p) => now > p && moved(now, p) }
+    val comparedMin = mins.flatMap { case (k, mn) => prev.get(k).map(p => (k, mn, p)) }
+    val regressed = comparedMin.filter { case (_, mn, p) => mn > p && moved(mn, p) }
     val improved  = compared.filter { case (_, now, p) => now < p && moved(now, p) }
     def deltaMap(xs: Seq[(String, Double, Double)]): String =
       xs.sortBy { case (_, now, p) => -(now - p).abs }
@@ -266,8 +274,10 @@ object Bench {
     // outputs carry "unadjudicated": true and a loud stderr banner, and its
     // numbers must never be committed as a regression base or quoted as a
     // round-over-round delta.
+    // errored queries are excluded: a fast-fail's med/min ratio is not a
+    // load signal and would dilute/skew the gate when n_err > 0 (ADVICE r11)
     val dispRatios = results.collect {
-      case (_, med, _, mn, _, _) if mn > 0.05 => med / mn }
+      case (_, med, _, mn, _, None) if mn > 0.05 => med / mn }
     val dispFrac2 =
       if (dispRatios.isEmpty) 0.0
       else dispRatios.count(_ > 2.0).toDouble / dispRatios.size
@@ -279,7 +289,7 @@ object Bench {
     val unadjJson =
       s""""unadjudicated":$unadjudicated,"disp_frac2":${"%.4f".format(dispFrac2)},"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"regression_basis":"min_vs_prev_median","regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
 

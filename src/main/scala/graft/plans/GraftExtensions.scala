@@ -53,6 +53,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
         VecBands(es.head)))
     ext.injectFunction((
+      FunctionIdentifier("minhash_bands"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[MinhashBands].getName, "minhash_bands"),
+      (es: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        MinhashBands(es.head)))
+    ext.injectFunction((
       FunctionIdentifier("fingerprint_set"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[FingerprintSet].getName, "fingerprint_set"),

@@ -64,7 +64,21 @@ object DedupQueries {
     * freely duplicates deterministic UDFs per reference, so sig[0..7]
     * would run the whole kernel 8 times.
     */
-  private val minhashBandsUdf = udf { (shingles: Seq[String]) =>
+  /** Band keys over the `sh` shingle column: the native codegen'd
+    * `minhash_bands` expression ([[graft.plans.MinhashBands]]) by
+    * default; `GRAFT_MINHASH_UDF=1` selects the legacy ScalaUDF for
+    * A/B measurement only (bit-identical outputs, see MinhashKernel).
+    */
+  private def bandKeys(s: SparkSession): org.apache.spark.sql.Column =
+    if (sys.env.contains("GRAFT_MINHASH_UDF")) minhashBandsUdf(col("sh"))
+    else {
+      graft.plans.MinhashKernel.register(s)
+      expr("minhash_bands(sh)")
+    }
+
+  // private[graft]: NativeExprSpec pins the native expression
+  // bit-identical to this legacy UDF
+  private[graft] val minhashBandsUdf = udf { (shingles: Seq[String]) =>
     val md = MessageDigest.getInstance("MD5")
     val sig = Array.tabulate(8) { seed =>
       val prefix = seed.toString + ":"
@@ -275,7 +289,7 @@ object DedupQueries {
       val bands = QueryCaches.cache(docs
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
-          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey"))))
+          posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
       // cached (self-joined below: without this, both sides recompute);
       // released by the harness via QueryCaches.releaseAll
 
@@ -312,7 +326,7 @@ object DedupQueries {
       val bands = QueryCaches.cache(docs
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
-          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey"))))
+          posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
       val cands = QueryCaches.cache(bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))
@@ -430,7 +444,7 @@ object DedupQueries {
       val mbands = QueryCaches.cache(docs
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
-          posexplode(minhashBandsUdf(col("sh"))).as(Seq("band", "bkey"))))
+          posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
       val mcands = mbands.as("a").join(mbands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))

@@ -211,10 +211,30 @@ object SimilarityQueries {
 
   // ---- trained full-vector coarse quantizer (VERDICT r10 item 5) ----
   // The same Lloyd recipe/integer grid as the PQ codebook, WITHOUT the
-  // subspace split: k = 16 centroids over whole 64-dim shifted-integer
-  // vectors, 2 iterations from the anchor init (vec_id < 16). These are
+  // subspace split: k centroids over whole 64-dim shifted-integer
+  // vectors, 2 iterations from the anchor init (vec_id < k). These are
   // the TRAINED cells the recall harness probes — learned structure, not
   // the fixture's label column.
+
+  /** Coarse cell count, derived from corpus size (r11 verdict #5): the
+    * numpy prototype showed k ahead of the corpus is WORSE (k=32 recall
+    * 0.66–0.86 vs k=16's 0.74–1.0 at N≤2000 — over-segmentation), so k
+    * grows with N: clamp(floor(sqrt(N/40)), 16, 256) — ~40·k vectors
+    * per cell before k moves, the classic √N-cells shape, capped where
+    * the broadcastable-centroid-frame assumption would need revisiting.
+    * All driver fixtures stay at the 16 clamp (N=500/2000); a 10×
+    * corpus trains 22 cells through the same code path. floor∘sqrt of
+    * an exact integer is deterministic cross-engine (IEEE sqrt is
+    * correctly rounded), so the DuckDB oracle computes the identical k
+    * from count(*). One metadata-only parquet count per fixture dir per
+    * JVM (memoized — not a per-query driver action).
+    */
+  private val coarseKMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
+  private def coarseK(s: SparkSession, dir: String): Int =
+    coarseKMemo.getOrElseUpdate(dir, {
+      val n = emb(s, dir).count()
+      math.max(16, math.min(256, math.sqrt((n / 40).toDouble).toInt))
+    })
 
   /** Exact int64 squared distance of every vector to every packed
     * centroid (j, cs): ‖qv−cs‖² expanded into three vec_idot kernel
@@ -227,13 +247,14 @@ object SimilarityQueries {
       .select(col("vec_id"), col("j"), col("dist"))
 
   /** Nearest-centroid assignment, ties to the smallest centroid id:
-    * min(dist·16 + j) is the lexicographic (dist, j) min in one bigint
-    * hash-aggregate (dist ≤ 64·4096² ≈ 2³⁰, so ·16 cannot overflow).
+    * min(dist·k + j) is the lexicographic (dist, j) min in one bigint
+    * hash-aggregate (dist ≤ 64·4096² ≈ 2³⁰ and k ≤ 256, so ·k stays
+    * well under 2⁶³).
     */
-  private def cellAssignFull(qvs: DataFrame, cents: DataFrame): DataFrame =
+  private def cellAssignFull(qvs: DataFrame, cents: DataFrame, k: Int): DataFrame =
     cellDists(qvs, cents)
-      .groupBy("vec_id").agg(min(expr("dist * 16 + j")).as("bk"))
-      .select(col("vec_id"), expr("bk % 16").as("j"))
+      .groupBy("vec_id").agg(min(expr(s"dist * $k + j")).as("bk"))
+      .select(col("vec_id"), expr(s"bk % $k").as("j"))
 
   /** Lloyd update straight to packed (j, cs) arrays: one VecSumLongAgg
     * reduction per cell (map-side combined — only 64-long buffers cross
@@ -257,12 +278,13 @@ object SimilarityQueries {
     */
   private def trainedCells(s: SparkSession, dir: String): DataFrame = {
     val (schema, rows) = SideStores.memo(s"ivf_trained_cells:$dir") {
+      val k = coarseK(s, dir)
       val qvs = QueryCaches.cache(
         emb(s, dir).select(col("vec_id"), pqShiftedQv.as("qv")))
-      val anchors = qvs.filter(col("vec_id") < 16)
+      val anchors = qvs.filter(col("vec_id") < k)
         .select(col("vec_id").as("j"), col("qv").as("cs"))
-      val c1 = cellUpdateFull(qvs, cellAssignFull(qvs, anchors))
-      val df = cellUpdateFull(qvs, cellAssignFull(qvs, c1))
+      val c1 = cellUpdateFull(qvs, cellAssignFull(qvs, anchors, k))
+      val df = cellUpdateFull(qvs, cellAssignFull(qvs, c1, k))
       (df.schema, df.collect().toSeq)
     }
     s.createDataFrame(s.sparkContext.parallelize(rows, 1), schema)
@@ -367,12 +389,13 @@ object SimilarityQueries {
     // |vectors|·64 component stream) — no all-pairs stage anywhere,
     // N×k kernel rows per iteration.
     "q_ivf_train" -> ((s, dir) => {
+      val k = coarseK(s, dir)
       val qvs = QueryCaches.cache(
         emb(s, dir).select(col("vec_id"), pqShiftedQv.as("qv")))
-      val anchors = qvs.filter(col("vec_id") < 16)
+      val anchors = qvs.filter(col("vec_id") < k)
         .select(col("vec_id").as("j"), col("qv").as("cs"))
-      val c1 = QueryCaches.cache(cellUpdateFull(qvs, cellAssignFull(qvs, anchors)))
-      val a2 = QueryCaches.cache(cellAssignFull(qvs, c1))
+      val c1 = QueryCaches.cache(cellUpdateFull(qvs, cellAssignFull(qvs, anchors, k)))
+      val a2 = QueryCaches.cache(cellAssignFull(qvs, c1, k))
       val c2 = cellUpdateFull(qvs, a2)
       // the convergence diagnostics are per-cell folds over the two
       // ≤16-row packed centroid frames — pure HOF arithmetic
@@ -406,14 +429,15 @@ object SimilarityQueries {
     // vec_id) are integer- or rounded-before-rank deterministic, so
     // results are bit-stable cross-engine.
     "q_ann_recall" -> ((s, dir) => {
+      val k = coarseK(s, dir)
       val cells = trainedCells(s, dir)
       val e = QueryCaches.cache(emb(s, dir)
         .withColumn("nrm", norm("embedding")).withColumn("qv", pqShiftedQv))
       val dists = QueryCaches.cache(
         cellDists(e.select(col("vec_id"), col("qv")), cells))
       val corpusCell = dists.filter(col("vec_id") >= 5)
-        .groupBy("vec_id").agg(min(expr("dist * 16 + j")).as("bk"))
-        .select(col("vec_id"), expr("bk % 16").as("cell"))
+        .groupBy("vec_id").agg(min(expr(s"dist * $k + j")).as("bk"))
+        .select(col("vec_id"), expr(s"bk % $k").as("cell"))
       val wProbe = org.apache.spark.sql.expressions.Window
         .partitionBy(col("vec_id")).orderBy(col("dist"), col("j"))
       val probes = dists.filter(col("vec_id") < 5)
@@ -1384,24 +1408,32 @@ object SimilarityQueries {
 
   /** Shared oracle CTE fragment mirroring the full-vector coarse-
     * quantizer training (trainedCells): the 64-dim shifted component
-    * stream and two Lloyd iterations from the vec_id < 16 anchors,
+    * stream and two Lloyd iterations from the vec_id < k anchors,
     * ending in trained centroids `k2` plus the final assignment `b2`.
-    * All-integer, so both engines agree bit-for-bit.
+    * All-integer, so both engines agree bit-for-bit. `kk` computes the
+    * SAME corpus-derived cell count as [[coarseK]] —
+    * clamp(floor(sqrt(N/40)), 16, 256); floor∘sqrt of an exact integer
+    * is deterministic cross-engine (IEEE sqrt is correctly rounded).
     */
   private val cellTrainSql: String =
-    """qcomp AS (
+    """kk AS (
+      |  SELECT GREATEST(16, LEAST(256,
+      |    CAST(floor(sqrt(CAST(count(*) // 40 AS DOUBLE))) AS BIGINT))) AS k
+      |  FROM embeddings
+      |),
+      |qcomp AS (
       |  SELECT vec_id, u.i - 1 AS i,
       |         CAST(floor(CAST(embedding[u.i] AS DOUBLE) * 1024.0) AS BIGINT) + 2048 AS v
       |  FROM embeddings, unnest(generate_series(1, 64)) u(i)
       |),
-      |k0 AS (SELECT vec_id AS j, i, v AS c FROM qcomp WHERE vec_id < 16),
+      |k0 AS (SELECT vec_id AS j, i, v AS c FROM qcomp, kk WHERE vec_id < kk.k),
       |e1 AS (
       |  SELECT m.vec_id, c.j,
       |         CAST(sum((m.v - c.c) * (m.v - c.c)) AS BIGINT) AS dist
       |  FROM qcomp m JOIN k0 c ON c.i = m.i
       |  GROUP BY 1, 2
       |),
-      |b1 AS (SELECT vec_id, min(dist * 16 + j) % 16 AS j FROM e1 GROUP BY 1),
+      |b1 AS (SELECT vec_id, min(dist * k + j) % k AS j FROM e1, kk GROUP BY vec_id, k),
       |k1 AS (
       |  SELECT a.j, m.i, sum(m.v) // count(*) AS c
       |  FROM b1 a JOIN qcomp m ON m.vec_id = a.vec_id
@@ -1413,7 +1445,7 @@ object SimilarityQueries {
       |  FROM qcomp m JOIN k1 c ON c.i = m.i
       |  GROUP BY 1, 2
       |),
-      |b2 AS (SELECT vec_id, min(dist * 16 + j) % 16 AS j FROM e2 GROUP BY 1),
+      |b2 AS (SELECT vec_id, min(dist * k + j) % k AS j FROM e2, kk GROUP BY vec_id, k),
       |k2 AS (
       |  SELECT a.j, m.i, sum(m.v) // count(*) AS c
       |  FROM b2 a JOIN qcomp m ON m.vec_id = a.vec_id
@@ -1676,8 +1708,8 @@ object SimilarityQueries {
          |  GROUP BY 1, 2
          |),
          |corpuscell AS (
-         |  SELECT vec_id, min(dist * 16 + j) % 16 AS cell
-         |  FROM cd WHERE vec_id >= 5 GROUP BY 1
+         |  SELECT vec_id, min(dist * k + j) % k AS cell
+         |  FROM cd, kk WHERE vec_id >= 5 GROUP BY vec_id, k
          |),
          |probes AS (
          |  SELECT vec_id AS query_id, j AS cell FROM (

@@ -121,6 +121,11 @@ object GeoTiff {
       nodata: Double): Array[Double] = {
     val bw = (w + 1) / 2; val bh = (h + 1) / 2
     val out = new Array[Double](bw * bh)
+    // the pyramid lives on the float32-rounded grid (level 0 is rounded
+    // before the first call, every level's means are rounded on output),
+    // so the sentinel must be rounded the same way: an unrounded nodata
+    // like -9999.9 would never equal any rounded pixel (ADVICE r11)
+    val nd = nodata.toFloat.toDouble
     var bi = 0
     while (bi < out.length) {
       val r0 = (bi / bw) * 2; val c0 = (bi % bw) * 2
@@ -130,12 +135,12 @@ object GeoTiff {
         var c = c0
         while (c < math.min(c0 + 2, w)) {
           val v = vals(r * w + c)
-          if (v != nodata) { sum += v; n += 1 }
+          if (v != nd) { sum += v; n += 1 }
           c += 1
         }
         r += 1
       }
-      out(bi) = if (n == 0) nodata else (sum / n).toFloat.toDouble
+      out(bi) = if (n == 0) nd else (sum / n).toFloat.toDouble
       bi += 1
     }
     out
@@ -420,6 +425,13 @@ object GeoTiff {
     val (tags0, next0) = parseIfd(buf.getInt(4))
     val (w, h, tw, th, nt0, values) = pixels(tags0)
     val scale = doubleArr(tags0, 33550)
+    // AsciiGrid carries ONE cellsize and the overview chain synthesizes
+    // its y-extent from scale(0); a non-square-pixel file (which this
+    // otherwise-generic baseline reader could parse) would come back
+    // with a silently wrong vertical extent — fail loudly instead
+    // (ADVICE r11)
+    require(scale(0) == scale(1),
+      s"non-square pixels (${scale(0)} x ${scale(1)}) not representable")
     val tie = doubleArr(tags0, 33922)
     // geokeys: scan the key directory for ProjectedCSTypeGeoKey (3072)
     val (_, gkCount, gkSlot) = tags0(34735)

@@ -184,6 +184,41 @@ class NativeExprSpec extends AnyFunSuite {
       e.getMessage)
   }
 
+  test("minhash_bands: SQL-available, codegen'd, bit-identical to the legacy UDF") {
+    import spark.implicits._
+    // real corpus shingles + edge shapes (empty array, one shingle,
+    // duplicate shingles, non-ASCII) — both paths must agree byte-for-byte
+    val edge = Seq(
+      (9000001L, Seq.empty[String]),
+      (9000002L, Seq("solo")),
+      (9000003L, Seq("a b c", "a b c", "b c d")),
+      (9000004L, Seq("tūī kākā", "mäori", "日本語 テスト"))
+    ).toDF("doc_id", "sh")
+    val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .limit(20)
+      .select(col("doc_id"), graft.text.Corpus.shingles("text").as("sh"))
+    val df = corpus.unionByName(edge)
+      .select(col("doc_id"),
+        expr("minhash_bands(sh)").as("native"),
+        graft.queries.DedupQueries.minhashBandsUdf(col("sh")).as("legacy"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("minhash_bands"), s"plan:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 24)
+    rows.foreach { r =>
+      assert(r.getAs[collection.Seq[String]]("native") ==
+        r.getAs[collection.Seq[String]]("legacy"), s"doc ${r.getLong(0)}")
+    }
+  }
+
+  test("minhash_bands rejects non-array input at analysis") {
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_bands('x')").head()
+    }
+    assert(e.getMessage.contains("minhash_bands") || e.getMessage.contains("DATATYPE"),
+      e.getMessage)
+  }
+
   test("vec_dot rejects non-float-array inputs at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT vec_dot(array(1, 2), array(3, 4))").head()
