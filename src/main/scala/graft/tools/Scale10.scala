@@ -1,0 +1,119 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthesize an N× row-count fixture from a driver fixture dir by
+  * unioning key-shifted copies (r11 verdict #4 — the
+  * q_embedding_near_dup corpus-doubling trick generalized). The driver
+  * provides at most sf0.1; the 2 GiB memory-squeeze smoke cannot catch
+  * broadcast-threshold flips or band skew that only a real row-count
+  * scale-up exposes, so this builds one locally.
+  *
+  * Copy 0 is the original. Every copy i > 0 is transformed so the
+  * result models a REAL bigger corpus, not 10 stacked replicas:
+  *
+  *  - all primary keys shift by i·10⁷ (foreign keys consistently, so
+  *    within-copy relationships hold);
+  *  - document text goes through a per-copy BIJECTIVE character map
+  *    (vowel rotation, s↔t swap for i≥5 — 10 distinct permutations).
+  *    A bijection preserves shingle equality/inequality WITHIN a copy,
+  *    so the planted dup-rate is constant across scale, while
+  *    cross-copy texts share no shingles — without this, 10 verbatim
+  *    copies give every doc 9 exact replicas and pair counts grow
+  *    ~45× instead of the realistic ~10×;
+  *  - embeddings rotate by i·6 array positions — an isometry, so
+  *    within-copy cosine geometry (and the label column's cluster
+  *    truth) is exactly preserved, while rotated random vectors are
+  *    ~uncorrelated cross-copy;
+  *  - embedding labels shift by i·10: at a 10× corpus a retrained
+  *    quantizer has more cells, so per-cell membership must stay
+  *    bounded — label-blocked self-joins (q_knn_join) would otherwise
+  *    quietly go quadratic on stacked labels.
+  *
+  * Dimension-like tables (region/nation/supplier/part) copy verbatim:
+  * facts grow, dims don't — the realistic shape.
+  *
+  * Usage: runMain graft.tools.Scale10 <srcDir> <outDir> [copies=10]
+  */
+object Scale10 {
+
+  private val Offset = 10000000L
+
+  /** 10 distinct bijections over "aeioust": rotate the 5 vowels by
+    * i mod 5; additionally swap s/t for i >= 5. i = 0 is the identity.
+    */
+  private[graft] def charPerm(i: Int): String = {
+    val v = "aeiou"
+    val r = i % 5
+    val rot = v.substring(r) + v.substring(0, r)
+    val st = if (i >= 5) "ts" else "st"
+    rot + st
+  }
+
+  private def copies(n: Int, base: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
+    (0 until n).map(i => if (i == 0) base else tf(base, i)).reduce(_ unionByName _)
+
+  def build(s: SparkSession, srcDir: String, outDir: String, n: Int): Unit = {
+    new java.io.File(outDir).mkdirs()
+    def src(t: String) = s.read.parquet(s"$srcDir/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    write(copies(n, src("documents")) { (d, i) =>
+      d.select((col("doc_id") + i * Offset).as("doc_id"),
+        translate(col("text"), "aeioust", charPerm(i)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }, "documents")
+
+    write(copies(n, src("embeddings")) { (d, i) =>
+      val off = (i * 6) % 64
+      d.select((col("vec_id") + i * Offset).as("vec_id"),
+        expr(s"concat(slice(embedding, ${off + 1}, ${64 - off}), " +
+          s"slice(embedding, 1, $off))").as("embedding"),
+        (col("label") + i * 10).cast("int").as("label"))
+    }, "embeddings")
+
+    write(copies(n, src("customer")) { (d, i) =>
+      d.select((col("c_custkey") + i * Offset).as("c_custkey"),
+        translate(col("c_name"), "aeioust", charPerm(i)).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
+    }, "customer")
+
+    // Offset is divisible by 10 and 16, so modulus-derived structure
+    // (the skew-join hot key l_orderkey % 10, manifest dims) keeps its
+    // per-copy distribution — the hot key genuinely grows 10×.
+    write(copies(n, src("lineitem")) { (d, i) =>
+      d.withColumn("l_orderkey", col("l_orderkey") + i * Offset)
+    }, "lineitem")
+
+    write(copies(n, src("orders")) { (d, i) =>
+      d.withColumn("o_orderkey", col("o_orderkey") + i * Offset)
+        .withColumn("o_custkey", col("o_custkey") + i * Offset)
+    }, "orders")
+
+    write(copies(n, src("events")) { (d, i) =>
+      d.withColumn("event_id", col("event_id") + i * Offset)
+        .withColumn("user_id", col("user_id") + i * Offset)
+    }, "events")
+
+    Seq("region", "nation", "supplier", "part")
+      .foreach(t => write(src(t), t))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val outDir = if (args.length > 1) args(1) else "/tmp/graft_sf1x"
+    val n = if (args.length > 2) args(2).toInt else 10
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    build(s, srcDir, outDir, n)
+    println(s"scale$n fixture written to $outDir")
+    s.stop()
+  }
+}
