@@ -209,9 +209,14 @@ object Bench {
     // load-flagged BENCH_r11 run; a query flagged here was slower than its
     // base even at its best pass. IMPROVEMENTS stay median-based — a lucky
     // fast pass must not claim a win the typical pass doesn't show.
-    val mins = results.map { case (k, _, _, mn, _, _) => (k, mn) }
-    val compared = medians.flatMap { case (k, now) => prev.get(k).map(p => (k, now, p)) }
-    val comparedMin = mins.flatMap { case (k, mn) => prev.get(k).map(p => (k, mn, p)) }
+    // errored queries are excluded from BOTH comparisons, not just the
+    // dispersion gate: a fast-fail's min can never flag as a regression
+    // (it IS fast), so without this filter a broken query would instead
+    // surface as the round's biggest "improvement" — n_err and the
+    // errors map are the only honest channel for it.
+    val ok = results.collect { case (k, med, _, mn, _, None) => (k, med, mn) }
+    val compared = ok.flatMap { case (k, now, _) => prev.get(k).map(p => (k, now, p)) }
+    val comparedMin = ok.flatMap { case (k, _, mn) => prev.get(k).map(p => (k, mn, p)) }
     val regressed = comparedMin.filter { case (_, mn, p) => mn > p && moved(mn, p) }
     val improved  = compared.filter { case (_, now, p) => now < p && moved(now, p) }
     def deltaMap(xs: Seq[(String, Double, Double)]): String =

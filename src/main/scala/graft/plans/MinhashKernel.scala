@@ -45,6 +45,11 @@ object MinhashOps {
   private val Prefixes: Array[Array[Byte]] =
     Array.tabulate(8)(seed => (seed.toString + ":").getBytes("US-ASCII"))
 
+  // a null ARRAY ELEMENT must hash like the legacy UDF, whose Scala
+  // string concat ("<seed>:" + null) silently stringifies it — so the
+  // digested bytes for a null shingle are literally "null"
+  private val NullBytes: Array[Byte] = "null".getBytes("US-ASCII")
+
   /** MinHash signature → 4 LSH band keys, one pass per doc. Identical
     * bytes to the former `minhashBandsUdf` (DedupQueries): per seed,
     * the lexicographic minimum of md5("<seed>:<shingle>") — UTF-8
@@ -60,7 +65,11 @@ object MinhashOps {
     val n = arr.numElements()
     val shingleBytes = new Array[Array[Byte]](n)
     var i = 0
-    while (i < n) { shingleBytes(i) = arr.getUTF8String(i).getBytes; i += 1 }
+    while (i < n) {
+      val u = arr.getUTF8String(i)
+      shingleBytes(i) = if (u == null) NullBytes else u.getBytes
+      i += 1
+    }
     val sig = new Array[String](8)
     var seed = 0
     while (seed < 8) {

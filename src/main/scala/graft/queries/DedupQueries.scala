@@ -70,7 +70,7 @@ object DedupQueries {
     * A/B measurement only (bit-identical outputs, see MinhashKernel).
     */
   private def bandKeys(s: SparkSession): org.apache.spark.sql.Column =
-    if (sys.env.contains("GRAFT_MINHASH_UDF")) minhashBandsUdf(col("sh"))
+    if (sys.env.get("GRAFT_MINHASH_UDF").contains("1")) minhashBandsUdf(col("sh"))
     else {
       graft.plans.MinhashKernel.register(s)
       expr("minhash_bands(sh)")

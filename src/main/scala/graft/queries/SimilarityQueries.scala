@@ -232,13 +232,16 @@ object SimilarityQueries {
   private val coarseKMemo = scala.collection.concurrent.TrieMap.empty[String, Int]
   private def coarseK(s: SparkSession, dir: String): Int =
     coarseKMemo.getOrElseUpdate(dir, {
-      val n = emb(s, dir).count()
+      // raw parquet count, NOT emb(): emb applies the vec_id
+      // repartition, which would turn this into a full-column scan +
+      // shuffle instead of a footer-metadata aggregate
+      val n = s.read.parquet(s"$dir/embeddings.parquet").count()
       math.max(16, math.min(256, math.sqrt((n / 40).toDouble).toInt))
     })
 
   /** Exact int64 squared distance of every vector to every packed
     * centroid (j, cs): ‖qv−cs‖² expanded into three vec_idot kernel
-    * calls. The ≤16-row centroid frame broadcasts; output is N×k rows.
+    * calls. The ≤256-row (k ≤ 256) centroid frame broadcasts; output is N×k rows.
     */
   private def cellDists(qvs: DataFrame, cents: DataFrame): DataFrame =
     qvs.crossJoin(broadcast(cents))
@@ -383,7 +386,7 @@ object SimilarityQueries {
     // total squared centroid movement of the last iteration (the
     // convergence diagnostic every k-means loop watches), and the
     // centroid component sum. Scale shape: assignments broadcast the
-    // ≤16-row packed centroids and hash-aggregate per vector; updates
+    // ≤256-row packed centroids and hash-aggregate per vector; updates
     // are ONE VecSumLongAgg array reduction per cell (map-side
     // combined — 64-long buffers cross the wire, never an exploded
     // |vectors|·64 component stream) — no all-pairs stage anywhere,
@@ -398,7 +401,7 @@ object SimilarityQueries {
       val a2 = QueryCaches.cache(cellAssignFull(qvs, c1, k))
       val c2 = cellUpdateFull(qvs, a2)
       // the convergence diagnostics are per-cell folds over the two
-      // ≤16-row packed centroid frames — pure HOF arithmetic
+      // ≤k-row (k ≤ 256) packed centroid frames — pure HOF arithmetic
       a2.groupBy("j").agg(count(lit(1)).as("n_members"))
         .join(c2.select(col("j"), col("cs").as("cs2"))
           .join(c1.select(col("j"), col("cs").as("cs1")), Seq("j"))

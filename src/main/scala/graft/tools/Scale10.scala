@@ -16,7 +16,7 @@ import org.apache.spark.sql.functions._
   *  - all primary keys shift by i·10⁷ (foreign keys consistently, so
   *    within-copy relationships hold);
   *  - document text goes through a per-copy BIJECTIVE character map
-  *    (vowel rotation, s↔t swap for i≥5 — 10 distinct permutations).
+  *    (independent vowel + "stnr" rotations — see [[charPerm]]).
   *    A bijection preserves shingle equality/inequality WITHIN a copy,
   *    so the planted dup-rate is constant across scale, while
   *    cross-copy texts share no shingles — without this, 10 verbatim
@@ -40,21 +40,30 @@ object Scale10 {
 
   private val Offset = 10000000L
 
-  /** 10 distinct bijections over "aeioust": rotate the 5 vowels by
-    * i mod 5; additionally swap s/t for i >= 5. i = 0 is the identity.
+  /** Source alphabet of the per-copy character bijection. */
+  private[graft] val PermSrc = "aeioustnr"
+
+  /** Distinct bijections over [[PermSrc]]: vowels rotate by i mod 5,
+    * the consonants "stnr" rotate independently by i mod 4 — two copies
+    * share the map only when i ≡ j (mod 20), so all pairs in 0..9
+    * differ, and a text identical across ANY two copies would have to
+    * contain none of a,e,i,o,u,s,t,n,r (the sf0.1 corpus has zero such
+    * rows even for the s/t subset alone). i = 0 is the identity.
     */
   private[graft] def charPerm(i: Int): String = {
-    val v = "aeiou"
-    val r = i % 5
-    val rot = v.substring(r) + v.substring(0, r)
-    val st = if (i >= 5) "ts" else "st"
-    rot + st
+    val v = "aeiou"; val c = "stnr"
+    val r = i % 5; val q = i % 4
+    v.substring(r) + v.substring(0, r) + c.substring(q) + c.substring(0, q)
   }
 
   private def copies(n: Int, base: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(i => if (i == 0) base else tf(base, i)).reduce(_ unionByName _)
 
   def build(s: SparkSession, srcDir: String, outDir: String, n: Int): Unit = {
+    // charPerm cycles with period 20; past 10 copies the pair-distance
+    // guarantees weaken — fail loudly rather than silently produce
+    // stacked-replica copies
+    require(n >= 1 && n <= 10, s"copies must be in [1, 10], got $n")
     new java.io.File(outDir).mkdirs()
     def src(t: String) = s.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
@@ -62,7 +71,7 @@ object Scale10 {
 
     write(copies(n, src("documents")) { (d, i) =>
       d.select((col("doc_id") + i * Offset).as("doc_id"),
-        translate(col("text"), "aeioust", charPerm(i)).as("text"),
+        translate(col("text"), PermSrc, charPerm(i)).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
@@ -76,7 +85,7 @@ object Scale10 {
 
     write(copies(n, src("customer")) { (d, i) =>
       d.select((col("c_custkey") + i * Offset).as("c_custkey"),
-        translate(col("c_name"), "aeioust", charPerm(i)).as("c_name"),
+        translate(col("c_name"), PermSrc, charPerm(i)).as("c_name"),
         col("c_nationkey"), col("c_acctbal"), col("c_mktsegment"))
     }, "customer")
 

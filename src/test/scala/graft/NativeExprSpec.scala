@@ -192,7 +192,10 @@ class NativeExprSpec extends AnyFunSuite {
       (9000001L, Seq.empty[String]),
       (9000002L, Seq("solo")),
       (9000003L, Seq("a b c", "a b c", "b c d")),
-      (9000004L, Seq("tūī kākā", "mäori", "日本語 テスト"))
+      (9000004L, Seq("tūī kākā", "mäori", "日本語 テスト")),
+      // a null ELEMENT must hash identically on both paths (the legacy
+      // UDF's string concat stringifies it as "null")
+      (9000005L, Seq("a b c", null, "b c d"))
     ).toDF("doc_id", "sh")
     val corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .limit(20)
@@ -204,7 +207,7 @@ class NativeExprSpec extends AnyFunSuite {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("minhash_bands"), s"plan:\n$plan")
     val rows = df.collect()
-    assert(rows.length == 24)
+    assert(rows.length == 25)
     rows.foreach { r =>
       assert(r.getAs[collection.Seq[String]]("native") ==
         r.getAs[collection.Seq[String]]("legacy"), s"doc ${r.getLong(0)}")

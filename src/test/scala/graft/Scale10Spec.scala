@@ -18,11 +18,19 @@ class Scale10Spec extends SparkSpecBase {
     dir
   }
 
-  test("charPerm: 10 distinct bijections, identity at 0") {
+  test("charPerm: 10 distinct bijections, identity at 0, pairwise no-gap") {
     val perms = (0 until 10).map(Scale10.charPerm)
-    assert(perms(0) == "aeioust")
+    assert(perms(0) == Scale10.PermSrc)
     assert(perms.distinct.length == 10)
-    perms.foreach(p => assert(p.sorted == "aeiostu", p))
+    perms.foreach(p => assert(p.sorted == Scale10.PermSrc.sorted, p))
+    // rotations move whole blocks, so any two copies' maps disagree on
+    // ≥4 source chars (all 5 vowels, all 4 consonants, or both) — a
+    // cross-copy-identical text must lack an entire block. The first
+    // design's i/i+5 gap was only {s, t}: 2 chars.
+    for (i <- 0 until 10; j <- (i + 1) until 10) {
+      val nDiff = Scale10.PermSrc.indices.count(x => perms(i)(x) != perms(j)(x))
+      assert(nDiff >= 4, s"copies $i/$j differ on only $nDiff chars")
+    }
   }
 
   test("row counts double and keys are disjoint across copies") {
