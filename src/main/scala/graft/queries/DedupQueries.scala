@@ -701,6 +701,18 @@ object DedupQueries {
         .orderBy("hop")
     }),
 
+    // Iterative 5-core peel, 3 rounds. Two measured r12 decisions:
+    // (1) materialize the DROP-set (deg < 5, the tiny peel boundary)
+    // and broadcast-ANTI-join it, instead of semi-joining the ~|V|-row
+    // keep-set; (2) do NOT cache the per-round edge set — after (1)
+    // its lineage is the round-1 distinct cache plus broadcast
+    // anti-joins (no shuffle, stays in codegen), so recomputing it for
+    // the next round's degree scan is cheaper than a 450 k-row cache
+    // materialization. 5-pass mini-suite minima at sf0.1:
+    // 3.90 s (keep-semi + per-round cache) → 3.26 (drop-anti, cached)
+    // → 2.53 (drop-anti, uncached). Only the per-round DEGREE table is
+    // cached (consumed by drop-set, survivor count, and every later
+    // round through the anti-join lineage).
     "q_graph_kcore" -> ((s, dir) => {
       val nodes = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("id"))
@@ -714,14 +726,21 @@ object DedupQueries {
         .distinct()
         .transform(QueryCaches.cache(_))
       val rounds = (1 to 3).map { r =>
-        val deg = edges.select(explode(array(col("a"), col("b"))).as("id"))
-          .groupBy("id").agg(count(lit(1)).as("deg"))
-        // consumed three times (two semi-joins + the survivor count)
-        val keep = QueryCaches.cache(deg.filter(col("deg") >= 5).select("id"))
-        edges = QueryCaches.cache(edges
-          .join(keep.withColumnRenamed("id", "a"), Seq("a"), "left_semi")
-          .join(keep.withColumnRenamed("id", "b"), Seq("b"), "left_semi"))
-        keep.agg(count(lit(1)).as("n_nodes"))
+        // consumed twice (the drop-set + the survivor count)
+        val deg = QueryCaches.cache(
+          edges.select(explode(array(col("a"), col("b"))).as("id"))
+            .groupBy("id").agg(count(lit(1)).as("deg")))
+        // materialize the DROP-set, not the keep-set (the q_containment
+        // trick): in a peel round almost every node survives, so the
+        // keep-set is ~|V| while the sub-threshold set is the tiny
+        // boundary — the two anti-join broadcasts ship kilobytes
+        // instead of the old keep-semi-joins' ~|V|-row builds, and the
+        // asymmetry only grows with the graph
+        val drop = deg.filter(col("deg") < 5).select("id")
+        edges = edges
+          .join(broadcast(drop.withColumnRenamed("id", "a")), Seq("a"), "left_anti")
+          .join(broadcast(drop.withColumnRenamed("id", "b")), Seq("b"), "left_anti")
+        deg.filter(col("deg") >= 5).agg(count(lit(1)).as("n_nodes"))
           .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
           .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
       }
