@@ -266,7 +266,12 @@ object DedupQueries {
         .join(prefix.select(col("doc_id").as("db"), col("tok")), "tok")
         .filter(col("da") < col("db"))
         .select("da", "db").distinct()
-      // candidates are O(true dups), broadcast both verification joins
+      // candidates are O(true dups), broadcast both verification joins.
+      // (Semi-filtering the b side to candidate docs before the
+      // (db, tok) shuffle was tried and REVERTED: min 1.66 → 1.83 s
+      // in-suite — at this volume the extra broadcast probe over the
+      // cached token scan costs more than the shuffle rows it saves;
+      // revisit only if the candidate set stops being O(dups).)
       val a = toks.select(col("doc_id").as("da"), col("sz").as("sza"), col("tok"))
       val b = toks.select(col("doc_id").as("db"), col("sz").as("szb"), col("tok"))
       a.join(broadcast(cand), "da").join(b, Seq("db", "tok"))
