@@ -229,9 +229,18 @@ object Bench {
     // medians as the canonical "queries" map (what the next round reads back
     // as `prev`), plus per-query min/max and the regression/improvement maps.
     // a SPARK_GRAFT_ONLY subset run must NOT overwrite the full-suite
-    // detail file — it is the committed cross-round regression base
+    // detail file — it is the committed cross-round regression base.
+    // Neither may a full-suite run at a NON-canonical sfDir (a scale
+    // fixture, a local sf0.001 iteration): it once overwrote the
+    // working-tree base in place (r12 — the sf-mismatch guard on
+    // `prev` prevented comparison corruption, but the file itself had
+    // to be restored from HEAD)
+    val canonicalSf = new java.io.File("/root/testdata/sf0.1").getAbsolutePath
     val detailName =
-      if (only.isDefined) "BENCH_DETAIL_SUBSET.json" else "BENCH_DETAIL.json"
+      if (only.isDefined) "BENCH_DETAIL_SUBSET.json"
+      else if (new java.io.File(sfDir).getAbsolutePath != canonicalSf)
+        "BENCH_DETAIL_ALT.json"
+      else "BENCH_DETAIL.json"
     val detailPath = new java.io.File(detailName).getAbsolutePath
     val minmax = results
       .map { case (k, _, _, mn, mx, _) =>
