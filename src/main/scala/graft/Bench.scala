@@ -23,8 +23,19 @@ object Bench {
     "q_ann_ivf_probe2", "q_skew_join_aqe", "q_scalar_subquery",
     "q_containment", "q_pipeline_e2e")
 
+  /** The committed-base fixture dir; full runs anywhere else write an
+    * sf-suffixed detail file instead of the base (see detailName).
+    */
+  private val DefaultSfDir = "/root/testdata/sf0.1"
+
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // canonicalized ONCE and used for reads, the prev-base sf guard,
+    // the detail-file routing, and the emitted "sf" field alike — a
+    // trailing slash or '.' spelling must not make those checks
+    // disagree (one would overwrite the base while the other stops
+    // comparing against it)
+    val sfDir = new java.io.File(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", DefaultSfDir)).getCanonicalPath
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // One measurement is not a signal: the same 119-query suite measured
     // 88.6 s and 151.4 s on identical code in round 5 (JIT/GC/page-cache
@@ -234,13 +245,18 @@ object Bench {
     // fixture, a local sf0.001 iteration): it once overwrote the
     // working-tree base in place (r12 — the sf-mismatch guard on
     // `prev` prevented comparison corruption, but the file itself had
-    // to be restored from HEAD)
-    val canonicalSf = new java.io.File("/root/testdata/sf0.1").getAbsolutePath
+    // to be restored from HEAD). Alt runs get a PER-SF file (basename
+    // + a short path digest so same-named dirs can't clobber each
+    // other), not one shared alt name.
     val detailName =
       if (only.isDefined) "BENCH_DETAIL_SUBSET.json"
-      else if (new java.io.File(sfDir).getAbsolutePath != canonicalSf)
-        "BENCH_DETAIL_ALT.json"
-      else "BENCH_DETAIL.json"
+      else if (sfDir != new java.io.File(DefaultSfDir).getCanonicalPath) {
+        val base = new java.io.File(sfDir).getName
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        s"BENCH_DETAIL_${base}_$md5.json"
+      } else "BENCH_DETAIL.json"
     val detailPath = new java.io.File(detailName).getAbsolutePath
     val minmax = results
       .map { case (k, _, _, mn, mx, _) =>

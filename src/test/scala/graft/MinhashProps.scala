@@ -61,9 +61,12 @@ object MinhashProps extends Properties("minhash_bands") {
       out.length == 4 && out.forall(_.matches("[0-9a-f]{32}"))
     }
 
+  // the permutation seed comes from the GENERATOR so a failing case
+  // replays exactly under ScalaCheck's seed — a global-RNG shuffle
+  // would make any counterexample non-reproducible
   property("band keys depend only on the shingle SET order-insensitively " +
     "(min is order-free)") =
-    Prop.forAll(shingles) { sh =>
-      kernel(sh) == kernel(scala.util.Random.shuffle(sh))
+    Prop.forAll(Gen.zip(shingles, Gen.long)) { case (sh, seed) =>
+      kernel(sh) == kernel(new scala.util.Random(seed).shuffle(sh))
     }
 }
