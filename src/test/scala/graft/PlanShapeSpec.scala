@@ -704,4 +704,32 @@ class PlanShapeSpec extends SparkSpecBase {
       graft.queries.QueryCaches.releaseAll(spark)
     }
   }
+
+  test("q_phrase_search: doc-local bigrams — no adjacency self-join (r12)") {
+    val p = plan("q_phrase_search", graft.queries.TextQueries.queries)
+    // the old positional posting-list shape sort-merge-self-joined on
+    // (doc_id, pos); the rewrite's only join is the 1-row broadcast
+    // phrase probe, and the global top-20 prunes as TakeOrdered
+    assert(!p.contains("SortMergeJoin"), s"adjacency must not SMJ:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"phrase probe should broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), s"top-20 should prune:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_ngram_novelty: no shingle-keyed join-back — joins run at doc granularity (r12)") {
+    val p = plan("q_ngram_novelty", graft.queries.TextQueries.queries)
+    assert(!p.contains("Join [shingle"),
+      s"the df attach must not re-join the exploded shingle table:\n$p")
+    assert(p.contains("Join [doc_id"), s"final join should key on doc_id:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_graph_kcore: peel rounds are broadcast ANTI joins on the drop-set (r12)") {
+    val p = plan("q_graph_kcore", graft.queries.DedupQueries.queries)
+    val antis = "LeftAnti".r.findAllIn(p).length
+    assert(antis >= 6, s"3 rounds x 2 endpoints should anti-join, got $antis:\n$p")
+    assert(!p.contains("LeftSemi"), s"keep-set semi-joins were replaced:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the drop-set must broadcast:\n$p")
+    graft.queries.QueryCaches.releaseAll(spark)
+  }
 }
