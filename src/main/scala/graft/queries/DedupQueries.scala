@@ -967,9 +967,13 @@ object DedupQueries {
           explode(Corpus.shingles("text")).as("shingle"))
         .join(dropSh, Seq("shingle"), "left_anti"))
       val exSize = exSh.groupBy("exc_id").agg(count(lit(1)).as("n_exc"))
-      // shuffle-hash: shingle buckets are small (df ≤ 50 after the cap)
-      // and the pair agg re-shuffles anyway — SMJ's sort buys nothing
-      exSh.hint("shuffle_hash").join(baseSh, "shingle")
+      // BROADCAST the excerpt side: it is the small probe corpus
+      // (~1/5 of docs × 30-word prefixes), so the 850k-row base table
+      // never shuffles for the intersection — only the bounded join
+      // OUTPUT (≤ df-capped matches) reaches the pair aggregate's
+      // exchange. The former shuffle-hash moved base + excerpts
+      // through a full shingle-keyed exchange first.
+      broadcast(exSh).join(baseSh, "shingle")
         .groupBy("exc_id", "base_id")
         .agg(count(lit(1)).as("n_shared"))
         .join(exSize, "exc_id")

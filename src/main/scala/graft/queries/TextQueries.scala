@@ -295,17 +295,22 @@ object TextQueries {
     // which broadcasts the frequency table while it fits (it does at
     // fixture scale; .explain shows BroadcastHashJoin) and degrades to
     // a shuffle join once corpus vocabulary outgrows the threshold —
-    // and one per-doc re-assembly aggregate. The segment table is
-    // deliberately NOT cached: re-deriving it from the (pruned) scan
-    // twice is cheaper at scale than materializing an exploded copy of
-    // the corpus. No driver-side state, no all-pairs anything.
+    // and one per-doc re-assembly aggregate. The segment table IS
+    // cached (r12, reversing an unmeasured earlier claim): the
+    // segmentation is a HIGHER-ORDER-FUNCTION transform, which never
+    // enters whole-stage codegen, so deriving it once and serving the
+    // frequency aggregate + join-back from the cache measured
+    // 1.54 → 0.91 s min in-suite at sf0.1 (neighbors flat) — the
+    // HOF-work-once rule from q_phrase_search, not a general license
+    // to cache exploded corpora. No driver-side state, no all-pairs
+    // anything.
     "q_boilerplate_lines" -> ((s, dir) => {
-      val segs = s.read.parquet(s"$dir/documents.parquet")
+      val segs = QueryCaches.cache(s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), posexplode(expr(
           """transform(
             |  sequence(0, CAST(ceil(size(split(text, ' ')) / 3.0) AS INT) - 1),
             |  i -> array_join(slice(split(text, ' '), i * 3 + 1, 3), ' '))"""
-            .stripMargin)).as(Seq("pos", "seg")))
+            .stripMargin)).as(Seq("pos", "seg"))))
       val freq = segs.groupBy("seg")
         .agg(countDistinct(col("doc_id")).as("df"))
       segs.join(freq, "seg")

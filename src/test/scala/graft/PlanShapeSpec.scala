@@ -315,8 +315,13 @@ class PlanShapeSpec extends SparkSpecBase {
     val p = plan("q_containment", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"containment discovery must equi-join on the shingle key:\n$p")
-    assert(p.contains("ShuffledHashJoin"),
-      s"small per-shingle buckets: hash join, no sort:\n$p")
+    // r12: the small excerpt side BROADCASTS, so the 850k-row base
+    // explode never enters a shingle-keyed exchange at all (measured
+    // 1.67 → 1.36 s min vs the former shuffle-hash)
+    assert("BroadcastHashJoin \\[shingle".r.findFirstIn(p).isDefined,
+      s"excerpt side should broadcast into the intersection join:\n$p")
+    assert(!p.contains("ShuffledHashJoin") && !p.contains("SortMergeJoin"),
+      s"base shingles must not shuffle for the intersection:\n$p")
     // the df cap: BOTH shingle explodes must be filtered map-side by a
     // broadcast anti-join against the (small) boilerplate drop-set, so
     // hot shingles never enter a shuffle — the 100 TB skew guard
