@@ -295,8 +295,10 @@ object DedupQueries {
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
           posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
-      // cached (self-joined below: without this, both sides recompute);
-      // released by the harness via QueryCaches.releaseAll
+      // cached; an uncached variant relying on the self-join's
+      // ReuseExchange A/B'd at level-parity (r12) — kept cached, the
+      // cache also survives plan changes that would break exchange
+      // reuse. Released by the harness via QueryCaches.releaseAll.
 
       val cands = bands.as("a").join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
@@ -868,6 +870,13 @@ object DedupQueries {
       // before the explode cuts the candidate join's fan-out
       // quadratically (measured ~25% off the sf0.1 median; the rest is
       // the inherent ~10⁵-pair distinct + levenshtein verify)
+      // NOT cached although both join sides read it (r12 A/B: caching
+      // measured min 1.51 → 1.82 s) — the self-join's two sides are
+      // canonically identical, so ReuseExchange already computes the
+      // HOF neighborhood once at the shuffle; a cache only adds a
+      // materialization barrier. The HOF-work-once rule is satisfied
+      // by exchange reuse here, unlike q_boilerplate_lines where the
+      // two consumers need DIFFERENT exchanges.
       val variants = names.withColumn("key", explode(array_distinct(concat(
         array(col("name")),
         expr("""transform(sequence(1, length(name)),
