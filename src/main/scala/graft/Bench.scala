@@ -63,10 +63,35 @@ object Bench {
       .foreach(v => System.err.println(s"[bench] FIXTURE CONTRACT: $v"))
     catch { case _: Throwable => () }
 
-    // Previous round's per-query medians, read BEFORE this run overwrites
-    // the detail file — the committed BENCH_DETAIL.json from the prior
-    // round is the comparison base for the regression report.
-    val prevDetail = new java.io.File("BENCH_DETAIL.json")
+    // optional comma-separated subset for local iteration
+    // (SPARK_GRAFT_ONLY=q_a,q_b); full suite when unset
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+
+    // Detail-file routing, decided ONCE and used for both the prev-base
+    // READ and this run's write: a SPARK_GRAFT_ONLY subset run must NOT
+    // overwrite the full-suite detail file (the committed cross-round
+    // regression base), and neither may a full-suite run at a
+    // NON-canonical sfDir (a scale fixture, a local sf0.001 iteration)
+    // — one once overwrote the working-tree base in place (r12). Alt
+    // runs get a PER-SF file (basename + a short path digest so
+    // same-named dirs can't clobber each other), and read their prev
+    // base from the SAME per-sf file, so cross-run regression
+    // comparison works at scale fixtures too.
+    val detailName =
+      if (only.isDefined) "BENCH_DETAIL_SUBSET.json"
+      else if (sfDir != new java.io.File(DefaultSfDir).getCanonicalPath) {
+        val base = new java.io.File(sfDir).getName
+          .replaceAll("[^A-Za-z0-9._-]", "_")
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+        s"BENCH_DETAIL_${base}_$md5.json"
+      } else "BENCH_DETAIL.json"
+
+    // Previous run's per-query medians, read BEFORE this run overwrites
+    // the detail file — the committed base (or the per-sf sibling for
+    // alt runs) is the comparison base for the regression report.
+    val prevDetail = new java.io.File(detailName)
     val prev: Map[String, Double] =
       if (!prevDetail.exists()) Map.empty
       else try {
@@ -92,10 +117,6 @@ object Bench {
     // neighbors (GC debt, page-cache state) leaking into its median when
     // every pass visits queries in the same order. Shuffling per pass turns
     // that systematic bias into symmetric noise the median absorbs.
-    // optional comma-separated subset for local iteration
-    // (SPARK_GRAFT_ONLY=q_a,q_b); full suite when unset
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
       case Some(set) => SparkEntry.queries.filter { case (k, _) => set(k) }
       case None => SparkEntry.queries
@@ -239,24 +260,7 @@ object Bench {
     // Full per-query detail → file (too large for the driver's tail capture):
     // medians as the canonical "queries" map (what the next round reads back
     // as `prev`), plus per-query min/max and the regression/improvement maps.
-    // a SPARK_GRAFT_ONLY subset run must NOT overwrite the full-suite
-    // detail file — it is the committed cross-round regression base.
-    // Neither may a full-suite run at a NON-canonical sfDir (a scale
-    // fixture, a local sf0.001 iteration): it once overwrote the
-    // working-tree base in place (r12 — the sf-mismatch guard on
-    // `prev` prevented comparison corruption, but the file itself had
-    // to be restored from HEAD). Alt runs get a PER-SF file (basename
-    // + a short path digest so same-named dirs can't clobber each
-    // other), not one shared alt name.
-    val detailName =
-      if (only.isDefined) "BENCH_DETAIL_SUBSET.json"
-      else if (sfDir != new java.io.File(DefaultSfDir).getCanonicalPath) {
-        val base = new java.io.File(sfDir).getName
-          .replaceAll("[^A-Za-z0-9._-]", "_")
-        val md5 = java.security.MessageDigest.getInstance("MD5")
-          .digest(sfDir.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-        s"BENCH_DETAIL_${base}_$md5.json"
-      } else "BENCH_DETAIL.json"
+    // Routing (detailName) was decided up top, before the prev read.
     val detailPath = new java.io.File(detailName).getAbsolutePath
     val minmax = results
       .map { case (k, _, _, mn, mx, _) =>

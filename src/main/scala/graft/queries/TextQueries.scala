@@ -608,12 +608,13 @@ object TextQueries {
     // Corpus-level n-gram novelty: per doc, how many of its distinct
     // 3-gram shingles occur in NO other document — the inverse of
     // boilerplate coverage, the signal mixture curation uses to
-    // down-weight templated/syndicated content. Shape: one shingle
-    // explode (cached — consumed by the document-frequency aggregate
-    // AND the join back), a shingle-keyed df aggregate, an equi-join
-    // on the shingle, a doc-keyed aggregate: two hash shuffles keyed
-    // on shingle + one on doc_id, never a doc×doc product. The ratio
-    // is per-myriad integer division — exactly portable.
+    // down-weight templated/syndicated content. Shape (r12): one
+    // shingle explode (cached — consumed by the df aggregate and the
+    // per-doc totals), ONE shingle-keyed df aggregate that also names
+    // each df = 1 shingle's owner, then doc-keyed aggregates joined at
+    // doc granularity — one shuffle on shingle + two on doc_id, no
+    // shingle join-back, never a doc×doc product (details below). The
+    // ratio is per-myriad integer division — exactly portable.
     "q_ngram_novelty" -> ((s, dir) => {
       val sh = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), explode(Corpus.shingles("text")).as("shingle"))
