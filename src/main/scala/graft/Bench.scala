@@ -28,6 +28,37 @@ object Bench {
     */
   private val DefaultSfDir = "/root/testdata/sf0.1"
 
+  /** Parse a previous detail file into the per-query median base for
+    * the regression report, or refuse it with the reason. Two refusals:
+    * a detail measured at another sfDir (not like-for-like), and — the
+    * r12 hole — one flagged `"unadjudicated": true`. An unadjudicated
+    * detail is a load-poisoned run whose medians are inflated
+    * suite-wide (the r12 driver run sat ~18% over the same-code quiet
+    * base); silently adopting it as the base would make regressions up
+    * to that inflation invisible on the NEXT run. The docs' "never use
+    * a flagged run as a base" rule is enforced here in code, so even a
+    * poisoned file that does get committed (it happened: the r12
+    * driver committed one) cannot poison the next comparison.
+    */
+  private[graft] def parsePrevBase(
+      txt: String, sfDir: String): Either[String, Map[String, Double]] = {
+    if (""""unadjudicated"\s*:\s*true""".r.findFirstIn(txt).isDefined)
+      Left("flagged \"unadjudicated\": true (load-poisoned run) — not a " +
+        "citable regression base; restore an adjudicated detail file")
+    else if (!""""sf":"([^"]*)"""".r.findFirstMatchIn(txt)
+        .map(_.group(1)).contains(sfDir))
+      Left("measured at a different sf dir — not like-for-like")
+    else {
+      // scope to the canonical medians object: the detail file also
+      // carries "warm"/"minmax" maps keyed by the same query names
+      val scope = """"queries":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
+      Right(""""(q_[A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
+        .findAllMatchIn(scope)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     // canonicalized ONCE and used for reads, the prev-base sf guard,
     // the detail-file routing, and the emitted "sf" field alike — a
@@ -97,16 +128,12 @@ object Bench {
       else try {
         val src = scala.io.Source.fromFile(prevDetail, "UTF-8")
         val txt = try src.mkString finally src.close()
-        // compare only like with like: a detail file measured at another
-        // scale factor (e.g. a local sf0.001 iteration run) is no base
-        if (""""sf":"([^"]*)"""".r.findFirstMatchIn(txt).map(_.group(1)).contains(sfDir)) {
-          // scope to the canonical medians object: the detail file also
-          // carries "warm"/"minmax" maps keyed by the same query names
-          val scope = """"queries":\{([^}]*)\}""".r
-            .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
-          """"(q_[A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r.findAllMatchIn(scope)
-            .map(m => m.group(1) -> m.group(2).toDouble).toMap
-        } else Map.empty
+        parsePrevBase(txt, sfDir) match {
+          case Right(m) => m
+          case Left(reason) =>
+            System.err.println(s"[bench] PREV BASE REFUSED ($detailName): $reason")
+            Map.empty
+        }
       } catch { case _: Throwable => Map.empty }
 
     // Per query: run `passes` times back-to-back, keep the median (and the
@@ -251,6 +278,13 @@ object Bench {
     val comparedMin = ok.flatMap { case (k, _, mn) => prev.get(k).map(p => (k, mn, p)) }
     val regressed = comparedMin.filter { case (_, mn, p) => mn > p && moved(mn, p) }
     val improved  = compared.filter { case (_, now, p) => now < p && moved(now, p) }
+    // ADVISORY median-basis list (r12 ADVICE): the min basis filters
+    // load-inflated false positives but is blind to a regression whose
+    // best pass stays fast while warm passes got slower (cache/GC
+    // behavior). The median comparison rides along under its own key —
+    // visible, but never the gating "regressions"/"n_regressed" signal,
+    // so it can't re-manufacture the r11 false-positive storm.
+    val regressedMed = compared.filter { case (_, now, p) => now > p && moved(now, p) }
     def deltaMap(xs: Seq[(String, Double, Double)]): String =
       xs.sortBy { case (_, now, p) => -(now - p).abs }
         .map { case (k, now, p) =>
@@ -323,7 +357,7 @@ object Bench {
     val unadjJson =
       s""""unadjudicated":$unadjudicated,"disp_frac2":${"%.4f".format(dispFrac2)},"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"regression_basis":"min_vs_prev_median","regressions":${deltaMap(regressed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"regression_basis":"min_vs_prev_median","regressions":${deltaMap(regressed)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
 
