@@ -108,6 +108,17 @@ object MinhashOps {
   * q_dedup_minhash, q_dedup_eval and q_dedup_consensus through a
   * posexplode; band keys are bit-identical to the UDF (the DuckDB
   * oracle reconstructs the same md5 pipeline in SQL).
+  *
+  * NULL-ARRAY divergence from the legacy UDF (r12 ADVICE, pinned in
+  * NativeExprSpec): the bit-identical claim covers null ELEMENTS
+  * (hashed as the string "null", matching the UDF's concat) but NOT a
+  * null input ARRAY — this expression is null-safe (null in → null
+  * out, and the row then drops out of a posexplode), while the legacy
+  * ScalaUDF would NPE on a null Seq; `nullable` differs accordingly
+  * (child-derived here vs ScalaUDF's always-true). Unreachable from
+  * Corpus.shingles (split never yields null), but a caller probing the
+  * GRAFT_MINHASH_UDF A/B path with a nullable array column will see
+  * the native path return rows the UDF path crashes on.
   */
 case class MinhashBands(child: Expression) extends UnaryExpression {
 

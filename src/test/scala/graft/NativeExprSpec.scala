@@ -214,6 +214,22 @@ class NativeExprSpec extends AnyFunSuite {
     }
   }
 
+  test("minhash_bands: a NULL input array yields NULL (legacy UDF would NPE)") {
+    import spark.implicits._
+    // the documented edge of the bit-identical claim (scaladoc): null
+    // ELEMENTS match the UDF byte-for-byte, a null ARRAY does not —
+    // the native expression is null-safe while the ScalaUDF crashes.
+    // This pin records the DELIBERATE divergence so an A/B consumer
+    // with a nullable array column isn't surprised.
+    val df = Seq((1L, Some(Seq("a b c"))), (2L, None))
+      .toDF("doc_id", "sh")
+      .select(col("doc_id"), expr("minhash_bands(sh)").as("bands"))
+    val rows = df.orderBy("doc_id").collect()
+    assert(rows(0).getAs[collection.Seq[String]]("bands").length == 4)
+    assert(rows(1).isNullAt(1),
+      "null array must map to null output, not crash or empty bands")
+  }
+
   test("minhash_bands rejects non-array input at analysis") {
     val e = intercept[Exception] {
       spark.sql("SELECT minhash_bands('x')").head()
