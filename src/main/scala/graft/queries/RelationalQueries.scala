@@ -730,33 +730,11 @@ object RelationalQueries {
     // merge hint keeps the plan SMJ at every sf (a broadcast would hide
     // the bucketing at oracle scale).
     "q_bucketed_join" -> ((s, dir) => {
-      // Bucketed tables are the pattern's whole point: the layout is the
-      // shuffle, PAID ONCE at write time. The session's own catalog is the
-      // write-once guard (entries are session-scoped and die with it —
-      // an identity-hash key could collide across GC'd sessions): write
-      // only when either table is absent, and let every later invocation
-      // (median-of-N bench passes, spec + Verify sharing a JVM) scan the
-      // existing layout.
-      // dir guard: same session, different sfDir must rewrite — the
-      // catalog entry alone can't tell whose data the layout holds
-      val writtenDirKey = "spark.graft.bkt.writtenDir"
-      if (!s.catalog.tableExists("graft_bkt_customer") ||
-          !s.catalog.tableExists("graft_bkt_orders") ||
-          !s.conf.getOption(writtenDirKey).contains(dir)) {
-        // saveAsTable CREATEs when the table is absent from the (in-memory)
-        // catalog — and fails on a stale warehouse dir left by a previous
-        // JVM, which mode("overwrite") does NOT clear. Drop both layers.
-        Seq("graft_bkt_customer", "graft_bkt_orders").foreach { name =>
-          s.sql(s"DROP TABLE IF EXISTS $name")
-          val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-          val root = if (wh.getScheme == "file") new java.io.File(wh).toString else wh.toString
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-            f.delete(); ()
-          }
-          val d = new java.io.File(root, name)
-          if (d.exists()) rm(d)
-        }
+      // write-once layout guard extracted to BucketedTables.ensure
+      // (shared with q_phrase_index's postings table)
+      BucketedTables.ensure(s,
+          Seq("graft_bkt_customer", "graft_bkt_orders"),
+          "spark.graft.bkt.writtenDir", dir) {
         val cust = t(s, dir, "customer")
         val ord = t(s, dir, "orders")
         cust.select("c_custkey", "c_mktsegment")
@@ -769,7 +747,6 @@ object RelationalQueries {
           .write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable("graft_bkt_orders")
-        s.conf.set(writtenDirKey, dir)
       }
       // With exactly one file per bucket (guaranteed by the aligned
       // repartition above) the scan can report its sortBy order, letting

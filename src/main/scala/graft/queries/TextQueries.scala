@@ -490,6 +490,85 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Phrase search over a PERSISTED positional index — the shape the
+    // q_phrase_search comment predicted changes the calculus when many
+    // phrase queries share one corpus: a (doc_id, pos, term) posting
+    // table written ONCE, bucketed by doc_id (8 buckets, one file per
+    // bucket) and sorted by (doc_id, pos), so every probe runs on the
+    // paid-at-write-time layout with NO corpus re-tokenization and NO
+    // exchange. Bucketing by doc_id (not term) is deliberate: the
+    // expensive step of a phrase probe is the positional ADJACENCY
+    // intersection, a self-join on (doc_id, pos+1) — with both sides
+    // read from the same doc_id-bucketed layout that join needs no
+    // shuffle at all, while the term lookups stay cheap broadcast
+    // filters (a term-bucketed layout would prune the term lookup but
+    // shuffle the whole intersection, the expensive half). The phrase
+    // itself derives from the index too — lead(term) over
+    // (doc_id, pos), a window the bucketed layout runs exchange-free —
+    // so the only hash exchange in the WHOLE plan is the final bigram
+    // count; PlanShapeSpec pins that. Same logical result as
+    // q_phrase_search (the oracle is the same SQL — the q_dedup_bloom
+    // precedent: the index changes the plan, not the answer); the
+    // index pays off from the second probe on, exactly like
+    // q_bucketed_join's fact-table layout.
+    "q_phrase_index" -> ((s, dir) => {
+      BucketedTables.ensure(s, Seq("graft_idx_postings"),
+          "spark.graft.idx.writtenDir", dir) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite")
+          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
+          .saveAsTable("graft_idx_postings")
+      }
+      // one file per bucket (the aligned repartition above), so the
+      // scan may report its sortBy order and the window + SMJ sorts
+      // elide — same SPARK-28632 opt-in as q_bucketed_join
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val idx = s.table("graft_idx_postings")
+      // the probe phrase, derived from the index (self-contained at any
+      // sf): lead(term) over (doc_id, pos) — a window the bucketed
+      // layout runs WITHOUT an exchange — then the bigram count. The
+      // 1-row winner is a bounded driver-side artifact (the
+      // SimilarityQueries codebook/centroid precedent, here exactly one
+      // row), standing in for the phrase a real caller passes as an
+      // argument — materializing it lets both term lookups below
+      // become parquet-PUSHED equality filters on the sorted index
+      // instead of re-deriving the phrase subtree per consumer (the
+      // first cut joined the derivation in twice: two window passes,
+      // two bigram-agg exchanges).
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val phraseRow = idx
+        .select(col("term"), lead(col("term"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(1)
+        .select(split(col("bigram"), " ").getItem(0).as("t1"),
+          split(col("bigram"), " ").getItem(1).as("t2"))
+        .collect()(0)
+      val (t1, t2) = (phraseRow.getString(0), phraseRow.getString(1))
+      // the probe proper: two pushed term filters over the bucketed
+      // layout, positional adjacency self-join on (doc_id, pos+1) —
+      // both sides carry the scan's doc_id partitioning, so the join
+      // AND the per-doc count run with ZERO exchanges (PlanShapeSpec
+      // pins the probe plan exchange-free)
+      val a = idx.filter(col("term") === t1)
+        .select(col("doc_id"), col("pos"))
+      val b = idx.filter(col("term") === t2)
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+      a.join(b, col("doc_id") === col("doc_id2") &&
+          col("pos2") === col("pos") + 1)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_occurrences"))
+        .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
+          col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("doc_id"))
+        .limit(20)
+    }),
+
     // Benchmark-contamination check: which eval documents share 3-gram
     // shingles with the training split? Both sides explode to
     // (doc, shingle), the join keys on the shingle — the same
@@ -1339,6 +1418,34 @@ object TextQueries {
         |FROM pairs2 GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin,
 
     "q_phrase_search" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) u(i)
+        |),
+        |big AS (
+        |  SELECT a.term || ' ' || b.term AS bigram, count(*) AS n
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1
+        |),
+        |top1 AS (
+        |  SELECT string_split(bigram, ' ')[1] AS t1,
+        |         string_split(bigram, ' ')[2] AS t2
+        |  FROM (SELECT bigram FROM big ORDER BY n DESC, bigram LIMIT 1)
+        |)
+        |SELECT p1.doc_id, t1 || ' ' || t2 AS phrase,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM toks p1
+        |JOIN top1 ON p1.term = t1
+        |JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |            AND p2.term = t2
+        |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
+
+    // deliberately the SAME SQL as q_phrase_search (the q_dedup_bloom
+    // precedent): the persisted bucketed index changes the physical
+    // plan, not the answer — a hash-identical result across the two
+    // shapes is the equivalence proof
+    "q_phrase_index" ->
       """WITH toks AS (
         |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
         |  FROM documents,

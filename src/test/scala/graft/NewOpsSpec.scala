@@ -16,6 +16,17 @@ class NewOpsSpec extends SparkSpecBase {
     assert(rows.forall(_.getLong(0) >= 0L))
   }
 
+  test("phrase index: persisted-index probe equals the scan-shaped search") {
+    // the equivalence claim behind sharing one oracle SQL: the bucketed
+    // positional index changes the plan, not the answer
+    try {
+      val scan = TextQueries.queries("q_phrase_search")(spark, sf).collect()
+      val idx = TextQueries.queries("q_phrase_index")(spark, sf).collect()
+      assert(scan.nonEmpty)
+      assert(idx.map(_.toString).toSeq == scan.map(_.toString).toSeq)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("as-of join: purchases with no prior click carry nulls") {
     // the earliest purchase of at least one user should precede any click
     val df = EventQueries.queries("q_asof_join")(spark, sf)

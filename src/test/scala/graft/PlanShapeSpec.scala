@@ -160,6 +160,27 @@ class PlanShapeSpec extends SparkSpecBase {
       s"one-file-per-bucket sorted write should elide the SMJ sorts:\n$p")
   }
 
+  test("q_phrase_index: probe runs on the persisted bucketed index — " +
+      "the bigram count is the only hash exchange") {
+    try {
+      val p = plan("q_phrase_index", graft.queries.TextQueries.queries)
+      // the probe reads the doc_id-bucketed postings layout: the term
+      // lookups are parquet-pushed equality filters, and the positional
+      // adjacency self-join plus the per-doc count both run on the
+      // scan's doc_id partitioning — ZERO hash exchanges in the probe
+      // plan (the phrase derivation is a separate bounded-artifact job)
+      assert(p.contains("SelectedBucketsCount"),
+        s"probe must scan the bucketed postings table:\n$p")
+      assert(p.contains("EqualTo(term,"),
+        s"term lookups must push to the parquet scan:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 0,
+        s"the index probe must be exchange-free, got $hashEx:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+    assert(spark.conf.get("spark.sql.legacy.bucketedTableScan.outputOrdering",
+      "false") == "false", "scoped conf must be restored after release")
+  }
+
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
     val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
