@@ -749,11 +749,19 @@ object DedupQueries {
         // keep-set is ~|V| while the sub-threshold set is the tiny
         // boundary — the two anti-join broadcasts ship kilobytes
         // instead of the old keep-semi-joins' ~|V|-row builds, and the
-        // asymmetry only grows with the graph
+        // asymmetry only grows with the graph. The broadcast is
+        // AQE-ADAPTIVE, not hint-forced (r13 audit): THIS fixture's
+        // peel boundary is kilobyte-scale, but in a general graph the
+        // sub-threshold set is O(|V|) — on a sparse graph a forced
+        // broadcast() hard-fails past the 8 GB limit where AQE
+        // degrades to a shuffled anti-join. AQE converts from the
+        // cached deg aggregate's runtime stats (PlanShapeSpec pins the
+        // final plan); measured parity on de-hinting, 5-pass
+        // mini-suite minima: 2.931 → 2.753 s.
         val drop = deg.filter(col("deg") < 5).select("id")
         edges = edges
-          .join(broadcast(drop.withColumnRenamed("id", "a")), Seq("a"), "left_anti")
-          .join(broadcast(drop.withColumnRenamed("id", "b")), Seq("b"), "left_anti")
+          .join(drop.withColumnRenamed("id", "a"), Seq("a"), "left_anti")
+          .join(drop.withColumnRenamed("id", "b"), Seq("b"), "left_anti")
         deg.filter(col("deg") >= 5).agg(count(lit(1)).as("n_nodes"))
           .crossJoin(broadcast(edges.agg(count(lit(1)).as("n_edges"))))
           .select(lit(r.toLong).as("round"), col("n_nodes"), col("n_edges"))
@@ -957,13 +965,23 @@ object DedupQueries {
     // it|) candidate pairs. Shingles with base document frequency > 50
     // are dropped from BOTH sides before the join. The drop-set (not
     // the keep-set) is what's materialized: by Zipf it is the tiny head
-    // of the distribution, so it BROADCASTS and both explodes are
+    // of the distribution, so it broadcasts and both explodes are
     // filtered map-side with a broadcast anti-join — the hot keys never
     // enter any shuffle at all (an inner join with the huge keep-set
-    // would itself shuffle the hot keys it exists to kill). The df
-    // aggregate that finds them is safe: partial map-side combine means
-    // a hot shingle arrives at the reducer as one pre-merged count per
-    // task, not 10⁶ rows. Containment = |∩ capped| / |excerpt capped|.
+    // would itself shuffle the hot keys it exists to kill). The
+    // broadcast is AQE-ADAPTIVE, not hint-forced (r13, closing the
+    // forced-broadcast audit): the Zipf-head argument makes the
+    // drop-set SUBLINEAR in the corpus but puts no hard bound on it —
+    // on a corpus whose shingle distribution is flatter than this
+    // fixture's, a forced broadcast() would hard-fail past the 8 GB
+    // limit where AQE degrades to a shuffled anti-join. At fixture
+    // scale AQE converts from the aggregate's runtime stats and the
+    // map-side filtering is unchanged (PlanShapeSpec pins the FINAL
+    // plan); measured parity on de-hinting, 5-pass mini-suite minima:
+    // 1.886 → 1.833 s. The df aggregate that finds the head is safe:
+    // partial map-side combine means a hot shingle arrives at the
+    // reducer as one pre-merged count per task, not 10⁶ rows.
+    // Containment = |∩ capped| / |excerpt capped|.
     "q_containment" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
@@ -973,10 +991,10 @@ object DedupQueries {
       val baseShAll = QueryCaches.cache(docs
         .select(col("doc_id").as("base_id"),
           explode(Corpus.shingles("text")).as("shingle")))
-      val dropSh = broadcast(baseShAll.groupBy("shingle")
+      val dropSh = baseShAll.groupBy("shingle")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > 50)
-        .select("shingle"))
+        .select("shingle")
       val baseSh = baseShAll.join(dropSh, Seq("shingle"), "left_anti")
       val exSh = QueryCaches.cache(excerpts
         .select(col("doc_id").as("exc_id"),

@@ -998,6 +998,13 @@ object TextQueries {
     // the fingerprint is the shuffle key and per-key fan-out is bounded
     // by the df cap, so candidate volume scales with content overlap,
     // not corpus size².
+    // r13 forced-broadcast audit: this query carries NO broadcast hint
+    // — the df cap is applied as a keep-set (df ≤ 50) INNER join on
+    // the fingerprint key, not a materialized drop-set broadcast, so
+    // there is nothing here that can hard-fail the 8 GB limit; the
+    // planner/AQE own every join strategy below. (The audit's two real
+    // findings, q_containment's dropSh and q_graph_kcore's peel set,
+    // were de-hinted with measured parity — see DedupQueries.)
     "q_passage_overlap" -> ((s, dir) => {
       graft.plans.TextKernels.register(s)
       val fps = QueryCaches.cache(

@@ -10,6 +10,17 @@ class PlanShapeSpec extends SparkSpecBase {
   private def plan(q: String, pack: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]) =
     pack(q)(spark, sf).queryExecution.executedPlan.toString
 
+  /** The plan AFTER execution — AdaptiveSparkPlan finalized, so
+    * runtime conversions (shuffle→broadcast) are visible. Use for pins
+    * on AQE-adaptive choices the initial plan deliberately leaves
+    * open (the de-hinted drop-set broadcasts).
+    */
+  private def finalPlan(q: String, pack: Map[String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame]) = {
+    val df = pack(q)(spark, sf)
+    df.count()
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q_agg_pricing: shipdate predicate is pushed to the parquet scan") {
     val p = plan("q_agg_pricing", RelationalQueries.queries)
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
@@ -341,19 +352,36 @@ class PlanShapeSpec extends SparkSpecBase {
     // vs the former forced shuffle-hash), and beyond the threshold it
     // degrades to a shuffle instead of hard-failing the 8 GB broadcast
     // limit (the excerpt side is Θ(corpus), so a broadcast() hint here
-    // would be a scale bug). The pin asserts only the scale-safe
-    // invariant: no sort-merge (per-shingle buckets are df-capped and
-    // unordered downstream) and no forced broadcast hint in the
-    // INITIAL plan — AQE's runtime conversion is allowed, not required.
+    // would be a scale bug). r13: the df-cap drop-set broadcast is
+    // AQE-adaptive too (the Zipf head is sublinear but unbounded), so
+    // the INITIAL plan must carry NO forced broadcast anywhere — the
+    // logical-plan hint check below makes that the asserted invariant,
+    // not just a comment (r12 ADVICE: the old pin claimed it without
+    // checking). AQE's runtime conversion is pinned separately on the
+    // FINAL plan in the next test.
     assert(!p.contains("SortMergeJoin"),
       s"df-capped shingle buckets should hash, not sort:\n$p")
-    // the df cap: BOTH shingle explodes must be filtered map-side by a
-    // broadcast anti-join against the (small) boilerplate drop-set, so
-    // hot shingles never enter a shuffle — the 100 TB skew guard
-    val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length
-    assert(anti >= 2,
-      s"df cap must broadcast-anti-filter both explodes, got $anti:\n$p")
+    val analyzed = graft.queries.DedupQueries.queries("q_containment")(spark, sf)
+      .queryExecution.analyzed.toString
+    assert(!analyzed.contains("UnresolvedHint") && !analyzed.contains("ResolvedHint"),
+      s"no join may be hint-forced — AQE owns the broadcast decisions:\n$analyzed")
     graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("q_containment: AQE converts the df-cap anti-joins to broadcast at runtime") {
+    try {
+      // the 100 TB skew guard, now asserted where it actually happens:
+      // in the FINAL adaptive plan both shingle explodes are filtered
+      // map-side by broadcast anti-joins against the Zipf-head
+      // drop-set — hot shingles never enter a shuffle at fixture scale,
+      // and past the broadcast threshold AQE degrades instead of
+      // hard-failing (no hint to force the 8 GB limit)
+      val p = finalPlan("q_containment", graft.queries.DedupQueries.queries)
+      assert(p.contains("isFinalPlan=true"), s"pin needs the executed plan:\n$p")
+      val anti = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length
+      assert(anti >= 2,
+        s"df cap should broadcast-anti-filter both explodes at runtime, got $anti:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
   test("q_window_ohlc: window and aggregate share one (series, bucket) hash exchange") {
@@ -754,12 +782,21 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
-  test("q_graph_kcore: peel rounds are broadcast ANTI joins on the drop-set (r12)") {
-    val p = plan("q_graph_kcore", graft.queries.DedupQueries.queries)
-    val antis = "LeftAnti".r.findAllIn(p).length
-    assert(antis >= 6, s"3 rounds x 2 endpoints should anti-join, got $antis:\n$p")
-    assert(!p.contains("LeftSemi"), s"keep-set semi-joins were replaced:\n$p")
-    assert(p.contains("BroadcastHashJoin"), s"the drop-set must broadcast:\n$p")
-    graft.queries.QueryCaches.releaseAll(spark)
+  test("q_graph_kcore: peel rounds are ANTI joins on the drop-set, " +
+      "broadcast by AQE at runtime (r12/r13)") {
+    try {
+      // r13: the drop-set broadcasts are AQE-adaptive, not hint-forced
+      // (in a general graph the peel boundary is O(|V|)), so the
+      // broadcast assertion moved to the FINAL plan — at fixture scale
+      // AQE must still convert every peel anti-join from the cached
+      // degree aggregate's runtime stats
+      val p = finalPlan("q_graph_kcore", graft.queries.DedupQueries.queries)
+      val antis = "LeftAnti".r.findAllIn(p).length
+      assert(antis >= 6, s"3 rounds x 2 endpoints should anti-join, got $antis:\n$p")
+      assert(!p.contains("LeftSemi"), s"keep-set semi-joins were replaced:\n$p")
+      val bcastAntis = "BroadcastHashJoin .*LeftAnti".r.findAllIn(p).length
+      assert(bcastAntis >= 6,
+        s"AQE should broadcast every peel drop-set at runtime, got $bcastAntis:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 }
