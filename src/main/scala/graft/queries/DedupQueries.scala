@@ -448,17 +448,23 @@ object DedupQueries {
           .select(col("doc_id"), col("text"))
           .filter(col("doc_id") % 20 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
-      // exact: self-join on the content hash (identical-text pairs)
-      val hashed = QueryCaches.cache(
-        docs.select(col("doc_id"), md5(col("text")).as("h")))
+      // exact: self-join on the content hash (identical-text pairs).
+      // hashed and mbands are UNCACHED (r13 §8 lens): each feeds only
+      // its own self-join, whose canonically-identical sides
+      // ReuseExchange computes once — dropping both caches measured a
+      // 17% WIN (5-pass mini-suite minima 1.850 → 1.539 s: two
+      // materialization barriers and two deserialized-scan reads gone).
+      // `words` below KEEPS its cache — its consumers (band self-join
+      // + both id-keyed verify joins) need three different exchanges.
+      val hashed = docs.select(col("doc_id"), md5(col("text")).as("h"))
       val ex = hashed.as("a").join(hashed.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       // minhash: banded LSH candidates verified at jaccard >= 0.5
-      val mbands = QueryCaches.cache(docs
+      val mbands = docs
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
-          posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
+          posexplode(bandKeys(s)).as(Seq("band", "bkey")))
       val mcands = mbands.as("a").join(mbands.as("b"),
           col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
             col("a.doc_id") < col("b.doc_id"))

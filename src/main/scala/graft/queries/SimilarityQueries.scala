@@ -59,10 +59,16 @@ object SimilarityQueries {
     * Returns (id_a, id_b, sim) with id_a < id_b.
     */
   private def nearDupPairs(corpus: DataFrame): DataFrame = {
-    // cached: both sides of the candidate self-join read it — uncached,
-    // the 64-hyperplane kernel (4096 mul-adds/row) would run twice
-    val bands = QueryCaches.cache(corpus.select(col("vec_id"),
-      posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val"))))
+    // UNCACHED (r13, the §8 ReuseExchange lens): both candidate
+    // self-join sides canonicalize identically, so one exchange runs
+    // the 64-hyperplane kernel once and the second side reuses it — a
+    // cache on top only added a materialization barrier. Measured
+    // parity on removal (5-pass mini-suite minima: q_embedding_near_dup
+    // 0.885 → 0.875 s, q_semantic_cluster 2.014 → 2.003 s); the former
+    // "kernel would run twice" comment predated ReuseExchange doing
+    // this dedupe.
+    val bands = corpus.select(col("vec_id"),
+      posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&

@@ -1014,7 +1014,12 @@ object TextQueries {
       val rare = fps.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= 50)
         .select("fp")
-      val pruned = QueryCaches.cache(fps.join(rare, "fp"))
+      // pruned is UNCACHED (r13 §8 lens): its only consumer is the
+      // pair self-join below, whose two sides ReuseExchange computes
+      // once — measured parity on removal (5-pass minima 1.090 → 1.127,
+      // inside neighbor jitter). fps STAYS cached: its consumers (the
+      // df aggregate + the join probe) need different exchanges.
+      val pruned = fps.join(rare, "fp")
       // shuffle-hash: per-fingerprint buckets are small (df ≤ 50) and
       // the pair agg re-shuffles anyway, so SMJ's sort buys nothing
       pruned.as("a").hint("shuffle_hash").join(pruned.as("b"),
