@@ -498,7 +498,7 @@ object EtlQueries {
       val tree = streamTree(s, dir)
       val name =
         s"stream_ingest_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         val pDim = broadcast(Lookups.parameterDim(s)
           .select(col("code").as("parameter_code"), col("name").as("parameter_name")))
         val tDim = broadcast(Lookups.periodDim(s)
@@ -536,7 +536,7 @@ object EtlQueries {
       val tree = pipelineTree(s)
       val name =
         s"stream_cog_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         val convUdf = udf { (content: Array[Byte]) =>
           val g = graft.raster.AsciiGrid.parse(new String(content, "US-ASCII"))
           val tif = graft.raster.GeoTiff.write(g)

@@ -130,7 +130,7 @@ object EventQueries {
     // under the DuckDB oracle: its result must equal the batch SQL.
     "q_stream_tumbling" -> ((s, dir) => {
       val name = s"stream_tumbling_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.tumblingCounts(
             graft.sources.EventSource.stream(s, dir)),
@@ -147,7 +147,7 @@ object EventQueries {
     // selected; with the whole file in one trigger that's the only row.
     "q_stream_user_totals" -> ((s, dir) => {
       val name = s"stream_user_totals_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.userTotals(
             graft.sources.EventSource.stream(s, dir)).toDF(),
@@ -176,7 +176,7 @@ object EventQueries {
     // user's events (see the asof note below).
     "q_stream_cdc_latest" -> ((s, dir) => {
       val name = s"stream_cdc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         graft.streaming.EventStreams.runToCompletion(
           graft.sources.EventSource.stream(s, dir)
             .groupBy(col("user_id"))
@@ -206,7 +206,7 @@ object EventQueries {
     // the value sum rounds to 2 dp before emission.
     "q_stream_topk" -> ((s, dir) => {
       val name = s"stream_topk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         graft.streaming.EventStreams.runToCompletion(
           graft.sources.EventSource.stream(s, dir)
             .groupBy(col("event_type"))
@@ -270,7 +270,7 @@ object EventQueries {
     // the static source yields the complete batch-equal result.
     "q_stream_stream_join" -> ((s, dir) => {
       val name = s"stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         // ONE file source feeds both sides (a streaming self-join reuses
         // the subscription) instead of two independent listings/scans
         val base = graft.sources.EventSource.stream(s, dir)
@@ -301,7 +301,7 @@ object EventQueries {
     // into 2 window groups in streaming state).
     "q_stream_sliding" -> ((s, dir) => {
       val name = s"stream_sliding_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         graft.streaming.EventStreams.runToCompletion(
           graft.streaming.EventStreams.slidingCounts(
             graft.sources.EventSource.stream(s, dir)),
@@ -319,7 +319,7 @@ object EventQueries {
     // at-least-once ingest dedup in production pipelines.
     "q_stream_dedup" -> ((s, dir) => {
       val name = s"stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         val doubled = graft.sources.EventSource.stream(s, dir)
           .unionByName(graft.sources.EventSource.stream(s, dir))
         graft.streaming.EventStreams.runToCompletion(
@@ -342,7 +342,7 @@ object EventQueries {
     // exactly-once, same oracle as the unbounded variant.
     "q_stream_dedup_within" -> ((s, dir) => {
       val name = s"stream_ddw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         val doubled = graft.sources.EventSource.stream(s, dir)
           .unionByName(graft.sources.EventSource.stream(s, dir))
           .withWatermark("ts", "2 hours")
@@ -367,7 +367,7 @@ object EventQueries {
     // the same gaps-and-islands oracle as the built-in variants.
     "q_stream_custom_session" -> ((s, dir) => {
       val name = s"stream_csess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s, dir)) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val sentinel = org.apache.spark.sql.execution.streaming.runtime
@@ -396,7 +396,7 @@ object EventQueries {
     "q_stream_ewma" -> ((s, dir) => {
       val name = s"stream_ewma_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       graft.streaming.EventStreams.withStatePartitions(s,
-        graft.streaming.EventStreams.statePartitions(s)) {
+        graft.streaming.EventStreams.statePartitions(s, dir)) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val sentinel = org.apache.spark.sql.execution.streaming.runtime
@@ -425,7 +425,7 @@ object EventQueries {
     // never shuffles for the join).
     "q_stream_static_join" -> ((s, dir) => {
       val name = s"stream_static_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         val dim = broadcast(s.read.parquet(s"$dir/nation.parquet")
           .select(col("n_nationkey").cast("bigint").as("nk"), col("n_name")))
         graft.streaming.EventStreams.runToCompletion(
@@ -451,7 +451,7 @@ object EventQueries {
     // ordering never matters.
     "q_stream_left_join" -> ((s, dir) => {
       val name = s"stream_lj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s, dir)) {
         sentinelStreamJoin(s, dir, "left_outer", name, flush = true)
           .select(col("click_id"), col("user_id"),
             coalesce(col("purchase_id"), lit(-1L)).as("purchase_id"),
@@ -475,7 +475,7 @@ object EventQueries {
     // shapes, so the verify ORDER BY is total.
     "q_stream_full_join" -> ((s, dir) => {
       val name = s"stream_fj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s, dir)) {
         sentinelStreamJoin(s, dir, "full_outer", name, flush = true)
           .select(coalesce(col("click_id"), lit(-1L)).as("click_id"),
             coalesce(col("user_id"), col("p_user_id")).as("uid"),
@@ -496,7 +496,7 @@ object EventQueries {
     // Oracle: EXISTS over the same time-range predicate.
     "q_stream_semi_join" -> ((s, dir) => {
       val name = s"stream_sj_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         sentinelStreamJoin(s, dir, "left_semi", name, flush = false)
           .select(col("click_id"), col("user_id"),
             unix_timestamp(col("click_ts")).as("click_s"))
@@ -518,7 +518,7 @@ object EventQueries {
     // withheld/filtered.
     "q_stream_session" -> ((s, dir) => {
       val name = s"stream_session_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s, dir)) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val sentinel = org.apache.spark.sql.execution.streaming.runtime
@@ -553,7 +553,7 @@ object EventQueries {
     // own far-future window filters out by its start epoch.
     "q_stream_chained_agg" -> ((s, dir) => {
       val name = s"stream_chain_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s)) {
+      graft.streaming.EventStreams.withStatePartitions(s, graft.streaming.EventStreams.statePartitions(s, dir)) {
         import s.implicits._
         implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
         val sentinel = org.apache.spark.sql.execution.streaming.runtime
@@ -800,7 +800,7 @@ object EventQueries {
         .groupBy("event_type")
         .agg(expr("percentile(dev, 0.5)").as("mad"))
       val model = med.join(mad, "event_type")
-      graft.streaming.EventStreams.drainTuned(s) {
+      graft.streaming.EventStreams.drainTuned(s, dir) {
         graft.streaming.EventStreams.runToCompletion(
           graft.sources.EventSource.stream(s, dir)
             .join(broadcast(model), "event_type")

@@ -272,22 +272,41 @@ object EventStreams {
   /** State-partition count for graft's streaming queries
     * (`spark.graft.stream.statePartitions`): the knob should track peak
     * state cardinality, not CPU count — size it once per query at first
-    * start (it freezes into the checkpoint). Default 2: fixture-scale
-    * state is a few hundred keys, and every extra partition costs a
-    * store instance + commit per micro-batch (measured on the three
-    * heaviest stream queries: 8→2 partitions cut the stream-stream
-    * left join 4.75→3.32 s median-of-3 at sf0.1). On the same grid the
-    * RocksDB provider was uniformly slower than the default in-memory
-    * store at this state size (native column-family open/commit per
-    * batch dominates) — it pays off only when state outgrows the heap,
-    * so it stays an operator-set `--conf`, not a library default.
-    * Re-swept pack-wide after the no-data-batch skip landed: 2 still
-    * beats 8 on the 12-query total (15.7 vs 15.8 s warm, 16.8 vs
-    * 17.1 s cold at sf0.1) even though one single query in isolation
-    * preferred 8 — per-query isolation overweights store-open cost.
+    * start (it freezes into the checkpoint). An explicit conf always
+    * wins; otherwise the default DERIVES from the event volume (the
+    * IVF-coarseK precedent: parameters an operator would hand-tune per
+    * corpus should scale with the corpus): clamp(eventBytes/1 MiB, 2,
+    * cores). At fixture scale that lands on 2 — the measured optimum
+    * (8→2 partitions cut the stream-stream left join 4.75→3.32 s
+    * median-of-3 at sf0.1; every extra partition costs a store
+    * instance + commit per micro-batch, and a pack-wide re-sweep kept
+    * 2 ahead of 8 on the 12-query total) — while at the 10× fixture it
+    * lands ~15, where the r13 session-window profile showed the scale
+    * cost is MERGE PARALLELISM, not store churn: q_stream_session at
+    * 10× events measured 21.2 s wall at 2 partitions vs 15.3 s at 8
+    * and 11.9 s at 32 (cold single-query runs over a ~13.6 s JVM/plan
+    * floor — i.e. the data-dependent cost collapsed 7.6 → ≈0 s as
+    * partitions approached cores). RocksDB on the same grid: slower
+    * than in-memory at sf0.1 state (column-family open/commit per
+    * batch dominates) but FASTER at the 10× state size (13.5 vs
+    * 15.3 s at 8 partitions) — the crossover sits near the 10×
+    * fixture, so the provider stays an operator-set `--conf` with
+    * that data point recorded.
     */
-  def statePartitions(s: SparkSession): Int =
-    s.conf.get("spark.graft.stream.statePartitions", "2").toInt
+  def statePartitions(s: SparkSession, dir: String = ""): Int =
+    s.conf.getOption("spark.graft.stream.statePartitions")
+      .map(_.toInt)
+      .getOrElse {
+        val bytes =
+          if (dir.isEmpty) 0L
+          else try {
+            val p = new org.apache.hadoop.fs.Path(s"$dir/events.parquet")
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .getContentSummary(p).getLength
+          } catch { case _: Throwable => 0L }
+        val cores = s.sparkContext.defaultParallelism
+        math.max(2, math.min((bytes >> 20).toInt, cores))
+      }
 
   def withStatePartitions[T](s: SparkSession, n: Int)(body: => T): T = {
     val key = "spark.sql.shuffle.partitions"
@@ -321,6 +340,6 @@ object EventStreams {
     * batch skipped. Watermark-flush queries (left-outer, sessions,
     * timeouts) keep [[withStatePartitions]] alone.
     */
-  def drainTuned[T](s: SparkSession)(body: => T): T =
-    withoutNoDataBatches(s)(withStatePartitions(s, statePartitions(s))(body))
+  def drainTuned[T](s: SparkSession, dir: String = "")(body: => T): T =
+    withoutNoDataBatches(s)(withStatePartitions(s, statePartitions(s, dir))(body))
 }
