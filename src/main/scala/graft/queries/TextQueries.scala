@@ -569,6 +569,48 @@ object TextQueries {
         .limit(20)
     }),
 
+    // Proximity search over the SAME persisted postings table — the
+    // second consumer, which is the index's whole economic argument:
+    // q_phrase_index already paid the write, so this query's
+    // tokenization cost is ZERO (the write-once guard sees the table
+    // and skips straight to the probe). Different predicate shape too:
+    // where the phrase probe needs exact adjacency (pos+1 equi-key),
+    // proximity wants |Δpos| ≤ 3 — a BAND predicate riding on the
+    // doc_id equi-join, which still runs exchange-free on the
+    // bucketed layout (the band condition is a post-join filter on
+    // the co-located pair stream, never a cartesian). Terms are the
+    // corpus's top-2 by frequency, a 2-row bounded artifact like the
+    // phrase probe's.
+    "q_proximity_index" -> ((s, dir) => {
+      BucketedTables.ensure(s, Seq("graft_idx_postings"),
+          "spark.graft.idx.writtenDir", dir) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite")
+          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
+          .saveAsTable("graft_idx_postings")
+      }
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val idx = s.table("graft_idx_postings")
+      val top2 = idx.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term")).limit(2)
+        .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
+      val (t1, t2) = (top2(0).getString(0), top2(1).getString(0))
+      val a = idx.filter(col("term") === t1)
+        .select(col("doc_id"), col("pos"))
+      val b = idx.filter(col("term") === t2)
+        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+      a.join(b, col("doc_id") === col("doc_id2") &&
+          abs(col("pos2") - col("pos")) <= 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          min(abs(col("pos2") - col("pos"))).cast("bigint").as("min_gap"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination check: which eval documents share 3-gram
     // shingles with the training split? Both sides explode to
     // (doc, shingle), the join keys on the shingle — the same
@@ -1480,6 +1522,24 @@ object TextQueries {
         |JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
         |            AND p2.term = t2
         |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
+
+    "q_proximity_index" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) u(i)
+        |),
+        |freq AS (
+        |  SELECT term, count(*) AS n, row_number() OVER (ORDER BY count(*) DESC, term) AS r
+        |  FROM toks GROUP BY term
+        |)
+        |SELECT a.doc_id, CAST(count(*) AS BIGINT) AS n_pairs,
+        |       CAST(min(abs(b.pos - a.pos)) AS BIGINT) AS min_gap
+        |FROM toks a
+        |JOIN (SELECT term FROM freq WHERE r = 1) t1 ON a.term = t1.term
+        |JOIN toks b ON b.doc_id = a.doc_id AND abs(b.pos - a.pos) <= 3
+        |JOIN (SELECT term FROM freq WHERE r = 2) t2 ON b.term = t2.term
+        |GROUP BY 1 ORDER BY a.doc_id""".stripMargin,
 
     "q_contamination" ->
       s"""WITH sh AS (

@@ -27,6 +27,18 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("proximity index: gaps are within the window and pairs are positive") {
+    try {
+      val rows = TextQueries.queries("q_proximity_index")(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_pairs") >= 1L)
+        val gap = r.getAs[Long]("min_gap")
+        assert(gap >= 1L && gap <= 3L, s"min_gap $gap outside (0, 3]")
+      }
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("as-of join: purchases with no prior click carry nulls") {
     // the earliest purchase of at least one user should precede any click
     val df = EventQueries.queries("q_asof_join")(spark, sf)

@@ -192,6 +192,23 @@ class PlanShapeSpec extends SparkSpecBase {
       "false") == "false", "scoped conf must be restored after release")
   }
 
+  test("q_proximity_index: band predicate rides the co-located doc_id " +
+      "equi-join — exchange-free, never a product") {
+    try {
+      val p = plan("q_proximity_index", graft.queries.TextQueries.queries)
+      // |Δpos| ≤ 3 must be a post-join condition on the equi-joined
+      // pair stream, not a nested-loop interval join; and the probe
+      // reuses q_phrase_index's bucketed layout with zero exchanges
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        s"proximity must equi-join on doc_id:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"probe must scan the bucketed postings table:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 0,
+        s"the index probe must be exchange-free, got $hashEx:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
     val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
