@@ -1,0 +1,63 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Diagnostic: banded-LSH candidate-pair volume of the near-dup corpus
+  * at a fixture dir — Σ_key C(n_k, 2) over (band_idx, band_val) keys,
+  * plus the hottest keys. Reads like nearDupPairs' blocking stage;
+  * used to adjudicate the r13 20× superlinear rows (q_embedding_near_dup
+  * 11× wall at 2× rows: fixture-transform × hyperplane-family
+  * correlation, see ROUND13_NOTES).
+  *
+  * Usage: runMain graft.tools.ProbeBands <sfDir>
+  */
+object ProbeBands {
+  def main(args: Array[String]): Unit = {
+    val dir = args(0)
+    val s = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")}]")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "16"))
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    graft.plans.VecKernels.register(s)
+    val base = s.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val corpus = base.unionByName(base.filter(col("vec_id") % 7 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding")))
+    val keys = corpus.select(col("vec_id"),
+        posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+      .groupBy("band_idx", "band_val").agg(count(lit(1)).as("n"))
+      .cache()
+    val n = corpus.count()
+    val stats = keys.agg(
+      sum(expr("n * (n - 1) / 2")).as("cand_pairs"),
+      max(col("n")).as("max_key"),
+      count(lit(1)).as("n_keys")).collect()(0)
+    println(s"[probebands] $dir: vectors=$n cand_pairs=${stats.get(0)} " +
+      s"max_key=${stats.get(1)} n_keys=${stats.get(2)}")
+    keys.orderBy(col("n").desc).show(10, truncate = false)
+    // capped-candidate volume + planted-pair recall for a range of
+    // per-key occupancy caps: a planted exact-copy pair survives a cap
+    // iff at least one of its four (shared) band keys stays under it
+    val bandsDf = corpus.select(col("vec_id"),
+        posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+    for (cap <- Seq(100, 200, 400)) {
+      val kept = keys.filter(col("n") <= cap)
+      val cp = kept.agg(sum(expr("n * (n - 1) / 2"))).collect()(0).get(0)
+      val planted = bandsDf.filter(col("vec_id") < 1000000L)
+        .join(bandsDf.filter(col("vec_id") >= 1000000L)
+          .select((col("vec_id") - 1000000L).as("vec_id"),
+            col("band_idx"), col("band_val")),
+          Seq("vec_id", "band_idx", "band_val"))
+        .join(kept.select("band_idx", "band_val"), Seq("band_idx", "band_val"))
+        .select("vec_id").distinct().count()
+      val nPlanted = corpus.filter(col("vec_id") >= 1000000L).count()
+      println(s"[probebands] cap=$cap cand_pairs=$cp " +
+        s"planted_recall=$planted/$nPlanted")
+    }
+    s.stop()
+  }
+}

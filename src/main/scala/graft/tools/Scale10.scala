@@ -22,10 +22,14 @@ import org.apache.spark.sql.functions._
   *    cross-copy texts share no shingles — without this, 10 verbatim
   *    copies give every doc 9 exact replicas and pair counts grow
   *    ~45× instead of the realistic ~10×;
-  *  - embeddings rotate by i·6 array positions — an isometry, so
-  *    within-copy cosine geometry (and the label column's cluster
-  *    truth) is exactly preserved, while rotated random vectors are
-  *    ~uncorrelated cross-copy;
+  *  - embeddings go through a per-copy SIGNED PERMUTATION (rotate by
+  *    i·6 positions, then multiply by a seeded ±1 vector — see
+  *    [[signFlips]]) — an exact isometry, so within-copy cosine
+  *    geometry (and the label column's cluster truth) is preserved,
+  *    while copies are genuinely uncorrelated cross-copy against any
+  *    fixed hyperplane family (a bare rotation was NOT: it aliased
+  *    the arithmetic LSH weight family and made copies collide
+  *    systematically — the r13 20×-superlinear finding);
   *  - embedding labels shift by i·10: at a 10× corpus a retrained
   *    quantizer has more cells, so per-cell membership must stay
   *    bounded — label-blocked self-joins (q_knn_join) would otherwise
@@ -59,11 +63,28 @@ object Scale10 {
   private def copies(n: Int, base: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(i => if (i == 0) base else tf(base, i)).reduce(_ unionByName _)
 
+  /** Per-copy deterministic ±1 sign-flip vector for the embedding
+    * transform (identity at copy 0). Seeded, so re-runs produce the
+    * identical fixture; multiplication by ±1.0 and the cast back to
+    * float are both exact, so the composed rotate+flip is a bitwise
+    * signed permutation.
+    */
+  private[graft] def signFlips(i: Int): Array[Float] = {
+    if (i == 0) Array.fill(64)(1f)
+    else {
+      val rng = new scala.util.Random(0xC0FFEE + i)
+      Array.fill(64)(if (rng.nextBoolean()) 1f else -1f)
+    }
+  }
+
   def build(s: SparkSession, srcDir: String, outDir: String, n: Int): Unit = {
-    // charPerm cycles with period 20; past 10 copies the pair-distance
-    // guarantees weaken — fail loudly rather than silently produce
-    // stacked-replica copies
-    require(n >= 1 && n <= 10, s"copies must be in [1, 10], got $n")
+    // charPerm cycles with period 20 (lcm of the independent mod-5
+    // vowel and mod-4 consonant rotations), so copies 0..19 all carry
+    // pairwise-distinct bijections with the ≥4-char block gap
+    // (Scale10Spec pins both at 20). Past 20 copies i and i-20 share a
+    // map and the corpus degenerates into stacked replicas — fail
+    // loudly at the boundary.
+    require(n >= 1 && n <= 20, s"copies must be in [1, 20], got $n")
     new java.io.File(outDir).mkdirs()
     def src(t: String) = s.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
@@ -75,11 +96,30 @@ object Scale10 {
         col("lang"), col("source"), col("n_chars"))
     }, "documents")
 
+    // SIGNED permutation, not a bare rotation (r13 fix): a circular
+    // shift alone maps the deterministic arithmetic hyperplane family
+    // onto (nearly) itself — w(h, d+6) equals w(h', d) for h' = h+88
+    // (mod 97) away from the 6-dim wraparound seam — so rotated copies
+    // collided in LSH bands SYSTEMATICALLY instead of randomly:
+    // measured at the 10× fixture, 7.9M candidate pairs where the
+    // uncorrelated-copy model predicts ~0.77M (≈90% cross-copy), and
+    // 4.0× pair growth per 2× rows at 20× (ProbeBands). Composing the
+    // rotation with a per-copy seeded sign-flip vector keeps the
+    // transform an exact isometry (a signed permutation is orthogonal,
+    // so within-copy cosine geometry and cluster truth are untouched)
+    // while re-randomizing every hyperplane response — cross-copy
+    // collisions drop to the random-baseline rate a real bigger corpus
+    // would show (post-fix: 0.84M at 10×, ~linear in copies).
     write(copies(n, src("embeddings")) { (d, i) =>
       val off = (i * 6) % 64
+      val rot = s"concat(slice(embedding, ${off + 1}, ${64 - off}), " +
+        s"slice(embedding, 1, $off))"
+      val flipSql = signFlips(i)
+        .map(f => if (f > 0) "1.0" else "-1.0")
+        .mkString("array(", ",", ")")
       d.select((col("vec_id") + i * Offset).as("vec_id"),
-        expr(s"concat(slice(embedding, ${off + 1}, ${64 - off}), " +
-          s"slice(embedding, 1, $off))").as("embedding"),
+        expr(s"cast(zip_with($rot, $flipSql, (x, s) -> x * s) " +
+          "as array<float>)").as("embedding"),
         (col("label") + i * 10).cast("int").as("label"))
     }, "embeddings")
 

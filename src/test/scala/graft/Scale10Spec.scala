@@ -18,16 +18,18 @@ class Scale10Spec extends SparkSpecBase {
     dir
   }
 
-  test("charPerm: 10 distinct bijections, identity at 0, pairwise no-gap") {
-    val perms = (0 until 10).map(Scale10.charPerm)
+  test("charPerm: 20 distinct bijections, identity at 0, pairwise no-gap") {
+    // the full period: (i mod 5, i mod 4) is injective over 0..19 by
+    // CRT, so all 20 copies Scale10.build accepts carry distinct maps
+    val perms = (0 until 20).map(Scale10.charPerm)
     assert(perms(0) == Scale10.PermSrc)
-    assert(perms.distinct.length == 10)
+    assert(perms.distinct.length == 20)
     perms.foreach(p => assert(p.sorted == Scale10.PermSrc.sorted, p))
     // rotations move whole blocks, so any two copies' maps disagree on
     // ≥4 source chars (all 5 vowels, all 4 consonants, or both) — a
     // cross-copy-identical text must lack an entire block. The first
     // design's i/i+5 gap was only {s, t}: 2 chars.
-    for (i <- 0 until 10; j <- (i + 1) until 10) {
+    for (i <- 0 until 20; j <- (i + 1) until 20) {
       val nDiff = Scale10.PermSrc.indices.count(x => perms(i)(x) != perms(j)(x))
       assert(nDiff >= 4, s"copies $i/$j differ on only $nDiff chars")
     }
@@ -70,19 +72,48 @@ class Scale10Spec extends SparkSpecBase {
     } finally { j.unpersist(); () }
   }
 
-  test("copy embeddings: rotation is an isometry with shifted labels") {
+  test("copy embeddings: signed permutation is an isometry with shifted labels") {
     val e = spark.read.parquet(s"$out/embeddings.parquet")
     val a = e.filter(col("vec_id") < 10000000L)
       .select(col("vec_id"), col("embedding").as("ea"), col("label").as("la"))
     val b = e.filter(col("vec_id") >= 10000000L)
       .select((col("vec_id") - 10000000L).as("vec_id"),
         col("embedding").as("eb"), col("label").as("lb"))
+    // copy 1 = rotate by 6 then flip by the seeded ±1 vector (exact in
+    // float); labels shifted by 10 (disjoint cell spaces)
+    val flipSql = Scale10.signFlips(1)
+      .map(f => if (f > 0) "1.0" else "-1.0")
+      .mkString("array(", ",", ")")
     val j = a.join(b, "vec_id")
-      .withColumn("rot", expr("concat(slice(ea, 7, 58), slice(ea, 1, 6))"))
-    // copy 1 = rotate by 6; labels shifted by 10 (disjoint cell spaces)
-    assert(j.filter(col("rot") =!= col("eb")).count() == 0)
+      .withColumn("expect", expr(
+        "cast(zip_with(concat(slice(ea, 7, 58), slice(ea, 1, 6)), " +
+          s"$flipSql, (x, s) -> x * s) as array<float>)"))
+    assert(j.filter(col("expect") =!= col("eb")).count() == 0)
     assert(j.filter(col("lb") =!= col("la") + 10).count() == 0)
     assert(e.agg(min("label"), max("label")).collect()
       .forall(r => r.getInt(0) == 0 && r.getInt(1) == 19))
+  }
+
+  test("copy embeddings decorrelate from the LSH hyperplane family") {
+    // the r13 20×-superlinear root cause, pinned: a vector and its
+    // copy-1 image must NOT systematically share banded-LSH keys. With
+    // the bare rotation the arithmetic weight family aliased onto
+    // itself and most pairs agreed on some band; with the signed
+    // permutation agreement collapses to the random-baseline rate.
+    graft.plans.VecKernels.register(spark)
+    val e = spark.read.parquet(s"$out/embeddings.parquet")
+    val a = e.filter(col("vec_id") < 10000000L)
+      .select(col("vec_id"), expr("vec_bands(embedding)").as("ba"))
+    val b = e.filter(col("vec_id") >= 10000000L)
+      .select((col("vec_id") - 10000000L).as("vec_id"),
+        expr("vec_bands(embedding)").as("bb"))
+    val j = a.join(b, "vec_id")
+      .withColumn("shared", expr(
+        "size(filter(zip_with(ba, bb, (x, y) -> x = y), s -> s))"))
+    val total = j.count()
+    val colliding = j.filter(col("shared") > 0).count()
+    assert(colliding <= math.max(2L, total / 20),
+      s"$colliding of $total source→copy pairs share a band key — " +
+        "the copy transform still aliases the hyperplane family")
   }
 }
