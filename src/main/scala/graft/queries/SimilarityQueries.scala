@@ -52,30 +52,93 @@ object SimilarityQueries {
     base.unionByName(copies).withColumn("nrm", norm("embedding"))
   }
 
+  /** Per-band-key occupancy cap for the near-dup LSH blocking — the
+    * posting-list-cap discipline (q_passage_overlap's df ≤ 50) applied
+    * to embedding space. Motivation is measured, not theoretical (r13
+    * ProbeBands at the synthetic 10×/20× fixtures): this corpus's
+    * vectors live in a positive-ish orthant, so many share hyperplane
+    * sign patterns and a few DEGENERATE band keys grow linearly with
+    * the corpus (max occupancy 64 → 663 → 1351 at 1×/10×/20×) — their
+    * in-key pair count is quadratic, and uncapped candidate volume
+    * measured 75 k → 7.9 M → 32 M (N², 11× wall growth at 2× rows)
+    * while VERIFIED pairs stayed ~linear: a pure precision collapse.
+    * Capped at 200, candidates are 75 k → 221 k → 873 k (~linear) and
+    * no fixture ≤ sf0.1 has any key above the cap, so gate-scale
+    * results are bit-unchanged. Recall for exact duplicates does NOT
+    * ride on the cap — they are recovered by the exact-equality pass
+    * (dense-region vectors can have ALL four bands hot: at 10× a
+    * cap-only design lost 65 of 286 planted copy-0 dups); only
+    * 0.99 ≤ cos < 1 near-pairs inside degenerate directions are
+    * traded, the documented LSH approximation at scale.
+    */
+  private[graft] val BandKeyCap = 200
+
+  /** Corpus-size gate for the cap machinery (the bloom-clamp /
+    * coarseK precedent: structural parameters derive from corpus
+    * size). Below this row count no degenerate key matters and the
+    * hot-key filter + exact pass only add plan stages — measured
+    * +0.7–1.1 s on the two sub-second fixture-scale consumers — so
+    * the plain pre-cap plan runs verbatim; above it the capped path
+    * engages. The switch cannot change results at the boundary:
+    * UNCAPPED, every exact-equality pair is already an LSH candidate
+    * (identical vectors share all four bands), so the capped path's
+    * exact-pass union is a no-op exactly where the gate skips it —
+    * which is what lets the oracle express both paths as ONE query
+    * (unconditional exact union + count-gated HAVING).
+    */
+  private[graft] val SmallCorpusCutoff: Long = BandKeyCap * 20L
+
   /** Verified near-duplicate pairs over a (vec_id, embedding, nrm)
-    * corpus: banded-LSH candidates (skinny exploded key table,
-    * equi-join on the (band_idx, band_val) pair, OR-of-bands dedup)
-    * re-joined to the corpus by id for the exact-cosine ≥ 0.99 verify.
-    * Returns (id_a, id_b, sim) with id_a < id_b.
+    * corpus, by size regime (gate: [[SmallCorpusCutoff]]). Small
+    * corpus: plain banded-LSH candidates (skinny exploded key table,
+    * equi-join on the (band_idx, band_val) pair, OR-of-bands dedup).
+    * Large corpus: the same blocking with per-key occupancy ≤
+    * [[BandKeyCap]] — hot keys are the containment drop-set shape
+    * (the degenerate head is tiny, broadcasts AQE-adaptively, both
+    * explode streams filtered map-side) — UNIONED with an
+    * exact-equality pass (hash-shuffle on the vector bytes, linear at
+    * any scale, immune to the cap). Either way candidates re-join the
+    * corpus by id for the exact-cosine ≥ 0.99 verify; returns
+    * (id_a, id_b, sim) with id_a < id_b.
     */
   private def nearDupPairs(corpus: DataFrame): DataFrame = {
-    // UNCACHED (r13, the §8 ReuseExchange lens): both candidate
-    // self-join sides canonicalize identically, so one exchange runs
-    // the 64-hyperplane kernel once and the second side reuses it — a
-    // cache on top only added a materialization barrier. Measured
-    // parity on removal (5-pass mini-suite minima: q_embedding_near_dup
-    // 0.885 → 0.875 s, q_semantic_cluster 2.014 → 2.003 s); the former
-    // "kernel would run twice" comment predated ReuseExchange doing
-    // this dedupe.
-    val bands = corpus.select(col("vec_id"),
+    // the gate count is cheap next to the kernel work and populates
+    // the caller's corpus cache it would materialize anyway
+    val capped = corpus.count() > SmallCorpusCutoff
+    val bandsRaw = corpus.select(col("vec_id"),
       posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
+    def selfJoin(t: DataFrame): DataFrame = t.as("a")
+      .join(t.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
-      .distinct() // OR-of-bands: a pair agreeing on several bands counts once
+    val cand =
+      if (!capped) {
+        // UNCACHED on this path (§8 lens): both self-join sides
+        // canonicalize identically, one exchange runs the
+        // 64-hyperplane kernel once and ReuseExchange hands it to the
+        // other side — a cache only added a barrier (removal measured
+        // parity, 0.885 → 0.875 s minima)
+        selfJoin(bandsRaw).distinct()
+      } else {
+        // CACHED on this path — the same §8 lens, other verdict: the
+        // key-count aggregate is a second consumer needing a DIFFERENT
+        // exchange, so uncached the kernel would run twice
+        val bands = QueryCaches.cache(bandsRaw)
+        val hot = bands.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > BandKeyCap)
+          .select("band_idx", "band_val")
+        val kept = bands.join(hot, Seq("band_idx", "band_val"), "left_anti")
+        val exact = corpus
+          .select(col("vec_id").as("id_a"), col("embedding").as("e1"))
+          .join(corpus.select(col("vec_id").as("id_b"), col("embedding").as("e2")),
+            col("e1") === col("e2") && col("id_a") < col("id_b"))
+          .select("id_a", "id_b")
+        selfJoin(kept).unionByName(exact)
+          .distinct() // OR-of-bands + exact pass: any pair counts once
+      }
     cand
       .join(corpus.select(col("vec_id").as("id_a"), col("embedding").as("ea"),
         col("nrm").as("na")), "id_a")
@@ -1031,16 +1094,15 @@ object SimilarityQueries {
     }),
 
     // Near-duplicate embeddings: exact copies injected for vec_id%7==0,
-    // found via banded multi-bit LSH blocking (4 bands × 16 hyperplanes,
-    // candidate = ANY band match — OR-of-bands, the MinHash banding
-    // construction applied to hyperplane sign bits) then exact-cosine
-    // verify ≥ 0.99. The band (band_idx, band_val) pair is the blocking
-    // key: 4·2^16 key values instead of the previous single 8-bit
-    // bucket's 256 — in-bucket pair counts stay bounded as the corpus
-    // grows instead of O(n²/256). The candidate join runs on a SKINNY
-    // (vec_id, band_idx, band_val) table — embeddings do not ride the
-    // 4×-exploded shuffle; pairs are deduped first and the two verify
-    // joins pull vectors back by id from the cached corpus.
+    // found via an exact-equality pass UNIONED with banded multi-bit
+    // LSH blocking (4 bands × 16 hyperplanes, candidate = ANY band
+    // match — OR-of-bands, the MinHash banding construction applied to
+    // hyperplane sign bits, per-key occupancy capped at BandKeyCap —
+    // see nearDupPairs for the measured 20× precision-collapse story)
+    // then exact-cosine verify ≥ 0.99. The candidate join runs on a
+    // SKINNY (vec_id, band_idx, band_val) table — embeddings do not
+    // ride the 4×-exploded shuffle; pairs are deduped first and the
+    // two verify joins pull vectors back by id from the cached corpus.
     "q_embedding_near_dup" -> ((s, dir) => {
       val corpus = QueryCaches.cache(dupCorpus(s, dir))
       nearDupPairs(corpus)
@@ -1359,6 +1421,46 @@ object SimilarityQueries {
 
   // constant 64-dim bound: DuckDB's generate_series table function
   // cannot take correlated (lateral) arguments like len($a)
+  /** Shared DuckDB CTE text (`bands`, `kept`, `cand`) mirroring
+    * [[nearDupPairs]]'s capped-LSH + exact-equality candidate
+    * generation — both near-dup oracles compose over it so the two
+    * engines' banding, per-key cap and exact pass can never drift
+    * apart. Assumes a `corpus(vec_id, embedding)` CTE upstream. NOTE:
+    * pre-stripped margins; interpolated fragments stay mid-line
+    * (stripMargin pipe-eating trap, see Manifest.scala).
+    */
+  private lazy val nearDupCandSqlCtes: String =
+    s"""bands AS (
+       |  SELECT vec_id, jt.j AS band_idx,
+       |         (SELECT CAST(sum(CASE WHEN (
+       |            SELECT sum((CASE WHEN (((jt.j * 16 + kt.k) * 64 + d.i - 1) * 37) % 97 < 48
+       |                        THEN 1.0 ELSE -1.0 END)
+       |                       * CAST(embedding[d.i] AS DOUBLE))
+       |            FROM generate_series(1, 64) d(i)) > 0
+       |           THEN (CAST(1 AS BIGINT) << kt.k) ELSE 0 END) AS BIGINT)
+       |          FROM generate_series(0, 15) kt(k)) AS band_val
+       |  FROM corpus, generate_series(0, 3) jt(j)
+       |),
+       |kept AS (
+       |  SELECT band_idx, band_val FROM bands
+       |  GROUP BY 1, 2
+       |  HAVING (SELECT count(*) FROM corpus) <= $SmallCorpusCutoff
+       |      OR count(*) <= $BandKeyCap
+       |),
+       |cand AS (
+       |  SELECT DISTINCT id_a, id_b FROM (
+       |    SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |    FROM bands a
+       |    JOIN kept ka ON a.band_idx = ka.band_idx AND a.band_val = ka.band_val
+       |    JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       |               AND a.vec_id < b.vec_id
+       |    UNION ALL
+       |    SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |    FROM corpus x JOIN corpus y
+       |      ON x.embedding = y.embedding AND x.vec_id < y.vec_id
+       |  )
+       |)""".stripMargin
+
   private val dotSql: (String, String) => String = (a, b) =>
     s"(SELECT sum(CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)) FROM generate_series(1, 64) t(i))"
 
@@ -2160,23 +2262,7 @@ object SimilarityQueries {
          |  UNION ALL
          |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 7 = 0
          |),
-         |bands AS (
-         |  SELECT vec_id, jt.j AS band_idx,
-         |         (SELECT CAST(sum(CASE WHEN (
-         |            SELECT sum((CASE WHEN (((jt.j * 16 + kt.k) * 64 + d.i - 1) * 37) % 97 < 48
-         |                        THEN 1.0 ELSE -1.0 END)
-         |                       * CAST(embedding[d.i] AS DOUBLE))
-         |            FROM generate_series(1, 64) d(i)) > 0
-         |           THEN (CAST(1 AS BIGINT) << kt.k) ELSE 0 END) AS BIGINT)
-         |          FROM generate_series(0, 15) kt(k)) AS band_val
-         |  FROM corpus, generate_series(0, 3) jt(j)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |   AND a.vec_id < b.vec_id
-         |),
+         |$nearDupCandSqlCtes,
          |pairs AS (
          |  SELECT id_a, id_b FROM (
          |    SELECT c.id_a, c.id_b,
@@ -2208,23 +2294,7 @@ object SimilarityQueries {
          |  UNION ALL
          |  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 7 = 0
          |),
-         |bands AS (
-         |  SELECT vec_id, jt.j AS band_idx,
-         |         (SELECT CAST(sum(CASE WHEN (
-         |            SELECT sum((CASE WHEN (((jt.j * 16 + kt.k) * 64 + d.i - 1) * 37) % 97 < 48
-         |                        THEN 1.0 ELSE -1.0 END)
-         |                       * CAST(embedding[d.i] AS DOUBLE))
-         |            FROM generate_series(1, 64) d(i)) > 0
-         |           THEN (CAST(1 AS BIGINT) << kt.k) ELSE 0 END) AS BIGINT)
-         |          FROM generate_series(0, 15) kt(k)) AS band_val
-         |  FROM corpus, generate_series(0, 3) jt(j)
-         |),
-         |cand AS (
-         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
-         |   AND a.vec_id < b.vec_id
-         |)
+         |$nearDupCandSqlCtes
          |SELECT id_a, id_b, sim FROM (
          |  SELECT c.id_a, c.id_b,
          |         round(${dotSql("ea.embedding", "eb.embedding")} /
