@@ -611,6 +611,61 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Conjunctive (AND) top-k search over the persisted postings
+    // index, BM25-ranked — the third consumer of graft_idx_postings
+    // and the retrieval shape q_bm25 deliberately isn't: q_bm25 scores
+    // OR-matches by re-exploding the corpus per query, while this is
+    // the amortized-index form — every per-doc stage (both term tf
+    // lookups, the AND join, the doc-length attach, the final
+    // aggregation) runs on the layout's doc_id bucketing with ZERO
+    // exchanges (pinned), term lookups parquet-pushed. Query terms are
+    // the corpus's top-2 by occurrence (2-row bounded artifact, with
+    // their document frequencies riding along as literals — at probe
+    // time a real engine reads df from a lexicon, not a corpus agg).
+    // Scoring reuses q_bm25's INTEGER discipline verbatim (floor-log2
+    // bit-length IDF, common-denominator tf saturation, k1=1.2
+    // b=0.75) so both engines agree to the digit; nd/at are bounded
+    // 1-row stats collected from the index's exchange-free doc-length
+    // aggregate.
+    "q_index_search" -> ((s, dir) => {
+      BucketedTables.ensure(s, Seq("graft_idx_postings"),
+          "spark.graft.idx.writtenDir", dir) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite")
+          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
+          .saveAsTable("graft_idx_postings")
+      }
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val idx = s.table("graft_idx_postings")
+      val dl = idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val Array(nd, at) = dl.agg(count(lit(1)), sum(col("dl")))
+        .collect()(0).toSeq.map(_.toString.toLong).toArray
+      val top2 = idx.groupBy("term")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+        .orderBy(col("n").desc, col("term")).limit(2)
+        .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
+      val (t1, df1) = (top2(0).getString(0), top2(0).getLong(2))
+      val (t2, df2) = (top2(1).getString(0), top2(1).getLong(2))
+      def tfOf(t: String, name: String) =
+        idx.filter(col("term") === t).groupBy("doc_id")
+          .agg(count(lit(1)).as(name))
+      def score(tf: String, df: Long) =
+        expr(s"CAST(length(bin((2*$nd - 2*$df + 1) * 1048576 div " +
+          s"(2*$df + 1))) AS BIGINT)") *
+          expr(s"$tf * 44 * $at * 10000 div " +
+            s"(20 * $at * $tf + 6 * $at + 18 * dl * $nd)")
+      tfOf(t1, "tf1").join(tfOf(t2, "tf2"), "doc_id")
+        .join(dl, "doc_id")
+        .select(col("doc_id"), col("tf1"), col("tf2"),
+          (score("tf1", df1) + score("tf2", df2)).as("score"))
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(10)
+    }),
+
     // Benchmark-contamination check: which eval documents share 3-gram
     // shingles with the training split? Both sides explode to
     // (doc, shingle), the join keys on the shingle — the same
@@ -1522,6 +1577,35 @@ object TextQueries {
         |JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
         |            AND p2.term = t2
         |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
+
+    "q_index_search" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ')[i] AS tok
+        |  FROM documents,
+        |       unnest(generate_series(1,
+        |         greatest(len(string_split(text, ' ')), 0))) AS u(i)
+        |),
+        |fr AS (SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df,
+        |              row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        |       FROM t GROUP BY tok),
+        |d AS (SELECT doc_id, count(*) AS dl FROM t GROUP BY doc_id),
+        |tot AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS at FROM d),
+        |q1 AS (SELECT tok, df FROM fr WHERE rn = 1),
+        |q2 AS (SELECT tok, df FROM fr WHERE rn = 2),
+        |f1 AS (SELECT t.doc_id, count(*) AS tf1 FROM t JOIN q1 ON t.tok = q1.tok GROUP BY 1),
+        |f2 AS (SELECT t.doc_id, count(*) AS tf2 FROM t JOIN q2 ON t.tok = q2.tok GROUP BY 1)
+        |SELECT f1.doc_id, tf1, tf2,
+        |  CAST(
+        |    CAST(length(bin((2*tot.nd - 2*q1.df + 1) * 1048576 // (2*q1.df + 1))) AS BIGINT)
+        |      * (tf1 * 44 * tot.at * 10000 //
+        |         (20 * tot.at * tf1 + 6 * tot.at + 18 * d.dl * tot.nd))
+        |    + CAST(length(bin((2*tot.nd - 2*q2.df + 1) * 1048576 // (2*q2.df + 1))) AS BIGINT)
+        |      * (tf2 * 44 * tot.at * 10000 //
+        |         (20 * tot.at * tf2 + 6 * tot.at + 18 * d.dl * tot.nd))
+        |  AS BIGINT) AS score
+        |FROM f1 JOIN f2 USING (doc_id) JOIN d USING (doc_id)
+        |CROSS JOIN tot CROSS JOIN q1 CROSS JOIN q2
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_proximity_index" ->
       """WITH toks AS (

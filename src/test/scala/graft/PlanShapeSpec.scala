@@ -209,6 +209,25 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_index_search: conjunctive BM25 probe — every per-doc stage " +
+      "rides the bucketed layout, zero exchanges") {
+    try {
+      val p = plan("q_index_search", graft.queries.TextQueries.queries)
+      // both tf lookups, the AND join, the doc-length attach and the
+      // final projection all run on the scan's doc_id partitioning;
+      // top-k is a TakeOrdered, never a global sort exchange
+      assert(p.contains("SelectedBucketsCount"),
+        s"probe must scan the bucketed postings table:\n$p")
+      assert(p.contains("EqualTo(term,"),
+        s"term lookups must push to the parquet scan:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 0,
+        s"the index probe must be exchange-free, got $hashEx:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-k must not global-sort:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
     val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
