@@ -994,6 +994,11 @@ object DedupQueries {
       val excerpts = docs.filter(col("doc_id") % 5 === 0)
         .select((col("doc_id") + 3000000L).as("doc_id"),
           concat_ws(" ", slice(split(col("text"), " "), 1, 30)).as("text"))
+      // cache re-measured at the 20x fixture (r13, notes candidate #1):
+      // three different-exchange consumers (df agg, base anti-join,
+      // intersection join) keep it justified — uncached measured
+      // 7.10 -> 7.72 s min, so the ~2.3x-per-2x-rows wall constant is
+      // working-set physics, not the cache
       val baseShAll = QueryCaches.cache(docs
         .select(col("doc_id").as("base_id"),
           explode(Corpus.shingles("text")).as("shingle")))
