@@ -666,6 +666,36 @@ object TextQueries {
         .limit(10)
     }),
 
+    // Intra-document repetition score — the degenerate-text signal
+    // quality pipelines filter on (the "repetition" family of rules in
+    // published corpus-curation recipes, e.g. the Gopher filters):
+    // what fraction of a doc's 3-gram stream is occupied by n-grams
+    // that repeat WITHIN the doc, plus the hottest single n-gram's
+    // count. Complements q_ngram_novelty (cross-doc) and
+    // q_boilerplate_lines (line-level): this one is purely doc-local.
+    // NON-distinct trigrams on purpose (multiplicity IS the signal —
+    // Corpus.shingles dedupes, so the transform is inline). Shape: one
+    // doc-local HOF pass (run once, handed to codegen'd explode +
+    // aggs — the q_phrase_search rule), one (doc_id, gram) exchange,
+    // one doc_id exchange; both keys are doc-bounded, so the shape is
+    // flat at 100 TB. Ratio is per-myriad integer division — exactly
+    // portable.
+    "q_repetition" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(w, 1, greatest(size(w) - 2, 0)),
+            |  (x, i) -> concat(x, ' ', element_at(w, i + 2), ' ',
+            |    element_at(w, i + 3)))""".stripMargin)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(
+          sum(col("c")).as("n_grams"),
+          sum(when(col("c") > 1, col("c")).otherwise(0L)).as("n_repeated"),
+          max(col("c")).as("max_repeat"))
+        .withColumn("rep_pm", expr("n_repeated * 10000 div n_grams"))
+        .orderBy("doc_id")
+    }),
+
     // Benchmark-contamination check: which eval documents share 3-gram
     // shingles with the training split? Both sides explode to
     // (doc, shingle), the join keys on the shingle — the same
@@ -1606,6 +1636,20 @@ object TextQueries {
         |FROM f1 JOIN f2 USING (doc_id) JOIN d USING (doc_id)
         |CROSS JOIN tot CROSS JOIN q1 CROSS JOIN q2
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |tri AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) u(i)
+        |),
+        |c AS (SELECT doc_id, g, count(*) AS c FROM tri GROUP BY 1, 2)
+        |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
+        |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS n_repeated,
+        |       CAST(max(c) AS BIGINT) AS max_repeat,
+        |       CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) * 10000 //
+        |            sum(c) AS BIGINT) AS rep_pm
+        |FROM c GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_proximity_index" ->
       """WITH toks AS (
