@@ -924,6 +924,43 @@ object DedupQueries {
     // natural partition key for everything downstream. The raw URLs are
     // derived deterministically from (doc_id, source) so both engines
     // build byte-identical inputs.
+    // Sub-document (paragraph-level) dedup with reconstruction — the
+    // CCNet/FineWeb-style pass that whole-doc dedup cannot replace: a
+    // page quoting a syndicated block keeps its original content while
+    // the REPEATED block is stripped, and only the first occurrence
+    // corpus-wide survives. Paragraph = fixed 16-token window (the
+    // fixture text has no sentence punctuation); first occurrence =
+    // min (doc_id, idx) per chunk text, realized as ONE chunk-keyed
+    // window pass (row_number over (chunk) ordered by (doc_id, idx) —
+    // uniqueness needs no special case, a unique chunk's rn IS 1).
+    // Shape: doc-local HOF chunking run once (q_phrase_search rule),
+    // one chunk-keyed exchange for the window, one doc_id aggregate
+    // that rebuilds the cleaned text from kept chunks in idx order
+    // (sort_array of (idx, chunk) structs — deterministic) and hashes
+    // it. At 100 TB a boilerplate mega-chunk sorts on one reducer —
+    // the standard mitigation is pre-aggregating count==1 chunks past
+    // the window (they are the overwhelming majority and their rn is
+    // trivially 1); not needed at fixture scale, recorded here.
+    "q_paragraph_dedup" -> ((s, dir) => {
+      val win = org.apache.spark.sql.expressions.Window.partitionBy("chunk").orderBy("doc_id", "idx")
+      Corpus.withDuplicates(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(0L, (size(w) + 15) div 16 - 1),
+            |  i -> struct(i as idx,
+            |    concat_ws(' ', slice(w, CAST(i * 16 + 1 AS INT), 16)) as chunk))"""
+            .stripMargin)).as("p"))
+        .select(col("doc_id"), col("p.idx").as("idx"), col("p.chunk").as("chunk"))
+        .withColumn("rn", row_number().over(win))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+          md5(expr("array_join(transform(sort_array(collect_list(" +
+            "CASE WHEN rn = 1 THEN struct(idx, chunk) END)), s -> s.chunk), ' ')"))
+            .as("cleaned_hash"))
+        .orderBy("doc_id")
+    }),
+
     "q_url_canonical" -> ((s, dir) => {
       val raw = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"))
@@ -1178,6 +1215,22 @@ object DedupQueries {
          |SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
          |       count(*) AS n_copies
          |FROM corpus GROUP BY md5(text) ORDER BY survivor_id""".stripMargin,
+
+    "q_paragraph_dedup" ->
+      s"""WITH ${Corpus.corpusCte},
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |ch AS (
+         |  SELECT doc_id, u.i AS idx,
+         |         array_to_string(list_slice(ws, u.i * 16 + 1, u.i * 16 + 16), ' ') AS chunk
+         |  FROM w, unnest(generate_series(0, (len(ws) + 15) // 16 - 1)) u(i)
+         |),
+         |r AS (SELECT doc_id, idx, chunk,
+         |             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, idx) AS rn
+         |      FROM ch)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')) AS cleaned_hash
+         |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${Corpus.corpusCte},

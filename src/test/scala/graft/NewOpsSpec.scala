@@ -39,6 +39,24 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("paragraph dedup: exact copies lose every chunk, originals keep all") {
+    val rows = DedupQueries.queries("q_paragraph_dedup")(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getAs[Long]("n_chunks"), r.getAs[Long]("n_kept"))).toMap
+    // injected exact copies (doc_id + 2,000,000) duplicate every chunk
+    // of their source, which sorts first — so the copy keeps nothing;
+    // originals may still lose the odd chunk to a cross-doc collision
+    // with a lower doc_id (that's the operator working, not a bug)
+    val copies = byId.keys.filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      assert(byId(id)._2 == 0L, s"exact copy $id kept ${byId(id)._2} chunks")
+    }
+    val originals = byId.keys.filter(_ < 1000000L)
+    assert(originals.exists(id => byId(id)._2 == byId(id)._1),
+      "at least some originals should keep all their chunks")
+  }
+
   test("as-of join: purchases with no prior click carry nulls") {
     // the earliest purchase of at least one user should precede any click
     val df = EventQueries.queries("q_asof_join")(spark, sf)
