@@ -653,11 +653,19 @@ object TextQueries {
       def tfOf(t: String, name: String) =
         idx.filter(col("term") === t).groupBy("doc_id")
           .agg(count(lit(1)).as(name))
-      def score(tf: String, df: Long) =
-        expr(s"CAST(length(bin((2*$nd - 2*$df + 1) * 1048576 div " +
-          s"(2*$df + 1))) AS BIGINT)") *
-          expr(s"$tf * 44 * $at * 10000 div " +
-            s"(20 * $at * $tf + 6 * $at + 18 * dl * $nd)")
+      // IDF is a pure function of the two driver-side stats, so it is
+      // computed HERE (toBinaryString length == bin() bit-length for
+      // positive values — same floor-log2 as q_bm25's in-plan form).
+      // The interpolated corpus stats carry an explicit L suffix: bare
+      // numeric literals parse as INT, and (2·nd+1)·1048576 overflows
+      // 32 bits from nd ≈ 1000 docs — caught at the 20× fixture as an
+      // ANSI ARITHMETIC_OVERFLOW (sf0.01's 500 docs passed by luck).
+      def score(tf: String, df: Long) = {
+        val idfB = java.lang.Long.toBinaryString(
+          (2 * nd - 2 * df + 1) * 1048576L / (2 * df + 1)).length.toLong
+        expr(s"${idfB}L * ($tf * 44 * ${at}L * 10000 div " +
+          s"(20 * ${at}L * $tf + 6 * ${at}L + 18 * dl * ${nd}L))")
+      }
       tfOf(t1, "tf1").join(tfOf(t2, "tf2"), "doc_id")
         .join(dl, "doc_id")
         .select(col("doc_id"), col("tf1"), col("tf2"),
