@@ -674,6 +674,44 @@ object TextQueries {
         .limit(10)
     }),
 
+    // Token-budget data selection — "fill half the corpus's token
+    // budget with the highest-quality documents", the selection step
+    // between scoring and mixing in a curation pipeline. The scale
+    // design point is HOW the quality cutoff is found: never a global
+    // sort + running sum over documents (a single-partition window
+    // over the corpus — the classic rank-selection scale bug), but the
+    // BOUNDED-HISTOGRAM form: quality is an integer per-myriad score,
+    // so its domain has ≤ 10 001 values — aggregate token mass per
+    // score (map-side combined), run the cumulative sum over that tiny
+    // frame (a one-partition window over ≤ 10 001 rows is bounded by
+    // construction, not by data), and the cutoff becomes a 1-row
+    // driver artifact applied as a plain filter. Selection semantics:
+    // every document at or above the cutoff score is taken (the
+    // boundary score overshoots the budget rather than splitting ties
+    // arbitrarily — deterministic in both engines). Output is the
+    // per-source selection summary.
+    "q_budget_select" -> ((s, dir) => {
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          expr(s"size(${toks("text")})").cast("bigint").as("toks"),
+          stopCount("text").cast("bigint").as("nstop"))
+        .withColumn("q", expr("nstop * 10000 div toks"))
+        .transform(QueryCaches.cache(_)) // consumed by totals, hist, and the final filter
+      val totalToks = scored.agg(sum(col("toks"))).collect()(0).getLong(0)
+      val budget = totalToks / 2
+      val wq = Window.orderBy(col("q").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cut = scored.groupBy("q").agg(sum(col("toks")).as("t"))
+        .withColumn("cum", sum(col("t")).over(wq))
+        .filter(col("cum") - col("t") < budget)
+        .agg(min(col("q"))).collect()(0).getLong(0)
+      scored.filter(col("q") >= cut)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_selected"), sum(col("toks")).as("sel_tokens"))
+        .withColumn("cutoff_q", lit(cut))
+        .orderBy("source")
+    }),
+
     // Intra-document repetition score — the degenerate-text signal
     // quality pipelines filter on (the "repetition" family of rules in
     // published corpus-curation recipes, e.g. the Gopher filters):
@@ -1644,6 +1682,28 @@ object TextQueries {
         |FROM f1 JOIN f2 USING (doc_id) JOIN d USING (doc_id)
         |CROSS JOIN tot CROSS JOIN q1 CROSS JOIN q2
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_budget_select" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, source,
+         |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> t IN ($stopList))) AS BIGINT) AS nstop
+         |  FROM documents
+         |),
+         |s AS (SELECT *, nstop * 10000 // toks AS q FROM d),
+         |tot AS (SELECT CAST(sum(toks) AS BIGINT) AS t FROM s),
+         |h AS (SELECT q, CAST(sum(toks) AS BIGINT) AS t FROM s GROUP BY q),
+         |c AS (SELECT q, t,
+         |             sum(t) OVER (ORDER BY q DESC ROWS UNBOUNDED PRECEDING) AS cum
+         |      FROM h),
+         |cut AS (SELECT min(c.q) AS cq FROM c CROSS JOIN tot
+         |        WHERE c.cum - c.t < tot.t // 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_selected,
+         |       CAST(sum(toks) AS BIGINT) AS sel_tokens,
+         |       (SELECT cq FROM cut) AS cutoff_q
+         |FROM s WHERE q >= (SELECT cq FROM cut)
+         |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
