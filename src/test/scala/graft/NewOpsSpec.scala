@@ -39,6 +39,33 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("budget select: selection covers the half-token budget minimally") {
+    try {
+      val rows = TextQueries.queries("q_budget_select")(spark, sf).collect()
+      assert(rows.nonEmpty)
+      val selected = rows.map(_.getAs[Long]("sel_tokens")).sum
+      val cutoff = rows.head.getAs[Long]("cutoff_q")
+      import org.apache.spark.sql.functions._
+      val byScore = spark.read.parquet(s"$sf/documents.parquet")
+        .select(expr("size(split(text, ' '))").cast("bigint").as("toks"),
+          expr("size(filter(split(text, ' '), " +
+            "t -> t IN ('the','a','of','and','in')))").cast("bigint").as("nstop"))
+        .withColumn("q", expr("nstop * 10000 div toks"))
+        .groupBy("q").agg(sum(col("toks")).as("t"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val total = byScore.values.sum
+      // defining property: at-or-above-cutoff covers the budget, and
+      // the cutoff is minimal — excluding the boundary score drops
+      // the selection below budget
+      assert(selected >= total / 2,
+        s"selected $selected < budget ${total / 2}")
+      assert(selected - byScore(cutoff) < total / 2,
+        "cutoff is not minimal: the boundary score isn't needed")
+      assert(selected == byScore.filter(_._1 >= cutoff).values.sum,
+        "selection must be exactly the at-or-above-cutoff mass")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("paragraph dedup: exact copies lose every chunk, originals keep all") {
     val rows = DedupQueries.queries("q_paragraph_dedup")(spark, sf).collect()
     val byId = rows.map(r => r.getLong(0) ->
