@@ -228,6 +228,21 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_budget_select: returned plan is filter + source agg — the " +
+      "cutoff never rides a corpus-wide window") {
+    try {
+      val p = plan("q_budget_select", graft.queries.TextQueries.queries)
+      // the rank-selection work happened in the bounded-histogram
+      // side jobs; the returned frame must be a plain filter over the
+      // cached scored scan plus one source-keyed aggregate — if a
+      // Window sneaks in here, someone reintroduced the
+      // single-partition global-sort shape this query exists to avoid
+      assert(!p.contains("Window"), s"no window in the selection plan:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx <= 1, s"expected ≤1 hash exchange (source agg), got $hashEx:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
     val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
