@@ -67,9 +67,11 @@ object SimilarityQueries {
     * results are bit-unchanged. Recall for exact duplicates does NOT
     * ride on the cap — they are recovered by the exact-equality pass
     * (dense-region vectors can have ALL four bands hot: at 10× a
-    * cap-only design lost 65 of 286 planted copy-0 dups); only
-    * 0.99 ≤ cos < 1 near-pairs inside degenerate directions are
-    * traded, the documented LSH approximation at scale.
+    * cap-only design lost 927 of 2858 planted dups, 32% — first
+    * measured as 65/286 on the copy-0 slice, corrected copy-aware in
+    * the round's review pass); only 0.99 ≤ cos < 1 near-pairs inside
+    * degenerate directions are traded, the documented LSH
+    * approximation at scale.
     */
   private[graft] val BandKeyCap = 200
 

@@ -20,6 +20,34 @@ object TextQueries {
 
   private val stopwords = Seq("the", "a", "of", "and", "in")
 
+  /** Write-once (doc_id, pos, term) positional postings index shared
+    * by the three index-probe queries (q_phrase_index,
+    * q_proximity_index, q_index_search), returned ready to probe.
+    * ONE definition on purpose (r13 review): the write recipe was
+    * briefly copy-pasted into all three builders behind the same
+    * guard key, so an edit to any one copy would have made the
+    * persisted layout first-runner-wins while the other two probed a
+    * layout that no longer matched their plan pins. Bucketed by
+    * doc_id (8 buckets, one file per bucket via the aligned
+    * repartition), sorted (doc_id, pos); the SPARK-28632 sort-order
+    * opt-in is scoped per query so the window/SMJ sorts elide.
+    */
+  private def postingsIndex(s: SparkSession, dir: String): DataFrame = {
+    BucketedTables.ensure(s, Seq("graft_idx_postings"),
+        "spark.graft.idx.writtenDir", dir) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
+        .saveAsTable("graft_idx_postings")
+    }
+    QueryCaches.scopedConf(s,
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s.table("graft_idx_postings")
+  }
+
   private def toks(c: String) = s"split($c, ' ')"
 
   /** count of tokens equal to the literal `w` (codegen'd lambda). */
@@ -512,22 +540,8 @@ object TextQueries {
     // index pays off from the second probe on, exactly like
     // q_bucketed_join's fact-table layout.
     "q_phrase_index" -> ((s, dir) => {
-      BucketedTables.ensure(s, Seq("graft_idx_postings"),
-          "spark.graft.idx.writtenDir", dir) {
-        s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .repartition(8, col("doc_id"))
-          .write.mode("overwrite")
-          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
-          .saveAsTable("graft_idx_postings")
-      }
-      // one file per bucket (the aligned repartition above), so the
-      // scan may report its sortBy order and the window + SMJ sorts
-      // elide — same SPARK-28632 opt-in as q_bucketed_join
-      QueryCaches.scopedConf(s,
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val idx = s.table("graft_idx_postings")
+      import s.implicits._
+      val idx = postingsIndex(s, dir)
       // the probe phrase, derived from the index (self-contained at any
       // sf): lead(term) over (doc_id, pos) — a window the bucketed
       // layout runs WITHOUT an exchange — then the bigram count. The
@@ -548,25 +562,32 @@ object TextQueries {
         .orderBy(col("n").desc, col("bigram")).limit(1)
         .select(split(col("bigram"), " ").getItem(0).as("t1"),
           split(col("bigram"), " ").getItem(1).as("t2"))
-        .collect()(0)
-      val (t1, t2) = (phraseRow.getString(0), phraseRow.getString(1))
-      // the probe proper: two pushed term filters over the bucketed
-      // layout, positional adjacency self-join on (doc_id, pos+1) —
-      // both sides carry the scan's doc_id partitioning, so the join
-      // AND the per-doc count run with ZERO exchanges (PlanShapeSpec
-      // pins the probe plan exchange-free)
-      val a = idx.filter(col("term") === t1)
-        .select(col("doc_id"), col("pos"))
-      val b = idx.filter(col("term") === t2)
-        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
-      a.join(b, col("doc_id") === col("doc_id2") &&
-          col("pos2") === col("pos") + 1)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_occurrences"))
-        .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
-          col("n_occurrences"))
-        .orderBy(col("n_occurrences").desc, col("doc_id"))
-        .limit(20)
+        .collect()
+      // degenerate corpus (no bigram anywhere): empty result, matching
+      // q_phrase_search's graceful-empty semantics (r13 review — a
+      // crash here would diverge from the pinned result equivalence)
+      if (phraseRow.isEmpty)
+        Seq.empty[(Long, String, Long)].toDF("doc_id", "phrase", "n_occurrences")
+      else {
+        val (t1, t2) = (phraseRow(0).getString(0), phraseRow(0).getString(1))
+        // the probe proper: two pushed term filters over the bucketed
+        // layout, positional adjacency self-join on (doc_id, pos+1) —
+        // both sides carry the scan's doc_id partitioning, so the join
+        // AND the per-doc count run with ZERO exchanges (PlanShapeSpec
+        // pins the probe plan exchange-free)
+        val a = idx.filter(col("term") === t1)
+          .select(col("doc_id"), col("pos"))
+        val b = idx.filter(col("term") === t2)
+          .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+        a.join(b, col("doc_id") === col("doc_id2") &&
+            col("pos2") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occurrences"))
+          .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
+            col("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("doc_id"))
+          .limit(20)
+      }
     }),
 
     // Proximity search over the SAME persisted postings table — the
@@ -582,33 +603,28 @@ object TextQueries {
     // corpus's top-2 by frequency, a 2-row bounded artifact like the
     // phrase probe's.
     "q_proximity_index" -> ((s, dir) => {
-      BucketedTables.ensure(s, Seq("graft_idx_postings"),
-          "spark.graft.idx.writtenDir", dir) {
-        s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .repartition(8, col("doc_id"))
-          .write.mode("overwrite")
-          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
-          .saveAsTable("graft_idx_postings")
-      }
-      QueryCaches.scopedConf(s,
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val idx = s.table("graft_idx_postings")
+      import s.implicits._
+      val idx = postingsIndex(s, dir)
       val top2 = idx.groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term")).limit(2)
         .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
-      val (t1, t2) = (top2(0).getString(0), top2(1).getString(0))
-      val a = idx.filter(col("term") === t1)
-        .select(col("doc_id"), col("pos"))
-      val b = idx.filter(col("term") === t2)
-        .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
-      a.join(b, col("doc_id") === col("doc_id2") &&
-          abs(col("pos2") - col("pos")) <= 3)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_pairs"),
-          min(abs(col("pos2") - col("pos"))).cast("bigint").as("min_gap"))
-        .orderBy("doc_id")
+      // degenerate corpus (<2 distinct terms): graceful empty, same
+      // contract as the phrase probe (r13 review)
+      if (top2.length < 2)
+        Seq.empty[(Long, Long, Long)].toDF("doc_id", "n_pairs", "min_gap")
+      else {
+        val (t1, t2) = (top2(0).getString(0), top2(1).getString(0))
+        val a = idx.filter(col("term") === t1)
+          .select(col("doc_id"), col("pos"))
+        val b = idx.filter(col("term") === t2)
+          .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+        a.join(b, col("doc_id") === col("doc_id2") &&
+            abs(col("pos2") - col("pos")) <= 3)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_pairs"),
+            min(abs(col("pos2") - col("pos"))).cast("bigint").as("min_gap"))
+          .orderBy("doc_id")
+      }
     }),
 
     // Conjunctive (AND) top-k search over the persisted postings
@@ -628,26 +644,20 @@ object TextQueries {
     // 1-row stats collected from the index's exchange-free doc-length
     // aggregate.
     "q_index_search" -> ((s, dir) => {
-      BucketedTables.ensure(s, Seq("graft_idx_postings"),
-          "spark.graft.idx.writtenDir", dir) {
-        s.read.parquet(s"$dir/documents.parquet")
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .repartition(8, col("doc_id"))
-          .write.mode("overwrite")
-          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
-          .saveAsTable("graft_idx_postings")
-      }
-      QueryCaches.scopedConf(s,
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val idx = s.table("graft_idx_postings")
+      import s.implicits._
+      val idx = postingsIndex(s, dir)
       val dl = idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      val Array(nd, at) = dl.agg(count(lit(1)), sum(col("dl")))
-        .collect()(0).toSeq.map(_.toString.toLong).toArray
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
       val top2 = idx.groupBy("term")
         .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
         .orderBy(col("n").desc, col("term")).limit(2)
         .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
+      // degenerate corpus (empty index → null token sum, or <2 terms):
+      // graceful empty, same contract as the other index probes
+      if (statsRow.isNullAt(1) || top2.length < 2)
+        Seq.empty[(Long, Long, Long, Long)].toDF("doc_id", "tf1", "tf2", "score")
+      else {
+      val (nd, at) = (statsRow.getLong(0), statsRow.getLong(1))
       val (t1, df1) = (top2(0).getString(0), top2(0).getLong(2))
       val (t2, df2) = (top2(1).getString(0), top2(1).getLong(2))
       def tfOf(t: String, name: String) =
@@ -672,6 +682,7 @@ object TextQueries {
           (score("tf1", df1) + score("tf2", df2)).as("score"))
         .orderBy(col("score").desc, col("doc_id"))
         .limit(10)
+      }
     }),
 
     // Token-budget data selection — "fill half the corpus's token

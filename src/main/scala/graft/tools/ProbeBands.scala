@@ -41,20 +41,27 @@ object ProbeBands {
     keys.orderBy(col("n").desc).show(10, truncate = false)
     // capped-candidate volume + planted-pair recall for a range of
     // per-key occupancy caps: a planted exact-copy pair survives a cap
-    // iff at least one of its four (shared) band keys stays under it
+    // iff at least one of its four (shared) band keys stays under it.
+    // COPY-AWARE id arithmetic (r13 review): at the Scale10 fixtures,
+    // copy i's base vectors live at i·10⁷ + x and its planted dups at
+    // i·10⁷ + x + 10⁶, so "planted" means within-copy offset ≥ 10⁶ —
+    // the earlier `vec_id >= 10⁶` split counted every copy-1+ base
+    // vector as planted and could only ever match copy-0's pairs.
+    val CopyBlock = 10000000L
     val bandsDf = corpus.select(col("vec_id"),
         posexplode(expr("vec_bands(embedding)")).as(Seq("band_idx", "band_val")))
+    val nPlanted = corpus
+      .filter(col("vec_id") % CopyBlock >= 1000000L).count()
     for (cap <- Seq(100, 200, 400)) {
       val kept = keys.filter(col("n") <= cap)
       val cp = kept.agg(sum(expr("n * (n - 1) / 2"))).collect()(0).get(0)
-      val planted = bandsDf.filter(col("vec_id") < 1000000L)
-        .join(bandsDf.filter(col("vec_id") >= 1000000L)
-          .select((col("vec_id") - 1000000L).as("vec_id"),
-            col("band_idx"), col("band_val")),
-          Seq("vec_id", "band_idx", "band_val"))
+      val planted = bandsDf.filter(col("vec_id") % CopyBlock >= 1000000L)
+        .select(col("vec_id").as("dup_id"),
+          (col("vec_id") - 1000000L).as("vec_id"),
+          col("band_idx"), col("band_val"))
+        .join(bandsDf, Seq("vec_id", "band_idx", "band_val"))
         .join(kept.select("band_idx", "band_val"), Seq("band_idx", "band_val"))
-        .select("vec_id").distinct().count()
-      val nPlanted = corpus.filter(col("vec_id") >= 1000000L).count()
+        .select("dup_id").distinct().count()
       println(s"[probebands] cap=$cap cand_pairs=$cp " +
         s"planted_recall=$planted/$nPlanted")
     }
