@@ -702,14 +702,22 @@ object TextQueries {
     // arbitrarily — deterministic in both engines). Output is the
     // per-source selection summary.
     "q_budget_select" -> ((s, dir) => {
+      import s.implicits._
       val scored = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"),
           expr(s"size(${toks("text")})").cast("bigint").as("toks"),
           stopCount("text").cast("bigint").as("nstop"))
         .withColumn("q", expr("nstop * 10000 div toks"))
         .transform(QueryCaches.cache(_)) // consumed by totals, hist, and the final filter
-      val totalToks = scored.agg(sum(col("toks"))).collect()(0).getLong(0)
-      val budget = totalToks / 2
+      val totalRow = scored.agg(sum(col("toks"))).collect()(0)
+      // degenerate corpus (empty → null token sum; total 0 → empty
+      // cumulative frame, null min): graceful empty, same contract as
+      // the index probes (r13 ADVICE)
+      if (totalRow.isNullAt(0) || totalRow.getLong(0) == 0L)
+        Seq.empty[(String, Long, Long, Long)]
+          .toDF("source", "n_selected", "sel_tokens", "cutoff_q")
+      else {
+      val budget = totalRow.getLong(0) / 2
       val wq = Window.orderBy(col("q").desc)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val cut = scored.groupBy("q").agg(sum(col("toks")).as("t"))
@@ -721,6 +729,7 @@ object TextQueries {
         .agg(count(lit(1)).as("n_selected"), sum(col("toks")).as("sel_tokens"))
         .withColumn("cutoff_q", lit(cut))
         .orderBy("source")
+      }
     }),
 
     // Intra-document repetition score — the degenerate-text signal

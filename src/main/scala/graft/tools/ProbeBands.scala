@@ -33,7 +33,10 @@ object ProbeBands {
       .cache()
     val n = corpus.count()
     val stats = keys.agg(
-      sum(expr("n * (n - 1) / 2")).as("cand_pairs"),
+      // integer `div`, not SQL `/` (double): the tool adjudicates
+      // superlinear candidate growth at large fixtures, where pair sums
+      // can pass 2^53 and double division would lose exactness
+      sum(expr("n * (n - 1) div 2")).as("cand_pairs"),
       max(col("n")).as("max_key"),
       count(lit(1)).as("n_keys")).collect()(0)
     println(s"[probebands] $dir: vectors=$n cand_pairs=${stats.get(0)} " +
@@ -54,7 +57,7 @@ object ProbeBands {
       .filter(col("vec_id") % CopyBlock >= 1000000L).count()
     for (cap <- Seq(100, 200, 400)) {
       val kept = keys.filter(col("n") <= cap)
-      val cp = kept.agg(sum(expr("n * (n - 1) / 2"))).collect()(0).get(0)
+      val cp = kept.agg(sum(expr("n * (n - 1) div 2"))).collect()(0).get(0)
       val planted = bandsDf.filter(col("vec_id") % CopyBlock >= 1000000L)
         .select(col("vec_id").as("dup_id"),
           (col("vec_id") - 1000000L).as("vec_id"),

@@ -66,6 +66,22 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("budget select: degenerate (empty) corpus returns the empty frame") {
+    // same graceful-empty contract as the index probes (r13 ADVICE):
+    // null token sum / zero total must not throw in the driver-side
+    // cutoff computation
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-budget-empty").toString
+    spark.read.parquet(s"$sf/documents.parquet").limit(0)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    try {
+      val out = TextQueries.queries("q_budget_select")(spark, dir)
+      assert(out.columns.toSeq ==
+        Seq("source", "n_selected", "sel_tokens", "cutoff_q"))
+      assert(out.count() === 0L)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("paragraph dedup: exact copies lose every chunk, originals keep all") {
     val rows = DedupQueries.queries("q_paragraph_dedup")(spark, sf).collect()
     val byId = rows.map(r => r.getLong(0) ->
