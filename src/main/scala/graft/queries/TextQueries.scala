@@ -685,6 +685,72 @@ object TextQueries {
       }
     }),
 
+    // BM25-RANKED phrase retrieval over the persisted postings index —
+    // the fourth consumer (r13 backlog #3). q_phrase_index returns raw
+    // occurrence counts; this is the ranking form a retrieval stack
+    // actually serves: phrase tf (adjacency matches per doc) saturated
+    // and length-normalized, weighted by the PHRASE's own document
+    // frequency as IDF — so a short doc dense in the phrase outranks a
+    // long doc that merely mentions it more often. Every per-doc stage
+    // (both pushed term lookups, the pos+1 adjacency self-join, the tf
+    // count, the doc-length attach) rides the doc_id-bucketed layout
+    // with ZERO exchanges (pinned); top-k is a TakeOrdered. The phrase
+    // df is a bounded 1-row stat collected from the SAME exchange-free
+    // probe shape (the q_index_search nd/at precedent) — deliberately
+    // NOT cached: the probe is a zero-exchange codegen pipeline over
+    // the bucketed scan, and the §8 lens rule says recomputation fused
+    // into codegen beats a materialization barrier when the lineage is
+    // this cheap (measured repeatedly, e.g. fuzzy_join 1.51→1.82 s
+    // WITH cache). Scoring reuses q_bm25/q_index_search's INTEGER
+    // discipline verbatim so both engines agree to the digit.
+    "q_phrase_rank" -> ((s, dir) => {
+      import s.implicits._
+      val idx = postingsIndex(s, dir)
+      val dl = idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
+      // probe phrase = top bigram, derived exchange-free from the index
+      // (lead over the bucketed (doc_id, pos) order) — 1-row bounded
+      // driver artifact standing in for a caller-supplied phrase
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val phraseRow = idx
+        .select(col("term"), lead(col("term"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(1)
+        .select(split(col("bigram"), " ").getItem(0).as("t1"),
+          split(col("bigram"), " ").getItem(1).as("t2"))
+        .collect()
+      // degenerate corpus: graceful empty, the index probes' contract
+      if (statsRow.isNullAt(1) || phraseRow.isEmpty)
+        Seq.empty[(Long, String, Long, Long)]
+          .toDF("doc_id", "phrase", "tf", "score")
+      else {
+        val (nd, at) = (statsRow.getLong(0), statsRow.getLong(1))
+        val (t1, t2) = (phraseRow(0).getString(0), phraseRow(0).getString(1))
+        def tfDf = {
+          val a = idx.filter(col("term") === t1)
+            .select(col("doc_id"), col("pos"))
+          val b = idx.filter(col("term") === t2)
+            .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+          a.join(b, col("doc_id") === col("doc_id2") &&
+              col("pos2") === col("pos") + 1)
+            .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+        }
+        // phrase document frequency: bounded 1-row stat (df ≤ nd); the
+        // recomputed probe below is the cheap zero-exchange pipeline
+        val dfp = tfDf.count()
+        val idfB = java.lang.Long.toBinaryString(
+          (2 * nd - 2 * dfp + 1) * 1048576L / (2 * dfp + 1)).length.toLong
+        tfDf.join(dl, "doc_id")
+          .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"), col("tf"),
+            expr(s"${idfB}L * (tf * 44 * ${at}L * 10000 div " +
+              s"(20 * ${at}L * tf + 6 * ${at}L + 18 * dl * ${nd}L))").as("score"))
+          .orderBy(col("score").desc, col("doc_id"))
+          .limit(10)
+      }
+    }),
+
     // Token-budget data selection — "fill half the corpus's token
     // budget with the highest-quality documents", the selection step
     // between scoring and mixing in a curation pipeline. The scale
@@ -1701,6 +1767,45 @@ object TextQueries {
         |  AS BIGINT) AS score
         |FROM f1 JOIN f2 USING (doc_id) JOIN d USING (doc_id)
         |CROSS JOIN tot CROSS JOIN q1 CROSS JOIN q2
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // phrase derivation shared with q_phrase_index's oracle; scoring is
+    // q_index_search's integer BM25 with the PHRASE's df as the IDF input
+    "q_phrase_rank" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) u(i)
+        |),
+        |big AS (
+        |  SELECT a.term || ' ' || b.term AS bigram, count(*) AS n
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1
+        |),
+        |top1 AS (
+        |  SELECT string_split(bigram, ' ')[1] AS t1,
+        |         string_split(bigram, ' ')[2] AS t2
+        |  FROM (SELECT bigram FROM big ORDER BY n DESC, bigram LIMIT 1)
+        |),
+        |f AS (
+        |  SELECT p1.doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks p1
+        |  JOIN top1 ON p1.term = t1
+        |  JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |              AND p2.term = t2
+        |  GROUP BY 1
+        |),
+        |d AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+        |tot AS (SELECT count(*) AS nd, CAST(sum(dl) AS BIGINT) AS at FROM d),
+        |dfp AS (SELECT count(*) AS df FROM f)
+        |SELECT f.doc_id, t1 || ' ' || t2 AS phrase, tf,
+        |  CAST(
+        |    CAST(length(bin((2*tot.nd - 2*dfp.df + 1) * 1048576 // (2*dfp.df + 1))) AS BIGINT)
+        |      * (tf * 44 * tot.at * 10000 //
+        |         (20 * tot.at * tf + 6 * tot.at + 18 * d.dl * tot.nd))
+        |  AS BIGINT) AS score
+        |FROM f JOIN d USING (doc_id)
+        |CROSS JOIN tot CROSS JOIN dfp CROSS JOIN top1
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_budget_select" ->

@@ -66,6 +66,25 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("phrase rank: tf agrees with the counting probe; scores rank-order") {
+    try {
+      val ranked = TextQueries.queries("q_phrase_rank")(spark, sf).collect()
+      val counted = TextQueries.queries("q_phrase_index")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getAs[Long]("n_occurrences")).toMap
+      assert(ranked.nonEmpty)
+      // same phrase, so each ranked doc's tf must equal its raw count
+      ranked.foreach { r =>
+        val (id, tf) = (r.getLong(0), r.getAs[Long]("tf"))
+        assert(counted.get(id).forall(_ == tf), s"doc $id tf $tf vs count")
+        assert(r.getAs[Long]("score") > 0L)
+      }
+      // BM25 length normalization is the point: scores must be
+      // non-increasing in output order, and not a pure tf order
+      val scores = ranked.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("budget select: degenerate (empty) corpus returns the empty frame") {
     // same graceful-empty contract as the index probes (r13 ADVICE):
     // null token sum / zero total must not throw in the driver-side

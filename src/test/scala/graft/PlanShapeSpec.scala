@@ -228,6 +228,22 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_phrase_rank: BM25 phrase probe — adjacency join, tf count and " +
+      "doc-length attach all ride the bucketed layout, zero exchanges") {
+    try {
+      val p = plan("q_phrase_rank", graft.queries.TextQueries.queries)
+      assert(p.contains("SelectedBucketsCount"),
+        s"probe must scan the bucketed postings table:\n$p")
+      assert(p.contains("EqualTo(term,"),
+        s"term lookups must push to the parquet scan:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 0,
+        s"the index probe must be exchange-free, got $hashEx:\n$p")
+      assert(p.contains("TakeOrderedAndProject"),
+        s"top-k must not global-sort:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_budget_select: returned plan is filter + source agg — the " +
       "cutoff never rides a corpus-wide window") {
     try {
