@@ -961,6 +961,63 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Cross-doc exact repeated-SPAN detection — the relational form of
+    // suffix-array exact-substring dedup (the "dedup training data at
+    // the substring level" pass published corpus work runs alongside
+    // near-dup): find every maximal token span that appears verbatim in
+    // MORE THAN ONE document, and report per doc how much of it is
+    // duplicated text. Where q_paragraph_dedup strips fixed 16-token
+    // chunks and q_repetition scores intra-doc repeats, this is
+    // position-exact and cross-doc: 5-token shingles WITH positions
+    // (doc-local HOF transform run once — the q_phrase_search rule),
+    // a shingle-keyed min/max aggregate whose min(doc_id) ≠ max(doc_id)
+    // is the EXACT cross-doc test (map-side combinable, never a
+    // count-distinct), a keep-set equi-join back to positions (bounded
+    // by the corpus's position count — each position joins at most
+    // once), then per-doc island merging: two repeated-shingle
+    // positions share a span iff their 5-token windows overlap or
+    // touch (gap ≤ 5), realized as the q_gaps_islands lag+running-sum
+    // shape over doc-bounded windows — flat at 100 TB. rep_toks is the
+    // exact size of the UNION of repeated windows (islands are
+    // disjoint by construction), so an exact copy measures cov_pm =
+    // 10000 (spec-pinned). At 100 TB the shingle key would be
+    // xxhash64(shingle) and the hottest boilerplate shingles would go
+    // through the q_containment df-cap drop-set; the string key here
+    // keeps the oracle byte-identical.
+    "q_span_dedup" -> ((s, dir) => {
+      val k = 5
+      val sh = Corpus.withDuplicates(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), size(col("w")).cast("bigint").as("n_toks"),
+          posexplode(expr(
+            s"""transform(slice(w, 1, greatest(size(w) - ${k - 1}, 0)),
+               |  (x, i) -> concat_ws(' ', x, element_at(w, i + 2),
+               |    element_at(w, i + 3), element_at(w, i + 4),
+               |    element_at(w, i + 5)))""".stripMargin))
+            .as(Seq("pos", "sh")))
+      val repeated = sh.groupBy("sh")
+        .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+        .filter(col("mn") =!= col("mx"))
+        .select("sh")
+      val w1 = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("pos")
+      sh.join(repeated, "sh")
+        .select("doc_id", "n_toks", "pos")
+        .withColumn("brk",
+          when(col("pos") - lag("pos", 1).over(w1) > k, 1L).otherwise(0L))
+        .withColumn("grp", sum("brk").over(w1))
+        .groupBy(col("doc_id"), col("n_toks"), col("grp"))
+        .agg(min("pos").as("sp"), max("pos").as("ep"))
+        .withColumn("span_toks", (col("ep") - col("sp") + k).cast("bigint"))
+        .groupBy("doc_id", "n_toks")
+        .agg(count(lit(1)).as("n_spans"),
+          max("span_toks").as("max_span_toks"),
+          sum("span_toks").as("rep_toks"))
+        .withColumn("cov_pm", expr("rep_toks * 10000 div n_toks"))
+        .select("doc_id", "n_spans", "max_span_toks", "rep_toks", "cov_pm")
+        .orderBy("doc_id")
+    }),
+
     "q_url_canonical" -> ((s, dir) => {
       val raw = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("source"))
@@ -1231,6 +1288,44 @@ object DedupQueries {
          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')) AS cleaned_hash
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // positions: DuckDB's generate_series is 1-based vs posexplode's
+    // 0-based — only position DIFFERENCES enter the result (island
+    // breaks and span lengths), so the outputs agree exactly
+    "q_span_dedup" ->
+      s"""WITH ${Corpus.corpusCte},
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |sh AS (
+         |  SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_toks, u.i AS pos,
+         |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' ||
+         |         ws[i+3] || ' ' || ws[i+4] AS sh
+         |  FROM w, unnest(generate_series(1, greatest(len(ws) - 4, 0))) u(i)
+         |),
+         |rep AS (
+         |  SELECT sh FROM (SELECT sh, min(doc_id) AS mn, max(doc_id) AS mx
+         |                  FROM sh GROUP BY sh)
+         |  WHERE mn <> mx
+         |),
+         |hits AS (SELECT s.doc_id, s.n_toks, s.pos FROM sh s JOIN rep USING (sh)),
+         |g AS (
+         |  SELECT doc_id, n_toks, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 5
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM hits
+         |),
+         |isl AS (
+         |  SELECT doc_id, n_toks, pos,
+         |         sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+         |           ROWS UNBOUNDED PRECEDING) AS grp
+         |  FROM g
+         |),
+         |sp AS (SELECT doc_id, n_toks, grp, min(pos) AS s, max(pos) AS e
+         |       FROM isl GROUP BY 1, 2, 3)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans,
+         |       CAST(max(e - s + 5) AS BIGINT) AS max_span_toks,
+         |       CAST(sum(e - s + 5) AS BIGINT) AS rep_toks,
+         |       CAST(sum(e - s + 5) * 10000 // n_toks AS BIGINT) AS cov_pm
+         |FROM sp GROUP BY doc_id, n_toks ORDER BY doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH ${Corpus.corpusCte},

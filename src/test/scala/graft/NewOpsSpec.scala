@@ -101,6 +101,28 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("span dedup: exact copies are fully covered; spans are disjoint unions") {
+    val rows = DedupQueries.queries("q_span_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // injected exact copies (doc_id + 2,000,000) repeat every 5-gram of
+    // their source, so coverage must be the whole doc — cov_pm = 10000
+    val copies = byId.keys.filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      assert(byId(id).getAs[Long]("cov_pm") == 10000L,
+        s"exact copy $id covered ${byId(id).getAs[Long]("cov_pm")}")
+    }
+    // islands are disjoint by construction: the union never exceeds
+    // the doc (cov_pm ≤ 10000), the longest span never exceeds the
+    // union, and every reported doc has at least one span
+    rows.foreach { r =>
+      val (rep, mx) = (r.getAs[Long]("rep_toks"), r.getAs[Long]("max_span_toks"))
+      assert(mx >= 5L && mx <= rep && r.getAs[Long]("n_spans") >= 1L)
+      assert(r.getAs[Long]("cov_pm") <= 10000L)
+    }
+  }
+
   test("paragraph dedup: exact copies lose every chunk, originals keep all") {
     val rows = DedupQueries.queries("q_paragraph_dedup")(spark, sf).collect()
     val byId = rows.map(r => r.getLong(0) ->

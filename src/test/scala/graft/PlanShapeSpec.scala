@@ -259,6 +259,22 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_span_dedup: shingle-keyed equi-join back, doc-bounded windows, " +
+      "never a product") {
+    val p = plan("q_span_dedup", graft.queries.DedupQueries.queries)
+    // the cross-doc test is min≠max on the shingle key (map-side
+    // combinable), and the join back to positions is an equi-join on
+    // the same key — never a doc product, never a count-distinct
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span detection must equi-join on the shingle:\n$p")
+    assert(!p.toLowerCase.contains("distinct"),
+      s"cross-doc test must be min/max, not count-distinct:\n$p")
+    // exchanges: shingle key (groupBy + join-back may reuse), doc_id
+    // windows, final doc agg — a handful, all key-bounded
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 4, s"expected ≤4 hash exchanges, got $hashEx:\n$p")
+  }
+
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
     val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
