@@ -961,6 +961,41 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // Quality-aware survivor selection — the dedup policy knob
+    // q_dedup_exact/q_dedup_remap deliberately fix at "min doc_id":
+    // real curation keeps the BEST member of a near-dup cluster, here
+    // the MOST COMPLETE one (token count — near-dup clusters routinely
+    // contain truncated variants of the same page; any integer quality
+    // score plugs into the same ord). Cluster key = md5 of the first
+    // 30 tokens (prefix fingerprint — the crawl-dedup blocking that
+    // catches tail-truncated/extended variants exact hashing misses;
+    // the withDuplicates near-copies share their base's prefix, so the
+    // selection is demonstrably NOT min-id: the longer +1M variant
+    // wins its cluster, spec-pinned). The scale design point is the
+    // SHAPE: survivor = max_by(doc_id, ord) with ord packing
+    // (quality, -doc_id) into one BIGINT — a single map-side
+    // combinable aggregate on the cluster key. ONE exchange, no
+    // per-cluster window, no survivor join-back; ties (exact copies)
+    // break to the smallest doc_id deterministically via the packed
+    // ord. Contrast q_dedup_remap, which ships the remap table and
+    // pays the join back.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      Corpus.withDuplicates(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"),
+          md5(expr("concat_ws(' ', slice(w, 1, 30))")).as("prefix_key"),
+          size(col("w")).cast("bigint").as("toks"))
+        .withColumn("ord",
+          expr("toks * 10000000000L + (9999999999L - doc_id)"))
+        .groupBy("prefix_key")
+        .agg(count(lit(1)).as("n_members"),
+          expr("max_by(doc_id, ord)").as("survivor_id"),
+          max("toks").as("survivor_toks"),
+          min("toks").as("min_toks"))
+        .filter(col("n_members") >= 2)
+        .orderBy("prefix_key")
+    }),
+
     // Cross-doc exact repeated-SPAN detection — the relational form of
     // suffix-array exact-substring dedup (the "dedup training data at
     // the substring level" pass published corpus work runs alongside
@@ -1288,6 +1323,23 @@ object DedupQueries {
          |       CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
          |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')) AS cleaned_hash
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      s"""WITH ${Corpus.corpusCte},
+         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+         |sc AS (
+         |  SELECT doc_id,
+         |         md5(array_to_string(list_slice(ws, 1, 30), ' ')) AS prefix_key,
+         |         CAST(len(ws) AS BIGINT) AS toks
+         |  FROM w
+         |),
+         |o AS (SELECT *, toks * 10000000000 + (9999999999 - doc_id) AS ord FROM sc)
+         |SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_members,
+         |       max_by(doc_id, ord) AS survivor_id,
+         |       CAST(max(toks) AS BIGINT) AS survivor_toks,
+         |       CAST(min(toks) AS BIGINT) AS min_toks
+         |FROM o GROUP BY prefix_key HAVING count(*) >= 2
+         |ORDER BY prefix_key""".stripMargin,
 
     // positions: DuckDB's generate_series is 1-based vs posexplode's
     // 0-based — only position DIFFERENCES enter the result (island

@@ -101,6 +101,22 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("keep-best survivor: longest member wins, ties break to min id") {
+    val rows = DedupQueries.queries("q_dedup_keep_best")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("survivor_toks") >= r.getAs[Long]("min_toks"))
+      assert(r.getAs[Long]("n_members") >= 2L)
+    }
+    // the +1M near-copies extend their base's text, so clusters where a
+    // near-copy is the longest member must elect it — the policy is
+    // demonstrably NOT min-id (base docs can also share a prefix and
+    // win on length; that's fine, but at least one near-copy must win)
+    assert(rows.exists { r =>
+      val s = r.getAs[Long]("survivor_id"); s >= 1000000L && s < 2000000L
+    }, "fixture must demonstrate a near-copy (non-min-id) survivor")
+  }
+
   test("span dedup: exact copies are fully covered; spans are disjoint unions") {
     val rows = DedupQueries.queries("q_span_dedup")(spark, sf).collect()
     assert(rows.nonEmpty)
