@@ -177,7 +177,18 @@ object Bench {
     val baseOrder = selected.toSeq.sortBy(_._1)
     val canaryEvery = 20
     val canaryDf = spark.range(4000000).selectExpr("sum(id * 3 + 1) as s")
-    def canaryTime(): Double = {
+    // Each canary sample is the MIN of two back-to-back collects (r13
+    // candidate #2): at 10×/20× fixtures the run's OWN GC debt lands on
+    // the first post-query canary collect — three clean-dispersion 20×
+    // runs all self-flagged via canary p90 ≈ 1.9 over a flat IO canary,
+    // and a 16 GiB-heap control reproduced it, so it was allocation
+    // debt, not machine load. The first collect pays any accumulated
+    // collector debt; the second measures the machine; min keeps the
+    // canary a MACHINE-load index at every fixture scale. Sustained
+    // external load inflates both collects and still flags (the r12
+    // driver run measured 3.06 sustained).
+    def minOf2(one: () => Double): Double = math.min(one(), one())
+    def canaryTime(): Double = minOf2 { () =>
       val t0 = System.nanoTime()
       canaryDf.collect()
       (System.nanoTime() - t0) / 1e9
@@ -191,7 +202,7 @@ object Bench {
     // the file (parquet scans are not cached).
     val ioCanaryDf = spark.read.parquet(s"$sfDir/nation.parquet")
       .selectExpr("sum(n_nationkey) as s")
-    def ioCanaryTime(): Double = {
+    def ioCanaryTime(): Double = minOf2 { () =>
       val t0 = System.nanoTime()
       ioCanaryDf.collect()
       (System.nanoTime() - t0) / 1e9
