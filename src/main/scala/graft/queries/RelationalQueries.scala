@@ -227,6 +227,68 @@ object RelationalQueries {
         .orderBy("mon")
     }),
 
+    // KMV sketch ALGEBRA — estimate the content overlap (Jaccard +
+    // intersection cardinality) between every pair of feeds from the
+    // per-feed sketches ALONE, never joining the corpora (the Beyer et
+    // al. KMV set-operation estimator). This is what q_source_overlap's
+    // exact hash join costs too much for at 100 TB: per-feed k-minima
+    // are tiny, map-side combined, and UNION-MERGEABLE (k smallest of
+    // the concatenated minima = the union's sketch), so pairwise
+    // overlap of S feeds is S sketch rows crossed — bounded driver-side
+    // algebra — instead of S² corpus joins. J ≈ |us ∩ mA ∩ mB| / |us|
+    // over the union sketch us; |A∩B| ≈ J · Û where Û is the union's
+    // KMV estimate ((k−1)/h_k, or the exact member count while the
+    // sketch is unsaturated — both engines take the same CASE). k = 16
+    // so the sketches genuinely extrapolate at every fixture scale
+    // (per-feed cardinality exceeds k even at sf0.001); the exact
+    // shared count rides along as the yardstick, fixture-affordable
+    // only. Feeds reuse the q_source_overlap re-crawl fixture
+    // ("<source>-rc" over doc_id % 4 = 0) so real overlap exists. The
+    // hashed frame is cached: three consumers (sketch agg, exact-side
+    // distinct, exact pair join) need three DIFFERENT exchanges — the
+    // §8 rule's paying case.
+    "q_kmv_intersect" -> ((s, dir) => {
+      val k = 16
+      val base = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"), col("text"))
+      val all = base.unionByName(base.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"), concat(col("source"), lit("-rc")).as("source"),
+          col("text")))
+      val hashed = all.select(col("source"),
+          (conv(substring(md5(col("text")), 1, 8), 16, 10).cast("double")
+            / 4294967296.0).as("h"))
+        .transform(QueryCaches.cache(_))
+      val kmv = udaf(new graft.functions.KmvAgg(k),
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Double]())
+      val sk = hashed.groupBy("source").agg(kmv(col("h")).as("m"))
+      // bounded sketch×sketch cross (≤ S² rows of k-double arrays — the
+      // codebook precedent); all set algebra is codegen'd array ops
+      val pairs = sk.select(col("source").as("src_a"), col("m").as("ma"))
+        .crossJoin(broadcast(sk.select(col("source").as("src_b"), col("m").as("mb"))))
+        .filter(col("src_a") < col("src_b"))
+        .withColumn("us", expr(s"slice(array_sort(array_union(ma, mb)), 1, $k)"))
+        .withColumn("k_used", size(col("us")).cast("bigint"))
+        .withColumn("hk", element_at(col("us"), -1))
+        .withColumn("union_est", expr(
+          s"CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE) " +
+            "ELSE (k_used - 1) / hk END"))
+        .withColumn("n_both",
+          size(expr("array_intersect(array_intersect(us, ma), mb)")).cast("bigint"))
+        .withColumn("j_raw", col("n_both").cast("double") / col("k_used"))
+      val dh = hashed.distinct()
+      val ex = dh.select(col("source").as("src_a"), col("h"))
+        .join(dh.select(col("source").as("src_b"), col("h")), "h")
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(countDistinct(col("h")).as("n_shared_exact"))
+      pairs.join(ex, Seq("src_a", "src_b"), "left")
+        .select(col("src_a"), col("src_b"), col("k_used"),
+          round(col("j_raw"), 4).as("j_est"),
+          round(col("j_raw") * col("union_est"), 2).as("inter_est"),
+          coalesce(col("n_shared_exact"), lit(0L)).as("n_shared_exact"))
+        .orderBy("src_a", "src_b")
+    }),
+
     // MERGE/upsert semantics — the table-maintenance primitive every
     // curated dataset needs (apply a change feed of inserts, updates,
     // and deletes to a base table). Spark has no MERGE INTO against
@@ -1429,6 +1491,74 @@ object RelationalQueries {
          |       round((m.k_used - 1) * 1.0 / m.hk, 2) AS n_estimate,
          |       round(abs((m.k_used - 1) * 1.0 / m.hk - e.n_exact) / e.n_exact, 4) AS rel_error
          |FROM mins m JOIN ex e ON m.mon = e.mon ORDER BY m.mon""".stripMargin
+    },
+
+    "q_kmv_intersect" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val hexSum = (1 to 8).map { i =>
+        val mult = math.pow(16, 8 - i).toLong
+        s"CAST(${hv(s"substr(md5(text), $i, 1)")} AS BIGINT) * $mult"
+      }.mkString(" + ")
+      s"""WITH feed AS (
+         |  SELECT source, text FROM documents
+         |  UNION ALL
+         |  SELECT source || '-rc', text FROM documents WHERE doc_id % 4 = 0
+         |),
+         |hs AS (SELECT DISTINCT source, ($hexSum) / 4294967296.0 AS h FROM feed),
+         |mins AS (
+         |  SELECT source, h FROM (
+         |    SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+         |    FROM hs)
+         |  WHERE rn <= 16
+         |),
+         |pairs AS (
+         |  SELECT a.source AS src_a, b.source AS src_b
+         |  FROM (SELECT DISTINCT source FROM feed) a
+         |  JOIN (SELECT DISTINCT source FROM feed) b ON a.source < b.source
+         |),
+         |uni AS (
+         |  SELECT p.src_a, p.src_b, m.h
+         |  FROM pairs p JOIN mins m ON m.source IN (p.src_a, p.src_b)
+         |  GROUP BY 1, 2, 3
+         |),
+         |us AS (
+         |  SELECT src_a, src_b, h,
+         |         row_number() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+         |  FROM uni
+         |),
+         |usk AS (
+         |  SELECT src_a, src_b, count(*) AS k_used, max(h) AS hk
+         |  FROM us WHERE rn <= 16 GROUP BY 1, 2
+         |),
+         |nb AS (
+         |  SELECT u.src_a, u.src_b, count(*) AS n_both
+         |  FROM us u
+         |  JOIN mins m1 ON m1.source = u.src_a AND m1.h = u.h
+         |  JOIN mins m2 ON m2.source = u.src_b AND m2.h = u.h
+         |  WHERE u.rn <= 16
+         |  GROUP BY 1, 2
+         |),
+         |ex AS (
+         |  SELECT a.source AS src_a, b.source AS src_b,
+         |         count(DISTINCT a.h) AS n_shared_exact
+         |  FROM hs a JOIN hs b ON a.h = b.h AND a.source < b.source
+         |  GROUP BY 1, 2
+         |)
+         |SELECT p.src_a, p.src_b, CAST(k.k_used AS BIGINT) AS k_used,
+         |  round(COALESCE(n.n_both, 0) * 1.0 / k.k_used, 4) AS j_est,
+         |  round((COALESCE(n.n_both, 0) * 1.0 / k.k_used) *
+         |        (CASE WHEN k.k_used < 16 THEN k.k_used * 1.0
+         |              ELSE (k.k_used - 1) / k.hk END), 2) AS inter_est,
+         |  CAST(COALESCE(e.n_shared_exact, 0) AS BIGINT) AS n_shared_exact
+         |FROM pairs p
+         |JOIN usk k USING (src_a, src_b)
+         |LEFT JOIN nb n USING (src_a, src_b)
+         |LEFT JOIN ex e USING (src_a, src_b)
+         |ORDER BY src_a, src_b""".stripMargin
     },
 
     "q_table_checksum" -> {

@@ -101,6 +101,27 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("kmv intersect: estimates are bounded and the rc feeds overlap") {
+    try {
+      val rows = RelationalQueries.queries("q_kmv_intersect")(spark, sf).collect()
+      assert(rows.nonEmpty)
+      rows.foreach { r =>
+        val j = r.getAs[Double]("j_est")
+        assert(j >= 0.0 && j <= 1.0)
+        assert(r.getAs[Double]("inter_est") >= 0.0)
+        assert(r.getAs[Long]("k_used") >= 1L && r.getAs[Long]("k_used") <= 16L)
+      }
+      // a re-crawl feed is a strict subset of its base source, so the
+      // exact overlap is positive and the sketch detects at least some
+      // of the rc pairs (rc minima are base hashes by construction)
+      val rc = rows.filter(r => r.getString(1) == r.getString(0) + "-rc")
+      assert(rc.nonEmpty)
+      assert(rc.forall(_.getAs[Long]("n_shared_exact") > 0L))
+      assert(rc.exists(_.getAs[Double]("j_est") > 0.0),
+        "sketch must detect overlap on at least one rc pair")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("keep-best survivor: longest member wins, ties break to min id") {
     val rows = DedupQueries.queries("q_dedup_keep_best")(spark, sf).collect()
     assert(rows.nonEmpty)
