@@ -1112,6 +1112,40 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Model-based quality scoring — the classifier-inference step of a
+    // FineWeb/CCNet-style pipeline (a trained linear model scores every
+    // document; the corpus keeps what clears the threshold). The scale
+    // shape is the point: the model is a BOUNDED weights table (one row
+    // per hashed feature bucket — here 256, a real fastText-style
+    // model's a few million, still broadcastable), inference is
+    // explode → bucket-hash → broadcast join → ONE partially-aggregated
+    // per-doc sum. No vocabulary shuffle, no per-doc UDF — scoring
+    // 100 TB is a map-side join plus a doc_id-keyed hash aggregate.
+    // Weights are a deterministic stub standing in for trained
+    // parameters (the multimodal deterministic-fake precedent),
+    // deliberately NON-NEGATIVE (0..200): score_pm = wsum·10⁴ div
+    // n_toks must divide identically in both engines, and Spark's
+    // `div` truncates toward zero while DuckDB's `//` floors — they
+    // agree only on non-negative operands. Threshold = the weight
+    // mean's per-myriad (10⁶), so `kept` splits the corpus
+    // nontrivially.
+    "q_classifier_score" -> ((s, dir) => {
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (col("id") * 37 % 201).as("w"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+        .withColumn("score_pm", expr("wsum * 10000 div n_toks"))
+        .withColumn("kept", col("score_pm") >= 1000000L)
+        .select("doc_id", "n_toks", "score_pm", "kept")
+        .orderBy("doc_id")
+    }),
+
     // Vocabulary growth curve (Heaps' law): distinct-vocabulary size
     // after 10% / 50% / 100% of the corpus, in doc-id order — the
     // measurement behind "how much NEW vocabulary does more data buy"
@@ -1430,6 +1464,31 @@ object TextQueries {
          |bk AS (SELECT doc_id, $hv % 16 AS bucket FROM tk)
          |SELECT doc_id, count(*) AS n_tokens, $cells AS fv
          |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_classifier_score" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      // value of first FOUR hex chars % 256 ≡ value of chars 3–4 (the
+      // 256s digits vanish mod 256)
+      val bucket = s"(${hv("substr(md5(t.tok), 3, 1)")} * 16 + " +
+        s"${hv("substr(md5(t.tok), 4, 1)")})"
+      s"""WITH wts AS (
+         |  SELECT i AS bucket, (i * 37) % 201 AS w
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
+         |),
+         |bk AS (
+         |  SELECT doc_id, $bucket AS bucket
+         |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+         |)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         |       CAST(sum(w) * 10000 // count(*) AS BIGINT) AS score_pm,
+         |       sum(w) * 10000 // count(*) >= 1000000 AS kept
+         |FROM bk JOIN wts USING (bucket)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
     "q_vocab_growth" ->

@@ -101,6 +101,21 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("classifier score: threshold splits the corpus nontrivially") {
+    val rows = TextQueries.queries("q_classifier_score")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val kept = rows.count(_.getAs[Boolean]("kept"))
+    // weights average ~100 so scores concentrate around 10⁶; a fixture
+    // where the threshold keeps everything (or nothing) would mean the
+    // decision column is dead weight
+    assert(kept > 0 && kept < rows.length,
+      s"kept $kept of ${rows.length} — threshold must discriminate")
+    rows.foreach { r =>
+      val sc = r.getAs[Long]("score_pm")
+      assert(sc >= 0L && sc <= 2000000L, s"score $sc outside weight range")
+    }
+  }
+
   test("kmv intersect: estimates are bounded and the rc feeds overlap") {
     try {
       val rows = RelationalQueries.queries("q_kmv_intersect")(spark, sf).collect()

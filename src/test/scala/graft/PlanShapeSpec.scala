@@ -259,6 +259,18 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_classifier_score: weights broadcast under the token stream; " +
+      "one doc-keyed aggregate") {
+    val p = plan("q_classifier_score", graft.queries.TextQueries.queries)
+    // inference must be a map-side broadcast join (the model is the
+    // bounded side) + one partially-aggregated per-doc sum — never a
+    // weights shuffle
+    assert(p.contains("BroadcastHashJoin"),
+      s"weights table must broadcast:\n$p")
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 1, s"expected ≤1 hash exchange (doc agg), got $hashEx:\n$p")
+  }
+
   test("q_span_dedup: shingle-keyed equi-join back, doc-bounded windows, " +
       "never a product") {
     val p = plan("q_span_dedup", graft.queries.DedupQueries.queries)
