@@ -1112,6 +1112,52 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Zipf-exponent fit over the corpus's BIGRAM-frequency distribution
+    // — the corpus-statistics check behind tokenizer sizing and
+    // quality monitoring (a crawl slice whose slope drifts is
+    // boilerplate- or spam-heavy). Bigrams, not unigrams: the fixture
+    // generator draws from a closed 31-token vocabulary, so the
+    // unigram histogram is a degenerate 2 levels (measured), while
+    // bigram counts span 5–6 — the statistic needs a vocabulary that
+    // GROWS with data, which is also true of real tokenized corpora.
+    // The scale discipline is q_budget_select's bounded histogram
+    // applied to a REGRESSION: never rank the vocabulary globally (a
+    // vocab-wide window is 100M+ rows at 100 TB) — bucket frequencies
+    // by floor-log2 (≤ 64 levels by construction), take the cumulative
+    // grams-with-count≥2^ℓ curve over that bounded frame, and fit
+    // log2–log2 least squares on ≤ 64 points. Under a power law the
+    // curve is linear with slope −1/s. Every input to the fit is
+    // INTEGER (floor-log2 via bin() bit-length on both engines — the
+    // q_bm25 IDF discipline), so the only floating-point step is the
+    // final slope division: bit-identical across engines, rounded once.
+    "q_zipf_fit" -> ((s, dir) => {
+      val tf = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+            |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))""".stripMargin))
+          .as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+        .transform(QueryCaches.cache(_)) // histogram + vocab count
+      val hist = tf.groupBy(expr("CAST(length(bin(c)) - 1 AS BIGINT)").as("lvl"))
+        .agg(count(lit(1)).as("n"))
+      // ≤64-row frame: the single-partition window is bounded by the
+      // log2 domain, not by the data
+      val wl = Window.orderBy(col("lvl").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val pts = hist.withColumn("cum", sum("n").over(wl))
+        .select(col("lvl").as("x"),
+          expr("CAST(length(bin(cum)) - 1 AS BIGINT)").as("y"))
+      val fit = pts.agg(count(lit(1)).as("m"), sum("x").as("sx"),
+        sum("y").as("sy"), sum(expr("x * y")).as("sxy"),
+        sum(expr("x * x")).as("sxx"))
+      tf.agg(count(lit(1)).as("n_vocab"))
+        .crossJoin(broadcast(fit))
+        .select(col("n_vocab"), col("m").as("n_levels"),
+          round((col("m") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("m") * col("sxx") - col("sx") * col("sx")), 4).as("slope"))
+    }),
+
     // Model-based quality scoring — the classifier-inference step of a
     // FineWeb/CCNet-style pipeline (a trained linear model scores every
     // document; the corpus keeps what clears the threshold). The scale
@@ -1465,6 +1511,34 @@ object TextQueries {
          |SELECT doc_id, count(*) AS n_tokens, $cells AS fv
          |FROM bk GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q_zipf_fit" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |tf AS (
+        |  SELECT tok, count(*) AS c
+        |  FROM (SELECT ws[i] || ' ' || ws[i+1] AS tok
+        |        FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) u(i))
+        |  GROUP BY tok
+        |),
+        |hist AS (
+        |  SELECT CAST(length(bin(c)) - 1 AS BIGINT) AS lvl, count(*) AS n
+        |  FROM tf GROUP BY 1
+        |),
+        |pts AS (
+        |  SELECT lvl AS x, CAST(length(bin(cum)) - 1 AS BIGINT) AS y
+        |  FROM (SELECT lvl, sum(n) OVER (ORDER BY lvl DESC
+        |          ROWS UNBOUNDED PRECEDING) AS cum FROM hist)
+        |),
+        |fit AS (
+        |  SELECT count(*) AS m, CAST(sum(x) AS BIGINT) AS sx,
+        |         CAST(sum(y) AS BIGINT) AS sy,
+        |         CAST(sum(x * y) AS BIGINT) AS sxy,
+        |         CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM pts
+        |)
+        |SELECT (SELECT count(*) FROM tf) AS n_vocab, m AS n_levels,
+        |       round((m * sxy - sx * sy) * 1.0 / (m * sxx - sx * sx), 4) AS slope
+        |FROM fit""".stripMargin,
 
     "q_classifier_score" -> {
       val hv: String => String = c =>

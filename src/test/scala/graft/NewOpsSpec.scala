@@ -101,6 +101,18 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("zipf fit: negative slope over a non-degenerate level histogram") {
+    try {
+      val r = TextQueries.queries("q_zipf_fit")(spark, sf).collect()
+      assert(r.length == 1)
+      assert(r(0).getAs[Long]("n_vocab") > 100L)
+      assert(r(0).getAs[Long]("n_levels") >= 3L,
+        "bigram counts must span several log2 levels or the fit is degenerate")
+      assert(r(0).getAs[Double]("slope") < 0.0,
+        "more-frequent grams are rarer: the cumulative curve must fall")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("classifier score: threshold splits the corpus nontrivially") {
     val rows = TextQueries.queries("q_classifier_score")(spark, sf).collect()
     assert(rows.nonEmpty)
