@@ -751,6 +751,77 @@ object TextQueries {
       }
     }),
 
+    // Incremental index maintenance — the MAIN + DELTA serving pattern
+    // (Lucene segments, LSM trees): new documents must be searchable
+    // without re-tokenizing or rewriting the 90% base segment. Base =
+    // docs with doc_id % 10 ≠ 7, written ONCE as its own
+    // doc_id-bucketed postings table (separate write-once guard key
+    // from graft_idx_postings — the two layouts must not alias); delta
+    // = the remaining docs tokenized inline at probe time (the
+    // not-yet-compacted segment). The scale point is WHERE the probe
+    // runs: a doc lives in exactly ONE segment, so the phrase probe
+    // runs PER SEGMENT and the per-doc results union — the base keeps
+    // its zero-exchange bucketed probe, and the delta pays a shuffle
+    // proportional to DELTA size only. Probing the union of the raw
+    // postings instead would re-shuffle the whole base (the union
+    // erases the bucketed partitioning) — the design this query exists
+    // to rule out, pinned in PlanShapeSpec via the exchange budget.
+    // The probe phrase derives from the BASE segment (at serving time
+    // the lexicon predates the delta); oracle = the same derivation in
+    // SQL with counts over the full corpus.
+    "q_index_incremental" -> ((s, dir) => {
+      import s.implicits._
+      BucketedTables.ensure(s, Seq("graft_idx_postings_base"),
+          "spark.graft.idxbase.writtenDir", dir) {
+        s.read.parquet(s"$dir/documents.parquet")
+          .filter(col("doc_id") % 10 =!= 7)
+          .select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite")
+          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
+          .saveAsTable("graft_idx_postings_base")
+      }
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val baseIdx = s.table("graft_idx_postings_base")
+      val delta = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val phraseRow = baseIdx
+        .select(col("term"), lead(col("term"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(1)
+        .select(split(col("bigram"), " ").getItem(0).as("t1"),
+          split(col("bigram"), " ").getItem(1).as("t2"))
+        .collect()
+      if (phraseRow.isEmpty)
+        Seq.empty[(Long, String, Long)].toDF("doc_id", "phrase", "n_occurrences")
+      else {
+        val (t1, t2) = (phraseRow(0).getString(0), phraseRow(0).getString(1))
+        def probe(seg: DataFrame) = {
+          val a = seg.filter(col("term") === t1)
+            .select(col("doc_id"), col("pos"))
+          val b = seg.filter(col("term") === t2)
+            .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+          a.join(b, col("doc_id") === col("doc_id2") &&
+              col("pos2") === col("pos") + 1)
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_occurrences"))
+        }
+        probe(baseIdx)
+          .unionByName(probe(delta))
+          .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
+            col("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("doc_id"))
+          .limit(20)
+      }
+    }),
+
     // Token-budget data selection — "fill half the corpus's token
     // budget with the highest-quality documents", the selection step
     // between scoring and mixing in a curation pipeline. The scale
@@ -1940,6 +2011,34 @@ object TextQueries {
         |FROM f JOIN d USING (doc_id)
         |CROSS JOIN tot CROSS JOIN dfp CROSS JOIN top1
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // phrase derives from the BASE segment (doc_id % 10 <> 7) — the
+    // serving-time lexicon predates the delta; counts cover the full
+    // corpus through both segments
+    "q_index_incremental" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) u(i)
+        |),
+        |btoks AS (SELECT * FROM toks WHERE doc_id % 10 <> 7),
+        |big AS (
+        |  SELECT a.term || ' ' || b.term AS bigram, count(*) AS n
+        |  FROM btoks a JOIN btoks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1
+        |),
+        |top1 AS (
+        |  SELECT string_split(bigram, ' ')[1] AS t1,
+        |         string_split(bigram, ' ')[2] AS t2
+        |  FROM (SELECT bigram FROM big ORDER BY n DESC, bigram LIMIT 1)
+        |)
+        |SELECT p1.doc_id, t1 || ' ' || t2 AS phrase,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM toks p1
+        |JOIN top1 ON p1.term = t1
+        |JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |            AND p2.term = t2
+        |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
 
     "q_budget_select" ->
       s"""WITH d AS (

@@ -101,6 +101,28 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("incremental index: segment-union probe equals a direct full-corpus count") {
+    try {
+      val inc = TextQueries.queries("q_index_incremental")(spark, sf).collect()
+      assert(inc.nonEmpty)
+      val phrase = inc.head.getAs[String]("phrase")
+      // reference: doc-local bigram filter over the WHOLE corpus — the
+      // main+delta split must be invisible in the answer
+      import org.apache.spark.sql.functions._
+      val expected = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+            |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))""".stripMargin)).as("bg"))
+        .filter(col("bg") === phrase)
+        .groupBy("doc_id").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("doc_id")).limit(20)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val got = inc.map(r => (r.getLong(0), r.getAs[Long]("n_occurrences"))).toSeq
+      assert(got == expected, s"segment union diverged:\n$got\nvs\n$expected")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("zipf fit: negative slope over a non-degenerate level histogram") {
     try {
       val r = TextQueries.queries("q_zipf_fit")(spark, sf).collect()

@@ -244,6 +244,25 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_index_incremental: base segment probes exchange-free; only the " +
+      "delta pays shuffles") {
+    try {
+      val p = plan("q_index_incremental", graft.queries.TextQueries.queries)
+      // the base side must come from the bucketed segment with pushed
+      // term filters; the union must NOT erase its partitioning by
+      // probing a merged postings stream — the only hash exchanges
+      // allowed are the delta probe's (join + agg, ReuseExchange
+      // typically collapses the join sides)
+      assert(p.contains("SelectedBucketsCount"),
+        s"base probe must scan the bucketed segment:\n$p")
+      assert(p.contains("EqualTo(term,"),
+        s"term lookups must push to the parquet scan:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx <= 3,
+        s"only the delta probe may shuffle (≤3 exchanges), got $hashEx:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_budget_select: returned plan is filter + source agg — the " +
       "cutoff never rides a corpus-wide window") {
     try {
