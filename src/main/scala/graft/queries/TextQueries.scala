@@ -646,6 +646,13 @@ object TextQueries {
     "q_index_search" -> ((s, dir) => {
       import s.implicits._
       val idx = postingsIndex(s, dir)
+      // dl is consumed twice (1-row stats reduce + final join) but NOT
+      // cached — measured r14, 5-pass mini-suite minima: cache 0.490 vs
+      // 0.477 s at sf0.1, 0.918 vs 0.927 isolated at the 10× fixture —
+      // parity both ways; the exchange-free codegen agg over the
+      // bucketed scan recomputes cheaper than a materialization
+      // barrier (the §8 rule). The 10× full-suite 4.55 s row is a cold
+      // single-pass artifact: isolated steady-state is 0.93 s.
       val dl = idx.groupBy("doc_id").agg(count(lit(1)).as("dl"))
       val statsRow = dl.agg(count(lit(1)), sum(col("dl"))).collect()(0)
       val top2 = idx.groupBy("term")
