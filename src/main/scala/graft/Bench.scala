@@ -21,7 +21,8 @@ object Bench {
     "q_mix_sample", "q_semantic_cluster", "q_fuzzy_join",
     "q_runtime_filter", "q_passage_overlap", "q_split_leakage",
     "q_ann_ivf_probe2", "q_skew_join_aqe", "q_scalar_subquery",
-    "q_containment", "q_pipeline_e2e")
+    "q_containment", "q_pipeline_e2e",
+    "q_span_dedup", "q_phrase_rank", "q_kmv_intersect")
 
   /** The committed-base fixture dir; full runs anywhere else write an
     * sf-suffixed detail file instead of the base (see detailName).
