@@ -48,6 +48,36 @@ object TextQueries {
     s.table("graft_idx_postings")
   }
 
+  /** Base (90%, doc_id % 10 ≠ 7) segment of the main+delta index pair
+    * shared by q_index_incremental and q_index_compact — ONE builder
+    * on purpose (the r13 copy-paste lesson: duplicated write recipes
+    * behind one guard key drift). Own guard key, so this layout can
+    * never alias graft_idx_postings.
+    */
+  private def basePostingsIndex(s: SparkSession, dir: String): DataFrame = {
+    BucketedTables.ensure(s, Seq("graft_idx_postings_base"),
+        "spark.graft.idxbase.writtenDir", dir) {
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+        .repartition(8, col("doc_id"))
+        .write.mode("overwrite")
+        .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
+        .saveAsTable("graft_idx_postings_base")
+    }
+    QueryCaches.scopedConf(s,
+      "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+    s.table("graft_idx_postings_base")
+  }
+
+  /** The not-yet-compacted 10% segment, tokenized inline. */
+  private def deltaPostings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 10 === 7)
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+
   private def toks(c: String) = s"split($c, ' ')"
 
   /** count of tokens equal to the literal `w` (codegen'd lambda). */
@@ -778,24 +808,8 @@ object TextQueries {
     // SQL with counts over the full corpus.
     "q_index_incremental" -> ((s, dir) => {
       import s.implicits._
-      BucketedTables.ensure(s, Seq("graft_idx_postings_base"),
-          "spark.graft.idxbase.writtenDir", dir) {
-        s.read.parquet(s"$dir/documents.parquet")
-          .filter(col("doc_id") % 10 =!= 7)
-          .select(col("doc_id"),
-            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
-          .repartition(8, col("doc_id"))
-          .write.mode("overwrite")
-          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
-          .saveAsTable("graft_idx_postings_base")
-      }
-      QueryCaches.scopedConf(s,
-        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
-      val baseIdx = s.table("graft_idx_postings_base")
-      val delta = s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") % 10 === 7)
-        .select(col("doc_id"),
-          posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+      val baseIdx = basePostingsIndex(s, dir)
+      val delta = deltaPostings(s, dir)
       val w = Window.partitionBy("doc_id").orderBy("pos")
       val phraseRow = baseIdx
         .select(col("term"), lead(col("term"), 1).over(w).as("nxt"))
@@ -822,6 +836,64 @@ object TextQueries {
         }
         probe(baseIdx)
           .unionByName(probe(delta))
+          .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
+            col("n_occurrences"))
+          .orderBy(col("n_occurrences").desc, col("doc_id"))
+          .limit(20)
+      }
+    }),
+
+    // Index COMPACTION — the merge step that completes the LSM story
+    // (base → delta-serve → compact): the base segment and the delta
+    // merge into a new bucketed GENERATION, after which probes run
+    // exchange-free on the full corpus again and the delta's
+    // probe-time shuffle tax is gone. The merge cost profile is the
+    // point: the compactor reads the BASE as a bucketed scan — no
+    // re-tokenization of the 90% — and tokenizes only the delta; at
+    // 100 TB this is an IO-bound rewrite (the price LSM compaction
+    // always pays) whose shuffle is one doc_id repartition of rows
+    // that already exist. The probe over the new generation is
+    // byte-for-byte q_phrase_index's shape, and since gen-2 holds
+    // exactly the full corpus, the oracle is q_phrase_search's SQL
+    // verbatim — the third member of that equivalence family
+    // (NewOpsSpec additionally pins row-identity with q_phrase_index).
+    "q_index_compact" -> ((s, dir) => {
+      import s.implicits._
+      basePostingsIndex(s, dir) // the generation being compacted
+      BucketedTables.ensure(s, Seq("graft_idx_postings_g2"),
+          "spark.graft.idxg2.writtenDir", dir) {
+        s.table("graft_idx_postings_base")
+          .unionByName(deltaPostings(s, dir))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite")
+          .bucketBy(8, "doc_id").sortBy("doc_id", "pos")
+          .saveAsTable("graft_idx_postings_g2")
+      }
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val g2 = s.table("graft_idx_postings_g2")
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val phraseRow = g2
+        .select(col("term"), lead(col("term"), 1).over(w).as("nxt"))
+        .filter(col("nxt").isNotNull)
+        .select(concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+        .groupBy("bigram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram")).limit(1)
+        .select(split(col("bigram"), " ").getItem(0).as("t1"),
+          split(col("bigram"), " ").getItem(1).as("t2"))
+        .collect()
+      if (phraseRow.isEmpty)
+        Seq.empty[(Long, String, Long)].toDF("doc_id", "phrase", "n_occurrences")
+      else {
+        val (t1, t2) = (phraseRow(0).getString(0), phraseRow(0).getString(1))
+        val a = g2.filter(col("term") === t1)
+          .select(col("doc_id"), col("pos"))
+        val b = g2.filter(col("term") === t2)
+          .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+        a.join(b, col("doc_id") === col("doc_id2") &&
+            col("pos2") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occurrences"))
           .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
             col("n_occurrences"))
           .orderBy(col("n_occurrences").desc, col("doc_id"))
@@ -2018,6 +2090,35 @@ object TextQueries {
         |FROM f JOIN d USING (doc_id)
         |CROSS JOIN tot CROSS JOIN dfp CROSS JOIN top1
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+
+    // deliberately the SAME SQL as q_phrase_search / q_phrase_index
+    // (the equivalence-family precedent): the compacted generation
+    // holds exactly the full corpus, so the three physical shapes —
+    // corpus scan, persisted index, compacted generation — must
+    // hash-identically agree
+    "q_index_compact" ->
+      """WITH toks AS (
+        |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) u(i)
+        |),
+        |big AS (
+        |  SELECT a.term || ' ' || b.term AS bigram, count(*) AS n
+        |  FROM toks a JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |  GROUP BY 1
+        |),
+        |top1 AS (
+        |  SELECT string_split(bigram, ' ')[1] AS t1,
+        |         string_split(bigram, ' ')[2] AS t2
+        |  FROM (SELECT bigram FROM big ORDER BY n DESC, bigram LIMIT 1)
+        |)
+        |SELECT p1.doc_id, t1 || ' ' || t2 AS phrase,
+        |       CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM toks p1
+        |JOIN top1 ON p1.term = t1
+        |JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
+        |            AND p2.term = t2
+        |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
 
     // phrase derives from the BASE segment (doc_id % 10 <> 7) — the
     // serving-time lexicon predates the delta; counts cover the full

@@ -101,6 +101,17 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("index compaction: the new generation's probe equals the live index's") {
+    try {
+      val compacted = TextQueries.queries("q_index_compact")(spark, sf).collect()
+      val live = TextQueries.queries("q_phrase_index")(spark, sf).collect()
+      assert(compacted.nonEmpty)
+      // gen-2 = base ∪ delta = exactly the full corpus, so the probe
+      // must be row-identical with the single-generation index's
+      assert(compacted.map(_.toString).toSeq == live.map(_.toString).toSeq)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("incremental index: segment-union probe equals a direct full-corpus count") {
     try {
       val inc = TextQueries.queries("q_index_incremental")(spark, sf).collect()

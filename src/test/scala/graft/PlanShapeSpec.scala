@@ -263,6 +263,19 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_index_compact: the compacted generation probes exchange-free") {
+    try {
+      val p = plan("q_index_compact", graft.queries.TextQueries.queries)
+      assert(p.contains("SelectedBucketsCount"),
+        s"probe must scan the compacted bucketed generation:\n$p")
+      assert(p.contains("EqualTo(term,"),
+        s"term lookups must push to the parquet scan:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 0,
+        s"post-compaction probe must be exchange-free, got $hashEx:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_budget_select: returned plan is filter + source agg — the " +
       "cutoff never rides a corpus-wide window") {
     try {
