@@ -220,6 +220,67 @@ class NewOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("span dedup: agrees with a brute-force interval union on random corpora") {
+    // seeded random corpora over a tiny vocabulary (dense cross-doc
+    // 5-gram collisions — far more island-merge edge cases than the
+    // fixture), checked doc-by-doc against a direct reference: mark
+    // every token covered by a shingle that occurs in >1 document,
+    // then read off the union size, run count, and longest run
+    import spark.implicits._
+    for (seed <- Seq(11, 29, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e", "f", "g", "h")
+      val block = Vector.fill(8)(vocab(rnd.nextInt(vocab.size)))
+      val docs = (0L until 24L).map { i =>
+        val own = Vector.fill(15 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+        val toksV =
+          if (i % 3 == 0) own.take(5) ++ block ++ own.drop(5) else own
+        (i, toksV.mkString(" "))
+      }
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-span-$seed").toString
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // reference over the SAME withDuplicates expansion the query uses
+      val corpus = docs ++
+        docs.filter(_._1 % 4 == 0).map { case (id, t) => (id + 2000000L, t) } ++
+        docs.filter(_._1 % 3 == 0).map { case (id, t) => (id + 1000000L, t + " zzz tail") }
+      val tokenized = corpus.map { case (id, t) => id -> t.split(" ").toVector }
+      val shingleDocs = scala.collection.mutable.Map.empty[String, Set[Long]]
+      tokenized.foreach { case (id, w) =>
+        w.sliding(5).filter(_.size == 5).foreach { g =>
+          val k = g.mkString(" ")
+          shingleDocs(k) = shingleDocs.getOrElse(k, Set.empty) + id
+        }
+      }
+      val expected = tokenized.flatMap { case (id, w) =>
+        val marked = Array.fill(w.size)(false)
+        w.sliding(5).zipWithIndex.filter(_._1.size == 5).foreach { case (g, p) =>
+          if (shingleDocs(g.mkString(" ")).size > 1)
+            (p until p + 5).foreach(marked(_) = true)
+        }
+        val rep = marked.count(identity)
+        if (rep == 0) None
+        else {
+          val runs = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var cur = 0
+          marked.foreach { m =>
+            if (m) cur += 1 else { if (cur > 0) runs += cur; cur = 0 }
+          }
+          if (cur > 0) runs += cur
+          Some(id -> (runs.size.toLong, runs.max.toLong, rep.toLong,
+            rep.toLong * 10000 / w.size))
+        }
+      }.toMap
+      val got = DedupQueries.queries("q_span_dedup")(spark, dir).collect()
+        .map(r => r.getLong(0) -> (r.getAs[Long]("n_spans"),
+          r.getAs[Long]("max_span_toks"), r.getAs[Long]("rep_toks"),
+          r.getAs[Long]("cov_pm"))).toMap
+      assert(got == expected,
+        s"seed $seed: diff keys ${(got.keySet diff expected.keySet) ++ (expected.keySet diff got.keySet)}; " +
+          s"mismatches ${expected.collect { case (k, v) if got.get(k).exists(_ != v) => (k, v, got(k)) }.take(5)}")
+    }
+  }
+
   test("paragraph dedup: exact copies lose every chunk, originals keep all") {
     val rows = DedupQueries.queries("q_paragraph_dedup")(spark, sf).collect()
     val byId = rows.map(r => r.getLong(0) ->
