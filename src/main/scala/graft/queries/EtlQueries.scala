@@ -399,6 +399,44 @@ object EtlQueries {
         .orderBy("region_code")
     }),
 
+    // Parquet schema EVOLUTION across snapshot generations — the lake
+    // reality a 100 TB store always reaches: files written before a
+    // column existed must remain readable beside files that carry it.
+    // Two generations are materialized once (v1 = doc_id % 3 == 0
+    // docs WITHOUT lang/quality; v2 = the rest WITH them), then read
+    // TOGETHER under one EXPLICIT unified schema — the scale-honest
+    // posture: Spark's parquet reader fills absent columns with null
+    // per file, and a declared schema avoids mergeSchema's
+    // footer-merge pass over every file on the listing path (double
+    // metadata IO across millions of objects — the same "never
+    // inferSchema" discipline as q_csv_source). The aggregate proves
+    // the generations blend: per source, how many legacy rows
+    // (lang IS NULL ⇔ v1 provenance) and the quality mass that only
+    // v2 rows contribute.
+    "q_schema_evolution" -> ((s, dir) => {
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_schevo_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      SideStores.ensure(out) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.filter(col("doc_id") % 3 === 0)
+          .select(col("doc_id"), col("source"), col("n_chars"))
+          .write.mode("overwrite").parquet(s"$out/v1")
+        docs.filter(col("doc_id") % 3 =!= 0)
+          .select(col("doc_id"), col("source"), col("n_chars"), col("lang"),
+            (col("n_chars") % 97).as("quality"))
+          .write.mode("overwrite").parquet(s"$out/v2")
+      }
+      s.read
+        .schema("doc_id BIGINT, source STRING, n_chars BIGINT, " +
+          "lang STRING, quality BIGINT")
+        .parquet(s"$out/v1", s"$out/v2")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("n_legacy"),
+          sum(coalesce(col("quality"), lit(0L))).as("quality_sum"),
+          sum(col("n_chars")).as("chars_sum"))
+        .orderBy("source")
+    }),
+
     // Storage-partitioned join through the asciigrid DataSource V2: the
     // region-directory layout is reported as KeyGroupedPartitioning, so
     // the two co-partitioned scans join on `region` with NO exchange on
@@ -926,6 +964,17 @@ object EtlQueries {
          |SELECT region_code, count(*) AS n_files, min(file_id) AS min_file_id
          |FROM manifest WHERE region_code IN ('01', '05', '13')
          |GROUP BY region_code ORDER BY region_code""".stripMargin,
+
+    // generation membership is pure arithmetic on doc_id, so the
+    // oracle recomputes the blended read from `documents` directly
+    "q_schema_evolution" ->
+      """SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_legacy,
+        |       CAST(sum(CASE WHEN doc_id % 3 = 0 THEN 0
+        |         ELSE n_chars % 97 END) AS BIGINT) AS quality_sum,
+        |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
 
     // the side tree is pure arithmetic in (region index, grid index) —
     // the oracle recomputes it without touching the files

@@ -901,6 +901,61 @@ object TextQueries {
       }
     }),
 
+    // Boolean (AND / AND-NOT) retrieval over the persisted postings
+    // index — the fifth consumer, and the predicate shape the other
+    // probes deliberately aren't: where phrase/proximity need POSITIONS,
+    // boolean retrieval needs only per-doc term PRESENCE, which an
+    // inverted index serves as a bitmap accumulate. Query = t1 AND t2
+    // AND NOT t3, with t1/t2 the corpus's top-2 terms and t3 the term
+    // whose document frequency best splits the corpus (argmin
+    // |2·df − nd| over the remaining vocabulary — self-tuning at any
+    // sf, so the NOT arm genuinely discriminates instead of matching
+    // everything or nothing; bounded driver artifact like the sibling
+    // probes' derivations). The probe is ONE filtered scan of the
+    // doc_id-bucketed layout (term IN (t1,t2,t3) parquet-pushed), one
+    // exchange-free per-doc aggregate building the presence BITMASK
+    // with bit_or (bit i ⇔ term i seen — the relational form of the
+    // posting-bitmap AND/ANDNOT kernel), then a mask predicate
+    // (mask & 3) = 3 AND (mask & 4) = 0. tf counts ride the same
+    // aggregate for free. At 100 TB the mask aggregate stays map-side
+    // combinable and the scan reads only the three terms' row groups —
+    // the layout's sort puts each term's postings in contiguous runs.
+    "q_bool_retrieval" -> ((s, dir) => {
+      import s.implicits._
+      val idx = postingsIndex(s, dir)
+      // nd from the exchange-free per-doc aggregate (the dl precedent)
+      val nd = idx.groupBy("doc_id").agg(count(lit(1))).count()
+      val freq = idx.groupBy("term")
+        .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("df"))
+      val top2 = freq.orderBy(col("n").desc, col("term")).limit(2)
+        .collect().sortBy(r => (-r.getLong(1), r.getString(0)))
+      // degenerate corpus (<3 distinct terms): graceful empty
+      if (top2.length < 2)
+        Seq.empty[(Long, Long, Long)].toDF("doc_id", "tf1", "tf2")
+      else {
+        val (t1, t2) = (top2(0).getString(0), top2(1).getString(0))
+        val notRow = freq.filter(!col("term").isin(t1, t2))
+          .withColumn("split_d", abs(lit(2L) * col("df") - lit(nd)))
+          .orderBy(col("split_d"), col("term")).limit(1)
+          .collect()
+        if (notRow.isEmpty)
+          Seq.empty[(Long, Long, Long)].toDF("doc_id", "tf1", "tf2")
+        else {
+          val t3 = notRow(0).getString(0)
+          idx.filter(col("term").isin(t1, t2, t3))
+            .groupBy("doc_id")
+            .agg(
+              expr(s"bit_or(CASE term WHEN '$t1' THEN 1 " +
+                s"WHEN '$t2' THEN 2 ELSE 4 END)").as("mask"),
+              sum(when(col("term") === t1, 1L).otherwise(0L)).as("tf1"),
+              sum(when(col("term") === t2, 1L).otherwise(0L)).as("tf2"))
+            .filter((expr("mask & 3") === 3) && (expr("mask & 4") === 0))
+            .select("doc_id", "tf1", "tf2")
+            .orderBy("doc_id")
+        }
+      }
+    }),
+
     // Token-budget data selection — "fill half the corpus's token
     // budget with the highest-quality documents", the selection step
     // between scoring and mixing in a curation pipeline. The scale
@@ -946,6 +1001,88 @@ object TextQueries {
         .withColumn("cutoff_q", lit(cut))
         .orderBy("source")
       }
+    }),
+
+    // HTML boilerplate extraction — the WET-extraction step every
+    // web-crawl corpus runs before any text analysis: strip markup,
+    // recover the token stream, and score LINK DENSITY (share of text
+    // inside anchors), the classic boilerplate discriminant (high
+    // density ⇒ navigation chrome, not content). Markup is synthesized
+    // deterministically around the fixture text (the q_url_canonical
+    // pattern — both engines build byte-identical pages: title chrome,
+    // (doc_id % 7) · 3 repeated nav anchors, footer), so the oracle
+    // reconstructs the same page without any side files. All
+    // extraction is codegen'd regexp over the row — embarrassingly
+    // parallel, zero exchanges before the final sort; the regexes are
+    // RE2-safe (no backrefs/lookaround) so Java and RE2 agree. The
+    // integer density is per-myriad; the content flag is the
+    // density < 10% rule.
+    "q_html_extract" -> ((s, dir) => {
+      val pages = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), concat(
+          lit("<html><head><title>"), col("source"),
+          lit("</title></head><body><nav>"),
+          expr("repeat('<a href=\"#\">nav link</a>', " +
+            "CAST((doc_id % 7) * 3 AS INT))"),
+          lit("</nav><p>"), col("text"),
+          lit("</p><footer>site footer</footer></body></html>")).as("html"))
+      pages
+        .select(col("doc_id"),
+          expr("size(split(trim(regexp_replace(regexp_replace(" +
+            "html, '<[^>]*>', ' '), ' +', ' ')), ' '))")
+            .cast("bigint").as("page_toks"),
+          expr("""regexp_extract_all(html, '<a href="#">([^<]*)</a>', 1)""")
+            .as("anchors"))
+        .withColumn("anchor_toks",
+          expr("aggregate(anchors, 0L, (a, x) -> a + size(split(x, ' ')))"))
+        .withColumn("density_pm",
+          expr("anchor_toks * 10000 div page_toks"))
+        .withColumn("is_content",
+          expr("CAST(CASE WHEN density_pm < 1000 THEN 1 ELSE 0 END AS BIGINT)"))
+        .select("doc_id", "page_toks", "anchor_toks", "density_pm", "is_content")
+        .orderBy("doc_id")
+    }),
+
+    // Balanced output sharding — the write-side packing step of a
+    // training-data pipeline: distribute each source's documents over
+    // a fixed shard count so per-shard token totals are even (shard
+    // skew = straggler tasks for every downstream consumer of the
+    // written files). Policy: rank docs by size within source, deal
+    // them SERPENTINE (boustrophedon — pass k goes left-to-right, pass
+    // k+1 right-to-left), the classic one-pass LPT approximation; the
+    // yardstick ridden alongside is naive id-hash sharding
+    // (doc_id % S), and the output is each source's max/min shard
+    // token load plus the per-myriad spread under BOTH policies — the
+    // serpentine spread should sit far under the hash spread
+    // (spec-asserted). The window is PARTITIONED BY SOURCE — per-source
+    // sort, never a global order; at 100 TB a giant source would
+    // sub-shard by a size-bucket prefix first, same shape one level
+    // down.
+    "q_shard_balance" -> ((s, dir) => {
+      val S = 8
+      val d = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("source"),
+          expr(s"size(${toks("text")})").cast("bigint").as("toks"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("toks").desc, col("doc_id"))
+      val serp = d
+        .withColumn("rk", row_number().over(w).cast("bigint") - 1)
+        .withColumn("shard", expr(
+          s"CASE WHEN (rk div $S) % 2 = 0 THEN rk % $S ELSE ${S - 1} - rk % $S END"))
+        .groupBy("source", "shard").agg(sum(col("toks")).as("st"))
+        .groupBy("source")
+        .agg(max(col("st")).as("serp_max"), min(col("st")).as("serp_min"))
+      val naive = d
+        .withColumn("shard", col("doc_id") % S)
+        .groupBy("source", "shard").agg(sum(col("toks")).as("nt"))
+        .groupBy("source")
+        .agg(max(col("nt")).as("mod_max"), min(col("nt")).as("mod_min"))
+      serp.join(naive, "source")
+        .withColumn("serp_spread_pm",
+          expr("(serp_max - serp_min) * 10000 div serp_max"))
+        .withColumn("mod_spread_pm",
+          expr("(mod_max - mod_min) * 10000 div mod_max"))
+        .orderBy("source")
     }),
 
     // Intra-document repetition score — the degenerate-text signal
@@ -2148,6 +2285,34 @@ object TextQueries {
         |            AND p2.term = t2
         |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
 
+    // boolean retrieval: t1/t2 = top-2 by occurrence (the index probes'
+    // shared derivation), t3 = argmin |2·df − nd| over the rest; the
+    // mask semantics reduce to tf1 > 0 AND tf2 > 0 AND tf3 = 0
+    "q_bool_retrieval" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ')[u.i] AS tok
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) u(i)
+        |),
+        |fr AS (SELECT tok, count(*) AS n, count(DISTINCT doc_id) AS df,
+        |              row_number() OVER (ORDER BY count(*) DESC, tok) AS rn
+        |       FROM t GROUP BY tok),
+        |tot AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+        |q3 AS (SELECT tok FROM fr, tot WHERE rn > 2
+        |       ORDER BY abs(2 * df - nd), tok LIMIT 1),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(sum(CASE WHEN tok = (SELECT tok FROM fr WHERE rn = 1)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tf1,
+        |    CAST(sum(CASE WHEN tok = (SELECT tok FROM fr WHERE rn = 2)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tf2,
+        |    CAST(sum(CASE WHEN tok = (SELECT tok FROM q3)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS tf3
+        |  FROM t GROUP BY doc_id
+        |)
+        |SELECT doc_id, tf1, tf2 FROM m
+        |WHERE tf1 > 0 AND tf2 > 0 AND tf3 = 0 ORDER BY doc_id""".stripMargin,
+
     "q_budget_select" ->
       s"""WITH d AS (
          |  SELECT doc_id, source,
@@ -2169,6 +2334,61 @@ object TextQueries {
          |       (SELECT cq FROM cut) AS cutoff_q
          |FROM s WHERE q >= (SELECT cq FROM cut)
          |GROUP BY source ORDER BY source""".stripMargin,
+
+    // markup synthesized identically to the engine side; DuckDB
+    // regexp_replace needs the explicit 'g' flag (Spark's replaces all
+    // occurrences by default); list_sum of an empty anchor list is
+    // NULL, coalesced to 0 to match Spark's aggregate() seed
+    "q_html_extract" ->
+      """WITH pages AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>' || source || '</title></head><body><nav>' ||
+        |    repeat('<a href="#">nav link</a>', CAST((doc_id % 7) * 3 AS INT)) ||
+        |    '</nav><p>' || text ||
+        |    '</p><footer>site footer</footer></body></html>' AS html
+        |  FROM documents
+        |),
+        |x AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim(regexp_replace(regexp_replace(
+        |      html, '<[^>]*>', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS BIGINT)
+        |      AS page_toks,
+        |    CAST(coalesce(list_sum(list_transform(
+        |      regexp_extract_all(html, '<a href="#">([^<]*)</a>', 1),
+        |      a -> len(string_split(a, ' ')))), 0) AS BIGINT) AS anchor_toks
+        |  FROM pages
+        |)
+        |SELECT doc_id, page_toks, anchor_toks,
+        |       anchor_toks * 10000 // page_toks AS density_pm,
+        |       CAST(CASE WHEN anchor_toks * 10000 // page_toks < 1000
+        |            THEN 1 ELSE 0 END AS BIGINT) AS is_content
+        |FROM x ORDER BY doc_id""".stripMargin,
+
+    "q_shard_balance" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents
+        |),
+        |r AS (SELECT *, row_number() OVER (
+        |        PARTITION BY source ORDER BY toks DESC, doc_id) - 1 AS rk
+        |      FROM d),
+        |ps AS (SELECT source,
+        |         CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END
+        |           AS shard,
+        |         CAST(sum(toks) AS BIGINT) AS st
+        |       FROM r GROUP BY 1, 2),
+        |sp AS (SELECT source, max(st) AS serp_max, min(st) AS serp_min
+        |       FROM ps GROUP BY 1),
+        |n0 AS (SELECT source, doc_id % 8 AS shard,
+        |         CAST(sum(toks) AS BIGINT) AS nt
+        |       FROM d GROUP BY 1, 2),
+        |nv AS (SELECT source, max(nt) AS mod_max, min(nt) AS mod_min
+        |       FROM n0 GROUP BY 1)
+        |SELECT sp.source, serp_max, serp_min, mod_max, mod_min,
+        |       (serp_max - serp_min) * 10000 // serp_max AS serp_spread_pm,
+        |       (mod_max - mod_min) * 10000 // mod_max AS mod_spread_pm
+        |FROM sp JOIN nv USING (source) ORDER BY source""".stripMargin,
 
     "q_repetition" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -371,6 +371,102 @@ class NewOpsSpec extends SparkSpecBase {
       !col("redacted").contains("[PHONE]")).count() === 0)
   }
 
+  test("bool retrieval matches a brute-force evaluation of t1 AND t2 AND NOT t3") {
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select("doc_id", "text").collect()
+        .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+      // the same derivation as the query, brute-forced in Scala: top-2
+      // by (occurrences desc, term), NOT term = argmin |2·df − nd|
+      val occ = docs.values.flatten.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val df = docs.values.flatMap(_.distinct).groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val nd = docs.size.toLong
+      val ranked = occ.toSeq.sortBy { case (t, n) => (-n, t) }
+      val (t1, t2) = (ranked(0)._1, ranked(1)._1)
+      val t3 = df.toSeq.filterNot(kv => kv._1 == t1 || kv._1 == t2)
+        .sortBy { case (t, d) => (math.abs(2 * d - nd), t) }.head._1
+      val expected = docs.toSeq
+        .map { case (id, ws) =>
+          (id, ws.count(_ == t1).toLong, ws.count(_ == t2).toLong, ws.contains(t3)) }
+        .filter { case (_, a, b, has3) => a > 0 && b > 0 && !has3 }
+        .map { case (id, a, b, _) => (id, a, b) }
+        .sortBy(_._1)
+      val got = TextQueries.queries("q_bool_retrieval")(spark, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+      assert(got == expected)
+      assert(got.nonEmpty, "fixture should satisfy the conjunction somewhere")
+      // the NOT arm must discriminate: some doc has t1 AND t2 but ALSO t3
+      val excluded = docs.count { case (_, ws) =>
+        ws.contains(t1) && ws.contains(t2) && ws.contains(t3) }
+      assert(excluded > 0, "NOT term should exclude at least one AND-match")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("html extract recovers the exact synthetic page arithmetic") {
+    val textToks = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("nt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = TextQueries.queries("q_html_extract")(spark, sf).collect()
+    assert(rows.length == textToks.size)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      // chrome = 1 title token + 2-token anchors ×3(doc_id%7) + 2 footer
+      val anchors = 2L * 3L * (id % 7)
+      assert(r.getAs[Long]("anchor_toks") === anchors)
+      assert(r.getAs[Long]("page_toks") === textToks(id) + 1 + anchors + 2)
+      assert(r.getAs[Long]("density_pm") ===
+        anchors * 10000 / r.getAs[Long]("page_toks"))
+    }
+    // both classes must occur, or the density rule isn't discriminating
+    assert(rows.exists(_.getAs[Long]("is_content") == 1L))
+    assert(rows.exists(_.getAs[Long]("is_content") == 0L))
+  }
+
+  test("shard balance: serpentine max/min match brute force and beat mod-hash") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("toks"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val expected = d.groupBy(_._2).map { case (src, docs) =>
+      val ranked = docs.sortBy { case (id, _, t) => (-t, id) }
+      val serp = ranked.zipWithIndex.groupBy { case (_, rk) =>
+        if ((rk / 8) % 2 == 0) rk % 8 else 7 - rk % 8 }
+        .map { case (_, xs) => xs.map(_._1._3).sum }
+      val naive = docs.groupBy(_._1 % 8).map { case (_, xs) => xs.map(_._3).sum }
+      src -> (serp.max, serp.min, naive.max, naive.min)
+    }
+    val rows = TextQueries.queries("q_shard_balance")(spark, sf).collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (sMax, sMin, mMax, mMin) = expected(r.getAs[String]("source"))
+      assert(r.getAs[Long]("serp_max") === sMax)
+      assert(r.getAs[Long]("serp_min") === sMin)
+      assert(r.getAs[Long]("mod_max") === mMax)
+      assert(r.getAs[Long]("mod_min") === mMin)
+    }
+    // the policy's point, in aggregate: size-ranked serpentine dealing
+    // spreads tighter than id-hash on this fixture
+    val serpAvg = rows.map(_.getAs[Long]("serp_spread_pm")).sum / rows.length
+    val modAvg = rows.map(_.getAs[Long]("mod_spread_pm")).sum / rows.length
+    assert(serpAvg < modAvg,
+      s"serpentine spread $serpAvg should beat mod-hash $modAvg")
+  }
+
+  test("schema evolution: blended read equals the per-generation recomputation") {
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") % 3 === 0, 1L).otherwise(0L)).as("n_legacy"),
+        sum(when(col("doc_id") % 3 === 0, 0L)
+          .otherwise(col("n_chars") % 97)).as("quality_sum"),
+        sum(col("n_chars")).as("chars_sum"))
+      .orderBy("source").collect().map(_.toString).toSeq
+    val got = graft.queries.EtlQueries.queries("q_schema_evolution")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got == direct)
+    assert(got.nonEmpty)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)

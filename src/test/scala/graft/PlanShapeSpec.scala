@@ -209,6 +209,25 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_bool_retrieval: bitmask probe — one IN-pushed bucketed scan, " +
+      "exchange-free per-doc mask aggregate") {
+    try {
+      val p = plan("q_bool_retrieval", graft.queries.TextQueries.queries)
+      // ONE scan of the bucketed layout filtered to the three query
+      // terms (parquet-pushed IN), the bit_or mask + tf aggregate on
+      // the scan's doc_id partitioning — zero hash exchanges in the
+      // probe (term derivation is a separate bounded-artifact job; the
+      // presentation sort is a range exchange, not counted)
+      assert(p.contains("SelectedBucketsCount"),
+        s"probe must scan the bucketed postings table:\n$p")
+      assert(p.contains("In(term,"),
+        s"the three-term lookup must push to the parquet scan:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx == 0,
+        s"the mask aggregate must be exchange-free, got $hashEx:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_index_search: conjunctive BM25 probe — every per-doc stage " +
       "rides the bucketed layout, zero exchanges") {
     try {
