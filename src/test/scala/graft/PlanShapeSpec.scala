@@ -336,6 +336,10 @@ class PlanShapeSpec extends SparkSpecBase {
     // windows, final doc agg — a handful, all key-bounded
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
     assert(hashEx <= 4, s"expected ≤4 hash exchanges, got $hashEx:\n$p")
+    // the shuffle key is the map-side xxhash64 of the shingle — the
+    // ~40-byte 5-gram text itself must never cross an exchange
+    assert(p.contains("xxhash64"),
+      s"shingles must be hashed to 64-bit keys before the shuffle:\n$p")
   }
 
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
