@@ -1147,18 +1147,30 @@ object DedupQueries {
       // intersection join) keep it justified — uncached measured
       // 7.10 -> 7.72 s min, so the ~2.3x-per-2x-rows wall constant is
       // working-set physics, not the cache
+      // Shingles are hashed to 64-bit keys map-side right after the
+      // explode (the q_span_dedup treatment, same collision bound —
+      // a collision inflates one pair's |∩| by 1): the df aggregate
+      // shuffles 8-byte keys, the drop-set broadcast and the AQE
+      // excerpt-side broadcast ship 8-byte keys, and both CACHES hold
+      // longs instead of ~30-byte strings — the cache-pressure scale
+      // constant (2.5–3.2× per 2× rows, volumes proven linear by
+      // ProbeContainment) shrinks with the working set. Measured at
+      // sf0.1, 5-pass mini-suite: min 1.45 → 1.28 s, median
+      // 1.79 → 1.45 s.
       val baseShAll = QueryCaches.cache(docs
         .select(col("doc_id").as("base_id"),
-          explode(Corpus.shingles("text")).as("shingle")))
-      val dropSh = baseShAll.groupBy("shingle")
+          explode(Corpus.shingles("text")).as("shingle"))
+        .select(col("base_id"), xxhash64(col("shingle")).as("h")))
+      val dropSh = baseShAll.groupBy("h")
         .agg(count(lit(1)).as("df"))
         .filter(col("df") > 50)
-        .select("shingle")
-      val baseSh = baseShAll.join(dropSh, Seq("shingle"), "left_anti")
+        .select("h")
+      val baseSh = baseShAll.join(dropSh, Seq("h"), "left_anti")
       val exSh = QueryCaches.cache(excerpts
         .select(col("doc_id").as("exc_id"),
           explode(Corpus.shingles("text")).as("shingle"))
-        .join(dropSh, Seq("shingle"), "left_anti"))
+        .select(col("exc_id"), xxhash64(col("shingle")).as("h"))
+        .join(dropSh, Seq("h"), "left_anti"))
       val exSize = exSh.groupBy("exc_id").agg(count(lit(1)).as("n_exc"))
       // The intersection join is left to AQE, NOT hint-forced: the
       // cached excerpt side's runtime stats let AQE broadcast it while
@@ -1171,7 +1183,7 @@ object DedupQueries {
       // so forcing it would hard-fail past the 8 GB broadcast limit
       // instead of degrading — the q_boilerplate_lines AQE pattern is
       // the scale-honest form of the same optimization.
-      exSh.join(baseSh, "shingle")
+      exSh.join(baseSh, "h")
         .groupBy("exc_id", "base_id")
         .agg(count(lit(1)).as("n_shared"))
         .join(exSize, "exc_id")
