@@ -437,6 +437,56 @@ object EtlQueries {
         .orderBy("source")
     }),
 
+    // Snapshot DIFF — the reconciliation op a versioned lake runs
+    // between two table snapshots: which rows were added, removed,
+    // changed, or untouched, counted per source. Two overlapping
+    // generations are materialized once as doc_id-BUCKETED tables
+    // (snap1 = doc_id % 5 ≠ 4; snap2 = doc_id % 5 ≠ 0 with ~1/7 of
+    // shared rows carrying a changed quality), so the diff itself —
+    // a full-outer join on the primary key — runs EXCHANGE-FREE on
+    // the co-bucketed layout (the q_bucketed_join discipline): at
+    // 100 TB a snapshot diff is exactly one co-partitioned merge
+    // pass, never a re-shuffle of either snapshot. Row class from
+    // null-side analysis (added/removed) and value compare (changed);
+    // the only exchanges are the small per-(source, status) aggregate
+    // and the presentation sort (plan-pinned).
+    "q_snapshot_diff" -> ((s, dir) => {
+      BucketedTables.ensure(s, Seq("graft_snap1", "graft_snap2"),
+          "spark.graft.snap.writtenDir", dir) {
+        val docs = s.read.parquet(s"$dir/documents.parquet")
+        docs.filter(col("doc_id") % 5 =!= 4)
+          .select(col("doc_id"), col("source"),
+            (col("n_chars") % 97).as("quality"))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+          .saveAsTable("graft_snap1")
+        docs.filter(col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), col("source"),
+            when(col("doc_id") % 7 === 0,
+              (col("n_chars") + col("doc_id")) % 97)
+              .otherwise(col("n_chars") % 97).as("quality"))
+          .repartition(8, col("doc_id"))
+          .write.mode("overwrite").bucketBy(8, "doc_id").sortBy("doc_id")
+          .saveAsTable("graft_snap2")
+      }
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val a = s.table("graft_snap1")
+        .select(col("doc_id"), col("source").as("src_a"), col("quality").as("q_a"))
+      val b = s.table("graft_snap2")
+        .select(col("doc_id"), col("source").as("src_b"), col("quality").as("q_b"))
+      a.join(b, Seq("doc_id"), "full_outer")
+        .withColumn("status",
+          when(col("src_a").isNull, lit("added"))
+            .when(col("src_b").isNull, lit("removed"))
+            .when(col("q_a") =!= col("q_b"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .withColumn("source", coalesce(col("src_a"), col("src_b")))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("source", "status")
+    }),
+
     // Storage-partitioned join through the asciigrid DataSource V2: the
     // region-directory layout is reported as KeyGroupedPartitioning, so
     // the two co-partitioned scans join on `region` with NO exchange on
@@ -975,6 +1025,24 @@ object EtlQueries {
         |         ELSE n_chars % 97 END) AS BIGINT) AS quality_sum,
         |       CAST(sum(n_chars) AS BIGINT) AS chars_sum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+
+    // snapshot membership and the changed-quality arm are pure
+    // arithmetic on doc_id, so the oracle classifies directly;
+    // a doc_id ≡ 0 (mod 97·7) would make the changed arm a no-op on
+    // both sides identically (both compute the same CASE)
+    "q_snapshot_diff" ->
+      """WITH cls AS (
+        |  SELECT source,
+        |    CASE WHEN doc_id % 5 = 0 THEN 'removed'
+        |         WHEN doc_id % 5 = 4 THEN 'added'
+        |         WHEN doc_id % 7 = 0
+        |              AND (n_chars + doc_id) % 97 <> n_chars % 97
+        |           THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM documents
+        |)
+        |SELECT source, status, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM cls GROUP BY source, status ORDER BY source, status""".stripMargin,
 
     // the side tree is pure arithmetic in (region index, grid index) —
     // the oracle recomputes it without touching the files

@@ -226,6 +226,42 @@ object MultimodalQueries {
         .orderBy("doc_id")
     }),
 
+    // Scene-cut detection — the shot-segmentation pass a video corpus
+    // runs before per-scene sampling/captioning: per frame (64-byte
+    // chunk of the stand-in blob, the q_audio_energy byte-kernel
+    // idiom) an integer luma signature, then a lag-delta over the
+    // doc-bounded frame order; a CUT is |Δluma| > 500 (threshold
+    // probed on the fixture: splits docs into with/without cuts
+    // nontrivially). Output per video: frame count, cut count, the
+    // hardest cut, and the first cut index (−1 = single continuous
+    // shot). Shape: one mapPartitions batch decode, one doc-keyed
+    // window + aggregate — doc-bounded keys, flat at 100 TB.
+    "q_scene_cuts" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      val frames = blobs.mapPartitions(_.flatMap { case (id, bytes) =>
+        bytes.grouped(64).zipWithIndex.map { case (chunk, i) =>
+          (id, i.toLong, chunk.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        }
+      }).toDF("doc_id", "frame_idx", "luma")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_idx")
+      frames
+        .withColumn("delta", abs(col("luma") - lag("luma", 1).over(w)))
+        .withColumn("is_cut",
+          when(col("delta") > 500, 1L).otherwise(0L))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("is_cut")).as("n_cuts"),
+          max(coalesce(col("delta"), lit(0L))).as("max_delta"),
+          coalesce(min(when(col("is_cut") === 1L, col("frame_idx"))),
+            lit(-1L)).as("first_cut"))
+        .orderBy("doc_id")
+    }),
+
     // frame sampling: every 2nd frame of each blob, as a generator.
     "q_frame_sample" -> ((s, dir) => {
       import s.implicits._
@@ -453,6 +489,44 @@ object MultimodalQueries {
         |       CAST(sum(v) AS BIGINT) AS px_sum
         |FROM px GROUP BY doc_id, w, h, rw, rh
         |ORDER BY doc_id""".stripMargin,
+
+    // ASCII fixture text → byte == character code (the q_audio_energy
+    // precedent), so the per-frame luma and the lag-delta reproduce
+    // the byte kernel exactly
+    "q_scene_cuts" ->
+      """WITH sub AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        |),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, (length(text) - 1) // 64)) AS frame_idx,
+        |         text
+        |  FROM sub
+        |),
+        |samples AS (
+        |  SELECT doc_id, frame_idx,
+        |         substr(text, frame_idx * 64 + 1, 64) AS chunk,
+        |         unnest(generate_series(1, length(substr(text, frame_idx * 64 + 1, 64)))) AS j
+        |  FROM chunks
+        |),
+        |fr AS (
+        |  SELECT doc_id, frame_idx,
+        |         CAST(sum(ascii(substr(chunk, j, 1))) AS BIGINT) AS luma
+        |  FROM samples GROUP BY doc_id, frame_idx
+        |),
+        |d AS (
+        |  SELECT doc_id, frame_idx,
+        |         abs(luma - lag(luma) OVER (
+        |           PARTITION BY doc_id ORDER BY frame_idx)) AS delta
+        |  FROM fr
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |       CAST(sum(CASE WHEN delta > 500 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cuts,
+        |       CAST(max(coalesce(delta, 0)) AS BIGINT) AS max_delta,
+        |       CAST(coalesce(min(CASE WHEN delta > 500 THEN frame_idx END), -1)
+        |         AS BIGINT) AS first_cut
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "q_frame_sample" ->
       """WITH meta AS (

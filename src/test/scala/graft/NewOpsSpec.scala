@@ -467,6 +467,48 @@ class NewOpsSpec extends SparkSpecBase {
     assert(got.nonEmpty)
   }
 
+  test("scene cuts match a byte-level brute force of the 64-byte frame kernel") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 10 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).getBytes("UTF-8"))
+    val expected = docs.map { case (id, bytes) =>
+      val lumas = bytes.grouped(64).map(_.foldLeft(0L)((a, b) => a + (b & 0xff))).toVector
+      val deltas = lumas.zip(lumas.drop(1)).map { case (a, b) => math.abs(b - a) }
+      val cuts = deltas.zipWithIndex.filter(_._1 > 500)
+      id -> (lumas.size.toLong, cuts.size.toLong,
+        if (deltas.isEmpty) 0L else deltas.max,
+        cuts.headOption.map(_._2 + 1L).getOrElse(-1L))
+    }.toMap
+    val got = graft.queries.MultimodalQueries.queries("q_scene_cuts")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getAs[Long]("n_frames"),
+        r.getAs[Long]("n_cuts"), r.getAs[Long]("max_delta"),
+        r.getAs[Long]("first_cut"))).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
+  test("snapshot diff classification matches the arithmetic ground truth") {
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"),
+        when(col("doc_id") % 5 === 0, "removed")
+          .when(col("doc_id") % 5 === 4, "added")
+          .when(col("doc_id") % 7 === 0 &&
+            (col("n_chars") + col("doc_id")) % 97 =!= col("n_chars") % 97,
+            "changed")
+          .otherwise("unchanged").as("status"))
+      .groupBy("source", "status").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "status").collect().map(_.toString).toSeq
+    val got = graft.queries.EtlQueries.queries("q_snapshot_diff")(spark, sf)
+      .collect().map(_.toString).toSeq
+    assert(got == direct)
+    // all four classes must occur, or the diff is degenerate here
+    val statuses = graft.queries.EtlQueries.queries("q_snapshot_diff")(spark, sf)
+      .select("status").distinct().collect().map(_.getString(0)).toSet
+    assert(statuses == Set("added", "removed", "changed", "unchanged"),
+      s"expected all four classes, got $statuses")
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)

@@ -342,6 +342,22 @@ class PlanShapeSpec extends SparkSpecBase {
       s"shingles must be hashed to 64-bit keys before the shuffle:\n$p")
   }
 
+  test("q_snapshot_diff: co-bucketed full-outer merge — no exchange below " +
+      "the join") {
+    try {
+      val p = plan("q_snapshot_diff", graft.queries.EtlQueries.queries)
+      // both snapshots scan their doc_id-bucketed layout, so the
+      // full-outer join needs no shuffle of either side; the only hash
+      // exchange is the small per-(source, status) aggregate
+      assert(p.contains("FullOuter"), s"diff must full-outer join:\n$p")
+      assert(p.contains("SelectedBucketsCount"),
+        s"snapshots must scan bucketed layouts:\n$p")
+      val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+      assert(hashEx <= 1,
+        s"only the status aggregate may hash-shuffle, got $hashEx:\n$p")
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
     val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
