@@ -217,6 +217,53 @@ object GeoQueries {
     // spatially-near points in the same partition — the layout key
     // you'd repartitionByRange + sortWithinPartitions on before
     // writing 100 TB of points, so bbox queries prune file ranges.
+    // Z-order RANGE QUERY — the consumer that makes q_zorder_key's
+    // curve key an INDEX: a bbox query against a zkey-SORTED persisted
+    // layout, pruned by a driver-side z-interval decomposition
+    // (graft.geo.ZCurve: block-granular overapproximate cover, merged
+    // intervals — a bounded artifact like the ANN codebooks), with the
+    // exact gx/gy predicate re-applied post-scan. The interval
+    // BETWEENs push to parquet (pinned), and because the layout is
+    // range-sorted by zkey, row-group min/max stats skip everything
+    // outside the ~25 block intervals — the two-phase shape every
+    // curve-indexed store (lakehouse Z-ORDER clustering) runs at
+    // 100 TB. Oracle = the direct bbox filter (the q_dedup_bloom
+    // precedent: the index changes the plan, not the answer).
+    "q_zrange_search" -> ((s, dir) => {
+      def spread(c: Column): Column = {
+        val a = c.bitwiseAND(lit(65535L))
+        val b = a.bitwiseOR(shiftleft(a, 8)).bitwiseAND(lit(16711935L))
+        val d = b.bitwiseOR(shiftleft(b, 4)).bitwiseAND(lit(252645135L))
+        val e = d.bitwiseOR(shiftleft(d, 2)).bitwiseAND(lit(858993459L))
+        e.bitwiseOR(shiftleft(e, 1)).bitwiseAND(lit(1431655765L))
+      }
+      val out = s"${System.getProperty("java.io.tmpdir")}/graft_zidx_${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      SideStores.ensure(out) {
+        s.read.parquet(s"$dir/customer.parquet")
+          .select(col("c_custkey"),
+            (col("c_custkey") * 37 % 1024).as("gx"),
+            (col("c_custkey") * 53 % 1024).as("gy"))
+          .withColumn("zkey", spread(col("gx"))
+            .bitwiseOR(shiftleft(spread(col("gy")), 1)))
+          .repartitionByRange(8, col("zkey"))
+          .sortWithinPartitions("zkey")
+          .write.mode("overwrite").parquet(out)
+      }
+      val (x0, x1, y0, y1) = (100L, 199L, 300L, 399L)
+      val ranges = graft.geo.ZCurve.ranges(x0, x1, y0, y1,
+        bits = 10, blockBits = 5)
+      val zpred = ranges.map { case (lo, hi) =>
+        col("zkey").between(lo, hi) }.reduce(_ || _)
+      s.read.schema("c_custkey BIGINT, gx BIGINT, gy BIGINT, zkey BIGINT")
+        .parquet(out)
+        .filter(zpred) // coarse: pushed + row-group-skipped
+        .filter(col("gx").between(x0, x1) && col("gy").between(y0, y1))
+        .agg(count(lit(1)).as("n_points"),
+          min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"),
+          sum(col("c_custkey")).as("key_sum"))
+    }),
+
     "q_zorder_key" -> ((s, dir) => {
       def spread(c: Column): Column = {
         val a = c.bitwiseAND(lit(65535L))
@@ -456,6 +503,21 @@ object GeoQueries {
          |       round(x0 + (w + 1000.0 + 100.0 * n_nationkey) / 3, 4) AS centroid_x,
          |       round(y0 + h / 2, 4) AS centroid_y
          |FROM tri ORDER BY n_nationkey""".stripMargin,
+
+    // the oracle answers the bbox question directly — the z-interval
+    // pruning must not change the result
+    "q_zrange_search" ->
+      """WITH pts AS (
+        |  SELECT c_custkey,
+        |         (c_custkey * 37) % 1024 AS gx, (c_custkey * 53) % 1024 AS gy
+        |  FROM customer
+        |)
+        |SELECT CAST(count(*) AS BIGINT) AS n_points,
+        |       min(c_custkey) AS min_key,
+        |       max(c_custkey) AS max_key,
+        |       CAST(sum(c_custkey) AS BIGINT) AS key_sum
+        |FROM pts
+        |WHERE gx BETWEEN 100 AND 199 AND gy BETWEEN 300 AND 399""".stripMargin,
 
     "q_zorder_key" ->
       """WITH pts AS (

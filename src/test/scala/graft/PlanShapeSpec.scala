@@ -358,6 +358,18 @@ class PlanShapeSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("q_zrange_search: z-interval BETWEENs push to the sorted parquet scan") {
+    val p = plan("q_zrange_search", graft.queries.GeoQueries.queries)
+    // the coarse phase must reach the scan as pushed zkey range
+    // predicates (row-group min/max skipping on the range-sorted
+    // layout), with the exact gx/gy refine alive post-scan
+    assert(p.contains("GreaterThanOrEqual(zkey,"),
+      s"z-interval bounds must push to the parquet scan:\n$p")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 0,
+      s"a point-lookup-style range scan must not shuffle, got $exchanges:\n$p")
+  }
+
   test("q_fuzzy_join: neighborhood blocking — equi-join, never a product") {
     val p = plan("q_fuzzy_join", graft.queries.DedupQueries.queries)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
