@@ -110,6 +110,26 @@ object EventQueries {
           col("event_type"), col("n"), col("sum_value"))
         .orderBy("window_start_s", "event_type")),
 
+    // Hour-of-day seasonal profile per event type — the seasonal-index
+    // step of time-series decomposition (is 14:00 traffic above or
+    // below this type's uniform-rate expectation?). ONE corpus-pass
+    // hash aggregate at (type, hour); the per-type totals are a
+    // RE-aggregation of that ≤|types|·24-row frame (the margin trick:
+    // the "second pass" never touches the corpus), joined back
+    // type-keyed — a bounded frame AQE broadcasts. The index is the
+    // all-integer per-mille quotient n·24·1000 div total (non-negative
+    // operands, so Spark `div` ≡ DuckDB `//`); 1000 = flat.
+    "q_seasonality" -> ((s, dir) => {
+      val byHour = ev(s, dir)
+        .groupBy(col("event_type"), hour(col("ts")).cast("bigint").as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val totals = byHour.groupBy("event_type").agg(sum("n").as("total"))
+      byHour.join(totals, "event_type")
+        .select(col("event_type"), col("hr"), col("n"),
+          expr("n * 24 * 1000 div total").as("idx_pt"))
+        .orderBy("event_type", "hr")
+    }),
+
     // Sliding 2-hour windows every hour (each event lands in 2 windows).
     // Emits the DECIMAL-exact sum, not the mean: fixture values have 2
     // decimals, so per-window means land EXACTLY on .xxx5 rounding
@@ -1064,6 +1084,18 @@ object EventQueries {
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,
         |       event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_seasonality" ->
+      """WITH h AS (
+        |  SELECT event_type, CAST(extract(hour FROM ts) AS BIGINT) AS hr,
+        |         count(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |),
+        |t AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total
+        |      FROM h GROUP BY event_type)
+        |SELECT h.event_type, hr, n, n * 24 * 1000 // total AS idx_pt
+        |FROM h JOIN t ON h.event_type = t.event_type
+        |ORDER BY h.event_type, hr""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,

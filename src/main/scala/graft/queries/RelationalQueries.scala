@@ -660,6 +660,91 @@ object RelationalQueries {
       base.crossJoin(dupGroups).crossJoin(orphans)
     }),
 
+    // Frequent-itemset mining (market-basket co-occurrence, the
+    // Apriori/SON shape): baskets = orders, items = part BRANDS — the
+    // item grain of real basket mining is category/brand, decoded via
+    // a dim join (AQE broadcasts the dim). The Apriori prune executed
+    // RELATIONALLY: (1) distinct (basket, item) — one hash aggregate;
+    // (2) frequent ITEMS first, a frame bounded by the item-space
+    // size; (3) only frequent items enter the pair generation, which
+    // is a self-join keyed on the BASKET id — per-basket fan-out is
+    // C(basket size, 2), never a corpus cross; (4) pair-support
+    // filter, lift from the margins. minsup derives from the basket
+    // count (scale-free), lift is the all-integer per-myriad quotient
+    // (non-negative operands: Spark `div` ≡ DuckDB `//`). At 100 TB
+    // the frequent-item set stays ≤|item space| rows → its semi-join
+    // is map-side; the one real shuffle is the basket-keyed pair join.
+    "q_freq_itemsets" -> ((s, dir) => {
+      val bi = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "part").select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+        .distinct()
+        .transform(QueryCaches.cache(_)) // consumers need DIFFERENT
+      // exchanges (item-keyed margin agg vs basket-keyed pair join) and
+      // the lineage is shuffle-bearing (dim join + distinct) — the §8
+      // rule's paying configuration on both counts
+      val bounds = bi.agg(countDistinct(col("basket")).as("n_baskets"))
+      val itemCnt = bi.groupBy("item").agg(count(lit(1)).as("ic"))
+      val freq = itemCnt.crossJoin(broadcast(bounds))
+        .filter(col("ic") >= expr("n_baskets div 50")) // 2% support
+        .select(col("item"), col("ic"))
+      val fb = bi.join(freq.select("item"), Seq("item"), "left_semi")
+      val pairs = fb.as("a").join(fb.as("b"),
+          col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
+        .agg(count(lit(1)).as("pair_support"))
+      pairs.crossJoin(broadcast(bounds))
+        .filter(col("pair_support") >= expr("n_baskets div 50"))
+        .join(freq.withColumnRenamed("item", "item1")
+          .withColumnRenamed("ic", "ic1"), "item1")
+        .join(freq.withColumnRenamed("item", "item2")
+          .withColumnRenamed("ic", "ic2"), "item2")
+        .select(col("item1"), col("item2"), col("pair_support"),
+          expr("pair_support * n_baskets * 10000 div (ic1 * ic2)")
+            .as("lift_pmyr"))
+        .orderBy(col("pair_support").desc, col("item1"), col("item2"))
+        .limit(20)
+    }),
+
+    // Referential-integrity audit sweep — the FK-orphan validation a
+    // warehouse load runs before publishing: each child FK probed with
+    // ONE left-anti join per arm, and every edge audited TWICE — once
+    // against the live parent (pins the clean-load invariant at 0) and
+    // once against a STALE parent snapshot (keys ≡ 0 mod 97 dropped —
+    // the yesterday's-dim scenario where orphans actually appear, so
+    // the operator's nonzero path is exercised too). Per edge the
+    // plan is: column-pruned child scan → anti-join (parents are dims,
+    // AQE broadcasts them) → 1-row aggregate; the output is a bounded
+    // one-row-per-edge union. At 100 TB the child side never shuffles
+    // more than the anti-join's build requires, and a huge parent
+    // degrades to a plain hash anti-join instead of failing.
+    "q_fk_audit" -> ((s, dir) => {
+      def arm(child: DataFrame, fk: String, parent: DataFrame, pk: String,
+          out: String) = {
+        val stale = parent.filter(col(pk) % 97 =!= 0)
+        child.join(parent, child(fk) === parent(pk), "left_anti")
+          .agg(count(lit(1)).as(s"${out}_full"))
+          .crossJoin(
+            child.join(stale, child(fk) === stale(pk), "left_anti")
+              .agg(count(lit(1)).as(s"${out}_stale")))
+          .crossJoin(child.agg(count(lit(1)).as("n_child")))
+      }
+      val ord = t(s, dir, "orders").select(col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+      arm(ord, "o_custkey", t(s, dir, "customer").select(col("c_custkey")),
+          "c_custkey", "orph")
+        .withColumn("fk", lit("orders.o_custkey->customer"))
+        .unionByName(arm(li.select(col("l_partkey")), "l_partkey",
+          t(s, dir, "part").select(col("p_partkey")), "p_partkey", "orph")
+          .withColumn("fk", lit("lineitem.l_partkey->part")))
+        .unionByName(arm(li.select(col("l_suppkey")), "l_suppkey",
+          t(s, dir, "supplier").select(col("s_suppkey")), "s_suppkey", "orph")
+          .withColumn("fk", lit("lineitem.l_suppkey->supplier")))
+        .select(col("fk"), col("n_child"), col("orph_full"), col("orph_stale"))
+        .orderBy("fk")
+    }),
+
     // Fixed-size k-per-group sampling: rank rows inside each stratum by
     // a content hash and keep the first k — the deterministic
     // counterpart of reservoir sampling (same uniform-without-
@@ -1604,6 +1689,66 @@ object RelationalQueries {
         |  FROM lineitem
         |)
         |SELECT * FROM base CROSS JOIN dup CROSS JOIN orph""".stripMargin,
+
+    "q_freq_itemsets" ->
+      """WITH bi AS (
+        |  SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |),
+        |nb AS (SELECT count(DISTINCT basket) AS n_baskets FROM bi),
+        |ic AS (SELECT item, count(*) AS ic FROM bi GROUP BY item),
+        |freq AS (SELECT item, ic FROM ic, nb WHERE ic >= n_baskets // 50),
+        |fb AS (SELECT basket, item FROM bi
+        |       WHERE item IN (SELECT item FROM freq)),
+        |pairs AS (
+        |  SELECT a.item AS item1, b.item AS item2, count(*) AS pair_support
+        |  FROM fb a JOIN fb b
+        |    ON a.basket = b.basket AND a.item < b.item
+        |  GROUP BY 1, 2
+        |)
+        |SELECT item1, item2, pair_support,
+        |       pair_support * n_baskets * 10000 // (f1.ic * f2.ic) AS lift_pmyr
+        |FROM pairs
+        |JOIN freq f1 ON f1.item = pairs.item1
+        |JOIN freq f2 ON f2.item = pairs.item2
+        |CROSS JOIN nb
+        |WHERE pair_support >= n_baskets // 50
+        |ORDER BY pair_support DESC, item1, item2 LIMIT 20""".stripMargin,
+
+    "q_fk_audit" ->
+      """WITH e1 AS (
+        |  SELECT 'orders.o_custkey->customer' AS fk,
+        |         (SELECT count(*) FROM orders) AS n_child,
+        |         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        |           AS orph_full,
+        |         (SELECT count(*) FROM orders o WHERE NOT EXISTS
+        |            (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey
+        |               AND c.c_custkey % 97 <> 0)) AS orph_stale
+        |),
+        |e2 AS (
+        |  SELECT 'lineitem.l_partkey->part' AS fk,
+        |         (SELECT count(*) FROM lineitem) AS n_child,
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey))
+        |           AS orph_full,
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey
+        |               AND p.p_partkey % 97 <> 0)) AS orph_stale
+        |),
+        |e3 AS (
+        |  SELECT 'lineitem.l_suppkey->supplier' AS fk,
+        |         (SELECT count(*) FROM lineitem) AS n_child,
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey))
+        |           AS orph_full,
+        |         (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+        |            (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey
+        |               AND s.s_suppkey % 97 <> 0)) AS orph_stale
+        |)
+        |SELECT fk, n_child, orph_full, orph_stale
+        |FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2
+        |      UNION ALL SELECT * FROM e3) ORDER BY fk""".stripMargin,
 
     "q_sample_per_group" ->
       """WITH ranked AS (

@@ -1455,6 +1455,76 @@ object TextQueries {
             / (col("m") * col("sxx") - col("sx") * col("sx")), 4).as("slope"))
     }),
 
+    // PMI collocation detection (Church–Hanks association ratio):
+    // which adjacent token pairs co-occur MORE than their margins
+    // predict — the measure behind multiword-expression extraction,
+    // tokenizer merge seeding, and phrase-table pruning. ONE corpus
+    // pass builds the bigram count table (HOF transform once →
+    // explode → hash agg, the q_zipf_fit kernel); margins (c_x as
+    // left-position count, c_y as right) and the grand total N are
+    // RE-AGGREGATIONS of that table — a frame bounded by vocab², so
+    // the "second and third passes" never touch the corpus. The
+    // association statistic is floor(c_xy·N / (c_x·c_y) · 10⁶): both
+    // int64 products are cast to double BEFORE the division, and both
+    // engines evaluate the identical IEEE expression tree, so the
+    // floored per-million ratio (monotone in PMI) is hash-stable
+    // without the overflow a pure-integer c·N·10⁶ product would hit
+    // at scale fixtures. min-support 5 kills the hapax noise floor
+    // PMI is notorious for.
+    "q_collocations" -> ((s, dir) => {
+      val bgc = s.read.parquet(s"$dir/documents.parquet")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+            |  (x, i) -> named_struct('x', x, 'y', element_at(w, i + 2)))"""
+            .stripMargin)).as("p"))
+        .select(col("p.x").as("x"), col("p.y").as("y"))
+        .groupBy("x", "y").agg(count(lit(1)).as("c"))
+        .transform(QueryCaches.cache(_)) // four consumers (two margin
+      // aggs, the total, the final join) over a corpus-pass lineage —
+      // recomputing would re-run the HOF explode per consumer
+      val lx = bgc.groupBy("x").agg(sum("c").as("cx"))
+      val ry = bgc.groupBy("y").agg(sum("c").as("cy"))
+      val nb = bgc.agg(sum("c").as("nb"))
+      bgc.join(lx, "x").join(ry, "y").crossJoin(broadcast(nb))
+        .filter(col("c") >= 5)
+        .select(concat_ws(" ", col("x"), col("y")).as("bigram"),
+          col("c").as("c_xy"),
+          floor((col("c") * col("nb")).cast("double")
+            / (col("cx") * col("cy")).cast("double") * lit(1000000.0))
+            .cast("bigint").as("ratio_pm"))
+        .orderBy(col("ratio_pm").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // Skip-gram co-occurrence harvesting (the word2vec/GloVe training-
+    // pair extraction step): positionally-ordered token pairs within a
+    // forward window of 2, distance-weighted GloVe-style — but with
+    // the 1/d weights kept INTEGER by scaling ×2 (d=1 → 2, d=2 → 1),
+    // so the weighted totals are engine-exact. HOF-once discipline:
+    // a single transform emits both forward offsets per position
+    // (try_element_at is the ANSI-safe out-of-bounds guard), then
+    // everything downstream is codegen'd explode + one hash aggregate.
+    // No positional self-join (the q_phrase_search lesson: HOF-once
+    // beat the posting self-join 0.80 vs 1.06 s) — the oracle DOES
+    // use the self-join, which doubles as plan-independence evidence.
+    "q_skipgram" -> ((s, dir) => {
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """flatten(transform(w, (x, i) -> array(
+            |  named_struct('w1', x, 'w2', try_element_at(w, i + 2), 'wt', 2),
+            |  named_struct('w1', x, 'w2', try_element_at(w, i + 3), 'wt', 1))))"""
+            .stripMargin)).as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"),
+          col("p.wt").cast("bigint").as("wt"))
+        .filter(col("w2").isNotNull)
+        .groupBy("w1", "w2")
+        .agg(count(lit(1)).as("n_cooc"), sum("wt").as("w2x"))
+        .orderBy(col("w2x").desc, col("w1"), col("w2"))
+        .limit(20)
+    }),
+
     // Model-based quality scoring — the classifier-inference step of a
     // FineWeb/CCNet-style pipeline (a trained linear model scores every
     // document; the corpus keeps what clears the threshold). The scale
@@ -1836,6 +1906,41 @@ object TextQueries {
         |SELECT (SELECT count(*) FROM tf) AS n_vocab, m AS n_levels,
         |       round((m * sxy - sx * sy) * 1.0 / (m * sxx - sx * sx), 4) AS slope
         |FROM fit""".stripMargin,
+
+    // float step mirrors the engine exactly: int64 products cast to
+    // double before the one division, identical IEEE expression tree
+    "q_collocations" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT ws[i] AS x, ws[i + 1] AS y, count(*) AS c
+        |  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) u(i)
+        |  GROUP BY 1, 2
+        |),
+        |lx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM bg GROUP BY x),
+        |ry AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM bg GROUP BY y),
+        |nb AS (SELECT CAST(sum(c) AS BIGINT) AS nb FROM bg)
+        |SELECT x || ' ' || y AS bigram, c AS c_xy,
+        |       CAST(floor(CAST(c * nb AS DOUBLE) / CAST(cx * cy AS DOUBLE)
+        |         * 1000000) AS BIGINT) AS ratio_pm
+        |FROM bg JOIN lx USING (x) JOIN ry USING (y) CROSS JOIN nb
+        |WHERE c >= 5
+        |ORDER BY ratio_pm DESC, bigram LIMIT 20""".stripMargin,
+
+    // deliberately the POSITIONAL SELF-JOIN the engine avoids — same
+    // answer from an independent plan
+    "q_skipgram" ->
+      """WITH tk AS (
+        |  SELECT doc_id, string_split(text, ' ')[i] AS tok, i AS pos
+        |  FROM documents,
+        |       unnest(generate_series(1, len(string_split(text, ' ')))) AS u(i)
+        |)
+        |SELECT a.tok AS w1, b.tok AS w2, count(*) AS n_cooc,
+        |       CAST(sum(CASE WHEN b.pos - a.pos = 1 THEN 2 ELSE 1 END)
+        |         AS BIGINT) AS w2x
+        |FROM tk a JOIN tk b
+        |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        |GROUP BY 1, 2
+        |ORDER BY w2x DESC, w1, w2 LIMIT 20""".stripMargin,
 
     "q_classifier_score" -> {
       val hv: String => String = c =>

@@ -509,6 +509,115 @@ class NewOpsSpec extends SparkSpecBase {
       s"expected all four classes, got $statuses")
   }
 
+  test("seasonality: hourly index matches a per-type brute force") {
+    val evs = spark.read.parquet(s"$sf/events.parquet")
+      .select(col("event_type"), hour(col("ts")).cast("long").as("hr"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byTypeHour = evs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val totals = evs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val got = EventQueries.queries("q_seasonality")(spark, sf).collect()
+    assert(got.length === byTypeHour.size)
+    got.foreach { r =>
+      val t = r.getAs[String]("event_type")
+      val n = r.getAs[Long]("n")
+      assert(n === byTypeHour((t, r.getAs[Long]("hr"))))
+      // non-negative operands: Long / truncation == floor div
+      assert(r.getAs[Long]("idx_pt") === n * 24 * 1000 / totals(t))
+    }
+  }
+
+  test("fk audit: clean load has zero orphans; the stale snapshot surfaces exactly the mod-97 children") {
+    val rows = RelationalQueries.queries("q_fk_audit")(spark, sf).collect()
+    assert(rows.length === 3)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("orph_full") === 0L, r.getAs[String]("fk"))
+      assert(r.getAs[Long]("orph_stale") > 0L, r.getAs[String]("fk"))
+    }
+    // full orphans are 0 ⇒ every FK value exists ⇒ stale orphans are
+    // exactly the children whose FK is ≡ 0 mod 97
+    def staleOf(table: String, fk: String): Long =
+      spark.read.parquet(s"$sf/$table.parquet").filter(col(fk) % 97 === 0).count()
+    val byFk = rows.map(r => r.getAs[String]("fk") -> r).toMap
+    assert(byFk("orders.o_custkey->customer").getAs[Long]("orph_stale")
+      === staleOf("orders", "o_custkey"))
+    assert(byFk("lineitem.l_partkey->part").getAs[Long]("orph_stale")
+      === staleOf("lineitem", "l_partkey"))
+    assert(byFk("lineitem.l_suppkey->supplier").getAs[Long]("orph_stale")
+      === staleOf("lineitem", "l_suppkey"))
+  }
+
+  test("frequent itemsets: supports and lift match an in-memory Apriori") {
+    try {
+      val brand = spark.read.parquet(s"$sf/part.parquet")
+        .select("p_partkey", "p_brand").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val bi = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_partkey").collect()
+        .map(r => (r.getLong(0), brand(r.getLong(1)))).distinct
+      val nBaskets = bi.map(_._1).distinct.length.toLong
+      val minsup = nBaskets / 50
+      val freq = bi.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+        .filter(_._2 >= minsup)
+      val pairSup = bi.groupBy(_._1).values.toSeq.flatMap { items =>
+        val its = items.map(_._2).filter(freq.contains).sorted
+        for (i <- its.indices; j <- (i + 1) until its.length)
+          yield (its(i), its(j))
+      }.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+        .filter(_._2 >= minsup)
+      val expected = pairSup.toSeq.map { case ((a, b), sup) =>
+        (a, b, sup, sup * nBaskets * 10000L / (freq(a) * freq(b)))
+      }.sortBy { case (a, b, sup, _) => (-sup, a, b) }.take(20)
+      val got = RelationalQueries.queries("q_freq_itemsets")(spark, sf)
+        .collect().map(r => (r.getAs[String]("item1"), r.getAs[String]("item2"),
+          r.getAs[Long]("pair_support"), r.getAs[Long]("lift_pmyr"))).toSeq
+      assert(got.nonEmpty)
+      assert(got === expected)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("collocations: PMI ratio matches an in-memory bigram count") {
+    try {
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .select("text").collect().map(_.getString(0))
+      val bgs = texts.flatMap { t =>
+        val w = t.split(" ", -1); w.zip(w.drop(1))
+      }
+      val c = bgs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val cx = bgs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+      val cy = bgs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+      val nb = bgs.length.toLong
+      val expected = c.toSeq.filter(_._2 >= 5).map { case ((x, y), cxy) =>
+        (s"$x $y",
+          math.floor((cxy * nb).toDouble / (cx(x) * cy(y)).toDouble * 1000000.0).toLong)
+      }.sortBy { case (bg, r) => (-r, bg) }.take(20)
+      val got = TextQueries.queries("q_collocations")(spark, sf).collect()
+        .map(r => (r.getAs[String]("bigram"), r.getAs[Long]("ratio_pm"))).toSeq
+      assert(got.nonEmpty)
+      assert(got === expected)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("skip-grams: weighted co-occurrence matches an in-memory window walk") {
+    val texts = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    val prs = texts.flatMap { t =>
+      val w = t.split(" ", -1)
+      w.indices.flatMap { i =>
+        Seq((i + 1, 2L), (i + 2, 1L)).collect {
+          case (j, wt) if j < w.length => ((w(i), w(j)), wt)
+        }
+      }
+    }
+    val expected = prs.groupBy(_._1).map { case ((a, b), v) =>
+      (a, b, v.length.toLong, v.map(_._2).sum)
+    }.toSeq.sortBy { case (a, b, _, w2x) => (-w2x, a, b) }.take(20)
+    val got = TextQueries.queries("q_skipgram")(spark, sf).collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("n_cooc"), r.getAs[Long]("w2x"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
