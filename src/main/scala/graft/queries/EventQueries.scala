@@ -130,6 +130,45 @@ object EventQueries {
         .orderBy("event_type", "hr")
     }),
 
+    // CUSUM change-point detection over the daily event-count series
+    // per type — "did this feed's volume shift level, and when" (the
+    // ingest-monitoring primitive behind alerting and backfill
+    // triage). ONE corpus pass builds the daily counts; everything
+    // after runs on the bounded |types|·|days| frame, where window
+    // functions are safe (per-type partitions are ≤|days| rows — the
+    // "window over a bounded re-aggregation" pattern, not a corpus
+    // window). The CUSUM statistic is kept EXACT by scaling out the
+    // mean: sᵢ = n·prefixᵢ − i·total (all int64), so the argmax is
+    // engine-stable with no float tolerance; the peak day splits the
+    // series at the maximum-|s| point, ties to the earliest day.
+    // Before/after means are integer per-mille with a nullif guard.
+    "q_changepoint" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val wOrd = Window.partitionBy("event_type").orderBy("day")
+      val wAll = Window.partitionBy("event_type")
+      val cum = daily
+        .withColumn("i", row_number().over(wOrd).cast("bigint"))
+        .withColumn("pre", sum("x").over(wOrd))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("x")).over(wAll))
+        .withColumn("s_abs",
+          abs(col("n") * col("pre") - col("i") * col("tot")))
+      val pick = Window.partitionBy("event_type")
+        .orderBy(col("s_abs").desc, col("day").asc)
+      cum.withColumn("rk", row_number().over(pick))
+        .filter(col("rk") === 1)
+        .select(col("event_type"), col("n").as("n_days"),
+          col("tot").as("total"), col("day").cast("string").as("cp_day"),
+          col("s_abs").as("cusum_peak"),
+          expr("pre * 1000 div i").as("mean_before_pt"),
+          expr("(tot - pre) * 1000 div nullif(n - i, 0)").as("mean_after_pt"))
+        .orderBy("event_type")
+    }),
+
     // Sliding 2-hour windows every hour (each event lands in 2 windows).
     // Emits the DECIMAL-exact sum, not the mean: fixture values have 2
     // decimals, so per-window means land EXACTLY on .xxx5 rounding
@@ -1096,6 +1135,35 @@ object EventQueries {
         |SELECT h.event_type, hr, n, n * 24 * 1000 // total AS idx_pt
         |FROM h JOIN t ON h.event_type = t.event_type
         |ORDER BY h.event_type, hr""".stripMargin,
+
+    "q_changepoint" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |cum AS (
+        |  SELECT event_type, day, x,
+        |         CAST(row_number() OVER
+        |           (PARTITION BY event_type ORDER BY day) AS BIGINT) AS i,
+        |         CAST(sum(x) OVER
+        |           (PARTITION BY event_type ORDER BY day) AS BIGINT) AS pre,
+        |         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n,
+        |         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS tot
+        |  FROM daily
+        |),
+        |sc AS (SELECT *, abs(n * pre - i * tot) AS s_abs FROM cum),
+        |pick AS (
+        |  SELECT *, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY s_abs DESC, day) AS rk
+        |  FROM sc
+        |)
+        |SELECT event_type, n AS n_days, tot AS total,
+        |       CAST(day AS VARCHAR) AS cp_day,
+        |       CAST(s_abs AS BIGINT) AS cusum_peak,
+        |       pre * 1000 // i AS mean_before_pt,
+        |       (tot - pre) * 1000 // nullif(n - i, 0) AS mean_after_pt
+        |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,

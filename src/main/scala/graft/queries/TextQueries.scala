@@ -1559,6 +1559,87 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // Classifier EVALUATION — the confusion-matrix / precision-recall
+    // step that closes the model-based-filtering loop (score → gate →
+    // measure against a trusted label). Truth here is the stopword-
+    // density weak label (the q_budget_select quality signal); the
+    // prediction is q_classifier_score's gate verbatim. ONE corpus
+    // pass: the label is computed doc-side in the same projection that
+    // explodes the tokens, rides the (doc_id, truth) group key through
+    // the scoring aggregate (truth is functionally dependent on doc_id
+    // — the composite key costs nothing), and the 4-cell matrix plus
+    // all ratio metrics are a re-aggregation of the per-doc frame.
+    // Metrics are integer per-mille with nullif guards, so a degenerate
+    // corpus yields NULLs instead of an ANSI divide-by-zero.
+    "q_confusion_matrix" -> ((s, dir) => {
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (col("id") * 37 % 201).as("w"))
+      val perDoc = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("""CAST(size(filter(split(text, ' '),
+            |  t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+            |div CAST(size(split(text, ' ')) AS BIGINT) >= 500""".stripMargin)
+            .as("truth"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("truth"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id", "truth")
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+        .withColumn("pred", expr("wsum * 10000 div n_toks") >= 1000000L)
+      perDoc.agg(
+          sum(when(col("truth") && col("pred"), 1L).otherwise(0L)).as("tp"),
+          sum(when(!col("truth") && col("pred"), 1L).otherwise(0L)).as("fp"),
+          sum(when(col("truth") && !col("pred"), 1L).otherwise(0L)).as("fn"),
+          sum(when(!col("truth") && !col("pred"), 1L).otherwise(0L)).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          expr("tp * 1000 div nullif(tp + fp, 0)").as("prec_pt"),
+          expr("tp * 1000 div nullif(tp + fn, 0)").as("rec_pt"),
+          expr("2 * tp * 1000 div nullif(2 * tp + fp + fn, 0)").as("f1_pt"),
+          expr("(tp + tn) * 1000 div nullif(tp + tn + fp + fn, 0)")
+            .as("acc_pt"))
+    }),
+
+    // Chi-square independence test on the source × lang contingency —
+    // "is language distribution independent of crawl source", the
+    // stratification sanity check a mixture designer runs before
+    // trusting per-source language quotas. ONE corpus-pass hash
+    // aggregate builds the cell table (bounded by |sources|·|langs|,
+    // so it is CACHED: four consumers — two margins, the total, the
+    // final join — would each otherwise re-scan the corpus); margins
+    // and N are re-aggregations of that bounded frame. The per-cell
+    // statistic uses the N-scaled identity (o − rt·ct/N)²/(rt·ct/N)
+    // = (o·N − rt·ct)²/(N·rt·ct): the int64 difference is exact (safe
+    // to N·o ≈ 9·10¹⁸), squared in DOUBLE with the identical IEEE tree
+    // on both engines, floored per-mille PER CELL — the total is then
+    // an integer sum of already-floored cells, immune to float
+    // summation order.
+    "q_chisq_independence" -> ((s, dir) => {
+      val cells = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source", "lang").agg(count(lit(1)).as("o"))
+        .transform(QueryCaches.cache(_))
+      val rt = cells.groupBy("source").agg(sum("o").as("rt"))
+      val ct = cells.groupBy("lang").agg(sum("o").as("ct"))
+      val nn = cells.agg(sum("o").as("nn"))
+      val dims = cells.agg(countDistinct("source").as("nsrc"),
+        countDistinct("lang").as("nlang"))
+      val en = cells.join(rt, "source").join(ct, "lang")
+        .crossJoin(broadcast(nn))
+        .withColumn("e_pt", expr("rt * ct * 1000 div nn"))
+        .withColumn("chi_pt", expr(
+          """CAST(floor(CAST(o * nn - rt * ct AS DOUBLE)
+            |  * CAST(o * nn - rt * ct AS DOUBLE)
+            |  / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+            |  * 1000) AS BIGINT)""".stripMargin))
+      en.crossJoin(broadcast(en.agg(sum("chi_pt").as("chi2_total_pt"))))
+        .crossJoin(broadcast(dims))
+        .select(col("source"), col("lang"), col("o"), col("e_pt"),
+          col("chi_pt"), col("chi2_total_pt"),
+          expr("(nsrc - 1) * (nlang - 1)").as("dof"))
+        .orderBy("source", "lang")
+    }),
+
     // Vocabulary growth curve (Heaps' law): distinct-vocabulary size
     // after 10% / 50% / 100% of the corpus, in doc-id order — the
     // measurement behind "how much NEW vocabulary does more data buy"
@@ -1966,6 +2047,72 @@ object TextQueries {
          |FROM bk JOIN wts USING (bucket)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
+
+    "q_confusion_matrix" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val bucket = s"(${hv("substr(md5(t.tok), 3, 1)")} * 16 + " +
+        s"${hv("substr(md5(t.tok), 4, 1)")})"
+      s"""WITH wts AS (
+         |  SELECT i AS bucket, (i * 37) % 201 AS w
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
+         |),
+         |bk AS (
+         |  SELECT doc_id, $bucket AS bucket
+         |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+         |),
+         |sc AS (
+         |  SELECT doc_id, sum(w) * 10000 // count(*) >= 1000000 AS pred
+         |  FROM bk JOIN wts USING (bucket) GROUP BY doc_id
+         |),
+         |lbl AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+         |           // CAST(len(string_split(text, ' ')) AS BIGINT) >= 500 AS truth
+         |  FROM documents
+         |),
+         |cm AS (
+         |  SELECT CAST(sum(CASE WHEN truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |         CAST(sum(CASE WHEN NOT truth AND pred THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |         CAST(sum(CASE WHEN truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |         CAST(sum(CASE WHEN NOT truth AND NOT pred THEN 1 ELSE 0 END) AS BIGINT) AS tn
+         |  FROM sc JOIN lbl USING (doc_id)
+         |)
+         |SELECT tp, fp, fn, tn,
+         |       tp * 1000 // nullif(tp + fp, 0) AS prec_pt,
+         |       tp * 1000 // nullif(tp + fn, 0) AS rec_pt,
+         |       2 * tp * 1000 // nullif(2 * tp + fp + fn, 0) AS f1_pt,
+         |       (tp + tn) * 1000 // nullif(tp + tn + fp + fn, 0) AS acc_pt
+         |FROM cm""".stripMargin
+    },
+
+    "q_chisq_independence" ->
+      """WITH cells AS (
+        |  SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2
+        |),
+        |rt AS (SELECT source, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY source),
+        |ct AS (SELECT lang, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY lang),
+        |nn AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+        |dims AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS nsrc,
+        |                CAST(count(DISTINCT lang) AS BIGINT) AS nlang FROM cells),
+        |en AS (
+        |  SELECT source, lang, o,
+        |         CAST(rt * ct * 1000 // nn AS BIGINT) AS e_pt,
+        |         CAST(floor(CAST(o * nn - rt * ct AS DOUBLE)
+        |           * CAST(o * nn - rt * ct AS DOUBLE)
+        |           / (CAST(nn AS DOUBLE) * CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))
+        |           * 1000) AS BIGINT) AS chi_pt
+        |  FROM cells JOIN rt USING (source) JOIN ct USING (lang) CROSS JOIN nn
+        |),
+        |tot AS (SELECT CAST(sum(chi_pt) AS BIGINT) AS chi2_total_pt FROM en)
+        |SELECT source, lang, o, e_pt, chi_pt, chi2_total_pt,
+        |       (nsrc - 1) * (nlang - 1) AS dof
+        |FROM en CROSS JOIN tot CROSS JOIN dims
+        |ORDER BY source, lang""".stripMargin,
 
     "q_vocab_growth" ->
       """WITH b AS (SELECT max(doc_id) AS mx FROM documents),

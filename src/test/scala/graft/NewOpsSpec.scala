@@ -618,6 +618,104 @@ class NewOpsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("changepoint: CUSUM argmax matches an in-memory series walk") {
+    val evs = graft.sources.EventSource.batch(spark, sf)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val expected = evs.groupBy(_._1).map { case (tpe, rows) =>
+      val xs = rows.groupBy(_._2).map { case (d, v) => d -> v.length.toLong }
+        .toSeq.sortBy(_._1)
+      val n = xs.length.toLong
+      val tot = xs.map(_._2).sum
+      var pre = 0L
+      val ss = xs.zipWithIndex.map { case ((d, x), idx) =>
+        pre += x; (d, idx + 1L, pre, math.abs(n * pre - (idx + 1L) * tot))
+      }
+      // earliest-day tie-break: first row (day-ordered) carrying the max
+      val maxS = ss.map(_._4).max
+      val (d, i, p, peak) = ss.find(_._4 == maxS).get
+      tpe -> (n, tot, d, peak, p * 1000 / i,
+        if (n - i == 0) None else Some((tot - p) * 1000 / (n - i)))
+    }
+    val got = EventQueries.queries("q_changepoint")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, tot, d, peak, mb, ma) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("total") === tot)
+      assert(r.getAs[String]("cp_day") === d)
+      assert(r.getAs[Long]("cusum_peak") === peak)
+      assert(r.getAs[Long]("mean_before_pt") === mb)
+      assert(Option(r.getAs[Any]("mean_after_pt")).map(_.asInstanceOf[Long]) === ma)
+    }
+  }
+
+  test("chi-square independence: cell terms and total match an in-memory contingency") {
+    try {
+      val rows = spark.read.parquet(s"$sf/documents.parquet")
+        .select("source", "lang").collect()
+        .map(r => (r.getString(0), r.getString(1)))
+      val o = rows.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val rt = rows.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+      val ct = rows.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+      val nn = rows.length.toLong
+      val chi = o.map { case ((s0, l0), obs) =>
+        val d = (obs * nn - rt(s0) * ct(l0)).toDouble
+        (s0, l0) -> math.floor(
+          d * d / (nn.toDouble * rt(s0).toDouble * ct(l0).toDouble) * 1000).toLong
+      }
+      val total = chi.values.sum
+      val got = TextQueries.queries("q_chisq_independence")(spark, sf).collect()
+      assert(got.length === o.size)
+      got.foreach { r =>
+        val k = (r.getAs[String]("source"), r.getAs[String]("lang"))
+        assert(r.getAs[Long]("o") === o(k))
+        assert(r.getAs[Long]("e_pt") === rt(k._1) * ct(k._2) * 1000 / nn)
+        assert(r.getAs[Long]("chi_pt") === chi(k))
+        assert(r.getAs[Long]("chi2_total_pt") === total)
+        assert(r.getAs[Long]("dof") ===
+          (rt.size.toLong - 1) * (ct.size.toLong - 1))
+      }
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("confusion matrix: cells and metrics match an in-memory scorer") {
+    def md5hex(t: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(t.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val stop = Set("the", "a", "of", "and", "in")
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect().map(_.getString(0))
+    var (tp, fp, fn, tn) = (0L, 0L, 0L, 0L)
+    docs.foreach { text =>
+      val w = text.split(" ", -1)
+      val truth = w.count(stop).toLong * 10000 / w.length >= 500
+      val wsum = w.map { t =>
+        val b = java.lang.Long.parseLong(md5hex(t).take(4), 16) % 256
+        b * 37 % 201
+      }.sum
+      val pred = wsum * 10000 / w.length >= 1000000L
+      (truth, pred) match {
+        case (true, true)   => tp += 1
+        case (false, true)  => fp += 1
+        case (true, false)  => fn += 1
+        case (false, false) => tn += 1
+      }
+    }
+    val r = TextQueries.queries("q_confusion_matrix")(spark, sf).collect().head
+    assert(r.getAs[Long]("tp") === tp)
+    assert(r.getAs[Long]("fp") === fp)
+    assert(r.getAs[Long]("fn") === fn)
+    assert(r.getAs[Long]("tn") === tn)
+    // all four cells populated — the eval is non-degenerate by construction
+    assert(tp > 0 && fp > 0 && fn > 0 && tn > 0)
+    assert(r.getAs[Long]("prec_pt") === tp * 1000 / (tp + fp))
+    assert(r.getAs[Long]("rec_pt") === tp * 1000 / (tp + fn))
+    assert(r.getAs[Long]("f1_pt") === 2 * tp * 1000 / (2 * tp + fp + fn))
+    assert(r.getAs[Long]("acc_pt") === (tp + tn) * 1000 / (tp + tn + fp + fn))
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
