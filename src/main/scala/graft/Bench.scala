@@ -22,7 +22,8 @@ object Bench {
     "q_runtime_filter", "q_passage_overlap", "q_split_leakage",
     "q_ann_ivf_probe2", "q_skew_join_aqe", "q_scalar_subquery",
     "q_containment", "q_pipeline_e2e",
-    "q_span_dedup", "q_phrase_rank", "q_kmv_intersect")
+    "q_span_dedup", "q_phrase_rank", "q_kmv_intersect",
+    "q_freq_itemsets", "q_confusion_matrix")
 
   /** The committed-base fixture dir; full runs anywhere else write an
     * sf-suffixed detail file instead of the base (see detailName).

@@ -680,10 +680,15 @@ object RelationalQueries {
           col("l_partkey") === col("p_partkey"))
         .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
         .distinct()
-        .transform(QueryCaches.cache(_)) // consumers need DIFFERENT
-      // exchanges (item-keyed margin agg vs basket-keyed pair join) and
-      // the lineage is shuffle-bearing (dim join + distinct) — the §8
-      // rule's paying configuration on both counts
+      // NOT cached — measured (ProbeItemsets, sf0.1, 5-pass): cached
+      // 3.63/3.92 s min/med vs uncached 1.23/1.41. The consumers DO
+      // need different exchanges, but the lineage (parquet scan →
+      // broadcast dim join → distinct) recomputes inside whole-stage
+      // codegen cheaper than materializing 600 k deserialized string
+      // rows — the §8 rule's second clause (cheap kernel) dominates
+      // its first (different exchanges). A HOF pair expansion in place
+      // of the basket self-join also measured LOSS (1.40/1.61):
+      // ReuseExchange already dedupes the self-join's two sides.
       val bounds = bi.agg(countDistinct(col("basket")).as("n_baskets"))
       val itemCnt = bi.groupBy("item").agg(count(lit(1)).as("ic"))
       val freq = itemCnt.crossJoin(broadcast(bounds))
