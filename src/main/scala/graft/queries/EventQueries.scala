@@ -169,6 +169,62 @@ object EventQueries {
         .orderBy("event_type")
     }),
 
+    // Sequential pattern mining, the PrefixSpan/GSP 2-sequence step:
+    // which event-type TRANSITIONS recur across many users' journeys
+    // (order matters — the difference from q_freq_itemsets' unordered
+    // baskets, and from q_funnel's FIXED pattern). One corpus shuffle
+    // keyed on user_id builds each user's journey (array_sort over
+    // (ts, event_id, type) structs — event_id breaks ts ties, so the
+    // order is total and engine-stable); adjacent pairs come from ONE
+    // HOF pass; array_distinct makes the explode per-user-unique, so
+    // plain count(*) IS user support — never a count-distinct over an
+    // exploded corpus. Patterns are bounded by |types|², users by the
+    // user space: everything after the first shuffle is tiny.
+    "q_seq_patterns" -> ((s, dir) => {
+      val seqs = ev(s, dir)
+        .groupBy("user_id")
+        .agg(array_sort(collect_list(
+          struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+        .select(col("user_id"),
+          expr("transform(evs, e -> e.event_type)").as("tps"))
+      val nu = seqs.agg(count(lit(1)).as("n_users"))
+      seqs.select(col("user_id"), explode(expr(
+          """array_distinct(transform(slice(tps, 1, greatest(size(tps) - 1, 0)),
+            |  (x, i) -> concat(x, '>', element_at(tps, i + 2))))"""
+            .stripMargin)).as("pattern"))
+        .groupBy("pattern").agg(count(lit(1)).as("support"))
+        .crossJoin(broadcast(nu))
+        .filter(col("support") * 4 >= col("n_users")) // 25% min support
+        .select(col("pattern"), col("support"),
+          expr("support * 1000 div n_users").as("support_pm"))
+        .orderBy(col("support").desc, col("pattern"))
+    }),
+
+    // Rolling 7-day median of the daily count series per type — the
+    // robust-baseline smoother behind volume anomaly banding (median
+    // shrugs off the single-day spikes that wreck a rolling mean).
+    // Corpus pass #1 is the daily hash aggregate; the windowed
+    // collect_list runs on the bounded |types|·|days| frame only.
+    // The median is the LOWER median (sorted[(n+1) div 2], 1-based) —
+    // an order statistic, never the float midpoint average, so both
+    // engines agree exactly; ratio_pm flags deviation from baseline.
+    "q_rolling_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-6, 0)
+      daily.withColumn("win", sort_array(collect_list(col("x")).over(w)))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          col("x"),
+          expr("element_at(win, CAST((size(win) + 1) div 2 AS INT))")
+            .as("med7"))
+        .withColumn("ratio_pm", expr("x * 1000 div med7"))
+        .orderBy("event_type", "day")
+    }),
+
     // Sliding 2-hour windows every hour (each event lands in 2 windows).
     // Emits the DECIMAL-exact sum, not the mean: fixture values have 2
     // decimals, so per-window means land EXACTLY on .xxx5 rounding
@@ -1164,6 +1220,41 @@ object EventQueries {
         |       pre * 1000 // i AS mean_before_pt,
         |       (tot - pre) * 1000 // nullif(n - i, 0) AS mean_after_pt
         |FROM pick WHERE rk = 1 ORDER BY event_type""".stripMargin,
+
+    "q_seq_patterns" ->
+      """WITH seq AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS tps
+        |  FROM events GROUP BY user_id
+        |),
+        |nu AS (SELECT count(*) AS n_users FROM seq),
+        |pats AS (
+        |  SELECT DISTINCT user_id, tps[i] || '>' || tps[i + 1] AS pattern
+        |  FROM seq,
+        |       unnest(generate_series(1, greatest(len(tps) - 1, 0))) u(i)
+        |)
+        |SELECT pattern, count(*) AS support,
+        |       CAST(count(*) * 1000 // n_users AS BIGINT) AS support_pm
+        |FROM pats CROSS JOIN nu
+        |GROUP BY pattern, n_users
+        |HAVING count(*) * 4 >= n_users
+        |ORDER BY support DESC, pattern""".stripMargin,
+
+    "q_rolling_median" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |r AS (
+        |  SELECT event_type, day, x,
+        |         list_sort(list(x) OVER (PARTITION BY event_type ORDER BY day
+        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win
+        |  FROM daily
+        |)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day, x,
+        |       CAST(win[(len(win) + 1) // 2] AS BIGINT) AS med7,
+        |       CAST(x * 1000 // win[(len(win) + 1) // 2] AS BIGINT) AS ratio_pm
+        |FROM r ORDER BY event_type, day""".stripMargin,
 
     "q_stream_tumbling" ->
       """SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start_s,

@@ -1601,6 +1601,47 @@ object TextQueries {
             .as("acc_pt"))
     }),
 
+    // Sparse lexical kNN — all-pairs document similarity over an
+    // INVERTED INDEX of rare bigram features (the tf-idf-weighted
+    // sparse counterpart of the dense-embedding ANN pack; the classic
+    // Bayardo all-pairs shape). The scale bound IS the df window:
+    // terms must appear in ≥2 docs (df=1 can't pair) and ≤ max(N/100,
+    // 5) docs — rare-feature blocking, so a term's posting self-join
+    // fans out ≤ df² with df capped at 1% of the corpus, and the
+    // high-idf terms the cap keeps are exactly the ones that dominate
+    // the dot product anyway. Weights are integer tf·idf with q_bm25's
+    // bit-length idf, so the dot is int64-exact. The posting frame is
+    // NOT cached: its lineage (scan → HOF bigrams → one hash agg)
+    // recomputes inside codegen cheaper than materializing a
+    // Θ(corpus-bigrams) string frame — the q_freq_itemsets lesson
+    // (ProbeItemsets: cached 3.6 s vs uncached 1.2 s on the same
+    // shape), and ReuseExchange dedupes the self-join's two sides.
+    "q_sparse_knn" -> ((s, dir) => {
+      val bg = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), split(col("text"), " ").as("w"))
+        .select(col("doc_id"), explode(expr(
+          """transform(slice(w, 1, greatest(size(w) - 1, 0)),
+            |  (x, i) -> concat(x, ' ', element_at(w, i + 2)))"""
+            .stripMargin)).as("t"))
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val nd = s.read.parquet(s"$dir/documents.parquet")
+        .agg(count(lit(1)).as("nd"))
+      val keep = bg.groupBy("t").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") >= 2 && col("df") <= expr("greatest(nd div 100, 5)"))
+        .withColumn("idf_b", expr(
+          "CAST(length(bin((2*nd - 2*df + 1) * 1048576 div (2*df + 1))) AS BIGINT)"))
+        .select("t", "idf_b")
+      val post = bg.join(keep, "t")
+        .select(col("t"), col("doc_id"), (col("tf") * col("idf_b")).as("wt"))
+      post.as("a").join(post.as("b"),
+          col("a.t") === col("b.t") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"), sum(expr("a.wt * b.wt")).as("dot"))
+        .orderBy(col("dot").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
     // Chi-square independence test on the source × lang contingency —
     // "is language distribution independent of crawl source", the
     // stratification sanity check a mixture designer runs before
@@ -2089,6 +2130,27 @@ object TextQueries {
          |       (tp + tn) * 1000 // nullif(tp + tn + fp + fn, 0) AS acc_pt
          |FROM cm""".stripMargin
     },
+
+    "q_sparse_knn" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS t, count(*) AS tf
+        |  FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) u(i)
+        |  GROUP BY 1, 2
+        |),
+        |nd AS (SELECT count(*) AS nd FROM documents),
+        |keep AS (
+        |  SELECT t, CAST(length(bin((2*nd - 2*df + 1) * 1048576 // (2*df + 1)))
+        |           AS BIGINT) AS idf_b
+        |  FROM (SELECT t, count(*) AS df FROM bg GROUP BY t) CROSS JOIN nd
+        |  WHERE df >= 2 AND df <= greatest(nd // 100, 5)
+        |),
+        |post AS (SELECT t, doc_id, tf * idf_b AS wt FROM bg JOIN keep USING (t))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,
+        |       CAST(sum(a.wt * b.wt) AS BIGINT) AS dot
+        |FROM post a JOIN post b ON a.t = b.t AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2
+        |ORDER BY dot DESC, doc_a, doc_b LIMIT 20""".stripMargin,
 
     "q_chisq_independence" ->
       """WITH cells AS (

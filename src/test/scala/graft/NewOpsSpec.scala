@@ -716,6 +716,85 @@ class NewOpsSpec extends SparkSpecBase {
     assert(r.getAs[Long]("acc_pt") === (tp + tn) * 1000 / (tp + tn + fp + fn))
   }
 
+  test("sequential patterns: user support matches an in-memory journey walk") {
+    val evs = graft.sources.EventSource.batch(spark, sf)
+      .select("user_id", "ts", "event_id", "event_type").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime * 1000, r.getLong(2),
+        r.getString(3)))
+    val journeys = evs.groupBy(_._1).map { case (u, rows) =>
+      u -> rows.sortBy(r => (r._2, r._3)).map(_._4).toSeq
+    }
+    val nUsers = journeys.size.toLong
+    val support = journeys.values.toSeq
+      .flatMap(tps => tps.zip(tps.drop(1)).map { case (a, b) => s"$a>$b" }.distinct)
+      .groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      .filter(_._2 * 4 >= nUsers)
+    val got = EventQueries.queries("q_seq_patterns")(spark, sf).collect()
+    assert(got.length === support.size)
+    got.foreach { r =>
+      val p = r.getAs[String]("pattern")
+      assert(r.getAs[Long]("support") === support(p))
+      assert(r.getAs[Long]("support_pm") === support(p) * 1000 / nUsers)
+    }
+  }
+
+  test("rolling median: 7-day lower median matches an in-memory slide") {
+    val daily = graft.sources.EventSource.batch(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2)
+      xs.indices.map { i =>
+        val win = xs.slice(math.max(0, i - 6), i + 1).map(_._3).sorted
+        val med = win((win.length + 1) / 2 - 1)
+        (tpe, xs(i)._2) -> (xs(i)._3, med, xs(i)._3 * 1000 / med)
+      }
+    }
+    val got = EventQueries.queries("q_rolling_median")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (x, med, ratio) = expected(
+        (r.getAs[String]("event_type"), r.getAs[String]("day")))
+      assert(r.getAs[Long]("x") === x)
+      assert(r.getAs[Long]("med7") === med)
+      assert(r.getAs[Long]("ratio_pm") === ratio)
+    }
+  }
+
+  test("sparse knn: rare-bigram dot products match an in-memory index") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val tf = docs.flatMap { case (id, text) =>
+      val w = text.split(" ", -1)
+      w.zip(w.drop(1)).map { case (a, b) => ((id, s"$a $b"), 1L) }
+    }.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val nd = docs.length.toLong
+    val df = tf.keys.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
+    val idf = df.filter { case (_, d) => d >= 2 && d <= math.max(nd / 100, 5L) }
+      .map { case (t, d) =>
+        t -> java.lang.Long.toBinaryString(
+          (2 * nd - 2 * d + 1) * 1048576 / (2 * d + 1)).length.toLong
+      }
+    val post = tf.collect { case ((id, t), f) if idf.contains(t) =>
+      (t, id, f * idf(t))
+    }.toSeq
+    val pairs = post.groupBy(_._1).values.flatMap { ps =>
+      val sorted = ps.sortBy(_._2)
+      for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+        yield ((sorted(i)._2, sorted(j)._2), sorted(i)._3 * sorted(j)._3)
+    }.groupBy(_._1).map { case (k, v) => k -> (v.size.toLong, v.map(_._2).sum) }
+    val expected = pairs.toSeq.map { case ((a, b), (n, d)) => (a, b, n, d) }
+      .sortBy { case (a, b, _, d) => (-d, a, b) }.take(20)
+    val got = TextQueries.queries("q_sparse_knn")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("dot"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
