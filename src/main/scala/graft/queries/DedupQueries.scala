@@ -721,6 +721,47 @@ object DedupQueries {
         .orderBy("hop")
     }),
 
+    // Jaccard link prediction (common-neighbors scoring) — rank the
+    // NON-edges most likely to exist, the "people you may know" /
+    // entity-linking primitive. Complements q_triangle_count: the
+    // wedge join there counts CLOSED wedges; here the OPEN ones are
+    // the product. One wedge enumeration keyed on the middle node
+    // (Σ deg² — deg is ≤6 by the generator construction; on a general
+    // graph this is where a degree cap goes, same argument as the
+    // triangle pack), an anti-join drops pairs already linked, and
+    // |N(u)∪N(v)| comes from the degree margins (du + dv − common) —
+    // never a second neighbor-set join. All-integer per-mille score.
+    "q_graph_jaccard" -> ((s, dir) => {
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      val fwd = (1 to 3).map(k =>
+          nodes.select(col("id").as("src"), (col("id") + k).as("dst")))
+        .reduce(_ unionByName _)
+        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .transform(QueryCaches.cache(_)) // three consumers with three
+      // DIFFERENT exchanges (adj both directions feeding the wedge join
+      // and degrees; the canonical edge anti-join) over a lineage with
+      // a semi-join — the paying configuration
+      val adj = fwd.unionByName(
+        fwd.select(col("dst").as("src"), col("src").as("dst")))
+      val deg = adj.groupBy("src").agg(count(lit(1)).as("deg"))
+      val wedges = adj.as("a").join(adj.as("b"),
+          col("a.src") === col("b.src") && col("a.dst") < col("b.dst"))
+        .groupBy(col("a.dst").as("u"), col("b.dst").as("v"))
+        .agg(count(lit(1)).as("common"))
+      val epairs = fwd.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      wedges.join(epairs, Seq("u", "v"), "left_anti")
+        .join(deg.withColumnRenamed("src", "u")
+          .withColumnRenamed("deg", "du"), "u")
+        .join(deg.withColumnRenamed("src", "v")
+          .withColumnRenamed("deg", "dv"), "v")
+        .select(col("u"), col("v"), col("common"),
+          expr("common * 1000 div (du + dv - common)").as("jaccard_pm"))
+        .orderBy(col("jaccard_pm").desc, col("u"), col("v"))
+        .limit(20)
+    }),
+
     // Iterative 5-core peel, 3 rounds. Two measured r12 decisions:
     // (1) materialize the DROP-set (deg < 5, the tiny peel boundary)
     // and broadcast-ANTI-join it, instead of semi-joining the ~|V|-row
@@ -1834,6 +1875,33 @@ object DedupQueries {
         |SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes,
         |       min(id) AS min_id, max(id) AS max_id
         |FROM dist GROUP BY hop ORDER BY hop""".stripMargin,
+
+    "q_graph_jaccard" ->
+      """WITH nodes AS (SELECT c_custkey AS id FROM customer),
+        |fwd AS (
+        |  SELECT n.id AS src, n.id + k AS dst
+        |  FROM nodes n, unnest([1, 2, 3]) t(k)
+        |  WHERE EXISTS (SELECT 1 FROM nodes m WHERE m.id = n.id + k)
+        |),
+        |adj AS (SELECT src, dst FROM fwd UNION ALL SELECT dst, src FROM fwd),
+        |deg AS (SELECT src, count(*) AS deg FROM adj GROUP BY src),
+        |wedges AS (
+        |  SELECT a.dst AS u, b.dst AS v, count(*) AS common
+        |  FROM adj a JOIN adj b ON a.src = b.src AND a.dst < b.dst
+        |  GROUP BY 1, 2
+        |),
+        |epairs AS (
+        |  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        |  FROM fwd
+        |)
+        |SELECT w.u, w.v, w.common,
+        |       w.common * 1000 // (du.deg + dv.deg - w.common) AS jaccard_pm
+        |FROM wedges w
+        |JOIN deg du ON du.src = w.u
+        |JOIN deg dv ON dv.src = w.v
+        |WHERE NOT EXISTS (SELECT 1 FROM epairs e
+        |                  WHERE e.u = w.u AND e.v = w.v)
+        |ORDER BY jaccard_pm DESC, w.u, w.v LIMIT 20""".stripMargin,
 
     "q_graph_kcore" ->
       """WITH nodes AS (SELECT c_custkey AS id FROM customer),

@@ -200,6 +200,54 @@ object EventQueries {
         .orderBy(col("support").desc, col("pattern"))
     }),
 
+    // Discrete-time survival / conversion-latency table (the Kaplan-
+    // Meier risk-set construction): time-to-first-purchase measured
+    // from first signup, right-censored at each user's LAST observed
+    // event — "how many days does conversion take, given who was
+    // still at risk". One corpus shuffle keyed on user_id builds the
+    // per-user (tte, censor) row; the day-grain table is a bounded
+    // ≤|days| frame where the risk set comes from a CUMULATIVE-exits
+    // window (at_risk(d) = U − Σ_{d'<d} exits), never a users×days
+    // range join. Hazard and the conversion curve are integer
+    // per-mille; the float survival PRODUCT is deliberately left to
+    // the caller (Π of ratios is summation-order-unstable; every
+    // number here is exact).
+    "q_survival_curve" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val e = ev(s, dir)
+      val perUser = e.groupBy("user_id").agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("su"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("fp"),
+        max(col("ts")).as("last"))
+      val u = perUser.filter(col("su").isNotNull)
+        .select(
+          when(col("fp") >= col("su"),
+            datediff(col("fp").cast("date"), col("su").cast("date"))
+              .cast("bigint")).as("tte"),
+          datediff(col("last").cast("date"), col("su").cast("date"))
+            .cast("bigint").as("ct"))
+      val byDay = u
+        .select(coalesce(col("tte"), col("ct")).as("d"),
+          when(col("tte").isNotNull, 1L).otherwise(0L).as("ev"))
+        .groupBy("d")
+        .agg(sum("ev").as("n_events"), count(lit(1)).as("n_exits"))
+      val nu = u.agg(count(lit(1)).as("n_users"))
+      val wPrev = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      byDay.crossJoin(broadcast(nu))
+        .withColumn("at_risk",
+          col("n_users") - coalesce(sum(col("n_exits")).over(wPrev), lit(0L)))
+        .withColumn("n_censored", col("n_exits") - col("n_events"))
+        .withColumn("hazard_pm", expr("n_events * 1000 div at_risk"))
+        .withColumn("cum_conv", sum(col("n_events")).over(wCum))
+        .withColumn("conv_pm", expr("cum_conv * 1000 div n_users"))
+        .select("d", "at_risk", "n_events", "n_censored", "hazard_pm",
+          "cum_conv", "conv_pm")
+        .orderBy("d")
+    }),
+
     // Rolling 7-day median of the daily count series per type — the
     // robust-baseline smoother behind volume anomaly banding (median
     // shrugs off the single-day spikes that wreck a rolling mean).
@@ -1238,6 +1286,45 @@ object EventQueries {
         |GROUP BY pattern, n_users
         |HAVING count(*) * 4 >= n_users
         |ORDER BY support DESC, pattern""".stripMargin,
+
+    "q_survival_curve" ->
+      """WITH pu AS (
+        |  SELECT user_id,
+        |         min(CASE WHEN event_type = 'signup' THEN ts END) AS su,
+        |         min(CASE WHEN event_type = 'purchase' THEN ts END) AS fp,
+        |         max(ts) AS last
+        |  FROM events GROUP BY user_id
+        |),
+        |u AS (
+        |  SELECT CASE WHEN fp >= su THEN CAST(datediff('day', CAST(su AS DATE),
+        |           CAST(fp AS DATE)) AS BIGINT) END AS tte,
+        |         CAST(datediff('day', CAST(su AS DATE), CAST(last AS DATE))
+        |           AS BIGINT) AS ct
+        |  FROM pu WHERE su IS NOT NULL
+        |),
+        |byday AS (
+        |  SELECT coalesce(tte, ct) AS d,
+        |         CAST(sum(CASE WHEN tte IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_events,
+        |         count(*) AS n_exits
+        |  FROM u GROUP BY 1
+        |),
+        |nu AS (SELECT count(*) AS n_users FROM u),
+        |r AS (
+        |  SELECT d, n_events, n_exits, n_users,
+        |         n_users - CAST(coalesce(sum(n_exits) OVER (ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS BIGINT) AS at_risk,
+        |         CAST(sum(n_events) OVER (ORDER BY d
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum_conv
+        |  FROM byday CROSS JOIN nu
+        |)
+        |SELECT d, at_risk, n_events,
+        |       CAST(n_exits - n_events AS BIGINT) AS n_censored,
+        |       n_events * 1000 // at_risk AS hazard_pm,
+        |       cum_conv, cum_conv * 1000 // n_users AS conv_pm
+        |FROM r ORDER BY d""".stripMargin,
 
     "q_rolling_median" ->
       """WITH daily AS (

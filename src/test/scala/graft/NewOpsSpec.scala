@@ -795,6 +795,76 @@ class NewOpsSpec extends SparkSpecBase {
     assert(got === expected)
   }
 
+  test("survival curve: risk sets and hazards match an in-memory KM table") {
+    val pu = graft.sources.EventSource.batch(spark, sf)
+      .select("user_id", "event_type", "ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2)))
+      .groupBy(_._1)
+    val users = pu.values.toSeq.flatMap { rows =>
+      val su = rows.filter(_._2 == "signup").map(_._3).sortBy(_.getTime)
+        .headOption
+      su.map { s0 =>
+        def day(t: java.sql.Timestamp): Long =
+          java.time.LocalDateTime.ofInstant(t.toInstant,
+            java.time.ZoneOffset.UTC).toLocalDate.toEpochDay
+        val fp = rows.filter(_._2 == "purchase").map(_._3)
+          .sortBy(_.getTime).headOption
+        // engine condition is fp >= su at TIMESTAMP grain; the day
+        // difference is then taken at date grain
+        val tte = fp.filter(_.compareTo(s0) >= 0)
+          .map(f => day(f) - day(s0))
+        val ct = day(rows.map(_._3).maxBy(_.getTime)) - day(s0)
+        (tte, ct)
+      }
+    }
+    val nUsers = users.length.toLong
+    val byDay = users.groupBy { case (tte, ct) => tte.getOrElse(ct) }
+      .toSeq.sortBy(_._1)
+      .map { case (d, v) => (d, v.count(_._1.isDefined).toLong, v.length.toLong) }
+    var exited = 0L; var cum = 0L
+    val expected = byDay.map { case (d, ev, ex) =>
+      val atRisk = nUsers - exited
+      exited += ex; cum += ev
+      (d, atRisk, ev, ex - ev, ev * 1000 / atRisk, cum, cum * 1000 / nUsers)
+    }
+    val got = EventQueries.queries("q_survival_curve")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("at_risk"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("n_censored"),
+        r.getAs[Long]("hazard_pm"), r.getAs[Long]("cum_conv"),
+        r.getAs[Long]("conv_pm"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("graph jaccard: open-wedge scores match an in-memory neighbor index") {
+    try {
+      val ids = spark.read.parquet(s"$sf/customer.parquet")
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      val fwd = for (c <- ids.toSeq; k <- 1 to 3; if ids(c + k))
+        yield (c, c + k)
+      val nbrs = (fwd ++ fwd.map(_.swap)).groupBy(_._1)
+        .map { case (k, v) => k -> v.map(_._2).toSet }
+      val edgeSet = fwd.map { case (a, b) => (math.min(a, b), math.max(a, b)) }.toSet
+      val cand = scala.collection.mutable.Map[(Long, Long), Long]()
+      nbrs.values.foreach { ns =>
+        val sorted = ns.toSeq.sorted
+        for (i <- sorted.indices; j <- (i + 1) until sorted.length)
+          cand((sorted(i), sorted(j))) = cand.getOrElse(
+            (sorted(i), sorted(j)), 0L) + 1
+      }
+      val expected = cand.toSeq.collect {
+        case ((u, v), common) if !edgeSet((u, v)) =>
+          val union = nbrs(u).size + nbrs(v).size - common
+          (u, v, common, common * 1000 / union)
+      }.sortBy { case (u, v, _, j) => (-j, u, v) }.take(20)
+      val got = DedupQueries.queries("q_graph_jaccard")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v"),
+          r.getAs[Long]("common"), r.getAs[Long]("jaccard_pm"))).toSeq
+      assert(got.nonEmpty)
+      assert(got === expected)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
