@@ -200,6 +200,84 @@ object EventQueries {
         .orderBy(col("support").desc, col("pattern"))
     }),
 
+    // Lag-1..3 autocorrelation of the daily count series per type —
+    // the statistical complement of q_seasonality (does today's
+    // volume predict tomorrow's?). Corpus pass = the daily hash
+    // aggregate; devs/leads/products all run on the bounded
+    // |types|·|days| frame. Deviations use the FLOOR-mean (x − S div
+    // n) so every sum of products is int64-exact — the n-scaled
+    // (n·x − S) form would square into overflow at count scales the
+    // fixture's 10⁹-events-per-day ceiling allows. num may be
+    // NEGATIVE, where Spark `div` (truncate) and DuckDB `//` (floor)
+    // disagree — so the one float step is the final round(num/den, 4)
+    // with the identical IEEE tree on both engines (the q_zipf_fit
+    // discipline); num and den ride along exact.
+    "q_autocorrelation" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val dev = daily.join(stats, "event_type")
+        .withColumn("dv", col("x") - expr("sx div n"))
+        .withColumn("d1", lead(col("dv"), 1).over(w))
+        .withColumn("d2", lead(col("dv"), 2).over(w))
+        .withColumn("d3", lead(col("dv"), 3).over(w))
+      dev.groupBy("event_type").agg(
+          sum(expr("dv * dv")).as("den"),
+          sum(expr("dv * d1")).as("n1"),
+          sum(expr("dv * d2")).as("n2"),
+          sum(expr("dv * d3")).as("n3"))
+        .selectExpr("event_type", "den",
+          """stack(3,
+            |  CAST(1 AS BIGINT), n1,
+            |  CAST(2 AS BIGINT), n2,
+            |  CAST(3 AS BIGINT), n3) AS (lag_k, num)""".stripMargin)
+        .select(col("event_type"), col("lag_k"), col("num"), col("den"),
+          round(col("num").cast("double") / col("den").cast("double"), 4)
+            .as("acf"))
+        .orderBy("event_type", "lag_k")
+    }),
+
+    // Growth accounting — the DAU decomposition new / retained /
+    // resurrected (+ churned, derived as yesterday's DAU minus
+    // today's retained) that product analytics runs daily. The
+    // (user, day) presence grid is ONE hash aggregate off the corpus;
+    // the lag classification is a per-user window over that already-
+    // reduced O(U·days) frame (per-user partitions are bounded by the
+    // observation span), and the day table the output groups into is
+    // bounded by |days|. All counts exact integers.
+    "q_growth_accounting" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ud = ev(s, dir)
+        .select(col("user_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint").as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val byDay = ud.withColumn("prev", lag(col("d"), 1).over(w))
+        .withColumn("status",
+          when(col("prev").isNull, "new")
+            .when(col("prev") === col("d") - 1, "retained")
+            .otherwise("resurrected"))
+        .groupBy("d").agg(count(lit(1)).as("dau"),
+          sum(when(col("status") === "new", 1L).otherwise(0L)).as("n_new"),
+          sum(when(col("status") === "retained", 1L).otherwise(0L))
+            .as("n_retained"),
+          sum(when(col("status") === "resurrected", 1L).otherwise(0L))
+            .as("n_resurrected"))
+      val wd = Window.orderBy("d")
+      byDay
+        .withColumn("n_churned",
+          coalesce(lag(col("dau"), 1).over(wd), lit(0L)) - col("n_retained"))
+        .select("d", "dau", "n_new", "n_retained", "n_resurrected",
+          "n_churned")
+        .orderBy("d")
+    }),
+
     // Discrete-time survival / conversion-latency table (the Kaplan-
     // Meier risk-set construction): time-to-first-purchase measured
     // from first signup, right-censored at each user's LAST observed
@@ -1286,6 +1364,75 @@ object EventQueries {
         |GROUP BY pattern, n_users
         |HAVING count(*) * 4 >= n_users
         |ORDER BY support DESC, pattern""".stripMargin,
+
+    "q_autocorrelation" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(x) AS BIGINT) AS sx
+        |       FROM daily GROUP BY 1),
+        |dev AS (
+        |  SELECT d.event_type, day, x - (sx // n) AS dv
+        |  FROM daily d JOIN st USING (event_type)
+        |),
+        |ld AS (
+        |  SELECT event_type, dv,
+        |         lead(dv, 1) OVER (PARTITION BY event_type ORDER BY day) AS d1,
+        |         lead(dv, 2) OVER (PARTITION BY event_type ORDER BY day) AS d2,
+        |         lead(dv, 3) OVER (PARTITION BY event_type ORDER BY day) AS d3
+        |  FROM dev
+        |),
+        |ag AS (
+        |  SELECT event_type, CAST(sum(dv * dv) AS BIGINT) AS den,
+        |         CAST(sum(dv * d1) AS BIGINT) AS n1,
+        |         CAST(sum(dv * d2) AS BIGINT) AS n2,
+        |         CAST(sum(dv * d3) AS BIGINT) AS n3
+        |  FROM ld GROUP BY 1
+        |),
+        |up AS (
+        |  SELECT event_type, CAST(1 AS BIGINT) AS lag_k, n1 AS num, den FROM ag
+        |  UNION ALL
+        |  SELECT event_type, CAST(2 AS BIGINT), n2, den FROM ag
+        |  UNION ALL
+        |  SELECT event_type, CAST(3 AS BIGINT), n3, den FROM ag
+        |)
+        |SELECT event_type, lag_k, num, den,
+        |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS acf
+        |FROM up ORDER BY event_type, lag_k""".stripMargin,
+
+    "q_growth_accounting" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d
+        |  FROM events
+        |),
+        |cl AS (
+        |  SELECT d,
+        |         CASE WHEN lag(d, 1) OVER (PARTITION BY user_id ORDER BY d)
+        |                IS NULL THEN 'new'
+        |              WHEN lag(d, 1) OVER (PARTITION BY user_id ORDER BY d)
+        |                = d - 1 THEN 'retained'
+        |              ELSE 'resurrected' END AS status
+        |  FROM ud
+        |),
+        |byday AS (
+        |  SELECT d, count(*) AS dau,
+        |         CAST(sum(CASE WHEN status = 'new' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_new,
+        |         CAST(sum(CASE WHEN status = 'retained' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_retained,
+        |         CAST(sum(CASE WHEN status = 'resurrected' THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_resurrected
+        |  FROM cl GROUP BY d
+        |)
+        |SELECT d, dau, n_new, n_retained, n_resurrected,
+        |       CAST(coalesce(lag(dau, 1) OVER (ORDER BY d), 0) - n_retained
+        |         AS BIGINT) AS n_churned
+        |FROM byday ORDER BY d""".stripMargin,
 
     "q_survival_curve" ->
       """WITH pu AS (

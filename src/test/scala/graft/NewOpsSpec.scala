@@ -865,6 +865,70 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("autocorrelation: floor-mean ACF matches an in-memory series") {
+    val daily = graft.sources.EventSource.batch(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).flatMap { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2).map(_._3)
+      val mean = xs.sum / xs.length
+      val dv = xs.map(_ - mean)
+      val den = dv.map(d => d * d).sum
+      (1 to 3).map { k =>
+        val num = dv.dropRight(k).zip(dv.drop(k)).map { case (a, b) => a * b }.sum
+        (tpe, k.toLong) -> (num, den,
+          BigDecimal(num.toDouble / den.toDouble)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+    }
+    val got = EventQueries.queries("q_autocorrelation")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (num, den, acf) = expected(
+        (r.getAs[String]("event_type"), r.getAs[Long]("lag_k")))
+      assert(r.getAs[Long]("num") === num)
+      assert(r.getAs[Long]("den") === den)
+      assert(r.getAs[Double]("acf") === acf)
+    }
+    // non-degenerate: at least one lag must show real signal (|acf| > 0)
+    assert(got.exists(r => math.abs(r.getAs[Double]("acf")) > 0.0))
+  }
+
+  test("growth accounting: DAU decomposition matches an in-memory grid walk") {
+    val ud = graft.sources.EventSource.batch(spark, sf)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val byUser = ud.groupBy(_._1).map { case (u, v) => u -> v.map(_._2).sorted }
+    val cls = byUser.values.flatMap { ds =>
+      ds.zipWithIndex.map { case (d, i) =>
+        val st = if (i == 0) "new"
+          else if (ds(i - 1) == d - 1) "retained" else "resurrected"
+        (d, st)
+      }
+    }.toSeq
+    val days = cls.groupBy(_._1).toSeq.sortBy(_._1).map { case (d, v) =>
+      (d, v.length.toLong, v.count(_._2 == "new").toLong,
+        v.count(_._2 == "retained").toLong,
+        v.count(_._2 == "resurrected").toLong)
+    }
+    val expected = days.zipWithIndex.map { case ((d, dau, nw, rt, rs), i) =>
+      val churned = (if (i == 0) 0L else days(i - 1)._2) - rt
+      (d, dau, nw, rt, rs, churned)
+    }
+    val got = EventQueries.queries("q_growth_accounting")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("d"), r.getAs[Long]("dau"),
+        r.getAs[Long]("n_new"), r.getAs[Long]("n_retained"),
+        r.getAs[Long]("n_resurrected"), r.getAs[Long]("n_churned"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+    // conservation: every DAU row decomposes exactly
+    got.foreach { case (_, dau, nw, rt, rs, _) => assert(dau === nw + rt + rs) }
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
