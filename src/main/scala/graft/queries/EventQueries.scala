@@ -200,6 +200,35 @@ object EventQueries {
         .orderBy(col("support").desc, col("pattern"))
     }),
 
+    // Trailing-7-day distinct actives per day (the WAU primitive) —
+    // the rolling DISTINCT count that naive windowing gets wrong at
+    // scale (a per-day count-distinct over a 7-day window re-scans
+    // every window 7×). The exact decomposition: user u is active-in-
+    // window on day d iff their LATEST activity day d_i satisfies
+    // d − d_i ≤ 6 — so each (user, activity-day) row contributes the
+    // interval [d_i, min(d_i+6, next_activity−1)], at most 7 rows
+    // after the explode. One hash aggregate to the (user, day) grid,
+    // one user-keyed window for the successor day, one ≤7× explode,
+    // one day-grain count — all exact, no window re-scans, no
+    // count-distinct anywhere.
+    "q_rolling_distinct" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ud = ev(s, dir)
+        .select(col("user_id"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint").as("d"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("d")
+      val bounds = ud.agg(max(col("d")).as("dmax"))
+      ud.withColumn("nxt", lead(col("d"), 1).over(w))
+        .crossJoin(broadcast(bounds))
+        .select(explode(expr(
+          "sequence(d, least(d + 6, least(coalesce(nxt - 1, d + 6), dmax)))"))
+          .as("day"))
+        .groupBy("day").agg(count(lit(1)).as("wau"))
+        .orderBy("day")
+    }),
+
     // Lag-1..3 autocorrelation of the daily count series per type —
     // the statistical complement of q_seasonality (does today's
     // volume predict tomorrow's?). Corpus pass = the daily hash
@@ -1364,6 +1393,26 @@ object EventQueries {
         |GROUP BY pattern, n_users
         |HAVING count(*) * 4 >= n_users
         |ORDER BY support DESC, pattern""".stripMargin,
+
+    "q_rolling_distinct" ->
+      """WITH ud AS (
+        |  SELECT DISTINCT user_id,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d
+        |  FROM events
+        |),
+        |b AS (SELECT max(d) AS dmax FROM ud),
+        |iv AS (
+        |  SELECT d, lead(d, 1) OVER (PARTITION BY user_id ORDER BY d) AS nxt
+        |  FROM ud
+        |),
+        |cov AS (
+        |  SELECT unnest(generate_series(d,
+        |           least(d + 6, least(coalesce(nxt - 1, d + 6), dmax)))) AS day
+        |  FROM iv CROSS JOIN b
+        |)
+        |SELECT CAST(day AS BIGINT) AS day, count(*) AS wau
+        |FROM cov GROUP BY 1 ORDER BY day""".stripMargin,
 
     "q_autocorrelation" ->
       """WITH daily AS (

@@ -1601,6 +1601,49 @@ object TextQueries {
             .as("acc_pt"))
     }),
 
+    // RAKE keyword extraction (Rose et al.) — candidate phrases are
+    // the maximal stopword-free token runs; a word scores degree/
+    // frequency over the whole corpus and a phrase scores the sum of
+    // its words. The segmentation trick: doubling every space first
+    // makes ' stopword ' delimiters NON-OVERLAPPING even for adjacent
+    // stopwords ("of the" — each match still leaves one space for its
+    // neighbor), so one regex split segments exactly, with identical
+    // leftmost-first semantics in Java regex and RE2. Corpus passes:
+    // one segmentation (HOF once, explode) feeding BOTH the word-stat
+    // aggregate and the phrase-instance aggregate; the scoring join
+    // runs on the distinct-phrase frame (bounded by the phrase vocab)
+    // against the broadcast-size word table. deg·1000 div freq is
+    // non-negative integer per-mille, so the phrase score is exact.
+    "q_keyword_rake" -> ((s, dir) => {
+      val segs = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(split(
+          concat(lit(" "), regexp_replace(col("text"), " ", "  "), lit(" ")),
+          " (?:the|a|of|and|in) ")).as("seg"))
+        .select(expr("filter(split(trim(seg), '  +'), x -> x != '')")
+          .as("ws"))
+        .filter(size(col("ws")).between(1, 4))
+        .select(col("ws"), array_join(col("ws"), " ").as("phrase"))
+        .transform(QueryCaches.cache(_)) // two consumers over the
+      // segmentation lineage (word stats; phrase support) with
+      // different exchanges — and the frame is narrow token runs
+      val wstats = segs
+        .select(explode(col("ws")).as("w"), size(col("ws")).cast("bigint")
+          .as("plen"))
+        .groupBy("w")
+        .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+        .withColumn("wscore_pm", expr("deg * 1000 div freq"))
+      val support = segs.groupBy("phrase").agg(count(lit(1)).as("support"))
+        .filter(col("support") >= 2)
+      support
+        .select(col("phrase"), col("support"),
+          explode(split(col("phrase"), " ")).as("w"))
+        .join(wstats.select("w", "wscore_pm"), "w")
+        .groupBy("phrase", "support")
+        .agg(sum(col("wscore_pm")).as("score_pm"))
+        .orderBy(col("score_pm").desc, col("phrase"))
+        .limit(20)
+    }),
+
     // Sparse lexical kNN — all-pairs document similarity over an
     // INVERTED INDEX of rare bigram features (the tf-idf-weighted
     // sparse counterpart of the dense-embedding ANN pack; the classic
@@ -2130,6 +2173,39 @@ object TextQueries {
          |       (tp + tn) * 1000 // nullif(tp + tn + fp + fn, 0) AS acc_pt
          |FROM cm""".stripMargin
     },
+
+    "q_keyword_rake" ->
+      """WITH segs0 AS (
+        |  SELECT unnest(regexp_split_to_array(
+        |    ' ' || replace(text, ' ', '  ') || ' ',
+        |    ' (?:the|a|of|and|in) ')) AS seg
+        |  FROM documents
+        |),
+        |segs AS (
+        |  SELECT list_filter(regexp_split_to_array(trim(seg), '  +'),
+        |           x -> x <> '') AS ws
+        |  FROM segs0
+        |  WHERE len(list_filter(regexp_split_to_array(trim(seg), '  +'),
+        |          x -> x <> '')) BETWEEN 1 AND 4
+        |),
+        |ph AS (SELECT ws, array_to_string(ws, ' ') AS phrase FROM segs),
+        |wstats AS (
+        |  SELECT w, count(*) AS freq, CAST(sum(plen) AS BIGINT) AS deg,
+        |         CAST(sum(plen) * 1000 // count(*) AS BIGINT) AS wscore_pm
+        |  FROM (SELECT unnest(ws) AS w, CAST(len(ws) AS BIGINT) AS plen
+        |        FROM ph)
+        |  GROUP BY w
+        |),
+        |sup AS (
+        |  SELECT phrase, count(*) AS support FROM ph
+        |  GROUP BY phrase HAVING count(*) >= 2
+        |)
+        |SELECT phrase, support, CAST(sum(wscore_pm) AS BIGINT) AS score_pm
+        |FROM (SELECT phrase, support, unnest(string_split(phrase, ' ')) AS w
+        |      FROM sup) s
+        |JOIN wstats USING (w)
+        |GROUP BY phrase, support
+        |ORDER BY score_pm DESC, phrase LIMIT 20""".stripMargin,
 
     "q_sparse_knn" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -929,6 +929,58 @@ class NewOpsSpec extends SparkSpecBase {
     got.foreach { case (_, dau, nw, rt, rs, _) => assert(dau === nw + rt + rs) }
   }
 
+  test("rolling distinct: WAU equals the brute-force per-day window scan") {
+    val ud = graft.sources.EventSource.batch(spark, sf)
+      .select(col("user_id"),
+        datediff(date_trunc("day", col("ts")).cast("date"),
+          lit("1970-01-01").cast("date")).cast("bigint").as("d"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val dmax = ud.map(_._2).max
+    val expected = (ud.map(_._2).min to dmax).map { day =>
+      day -> ud.filter { case (_, d) => d <= day && d >= day - 6 }
+        .map(_._1).distinct.length.toLong
+    }.filter(_._2 > 0).toMap
+    val got = EventQueries.queries("q_rolling_distinct")(spark, sf).collect()
+      .map(r => r.getAs[Long]("day") -> r.getAs[Long]("wau")).toMap
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("keyword rake: phrase scores match an in-memory RAKE pass") {
+    try {
+      val stop = Set("the", "a", "of", "and", "in")
+      val texts = spark.read.parquet(s"$sf/documents.parquet")
+        .select("text").collect().map(_.getString(0))
+      // segment exactly: maximal stopword-free token runs
+      val phrases = texts.flatMap { t =>
+        val out = scala.collection.mutable.ArrayBuffer[Vector[String]]()
+        var cur = Vector.empty[String]
+        t.split(" ", -1).foreach { w =>
+          if (stop(w)) { if (cur.nonEmpty) out += cur; cur = Vector.empty }
+          else if (w.nonEmpty) cur = cur :+ w
+        }
+        if (cur.nonEmpty) out += cur
+        out.filter(_.length <= 4)
+      }
+      val freq = phrases.flatten.groupBy(identity)
+        .map { case (w, v) => w -> v.length.toLong }
+      val deg = phrases.flatMap(p => p.map(w => w -> p.length.toLong))
+        .groupBy(_._1).map { case (w, v) => w -> v.map(_._2).sum }
+      val wscore = freq.map { case (w, f) => w -> deg(w) * 1000 / f }
+      val expected = phrases.map(p => p.mkString(" "))
+        .groupBy(identity).map { case (ph, v) => (ph, v.length.toLong) }
+        .filter(_._2 >= 2)
+        .map { case (ph, sup) =>
+          (ph, sup, ph.split(" ").map(wscore).sum)
+        }.toSeq.sortBy { case (ph, _, sc) => (-sc, ph) }.take(20)
+      val got = TextQueries.queries("q_keyword_rake")(spark, sf).collect()
+        .map(r => (r.getAs[String]("phrase"), r.getAs[Long]("support"),
+          r.getAs[Long]("score_pm"))).toSeq
+      assert(got.nonEmpty)
+      assert(got === expected)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
