@@ -200,6 +200,60 @@ object EventQueries {
         .orderBy(col("support").desc, col("pattern"))
     }),
 
+    // Moving-average crossover detection (the golden/death-cross
+    // signal): days where the 3-day volume average crosses the 7-day
+    // average, per type. The comparison is LCM-scaled — sum3·7 vs
+    // sum7·3 — so "fast above slow" is an exact integer predicate
+    // with no division anywhere; a crossover is a flip of that
+    // predicate between consecutive full-window days. One corpus
+    // aggregate, then windows on the bounded |types|·|days| frame.
+    "q_ma_crossover" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+      val sig = daily
+        .withColumn("rn", row_number().over(w))
+        .withColumn("s3", sum(col("x")).over(w.rowsBetween(-2, 0)))
+        .withColumn("s7", sum(col("x")).over(w.rowsBetween(-6, 0)))
+        .withColumn("fast_above", col("s3") * 7 > col("s7") * 3)
+      sig.withColumn("prev_above", lag(col("fast_above"), 1).over(w))
+        .withColumn("prev_rn", lag(col("rn"), 1).over(w))
+        .filter(col("rn") >= 8 && col("prev_rn") >= 7 &&
+          col("fast_above") =!= col("prev_above"))
+        .select(col("event_type"), col("day").cast("string").as("day"),
+          (col("s3") * 7).as("s3x7"), (col("s7") * 3).as("s7x3"),
+          when(col("fast_above"), "golden").otherwise("death")
+            .as("direction"))
+        .orderBy("event_type", "day")
+    }),
+
+    // Overdispersion test — the variance-to-mean ratio (Fano factor)
+    // of the daily count series per type: VMR ≈ 1 is Poisson arrival,
+    // > 1 is bursty, < 1 is throttled/regular. Everything integer:
+    // var/mean = (n·Σx² − S²) / (n·S) per-mille, non-negative by
+    // Cauchy–Schwarz, so `div`/`//` agree. One corpus aggregate; the
+    // moments are a re-aggregation of the bounded daily frame.
+    "q_overdispersion" -> ((s, dir) => {
+      ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("day", col("ts")).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), sum("x").as("total"),
+          sum(expr("x * x")).as("sumsq"))
+        .withColumn("vmr_pm", expr(
+          "(n_days * sumsq - total * total) * 1000 div (n_days * total)"))
+        .withColumn("verdict",
+          when(col("vmr_pm") > 1200, "overdispersed")
+            .when(col("vmr_pm") < 800, "underdispersed")
+            .otherwise("poisson-like"))
+        .select("event_type", "n_days", "total", "vmr_pm", "verdict")
+        .orderBy("event_type")
+    }),
+
     // Trailing-7-day distinct actives per day (the WAU primitive) —
     // the rolling DISTINCT count that naive windowing gets wrong at
     // scale (a per-day count-distinct over a 7-day window re-scans
@@ -1393,6 +1447,58 @@ object EventQueries {
         |GROUP BY pattern, n_users
         |HAVING count(*) * 4 >= n_users
         |ORDER BY support DESC, pattern""".stripMargin,
+
+    "q_ma_crossover" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |sig AS (
+        |  SELECT event_type, day,
+        |         row_number() OVER w AS rn,
+        |         CAST(sum(x) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS s3,
+        |         CAST(sum(x) OVER (w ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS s7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |),
+        |fl AS (
+        |  SELECT *, s3 * 7 > s7 * 3 AS fast_above,
+        |         lag(s3 * 7 > s7 * 3, 1) OVER w AS prev_above,
+        |         lag(rn, 1) OVER w AS prev_rn
+        |  FROM sig
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+        |)
+        |SELECT event_type, CAST(day AS VARCHAR) AS day,
+        |       s3 * 7 AS s3x7, s7 * 3 AS s7x3,
+        |       CASE WHEN fast_above THEN 'golden' ELSE 'death' END AS direction
+        |FROM fl
+        |WHERE rn >= 8 AND prev_rn >= 7 AND fast_above <> prev_above
+        |ORDER BY event_type, day""".stripMargin,
+
+    "q_overdispersion" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         count(*) AS x
+        |  FROM events GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        |         CAST(sum(x) AS BIGINT) AS total,
+        |         CAST(sum(x * x) AS BIGINT) AS sumsq
+        |  FROM daily GROUP BY 1
+        |)
+        |SELECT event_type, n_days, total,
+        |       (n_days * sumsq - total * total) * 1000 // (n_days * total)
+        |         AS vmr_pm,
+        |       CASE WHEN (n_days * sumsq - total * total) * 1000
+        |                 // (n_days * total) > 1200 THEN 'overdispersed'
+        |            WHEN (n_days * sumsq - total * total) * 1000
+        |                 // (n_days * total) < 800 THEN 'underdispersed'
+        |            ELSE 'poisson-like' END AS verdict
+        |FROM m ORDER BY event_type""".stripMargin,
 
     "q_rolling_distinct" ->
       """WITH ud AS (

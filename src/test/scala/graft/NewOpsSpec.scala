@@ -981,6 +981,56 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("ma crossover: flips match an in-memory two-window walk") {
+    val daily = graft.sources.EventSource.batch(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expected = daily.groupBy(_._1).toSeq.flatMap { case (tpe, rows) =>
+      val xs = rows.sortBy(_._2)
+      val above = xs.indices.map { i =>
+        val s3 = xs.slice(math.max(0, i - 2), i + 1).map(_._3).sum
+        val s7 = xs.slice(math.max(0, i - 6), i + 1).map(_._3).sum
+        (xs(i)._2, s3 * 7, s7 * 3, s3 * 7 > s7 * 3)
+      }
+      above.zipWithIndex.drop(7).collect {
+        case ((d, a, b, fa), i) if above(i - 1)._4 != fa =>
+          (tpe, d, a, b, if (fa) "golden" else "death")
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = EventQueries.queries("q_ma_crossover")(spark, sf).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[String]("day"),
+        r.getAs[Long]("s3x7"), r.getAs[Long]("s7x3"),
+        r.getAs[String]("direction"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("overdispersion: the Fano factor matches the two-moment arithmetic") {
+    val daily = graft.sources.EventSource.batch(spark, sf)
+      .groupBy(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    val expected = daily.groupBy(_._1).map { case (tpe, rows) =>
+      val xs = rows.map(_._2)
+      val n = xs.length.toLong; val s = xs.sum; val q = xs.map(x => x * x).sum
+      tpe -> (n, s, (n * q - s * s) * 1000 / (n * s))
+    }
+    val got = EventQueries.queries("q_overdispersion")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, s, vmr) = expected(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_days") === n)
+      assert(r.getAs[Long]("total") === s)
+      assert(r.getAs[Long]("vmr_pm") === vmr)
+      val verdict = if (vmr > 1200) "overdispersed"
+        else if (vmr < 800) "underdispersed" else "poisson-like"
+      assert(r.getAs[String]("verdict") === verdict)
+    }
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
