@@ -1648,11 +1648,19 @@ object TextQueries {
     // INVERTED INDEX of rare bigram features (the tf-idf-weighted
     // sparse counterpart of the dense-embedding ANN pack; the classic
     // Bayardo all-pairs shape). The scale bound IS the df window:
-    // terms must appear in ≥2 docs (df=1 can't pair) and ≤ max(N/100,
-    // 5) docs — rare-feature blocking, so a term's posting self-join
-    // fans out ≤ df² with df capped at 1% of the corpus, and the
-    // high-idf terms the cap keeps are exactly the ones that dominate
-    // the dot product anyway. Weights are integer tf·idf with q_bm25's
+    // terms must appear in ≥2 docs (df=1 can't pair) and at most
+    // min(max(N/100, 5), 100) docs — rare-feature blocking, and the
+    // high-idf terms the window keeps are exactly the ones that
+    // dominate the dot product anyway. The ABSOLUTE clamp at 100 is
+    // load-bearing: "rare" must mean rare in absolute terms, because
+    // a ceiling that scales with N lets per-term pair fan-out grow as
+    // (N/100)² — measured at the 10× fixture before the clamp,
+    // 1.45 s (sf0.1) → 103 s (10×), a 71× superlinear blow-up (the
+    // relative cap had widened past every per-copy df). Clamped, the
+    // posting self-join is ≤ 100² per term, linear in the term count —
+    // 10× re-measured 103 → 4.4 s median (min 3.2, 3-pass isolated),
+    // the residual being the linear bigram-tokenize pass.
+    // Weights are integer tf·idf with q_bm25's
     // bit-length idf, so the dot is int64-exact. The posting frame is
     // NOT cached: its lineage (scan → HOF bigrams → one hash agg)
     // recomputes inside codegen cheaper than materializing a
@@ -1671,7 +1679,8 @@ object TextQueries {
         .agg(count(lit(1)).as("nd"))
       val keep = bg.groupBy("t").agg(count(lit(1)).as("df"))
         .crossJoin(broadcast(nd))
-        .filter(col("df") >= 2 && col("df") <= expr("greatest(nd div 100, 5)"))
+        .filter(col("df") >= 2 &&
+          col("df") <= expr("least(greatest(nd div 100, 5), 100)"))
         .withColumn("idf_b", expr(
           "CAST(length(bin((2*nd - 2*df + 1) * 1048576 div (2*df + 1))) AS BIGINT)"))
         .select("t", "idf_b")
@@ -2219,7 +2228,7 @@ object TextQueries {
         |  SELECT t, CAST(length(bin((2*nd - 2*df + 1) * 1048576 // (2*df + 1)))
         |           AS BIGINT) AS idf_b
         |  FROM (SELECT t, count(*) AS df FROM bg GROUP BY t) CROSS JOIN nd
-        |  WHERE df >= 2 AND df <= greatest(nd // 100, 5)
+        |  WHERE df >= 2 AND df <= least(greatest(nd // 100, 5), 100)
         |),
         |post AS (SELECT t, doc_id, tf * idf_b AS wt FROM bg JOIN keep USING (t))
         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared,

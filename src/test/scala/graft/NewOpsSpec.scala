@@ -773,7 +773,8 @@ class NewOpsSpec extends SparkSpecBase {
     }.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
     val nd = docs.length.toLong
     val df = tf.keys.groupBy(_._2).map { case (t, v) => t -> v.size.toLong }
-    val idf = df.filter { case (_, d) => d >= 2 && d <= math.max(nd / 100, 5L) }
+    val idf = df.filter { case (_, d) =>
+      d >= 2 && d <= math.min(math.max(nd / 100, 5L), 100L) }
       .map { case (t, d) =>
         t -> java.lang.Long.toBinaryString(
           (2 * nd - 2 * d + 1) * 1048576 / (2 * d + 1)).length.toLong
