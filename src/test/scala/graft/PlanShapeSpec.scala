@@ -977,4 +977,42 @@ class PlanShapeSpec extends SparkSpecBase {
         s"AQE should broadcast every peel drop-set at runtime, got $bcastAntis:\n$p")
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
+
+  test("q_rolling_distinct: exactly the three keyed exchanges — grid, " +
+      "user window, day aggregate — and no windowed count-distinct (r14)") {
+    val p = plan("q_rolling_distinct", graft.queries.EventQueries.queries)
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 3,
+      s"interval decomposition needs (user,d) agg + user window + day agg, got $hashEx:\n$p")
+    // the exact decomposition explodes ≤7-day intervals; a windowed
+    // count-distinct (the naive shape) would plan a distinct aggregate
+    assert(p.contains("sequence("), s"interval explode missing:\n$p")
+    assert(!p.toLowerCase.contains("distinct]"),
+      s"no distinct aggregate may appear downstream of the grid:\n$p")
+  }
+
+  test("q_freq_itemsets: the brand decode broadcasts under the fact scan; " +
+      "the pair join keys on the basket (r14)") {
+    val p = plan("q_freq_itemsets", graft.queries.RelationalQueries.queries)
+    assert(p.contains("BroadcastHashJoin [l_partkey"),
+      s"the part dim must broadcast at the lineitem scan:\n$p")
+    assert("Join \\[basket|SortMergeJoin \\[basket".r.findFirstIn(p).isDefined ||
+      p.contains("basket#"),
+      s"pair generation must be basket-keyed:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product anywhere:\n$p")
+    assert(!p.contains("InMemoryTableScan"),
+      s"the basket frame is deliberately NOT cached (ProbeItemsets A/B):\n$p")
+  }
+
+  test("q_sparse_knn: the df window is an absolute clamp and the pair " +
+      "join is a term equi-join (r14)") {
+    val p = plan("q_sparse_knn", graft.queries.TextQueries.queries)
+    // the load-bearing scale bound: least(greatest(nd div 100, 5), 100)
+    // must survive into the physical plan's filter (a relative-only cap
+    // re-introduces the measured 71x blow-up at 10x)
+    assert(p.contains("least(greatest("),
+      s"absolute df clamp missing from the keep filter:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"posting pairs must come from the t equi-join:\n$p")
+  }
 }
