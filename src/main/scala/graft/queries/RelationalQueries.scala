@@ -724,6 +724,41 @@ object RelationalQueries {
     // one-row-per-edge union. At 100 TB the child side never shuffles
     // more than the anti-join's build requires, and a huge parent
     // degrades to a plain hash anti-join instead of failing.
+    // Join-cardinality estimation — the optimizer-statistics primitive:
+    // predict |A ⋈ B| WITHOUT running the join. The exact answer for a
+    // self-equi-join is Σₖ cnt(k)² over the key histogram (one hash
+    // aggregate, never the join itself — the histogram is the whole
+    // point); the estimator samples 1/16 of the KEY SPACE by md5
+    // bucket (keys, not rows — row sampling biases toward hot keys)
+    // and scales by 16. Both numbers and the per-mille error are
+    // exact integers, so the operator doubles as an estimator-quality
+    // report. Two edges with different skew profiles: l_partkey
+    // (many-to-many fan-out) and o_custkey (customer concentration).
+    "q_join_size_est" -> ((s, dir) => {
+      def edge(df: DataFrame, k: String, label: String) = {
+        val hist = df.groupBy(col(k).as("key"))
+          .agg(count(lit(1)).as("c"))
+        hist.agg(
+            count(lit(1)).as("n_keys"),
+            sum(expr("c * c")).as("exact_pairs"),
+            sum(when(expr(
+              s"CAST(conv(substring(md5(CAST(key AS STRING)), 1, 4), 16, 10) AS BIGINT) % 16 = 0"),
+              expr("c * c")).otherwise(0L)).as("sampled"),
+            sum(when(expr(
+              s"CAST(conv(substring(md5(CAST(key AS STRING)), 1, 4), 16, 10) AS BIGINT) % 16 = 0"),
+              1L).otherwise(0L)).as("n_sampled"))
+          .select(lit(label).as("edge"), col("n_keys"), col("n_sampled"),
+            col("exact_pairs"), (col("sampled") * 16).as("est_pairs"))
+          .withColumn("err_pm", expr(
+            "abs(est_pairs - exact_pairs) * 1000 div exact_pairs"))
+      }
+      edge(t(s, dir, "lineitem").select(col("l_partkey")), "l_partkey",
+          "lineitem.l_partkey self-join")
+        .unionByName(edge(t(s, dir, "orders").select(col("o_custkey")),
+          "o_custkey", "orders.o_custkey self-join"))
+        .orderBy("edge")
+    }),
+
     "q_fk_audit" -> ((s, dir) => {
       def arm(child: DataFrame, fk: String, parent: DataFrame, pk: String,
           out: String) = {
@@ -1719,6 +1754,40 @@ object RelationalQueries {
         |CROSS JOIN nb
         |WHERE pair_support >= n_baskets // 50
         |ORDER BY pair_support DESC, item1, item2 LIMIT 20""".stripMargin,
+
+    // md5-hex bucket: (4-hex-digit value) % 16 == value of the 4th hex
+    // char, so the 1/16 key sample is just substr(md5, 4, 1) = '0'
+    "q_join_size_est" ->
+      """WITH h1 AS (SELECT l_partkey AS key, count(*) AS c
+        |            FROM lineitem GROUP BY 1),
+        |a1 AS (
+        |  SELECT 'lineitem.l_partkey self-join' AS edge,
+        |         count(*) AS n_keys,
+        |         CAST(sum(CASE WHEN substr(md5(CAST(key AS VARCHAR)), 4, 1)
+        |                  = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |         CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+        |         CAST(sum(CASE WHEN substr(md5(CAST(key AS VARCHAR)), 4, 1)
+        |                  = '0' THEN c * c ELSE 0 END) * 16 AS BIGINT)
+        |           AS est_pairs
+        |  FROM h1
+        |),
+        |h2 AS (SELECT o_custkey AS key, count(*) AS c
+        |       FROM orders GROUP BY 1),
+        |a2 AS (
+        |  SELECT 'orders.o_custkey self-join' AS edge,
+        |         count(*) AS n_keys,
+        |         CAST(sum(CASE WHEN substr(md5(CAST(key AS VARCHAR)), 4, 1)
+        |                  = '0' THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |         CAST(sum(c * c) AS BIGINT) AS exact_pairs,
+        |         CAST(sum(CASE WHEN substr(md5(CAST(key AS VARCHAR)), 4, 1)
+        |                  = '0' THEN c * c ELSE 0 END) * 16 AS BIGINT)
+        |           AS est_pairs
+        |  FROM h2
+        |)
+        |SELECT edge, n_keys, n_sampled, exact_pairs, est_pairs,
+        |       abs(est_pairs - exact_pairs) * 1000 // exact_pairs AS err_pm
+        |FROM (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+        |ORDER BY edge""".stripMargin,
 
     "q_fk_audit" ->
       """WITH e1 AS (

@@ -1601,6 +1601,36 @@ object TextQueries {
             .as("acc_pt"))
     }),
 
+    // Hierarchical top-k merge — the distributed top-k primitive
+    // (per-shard top-k unioned, then merged globally) plus its
+    // CORRECTNESS AUDIT: which exact global top-10 tokens would a
+    // top-5-per-source pre-prune have missed (in_merged = false is
+    // the pruning-error witness; a token can rank globally while
+    // sitting 6th everywhere). The per-source rank filter is the
+    // WindowGroupLimit shape (bounded map-side before the exchange —
+    // the q_sample_per_group audit); the exact global top-10 is a
+    // TakeOrdered limit, never a global row_number window. The
+    // (source, tok) count table is cached: two consumers with
+    // different exchanges (per-source window vs global tok
+    // aggregate) over a corpus-explode lineage, and the frame itself
+    // is vocab-bounded — the paying configuration on all counts.
+    "q_topk_merge" -> ((s, dir) => {
+      val tc = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .transform(QueryCaches.cache(_))
+      val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok"))
+      val localTop = tc.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5).select("tok").distinct()
+      tc.groupBy("tok").agg(sum("c").as("n"))
+        .orderBy(col("n").desc, col("tok")).limit(10)
+        .join(localTop.withColumn("in_merged", lit(true)), Seq("tok"), "left")
+        .select(col("tok"), col("n"),
+          coalesce(col("in_merged"), lit(false)).as("in_merged"))
+        .orderBy(col("n").desc, col("tok"))
+    }),
+
     // RAKE keyword extraction (Rose et al.) — candidate phrases are
     // the maximal stopword-free token runs; a word scores degree/
     // frequency over the whole corpus and a phrase scores the sum of
@@ -2182,6 +2212,27 @@ object TextQueries {
          |       (tp + tn) * 1000 // nullif(tp + tn + fp + fn, 0) AS acc_pt
          |FROM cm""".stripMargin
     },
+
+    "q_topk_merge" ->
+      """WITH tc AS (
+        |  SELECT source, t.tok AS tok, count(*) AS c
+        |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+        |  WHERE length(t.tok) > 0
+        |  GROUP BY 1, 2
+        |),
+        |lt AS (
+        |  SELECT DISTINCT tok FROM (
+        |    SELECT tok, row_number() OVER
+        |      (PARTITION BY source ORDER BY c DESC, tok) AS rk
+        |    FROM tc) WHERE rk <= 5
+        |),
+        |g AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS n FROM tc GROUP BY tok
+        |  ORDER BY n DESC, tok LIMIT 10
+        |)
+        |SELECT g.tok, n, lt.tok IS NOT NULL AS in_merged
+        |FROM g LEFT JOIN lt ON g.tok = lt.tok
+        |ORDER BY n DESC, g.tok""".stripMargin,
 
     "q_keyword_rake" ->
       """WITH segs0 AS (

@@ -1032,6 +1032,57 @@ class NewOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("join size estimation: exact pair counts match the histogram identity") {
+    def md5hex4(v: Long): Char = java.security.MessageDigest
+      .getInstance("MD5").digest(v.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.charAt(3)
+    def expected(keys: Seq[Long], label: String) = {
+      val h = keys.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+      val exact = h.values.map(c => c * c).sum
+      val sampledKeys = h.filter { case (k, _) => md5hex4(k) == '0' }
+      val est = sampledKeys.values.map(c => c * c).sum * 16
+      (label, h.size.toLong, sampledKeys.size.toLong, exact, est,
+        math.abs(est - exact) * 1000 / exact)
+    }
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey").collect().map(_.getLong(0)).toSeq
+    val ord = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey").collect().map(_.getLong(0)).toSeq
+    val exp = Seq(expected(li, "lineitem.l_partkey self-join"),
+      expected(ord, "orders.o_custkey self-join")).sortBy(_._1)
+    val got = RelationalQueries.queries("q_join_size_est")(spark, sf).collect()
+      .map(r => (r.getAs[String]("edge"), r.getAs[Long]("n_keys"),
+        r.getAs[Long]("n_sampled"), r.getAs[Long]("exact_pairs"),
+        r.getAs[Long]("est_pairs"), r.getAs[Long]("err_pm"))).toSeq
+    assert(got === exp)
+    // the exact count really is the join size: cross-check one edge
+    val joinSize = li.groupBy(identity).map { case (_, v) =>
+      v.length.toLong * v.length }.sum
+    assert(exp.head._4 === joinSize)
+  }
+
+  test("topk merge: pruning-error witnesses match an in-memory merge") {
+    try {
+      val rows = spark.read.parquet(s"$sf/documents.parquet")
+        .select("source", "text").collect()
+        .flatMap(r => r.getString(1).split(" ").filter(_.nonEmpty)
+          .map(t => (r.getString(0), t)))
+      val tc = rows.groupBy(identity).map { case ((s0, t), v) =>
+        (s0, t) -> v.length.toLong }
+      val localTop = tc.groupBy(_._1._1).values.flatMap { m =>
+        m.toSeq.sortBy { case ((_, t), c) => (-c, t) }.take(5).map(_._1._2)
+      }.toSet
+      val global = tc.groupBy(_._1._2).map { case (t, v) =>
+        t -> v.values.sum }
+      val exp = global.toSeq.sortBy { case (t, n) => (-n, t) }.take(10)
+        .map { case (t, n) => (t, n, localTop(t)) }
+      val got = TextQueries.queries("q_topk_merge")(spark, sf).collect()
+        .map(r => (r.getAs[String]("tok"), r.getAs[Long]("n"),
+          r.getAs[Boolean]("in_merged"))).toSeq
+      assert(got === exp)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
