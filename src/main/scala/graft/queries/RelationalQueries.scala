@@ -724,6 +724,76 @@ object RelationalQueries {
     // one-row-per-edge union. At 100 TB the child side never shuffles
     // more than the anti-join's build requires, and a huge parent
     // degrades to a plain hash anti-join instead of failing.
+    // Bitemporal as-of lookup — the two-axis point-in-time join
+    // (VALID time: which version covered the order date; TRANSACTION
+    // time: which versions the warehouse knew at snapshot T) plus the
+    // correction-impact matrix between the T=1 and T=2 snapshots —
+    // the audit a retroactive dim correction triggers. The dim is
+    // |customers|×3 versions, carried as ONE array column per
+    // customer (never exploded), so the fact join stays a plain dim
+    // join AQE broadcasts and the bitemporal pick is a bounded HOF
+    // over 3 elements — zero per-order fan-out, zero extra shuffles
+    // before the bounded matrix aggregate. The pick packs
+    // (valid_from, tx, seg) into one integer (vf·30 + tx·8 + seg:
+    // each stride dominates the lower fields) so max() IS the
+    // latest-valid-then-latest-transaction rule, and −1 marks orders
+    // no version covered yet.
+    "q_bitemporal" -> ((s, dir) => {
+      val vers = t(s, dir, "customer").select(col("c_custkey").as("ck"),
+        expr("""transform(array(0, 1, 2), k -> named_struct(
+          |  'vf', (c_custkey * 7 + k * 11) % 20 + 1,
+          |  'tx', CAST(k AS BIGINT),
+          |  'seg', (c_custkey + k) % 5))""".stripMargin).as("vers"))
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          dayofmonth(col("o_orderdate")).cast("long").as("od"))
+        .join(vers, col("o_custkey") === col("ck"))
+        .select(col("o_orderkey"),
+          expr("""coalesce(array_max(transform(
+            |  filter(vers, v -> v.vf <= od AND v.tx <= 1),
+            |  v -> v.vf * 30 + v.tx * 8 + v.seg)) % 8, -1)""".stripMargin)
+            .as("seg_t1"),
+          expr("""coalesce(array_max(transform(
+            |  filter(vers, v -> v.vf <= od),
+            |  v -> v.vf * 30 + v.tx * 8 + v.seg)) % 8, -1)""".stripMargin)
+            .as("seg_t2"))
+        .groupBy("seg_t1", "seg_t2")
+        .agg(count(lit(1)).as("n_orders"),
+          min("o_orderkey").as("min_ok"), max("o_orderkey").as("max_ok"))
+        .orderBy("seg_t1", "seg_t2")
+    }),
+
+    // Largest-remainder (Hare quota) apportionment — allocate exactly
+    // 1000 sampling slots across sources proportional to doc counts:
+    // the exact-integer allocation step of quota sampling and shard
+    // budgeting (floor quotas + the k largest remainders get the
+    // leftover seats — never a float rate that rounds to 999 or
+    // 1001). n·1000 = q·N + r keeps quotas and remainders exact;
+    // everything after the one corpus aggregate runs on the bounded
+    // |sources| frame. The conservation law Σ seats = 1000 is pinned
+    // in the spec.
+    "q_apportionment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val counts = s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .transform(QueryCaches.cache(_)) // bounded |sources| frame off
+      // a corpus aggregate, consumed three times (totals, quotas,
+      // leftover) — tiny materialization, three corpus scans saved
+      val quotas = counts
+        .crossJoin(broadcast(counts.agg(sum("n_docs").as("nn"))))
+        .withColumn("base_seats", expr("n_docs * 1000 div nn"))
+        .withColumn("rem", expr("n_docs * 1000 % nn"))
+      quotas
+        .crossJoin(broadcast(
+          quotas.agg((lit(1000L) - sum(col("base_seats"))).as("leftover"))))
+        .withColumn("rk", row_number().over(
+          Window.orderBy(col("rem").desc, col("source").asc)).cast("long"))
+        .withColumn("extra", when(col("rk") <= col("leftover"), 1L)
+          .otherwise(0L))
+        .withColumn("seats", col("base_seats") + col("extra"))
+        .select("source", "n_docs", "base_seats", "rem", "extra", "seats")
+        .orderBy("source")
+    }),
+
     // Join-cardinality estimation — the optimizer-statistics primitive:
     // predict |A ⋈ B| WITHOUT running the join. The exact answer for a
     // self-equi-join is Σₖ cnt(k)² over the key histogram (one hash
@@ -1754,6 +1824,54 @@ object RelationalQueries {
         |CROSS JOIN nb
         |WHERE pair_support >= n_baskets // 50
         |ORDER BY pair_support DESC, item1, item2 LIMIT 20""".stripMargin,
+
+    "q_bitemporal" ->
+      """WITH v AS (
+        |  SELECT c_custkey AS ck, CAST(k AS BIGINT) AS tx,
+        |         (c_custkey * 7 + k * 11) % 20 + 1 AS vf,
+        |         (c_custkey + k) % 5 AS seg
+        |  FROM customer, unnest([0, 1, 2]) t(k)
+        |),
+        |o AS (
+        |  SELECT o_orderkey, o_custkey,
+        |         CAST(extract(day FROM o_orderdate) AS BIGINT) AS od
+        |  FROM orders
+        |),
+        |p AS (
+        |  SELECT o_orderkey,
+        |         coalesce(max(CASE WHEN vf <= od AND tx <= 1
+        |           THEN vf * 30 + tx * 8 + seg END) % 8, -1) AS seg_t1,
+        |         coalesce(max(CASE WHEN vf <= od
+        |           THEN vf * 30 + tx * 8 + seg END) % 8, -1) AS seg_t2
+        |  FROM o JOIN v ON ck = o_custkey GROUP BY o_orderkey
+        |)
+        |SELECT seg_t1, seg_t2, count(*) AS n_orders,
+        |       min(o_orderkey) AS min_ok, max(o_orderkey) AS max_ok
+        |FROM p GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_apportionment" ->
+      """WITH c AS (SELECT source, count(*) AS n_docs
+        |           FROM documents GROUP BY source),
+        |nn AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM c),
+        |q AS (
+        |  SELECT source, n_docs,
+        |         CAST(n_docs * 1000 // nn AS BIGINT) AS base_seats,
+        |         CAST(n_docs * 1000 % nn AS BIGINT) AS rem
+        |  FROM c CROSS JOIN nn
+        |),
+        |lo AS (SELECT 1000 - CAST(sum(base_seats) AS BIGINT) AS leftover
+        |       FROM q),
+        |rk AS (
+        |  SELECT *, CAST(row_number() OVER
+        |    (ORDER BY rem DESC, source) AS BIGINT) AS rk
+        |  FROM q
+        |)
+        |SELECT source, n_docs, base_seats, rem,
+        |       CAST(CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |         AS extra,
+        |       base_seats + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+        |         AS seats
+        |FROM rk CROSS JOIN lo ORDER BY source""".stripMargin,
 
     // md5-hex bucket: (4-hex-digit value) % 16 == value of the 4th hex
     // char, so the 1/16 key sample is just substr(md5, 4, 1) = '0'

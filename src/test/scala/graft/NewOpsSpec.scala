@@ -1083,6 +1083,67 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("bitemporal: the two-snapshot pick matches an in-memory version walk") {
+    val custs = spark.read.parquet(s"$sf/customer.parquet")
+      .select("c_custkey").collect().map(_.getLong(0)).toSet
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        dayofmonth(col("o_orderdate")).cast("long").as("od")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    def pick(ck: Long, od: Long, txMax: Long): Long = {
+      val cands = (0L to 2L).filter(_ <= txMax).flatMap { k =>
+        val vf = (ck * 7 + k * 11) % 20 + 1
+        if (vf <= od) Some(vf * 30 + k * 8 + (ck + k) % 5) else None
+      }
+      if (cands.isEmpty) -1L else cands.max % 8
+    }
+    val perOrder = orders.filter(o => custs(o._2)).map { case (ok, ck, od) =>
+      (pick(ck, od, 1), pick(ck, od, 2), ok)
+    }
+    val expected = perOrder.groupBy(p => (p._1, p._2)).map { case (k, v) =>
+      k -> (v.length.toLong, v.map(_._3).min, v.map(_._3).max)
+    }
+    val got = RelationalQueries.queries("q_bitemporal")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, mn, mx) = expected(
+        (r.getAs[Long]("seg_t1"), r.getAs[Long]("seg_t2")))
+      assert(r.getAs[Long]("n_orders") === n)
+      assert(r.getAs[Long]("min_ok") === mn)
+      assert(r.getAs[Long]("max_ok") === mx)
+    }
+    // the bitemporal point: the late correction must CHANGE some cells
+    assert(got.exists(r =>
+      r.getAs[Long]("seg_t1") !== r.getAs[Long]("seg_t2")))
+  }
+
+  test("apportionment: exact seats, conservation, and largest-remainder order") {
+    try {
+      val rows = RelationalQueries.queries("q_apportionment")(spark, sf)
+        .collect()
+      assert(rows.map(_.getAs[Long]("seats")).sum === 1000L,
+        "Hare quota must allocate exactly 1000 seats")
+      val counts = spark.read.parquet(s"$sf/documents.parquet")
+        .groupBy("source").count().collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val nn = counts.values.sum
+      rows.foreach { r =>
+        val n = counts(r.getAs[String]("source"))
+        assert(r.getAs[Long]("base_seats") === n * 1000 / nn)
+        assert(r.getAs[Long]("rem") === n * 1000 % nn)
+        assert(r.getAs[Long]("seats") ===
+          r.getAs[Long]("base_seats") + r.getAs[Long]("extra"))
+      }
+      // every extra seat went to a remainder ≥ any non-winner's
+      val winners = rows.filter(_.getAs[Long]("extra") === 1L)
+        .map(_.getAs[Long]("rem"))
+      val losers = rows.filter(_.getAs[Long]("extra") === 0L)
+        .map(_.getAs[Long]("rem"))
+      if (winners.nonEmpty && losers.nonEmpty)
+        assert(winners.min >= losers.max)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
