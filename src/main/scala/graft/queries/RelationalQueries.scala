@@ -724,6 +724,41 @@ object RelationalQueries {
     // one-row-per-edge union. At 100 TB the child side never shuffles
     // more than the anti-join's build requires, and a huge parent
     // degrades to a plain hash anti-join instead of failing.
+    // Benford first-digit audit — the fraud/synthetic-data screen:
+    // does the leading digit of order totals follow log₁₀(1 + 1/d)?
+    // One corpus-pass hash aggregate on the leading character (cast
+    // to string — exact, no float log on the data path); the nine
+    // expected per-milles are the CONSTANTS of Benford's law (301,
+    // 176, 125, 97, 79, 67, 58, 51, 46), stacked as a bounded inline
+    // frame and joined against the 9-row observation table. The
+    // total deviation is an integer sum of per-digit absolute
+    // deviations — order-independent, engine-exact.
+    "q_benford" -> ((s, dir) => {
+      val obs = t(s, dir, "orders")
+        .select(substring(floor(col("o_totalprice")).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        // floor→bigint→string, never double→string: double rendering
+        // differs across engines (E-notation thresholds, rounding);
+        // the leading digit of floor(x) equals x's for every x ≥ 1
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val expected = s.range(1).selectExpr(
+        """stack(9,
+          |  '1', CAST(301 AS BIGINT), '2', CAST(176 AS BIGINT),
+          |  '3', CAST(125 AS BIGINT), '4', CAST(97 AS BIGINT),
+          |  '5', CAST(79 AS BIGINT),  '6', CAST(67 AS BIGINT),
+          |  '7', CAST(58 AS BIGINT),  '8', CAST(51 AS BIGINT),
+          |  '9', CAST(46 AS BIGINT)) AS (digit, exp_pm)""".stripMargin)
+      val scored = obs.join(broadcast(expected), "digit")
+        .crossJoin(broadcast(obs.agg(sum("n").as("nn"))))
+        .withColumn("obs_pm", expr("n * 1000 div nn"))
+        .withColumn("dev_pm", abs(col("obs_pm") - col("exp_pm")))
+      scored
+        .crossJoin(broadcast(
+          scored.agg(sum("dev_pm").as("total_dev_pm"))))
+        .select("digit", "n", "obs_pm", "exp_pm", "dev_pm", "total_dev_pm")
+        .orderBy("digit")
+    }),
+
     // Bitemporal as-of lookup — the two-axis point-in-time join
     // (VALID time: which version covered the order date; TRANSACTION
     // time: which versions the warehouse knew at snapshot T) plus the
@@ -1824,6 +1859,30 @@ object RelationalQueries {
         |CROSS JOIN nb
         |WHERE pair_support >= n_baskets // 50
         |ORDER BY pair_support DESC, item1, item2 LIMIT 20""".stripMargin,
+
+    "q_benford" ->
+      """WITH obs AS (
+        |  SELECT substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+        |           1, 1) AS digit,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1
+        |),
+        |exp AS (
+        |  SELECT * FROM (VALUES ('1', 301), ('2', 176), ('3', 125),
+        |    ('4', 97), ('5', 79), ('6', 67), ('7', 58), ('8', 51),
+        |    ('9', 46)) AS t(digit, exp_pm)
+        |),
+        |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM obs),
+        |sc AS (
+        |  SELECT digit, n, CAST(n * 1000 // nn AS BIGINT) AS obs_pm,
+        |         CAST(exp_pm AS BIGINT) AS exp_pm,
+        |         abs(CAST(n * 1000 // nn AS BIGINT) - exp_pm) AS dev_pm
+        |  FROM obs JOIN exp USING (digit) CROSS JOIN nn
+        |),
+        |td AS (SELECT CAST(sum(dev_pm) AS BIGINT) AS total_dev_pm FROM sc)
+        |SELECT digit, n, obs_pm, exp_pm, CAST(dev_pm AS BIGINT) AS dev_pm,
+        |       total_dev_pm
+        |FROM sc CROSS JOIN td ORDER BY digit""".stripMargin,
 
     "q_bitemporal" ->
       """WITH v AS (

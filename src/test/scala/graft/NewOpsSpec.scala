@@ -1144,6 +1144,31 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("benford: digit counts and deviations match an in-memory audit") {
+    val bf = Map('1' -> 301L, '2' -> 176L, '3' -> 125L, '4' -> 97L,
+      '5' -> 79L, '6' -> 67L, '7' -> 58L, '8' -> 51L, '9' -> 46L)
+    val vals = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_totalprice").collect().map(_.getDouble(0))
+    val counts = vals.map(v => math.floor(v).toLong.toString.head)
+      .groupBy(identity).map { case (d, v) => d -> v.length.toLong }
+    val nn = counts.values.sum
+    val dev = counts.map { case (d, n) =>
+      d -> (n, n * 1000 / nn, math.abs(n * 1000 / nn - bf(d)))
+    }
+    val totalDev = dev.values.map(_._3).sum
+    val got = RelationalQueries.queries("q_benford")(spark, sf).collect()
+    assert(got.length === counts.size)
+    got.foreach { r =>
+      val d = r.getAs[String]("digit").head
+      val (n, obs, dv) = dev(d)
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("obs_pm") === obs)
+      assert(r.getAs[Long]("exp_pm") === bf(d))
+      assert(r.getAs[Long]("dev_pm") === dv)
+      assert(r.getAs[Long]("total_dev_pm") === totalDev)
+    }
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
