@@ -1653,9 +1653,12 @@ object TextQueries {
           .as("ws"))
         .filter(size(col("ws")).between(1, 4))
         .select(col("ws"), array_join(col("ws"), " ").as("phrase"))
-        .transform(QueryCaches.cache(_)) // two consumers over the
-      // segmentation lineage (word stats; phrase support) with
-      // different exchanges — and the frame is narrow token runs
+      // NOT cached — measured PARITY at sf0.1 (5-pass mini-suite:
+      // cached 0.502/0.445 med/min vs uncached 0.510/0.446). Two
+      // consumers, but the lineage (scan → regex split → explode →
+      // HOF) is shuffle-free codegen, so recompute is as cheap as the
+      // materialization barrier — and uncached removes a Θ(corpus)
+      // storage frame at 100 TB. The q_freq_itemsets rule again.
       val wstats = segs
         .select(explode(col("ws")).as("w"), size(col("ws")).cast("bigint")
           .as("plen"))
