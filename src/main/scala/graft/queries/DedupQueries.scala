@@ -721,6 +721,44 @@ object DedupQueries {
         .orderBy("hop")
     }),
 
+    // HITS hubs & authorities (Kleinberg), two exact iterations on
+    // the DIRECTED deterministic graph — the mutual-recursion
+    // fixpoint pagerank doesn't cover (a good hub points AT good
+    // authorities; a good authority is pointed at BY good hubs).
+    // Scores stay unnormalized integers (h₀ = 1; aᵢ = Σ h over
+    // in-edges; hᵢ = Σ a over out-edges — degree ≤ 3 each way, so
+    // two rounds stay tiny), which makes both engines bit-exact with
+    // no float normalization step; each round is one edge equi-join
+    // + one hash aggregate, the same O(rounds) shuffle shape as the
+    // BFS/k-core pack. Ranks are per-mille of the max, integer.
+    "q_graph_hits" -> ((s, dir) => {
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      val edges = (1 to 3).map(k =>
+          nodes.select(col("id").as("src"), (col("id") + k).as("dst")))
+        .reduce(_ unionByName _)
+        .join(nodes.select(col("id").as("dst")), Seq("dst"), "left_semi")
+        .transform(QueryCaches.cache(_)) // four consumers (two rounds
+      // × two directions) over a semi-join lineage
+      // a1(v) = Σ_{u→v} h0(u) = indegree
+      val a1 = edges.groupBy("dst").agg(count(lit(1)).as("a1"))
+      // h1(u) = Σ_{u→v} a1(v)
+      val h1 = edges.join(a1, "dst")
+        .groupBy("src").agg(sum("a1").as("h1"))
+      // a2(v) = Σ_{u→v} h1(u)
+      val a2 = edges.join(h1, "src")
+        .groupBy("dst").agg(sum("h1").as("a2"))
+      val top = a2.join(a1, "dst")
+        .join(h1.withColumnRenamed("src", "dst"), Seq("dst"), "left")
+        .select(col("dst").as("id"), col("a1").as("indeg"),
+          coalesce(col("h1"), lit(0L)).as("hub"), col("a2").as("auth"))
+      top.crossJoin(broadcast(top.agg(max(col("auth")).as("mx"))))
+        .withColumn("auth_pm", expr("auth * 1000 div mx"))
+        .select("id", "indeg", "hub", "auth", "auth_pm")
+        .orderBy(col("auth").desc, col("id"))
+        .limit(20)
+    }),
+
     // Jaccard link prediction (common-neighbors scoring) — rank the
     // NON-edges most likely to exist, the "people you may know" /
     // entity-linking primitive. Complements q_triangle_count: the
@@ -1875,6 +1913,30 @@ object DedupQueries {
         |SELECT CAST(hop AS BIGINT) AS hop, count(*) AS n_nodes,
         |       min(id) AS min_id, max(id) AS max_id
         |FROM dist GROUP BY hop ORDER BY hop""".stripMargin,
+
+    "q_graph_hits" ->
+      """WITH nodes AS (SELECT c_custkey AS id FROM customer),
+        |e AS (
+        |  SELECT n.id AS src, n.id + k AS dst
+        |  FROM nodes n, unnest([1, 2, 3]) t(k)
+        |  WHERE EXISTS (SELECT 1 FROM nodes m WHERE m.id = n.id + k)
+        |),
+        |a1 AS (SELECT dst, count(*) AS a1 FROM e GROUP BY dst),
+        |h1 AS (SELECT src, CAST(sum(a1) AS BIGINT) AS h1
+        |       FROM e JOIN a1 USING (dst) GROUP BY src),
+        |a2 AS (SELECT dst, CAST(sum(h1) AS BIGINT) AS a2
+        |       FROM e JOIN h1 USING (src) GROUP BY dst),
+        |top AS (
+        |  SELECT a2.dst AS id, a1.a1 AS indeg,
+        |         coalesce(h1.h1, 0) AS hub, a2.a2 AS auth
+        |  FROM a2 JOIN a1 ON a1.dst = a2.dst
+        |  LEFT JOIN h1 ON h1.src = a2.dst
+        |),
+        |mx AS (SELECT max(auth) AS mx FROM top)
+        |SELECT id, indeg, CAST(hub AS BIGINT) AS hub, auth,
+        |       CAST(auth * 1000 // mx AS BIGINT) AS auth_pm
+        |FROM top CROSS JOIN mx
+        |ORDER BY auth DESC, id LIMIT 20""".stripMargin,
 
     "q_graph_jaccard" ->
       """WITH nodes AS (SELECT c_custkey AS id FROM customer),

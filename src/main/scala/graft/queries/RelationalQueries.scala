@@ -724,6 +724,65 @@ object RelationalQueries {
     // one-row-per-edge union. At 100 TB the child side never shuffles
     // more than the anti-join's build requires, and a huge parent
     // degrades to a plain hash anti-join instead of failing.
+    // Late-order rate by priority (the TPC-H Q4 shape re-expressed):
+    // an order is LATE when any of its lines shipped more than 21
+    // days after the order date — the correlated-EXISTS collapsed
+    // into one conditional aggregate at the order grain (max(late)
+    // per order — never a distinct-count or a second pass), then a
+    // bounded per-priority rollup. One orderkey-keyed shuffle total;
+    // map-side partial aggregation collapses an order's lines before
+    // the exchange.
+    "q_late_orders" -> ((s, dir) => {
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate"), col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_orderpriority"))
+        .agg(max(when(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 21, 1L).otherwise(0L))
+          .as("is_late"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"), sum("is_late").as("n_late"))
+        .withColumn("late_pm", expr("n_late * 1000 div n_orders"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // Blame-the-supplier (the TPC-H Q21 shape): suppliers whose line
+    // was the SOLE late line on a multi-supplier order — the classic
+    // EXISTS + NOT-EXISTS double correlation, re-expressed as margins
+    // of ONE (order, supplier) aggregate: per order, the distinct
+    // supplier count and the distinct LATE-supplier count are
+    // re-aggregations of that frame, and "blame" is the conjunction
+    // late(s) ∧ n_supp ≥ 2 ∧ n_late_supp = 1 — no correlated
+    // subquery is ever executed per row. Supplier names decode via a
+    // broadcast dim join at the end, on the bounded blame table.
+    "q_blame_supplier" -> ((s, dir) => {
+      val os = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders").select(col("o_orderkey"),
+          col("o_orderdate")), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("l_suppkey"))
+        .agg(max(when(datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 21, 1L).otherwise(0L))
+          .as("late"))
+        .transform(QueryCaches.cache(_)) // two consumers with
+      // different exchanges (order-keyed margins; supplier-keyed blame
+      // count) over a shuffle-bearing lineage — and the frame is one
+      // row per (order, supplier), already reduced from the lines
+      val margins = os.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late_supp"))
+      os.filter(col("late") === 1L)
+        .join(margins, "l_orderkey")
+        .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("n_blamed"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_blamed"))
+        .orderBy(col("n_blamed").desc, col("s_suppkey"))
+        .limit(20)
+    }),
+
     // Benford first-digit audit — the fraud/synthetic-data screen:
     // does the leading digit of order totals follow log₁₀(1 + 1/d)?
     // One corpus-pass hash aggregate on the leading character (cast
@@ -1859,6 +1918,41 @@ object RelationalQueries {
         |CROSS JOIN nb
         |WHERE pair_support >= n_baskets // 50
         |ORDER BY pair_support DESC, item1, item2 LIMIT 20""".stripMargin,
+
+    "q_late_orders" ->
+      """WITH ol AS (
+        |  SELECT o_orderkey, o_orderpriority,
+        |         max(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+        |               CAST(l_shipdate AS DATE)) > 21 THEN 1 ELSE 0 END)
+        |           AS is_late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |)
+        |SELECT o_orderpriority, count(*) AS n_orders,
+        |       CAST(sum(is_late) AS BIGINT) AS n_late,
+        |       CAST(sum(is_late) * 1000 // count(*) AS BIGINT) AS late_pm
+        |FROM ol GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_blame_supplier" ->
+      """WITH os AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         max(CASE WHEN datediff('day', CAST(o_orderdate AS DATE),
+        |               CAST(l_shipdate AS DATE)) > 21 THEN 1 ELSE 0 END)
+        |           AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT l_orderkey, count(*) AS n_supp,
+        |         CAST(sum(late) AS BIGINT) AS n_late_supp
+        |  FROM os GROUP BY 1
+        |)
+        |SELECT s_suppkey, s_name, count(*) AS n_blamed
+        |FROM os JOIN m USING (l_orderkey)
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE late = 1 AND n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY 1, 2
+        |ORDER BY n_blamed DESC, s_suppkey LIMIT 20""".stripMargin,
 
     "q_benford" ->
       """WITH obs AS (

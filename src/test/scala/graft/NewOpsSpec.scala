@@ -1169,6 +1169,84 @@ class NewOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("late orders: priority rates match an in-memory exists walk") {
+    val lines = spark.read.parquet(s"$sf/lineitem.parquet")
+      .join(spark.read.parquet(s"$sf/orders.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        (datediff(col("l_shipdate").cast("date"),
+          col("o_orderdate").cast("date")) > 21).as("late"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+    val perOrder = lines.groupBy(l => (l._1, l._2))
+      .map { case (k, v) => k -> v.exists(_._3) }
+    val expected = perOrder.groupBy(_._1._2).map { case (p, v) =>
+      val n = v.size.toLong; val late = v.count(_._2).toLong
+      p -> (n, late, late * 1000 / n)
+    }
+    val got = RelationalQueries.queries("q_late_orders")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, late, pm) = expected(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_orders") === n)
+      assert(r.getAs[Long]("n_late") === late)
+      assert(r.getAs[Long]("late_pm") === pm)
+    }
+    assert(got.map(_.getAs[Long]("n_late")).sum > 0)
+  }
+
+  test("blame supplier: sole-late-supplier counts match the Q21 semantics") {
+    try {
+      val lines = spark.read.parquet(s"$sf/lineitem.parquet")
+        .join(spark.read.parquet(s"$sf/orders.parquet"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (datediff(col("l_shipdate").cast("date"),
+            col("o_orderdate").cast("date")) > 21).as("late"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+      val os = lines.groupBy(l => (l._1, l._2))
+        .map { case (k, v) => k -> v.exists(_._3) }
+      val blame = os.groupBy(_._1._1).values.toSeq.flatMap { m =>
+        val lateSupp = m.filter(_._2).keys.map(_._2).toSeq
+        if (m.size >= 2 && lateSupp.length == 1) lateSupp else Nil
+      }.groupBy(identity).map { case (s0, v) => s0 -> v.length.toLong }
+      val names = spark.read.parquet(s"$sf/supplier.parquet")
+        .select("s_suppkey", "s_name").collect()
+        .map(r => r.getLong(0) -> r.getString(1)).toMap
+      val expected = blame.toSeq
+        .sortBy { case (s0, n) => (-n, s0) }.take(20)
+        .map { case (s0, n) => (s0, names(s0), n) }
+      val got = RelationalQueries.queries("q_blame_supplier")(spark, sf)
+        .collect().map(r => (r.getAs[Long]("s_suppkey"),
+          r.getAs[String]("s_name"), r.getAs[Long]("n_blamed"))).toSeq
+      assert(got.nonEmpty)
+      assert(got === expected)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
+  test("graph hits: two exact iterations match an in-memory adjacency walk") {
+    try {
+      val ids = spark.read.parquet(s"$sf/customer.parquet")
+        .select("c_custkey").collect().map(_.getLong(0)).toSet
+      val edges = for (u <- ids.toSeq; k <- 1 to 3; if ids(u + k))
+        yield (u, u + k)
+      val a1 = edges.groupBy(_._2).map { case (v, e) => v -> e.length.toLong }
+      val h1 = edges.groupBy(_._1).map { case (u, e) =>
+        u -> e.map(x => a1(x._2)).sum }
+      val a2 = edges.filter(e => h1.contains(e._1)).groupBy(_._2)
+        .map { case (v, e) => v -> e.map(x => h1(x._1)).sum }
+      val mx = a2.values.max
+      val expected = a2.toSeq.sortBy { case (v, a) => (-a, v) }.take(20)
+        .map { case (v, a) =>
+          (v, a1(v), h1.getOrElse(v, 0L), a, a * 1000 / mx) }
+      val got = DedupQueries.queries("q_graph_hits")(spark, sf).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("indeg"),
+          r.getAs[Long]("hub"), r.getAs[Long]("auth"),
+          r.getAs[Long]("auth_pm"))).toSeq
+      assert(got.nonEmpty)
+      assert(got === expected)
+    } finally graft.queries.QueryCaches.releaseAll(spark)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
