@@ -200,6 +200,33 @@ object EventQueries {
         .orderBy(col("support").desc, col("pattern"))
     }),
 
+    // Abandonment detection — events with NO follow-up conversion in
+    // their window (views where the user did not purchase within the
+    // next hour): the windowed NOT-EXISTS, re-expressed without any
+    // correlated probe or range join. One user-keyed shuffle; inside
+    // each user's DESCENDING-time window, the running min of
+    // purchase timestamps IS "the next purchase at or after this
+    // event", so the anti-condition is a plain column compare. The
+    // day rollup at the end is bounded.
+    "q_abandonment" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev(s, dir)
+        .withColumn("next_purchase", min(when(
+          col("event_type") === "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "view")
+        .withColumn("abandoned", col("next_purchase").isNull ||
+          col("next_purchase").cast("long") - col("ts").cast("long") > 3600)
+        .groupBy(date_trunc("day", col("ts")).cast("date").cast("string")
+          .as("day"))
+        .agg(count(lit(1)).as("n_views"),
+          sum(when(col("abandoned"), 1L).otherwise(0L)).as("n_abandoned"))
+        .withColumn("abandon_pm", expr("n_abandoned * 1000 div n_views"))
+        .orderBy("day")
+    }),
+
     // Moving-average crossover detection (the golden/death-cross
     // signal): days where the 3-day volume average crosses the 7-day
     // average, per type. The comparison is LCM-scaled — sum3·7 vs
@@ -1447,6 +1474,28 @@ object EventQueries {
         |GROUP BY pattern, n_users
         |HAVING count(*) * 4 >= n_users
         |ORDER BY support DESC, pattern""".stripMargin,
+
+    "q_abandonment" ->
+      """WITH np AS (
+        |  SELECT *, min(CASE WHEN event_type = 'purchase' THEN ts END)
+        |    OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS next_purchase
+        |  FROM events
+        |),
+        |v AS (
+        |  SELECT CAST(CAST(date_trunc('day', ts) AS DATE) AS VARCHAR) AS day,
+        |         (next_purchase IS NULL OR
+        |          CAST(floor(epoch(next_purchase)) AS BIGINT)
+        |            - CAST(floor(epoch(ts)) AS BIGINT) > 3600) AS abandoned
+        |  FROM np WHERE event_type = 'view'
+        |)
+        |SELECT day, count(*) AS n_views,
+        |       CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_abandoned,
+        |       CAST(sum(CASE WHEN abandoned THEN 1 ELSE 0 END) * 1000
+        |         // count(*) AS BIGINT) AS abandon_pm
+        |FROM v GROUP BY day ORDER BY day""".stripMargin,
 
     "q_ma_crossover" ->
       """WITH daily AS (

@@ -724,6 +724,39 @@ object RelationalQueries {
     // one-row-per-edge union. At 100 TB the child side never shuffles
     // more than the anti-join's build requires, and a huge parent
     // degrades to a plain hash anti-join instead of failing.
+    // Exact weighted median per group — the order statistic a rollup
+    // can't fake with avg: the smallest quantity whose cumulative
+    // revenue weight covers half the group's total. The scale trick:
+    // the value domain is aggregated FIRST (one hash aggregate to the
+    // bounded |flags|·|quantities| histogram), so the cumulative
+    // window runs on ≤150 rows, never the corpus — a weighted median
+    // over 100 TB costs one aggregate. Revenue weights are exact
+    // integer cents: floor(price·100) is the same IEEE double op in
+    // both engines; totals and the half-cover threshold (2·cum ≥ tot,
+    // cross-multiplied — no halving division) stay int64.
+    "q_weighted_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val hist = t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_quantity").cast("long").as("qty"),
+          expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("cents"))
+        .groupBy("l_returnflag", "qty")
+        .agg(sum("cents").as("w"), count(lit(1)).as("n_lines"))
+      val w = Window.partitionBy("l_returnflag").orderBy("qty")
+      val tot = Window.partitionBy("l_returnflag")
+      hist
+        .withColumn("cum", sum(col("w")).over(w))
+        .withColumn("tw", sum(col("w")).over(tot))
+        .filter(col("cum") * 2 >= col("tw"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("l_returnflag").orderBy("qty")))
+        .filter(col("rk") === 1)
+        .select(col("l_returnflag"), col("qty").as("wmedian_qty"),
+          col("cum").as("cum_cents"), col("tw").as("total_cents"),
+          expr("cum * 1000 div tw").as("cover_pm"))
+        .orderBy("l_returnflag")
+    }),
+
     // Late-order rate by priority (the TPC-H Q4 shape re-expressed):
     // an order is LATE when any of its lines shipped more than 21
     // days after the order date — the correlated-EXISTS collapsed
@@ -1918,6 +1951,29 @@ object RelationalQueries {
         |CROSS JOIN nb
         |WHERE pair_support >= n_baskets // 50
         |ORDER BY pair_support DESC, item1, item2 LIMIT 20""".stripMargin,
+
+    "q_weighted_median" ->
+      """WITH hist AS (
+        |  SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS qty,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS w
+        |  FROM lineitem GROUP BY 1, 2
+        |),
+        |c AS (
+        |  SELECT *, CAST(sum(w) OVER (PARTITION BY l_returnflag
+        |              ORDER BY qty) AS BIGINT) AS cum,
+        |            CAST(sum(w) OVER (PARTITION BY l_returnflag)
+        |              AS BIGINT) AS tw
+        |  FROM hist
+        |),
+        |r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_returnflag
+        |    ORDER BY qty) AS rk
+        |  FROM c WHERE cum * 2 >= tw
+        |)
+        |SELECT l_returnflag, qty AS wmedian_qty, cum AS cum_cents,
+        |       tw AS total_cents, CAST(cum * 1000 // tw AS BIGINT) AS cover_pm
+        |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin,
 
     "q_late_orders" ->
       """WITH ol AS (

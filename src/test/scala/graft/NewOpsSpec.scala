@@ -1247,6 +1247,70 @@ class NewOpsSpec extends SparkSpecBase {
     } finally graft.queries.QueryCaches.releaseAll(spark)
   }
 
+  test("weighted median: half-cover order statistic matches an in-memory walk") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_quantity").cast("long").as("q"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = rows.groupBy(_._1).map { case (f, v) =>
+      val byQty = v.groupBy(_._2).map { case (q, e) => q -> e.map(_._3).sum }
+        .toSeq.sortBy(_._1)
+      val tw = byQty.map(_._2).sum
+      var cum = 0L
+      val (q, c) = byQty.iterator.map { case (q, w) =>
+        cum += w; (q, cum)
+      }.find(_._2 * 2 >= tw).get
+      f -> (q, c, tw, c * 1000 / tw)
+    }
+    val got = RelationalQueries.queries("q_weighted_median")(spark, sf)
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (q, c, tw, pm) = expected(r.getAs[String]("l_returnflag"))
+      assert(r.getAs[Long]("wmedian_qty") === q)
+      assert(r.getAs[Long]("cum_cents") === c)
+      assert(r.getAs[Long]("total_cents") === tw)
+      assert(r.getAs[Long]("cover_pm") === pm)
+    }
+  }
+
+  test("abandonment: the windowed not-exists matches a per-user scan") {
+    val evs = graft.sources.EventSource.batch(spark, sf)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"), col("ts").cast("long").as("es"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), r.getLong(4), r.getString(5)))
+    val byUser = evs.groupBy(_._1)
+    val views = byUser.values.flatMap { rows =>
+      val purchases = rows.filter(_._3 == "purchase")
+      rows.filter(_._3 == "view").map { v =>
+        // the engine's frame: (ts, event_id) at-or-after the view, at
+        // full timestamp precision; the 1-hour test then runs on
+        // truncated epoch seconds (the cast-to-long semantics)
+        val next = purchases.filter(p =>
+          p._4 > v._4 || (p._4 == v._4 && p._2 >= v._2))
+        val abandoned = next.isEmpty ||
+          next.minBy(_._4)._5 - v._5 > 3600
+        (v._6, abandoned)
+      }
+    }.toSeq
+    val expected = views.groupBy(_._1).map { case (d, v) =>
+      val n = v.length.toLong; val a = v.count(_._2).toLong
+      d -> (n, a, a * 1000 / n)
+    }
+    val got = EventQueries.queries("q_abandonment")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, a, pm) = expected(r.getAs[String]("day"))
+      assert(r.getAs[Long]("n_views") === n)
+      assert(r.getAs[Long]("n_abandoned") === a)
+      assert(r.getAs[Long]("abandon_pm") === pm)
+    }
+    // both outcomes must occur or the fixture exercises only one path
+    assert(views.exists(_._2) && views.exists(!_._2))
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
