@@ -724,6 +724,61 @@ object RelationalQueries {
     // one-row-per-edge union. At 100 TB the child side never shuffles
     // more than the anti-join's build requires, and a huge parent
     // degrades to a plain hash anti-join instead of failing.
+    // Price-level index by year (the Laspeyres shape): how the
+    // revenue-per-unit level moved against the base year. One corpus
+    // aggregate to the bounded |years| frame; the index is computed
+    // in TWO integer divisions — unit price in milli-cents first
+    // (cents·1000 div qty), then the per-mille ratio against the
+    // base year — because the single cross-multiplied rational
+    // cents_y·qty₀·1000 overflows int64 at sf0.01 already (measured:
+    // ARITHMETIC_OVERFLOW in the gate run). Both engines execute the
+    // identical two-step floor chain, so the result stays bit-exact.
+    // The base year rides along as a 1-row broadcast.
+    "q_price_index" -> ((s, dir) => {
+      val yearly = t(s, dir, "lineitem")
+        .groupBy(year(col("l_shipdate")).cast("long").as("yr"))
+        .agg(sum(expr("CAST(floor(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"), sum(col("l_quantity").cast("long")).as("qty"))
+      val priced = yearly.withColumn("up_mc", expr("cents * 1000 div qty"))
+      val base = priced.orderBy("yr").limit(1)
+        .select(col("up_mc").as("up0"))
+      priced.crossJoin(broadcast(base))
+        .select(col("yr"), col("cents"), col("qty"), col("up_mc"),
+          expr("up_mc * 1000 div up0").as("index_pm"))
+        .orderBy("yr")
+    }),
+
+    // Revenue concentration (Pareto/Lorenz view) WITHOUT a global
+    // sort: customer revenues bucket by the bit-length of their cent
+    // total (≤64 buckets by construction), and the top-down
+    // cumulative shares come from a window over that bounded frame —
+    // the "how top-heavy is the ledger" answer at 100 TB for the
+    // price of two hash aggregates. Exact integers throughout; a
+    // percentile cut would need a Θ(|customers|) global order
+    // statistic, the log₂ histogram is the scale-honest form.
+    "q_revenue_pareto" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val perCust = t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(expr("CAST(floor(o_totalprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val buckets = perCust
+        .groupBy(length(bin(col("cents"))).cast("long").as("bucket_bits"))
+        .agg(count(lit(1)).as("n_customers"), sum("cents").as("cents"))
+      val w = Window.orderBy(col("bucket_bits").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      buckets
+        .crossJoin(broadcast(buckets.agg(
+          sum("n_customers").as("nc"), sum("cents").as("tc"))))
+        .withColumn("cum_cust", sum(col("n_customers")).over(w))
+        .withColumn("cum_cents", sum(col("cents")).over(w))
+        .withColumn("cum_customers_pm", expr("cum_cust * 1000 div nc"))
+        .withColumn("cum_revenue_pm", expr("cum_cents * 1000 div tc"))
+        .select("bucket_bits", "n_customers", "cents",
+          "cum_customers_pm", "cum_revenue_pm")
+        .orderBy(col("bucket_bits").desc)
+    }),
+
     // Exact weighted median per group — the order statistic a rollup
     // can't fake with avg: the smallest quantity whose cumulative
     // revenue weight covers half the group's total. The scale trick:
@@ -1951,6 +2006,48 @@ object RelationalQueries {
         |CROSS JOIN nb
         |WHERE pair_support >= n_baskets // 50
         |ORDER BY pair_support DESC, item1, item2 LIMIT 20""".stripMargin,
+
+    "q_price_index" ->
+      """WITH yearly AS (
+        |  SELECT CAST(extract(year FROM l_shipdate) AS BIGINT) AS yr,
+        |         CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents,
+        |         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+        |  FROM lineitem GROUP BY 1
+        |),
+        |priced AS (
+        |  SELECT *, CAST(cents * 1000 // qty AS BIGINT) AS up_mc FROM yearly
+        |),
+        |base AS (SELECT up_mc AS up0 FROM priced ORDER BY yr LIMIT 1)
+        |SELECT yr, cents, qty, up_mc,
+        |       CAST(up_mc * 1000 // up0 AS BIGINT) AS index_pm
+        |FROM priced CROSS JOIN base ORDER BY yr""".stripMargin,
+
+    "q_revenue_pareto" ->
+      """WITH pc AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1
+        |),
+        |b AS (
+        |  SELECT CAST(length(bin(cents)) AS BIGINT) AS bucket_bits,
+        |         count(*) AS n_customers, CAST(sum(cents) AS BIGINT) AS cents
+        |  FROM pc GROUP BY 1
+        |),
+        |tot AS (SELECT CAST(sum(n_customers) AS BIGINT) AS nc,
+        |               CAST(sum(cents) AS BIGINT) AS tc FROM b),
+        |c AS (
+        |  SELECT *, CAST(sum(n_customers) OVER (ORDER BY bucket_bits DESC)
+        |              AS BIGINT) AS cum_cust,
+        |            CAST(sum(cents) OVER (ORDER BY bucket_bits DESC)
+        |              AS BIGINT) AS cum_cents
+        |  FROM b CROSS JOIN tot
+        |)
+        |SELECT bucket_bits, n_customers, cents,
+        |       cum_cust * 1000 // nc AS cum_customers_pm,
+        |       cum_cents * 1000 // tc AS cum_revenue_pm
+        |FROM c ORDER BY bucket_bits DESC""".stripMargin,
 
     "q_weighted_median" ->
       """WITH hist AS (

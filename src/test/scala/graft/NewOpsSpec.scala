@@ -1311,6 +1311,53 @@ class NewOpsSpec extends SparkSpecBase {
     assert(views.exists(_._2) && views.exists(!_._2))
   }
 
+  test("price index: two-step integer ratio matches an in-memory ledger") {
+    val rows = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(year(col("l_shipdate")).cast("long").as("yr"),
+        expr("CAST(floor(l_extendedprice * 100) AS BIGINT)").as("c"),
+        col("l_quantity").cast("long").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val yearly = rows.groupBy(_._1).map { case (y, v) =>
+      (y, v.map(_._2).sum, v.map(_._3).sum)
+    }.toSeq.sortBy(_._1)
+    val up = yearly.map { case (y, c, q) => (y, c, q, c * 1000 / q) }
+    val up0 = up.head._4
+    val expected = up.map { case (y, c, q, u) => (y, c, q, u, u * 1000 / up0) }
+    val got = RelationalQueries.queries("q_price_index")(spark, sf).collect()
+      .map(r => (r.getAs[Long]("yr"), r.getAs[Long]("cents"),
+        r.getAs[Long]("qty"), r.getAs[Long]("up_mc"),
+        r.getAs[Long]("index_pm"))).toSeq
+    assert(got === expected)
+    assert(got.head._5 === 1000L, "base year indexes to exactly 1000")
+  }
+
+  test("revenue pareto: log2-bucket cumulative shares match an in-memory ledger") {
+    val perCust = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"),
+        expr("CAST(floor(o_totalprice * 100) AS BIGINT)").as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).sum }
+    val buckets = perCust.values.groupBy(c =>
+        java.lang.Long.toBinaryString(c).length.toLong)
+      .map { case (b, v) => (b, v.size.toLong, v.sum) }
+      .toSeq.sortBy(-_._1)
+    val nc = buckets.map(_._2).sum; val tc = buckets.map(_._3).sum
+    var (cc, cr) = (0L, 0L)
+    val expected = buckets.map { case (b, n, c) =>
+      cc += n; cr += c
+      (b, n, c, cc * 1000 / nc, cr * 1000 / tc)
+    }
+    val got = RelationalQueries.queries("q_revenue_pareto")(spark, sf)
+      .collect().map(r => (r.getAs[Long]("bucket_bits"),
+        r.getAs[Long]("n_customers"), r.getAs[Long]("cents"),
+        r.getAs[Long]("cum_customers_pm"), r.getAs[Long]("cum_revenue_pm")))
+      .toSeq
+    assert(got === expected)
+    // concentration is real: the top bucket's revenue share must exceed
+    // its customer share
+    assert(got.head._5 > got.head._4)
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
