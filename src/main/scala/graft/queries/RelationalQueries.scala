@@ -853,10 +853,14 @@ object RelationalQueries {
         .agg(max(when(datediff(col("l_shipdate").cast("date"),
           col("o_orderdate").cast("date")) > 21, 1L).otherwise(0L))
           .as("late"))
-        .transform(QueryCaches.cache(_)) // two consumers with
-      // different exchanges (order-keyed margins; supplier-keyed blame
-      // count) over a shuffle-bearing lineage — and the frame is one
-      // row per (order, supplier), already reduced from the lines
+      // NOT cached — measured (5-pass mini-suite, sf0.1): cached
+      // 2.07/1.89 med/min vs UNCACHED 1.77/1.72. Two consumers with
+      // different exchanges over a shuffle-bearing lineage — the §8
+      // rule's nominally-paying shape — but the second consumer
+      // (order-keyed margins) re-enters the SAME orderkey-partitioned
+      // exchange the groupBy produced, so recompute rides ReuseExchange
+      // where the cache adds a materialization barrier. Same verdict
+      // family as q_freq_itemsets.
       val margins = os.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"), sum("late").as("n_late_supp"))
       os.filter(col("late") === 1L)
