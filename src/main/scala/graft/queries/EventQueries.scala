@@ -200,6 +200,37 @@ object EventQueries {
         .orderBy(col("support").desc, col("pattern"))
     }),
 
+    // Inter-arrival time distribution per type — the point-process
+    // view behind rate modeling and anomaly thresholds ("is this
+    // feed Poisson at second granularity or does it clump?"). The
+    // successor window is keyed (type, DAY), not type alone — a
+    // per-type-only window sorts Θ(corpus/|types|) rows in one
+    // partition at 100 TB; day-keying bounds each sort at a day's
+    // volume and costs exactly one gap per day boundary (dropped by
+    // design, noted here). Gaps are epoch-second longs (the
+    // cast-to-long floor both engines share); the histogram is the
+    // bounded log₂ bucket (bit-length — never a float log), ≤64
+    // buckets, min/max/mean exact integers.
+    "q_interarrival" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("event_type"), date_trunc("day", col("ts")))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      ev(s, dir)
+        .withColumn("gap",
+          lead(col("ts").cast("long"), 1).over(w) - col("ts").cast("long"))
+        .filter(col("gap").isNotNull)
+        .groupBy(col("event_type"),
+          length(bin(greatest(col("gap"), lit(1L)))).cast("long")
+            .as("gap_bits"))
+        .agg(count(lit(1)).as("n"), min("gap").as("min_gap"),
+          max("gap").as("max_gap"), sum("gap").as("sum_gap"))
+        .withColumn("mean_gap", expr("sum_gap div n"))
+        .select("event_type", "gap_bits", "n", "min_gap", "max_gap",
+          "mean_gap")
+        .orderBy("event_type", "gap_bits")
+    }),
+
     // Abandonment detection — events with NO follow-up conversion in
     // their window (views where the user did not purchase within the
     // next hour): the windowed NOT-EXISTS, re-expressed without any
@@ -1474,6 +1505,22 @@ object EventQueries {
         |GROUP BY pattern, n_users
         |HAVING count(*) * 4 >= n_users
         |ORDER BY support DESC, pattern""".stripMargin,
+
+    "q_interarrival" ->
+      """WITH g AS (
+        |  SELECT event_type,
+        |         lead(CAST(floor(epoch(ts)) AS BIGINT), 1) OVER
+        |           (PARTITION BY event_type, date_trunc('day', ts)
+        |            ORDER BY ts, event_id)
+        |           - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+        |  FROM events
+        |)
+        |SELECT event_type,
+        |       CAST(length(bin(greatest(gap, 1))) AS BIGINT) AS gap_bits,
+        |       count(*) AS n, min(gap) AS min_gap, max(gap) AS max_gap,
+        |       CAST(sum(gap) // count(*) AS BIGINT) AS mean_gap
+        |FROM g WHERE gap IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY event_type, gap_bits""".stripMargin,
 
     "q_abandonment" ->
       """WITH np AS (

@@ -1601,6 +1601,33 @@ object TextQueries {
             .as("acc_pt"))
     }),
 
+    // Token burstiness (Church & Gale) — the cf/df statistic that
+    // separates topical keywords from function words: a bursty token
+    // concentrates its occurrences in few documents (high mean count
+    // per CONTAINING doc, high repeat rate), a function word spreads
+    // evenly. ONE tokenize pass to the (doc, tok) count table; cf,
+    // df, and the repeat-doc count are margins of that single hash
+    // aggregate — the corpus is never re-scanned. burst_pm =
+    // cf·1000 div df (mean per-mille occurrences per containing
+    // doc), repeat_pm = docs-with-≥2 ·1000 div df. Top 20 by
+    // burstiness among tokens in ≥10 docs (the df floor kills the
+    // hapax noise), integer throughout.
+    "q_token_burstiness" -> ((s, dir) => {
+      val dt = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      dt.groupBy("tok")
+        .agg(sum("c").as("cf"), count(lit(1)).as("df"),
+          sum(when(col("c") >= 2, 1L).otherwise(0L)).as("repeat_docs"))
+        .filter(col("df") >= 10)
+        .select(col("tok"), col("cf"), col("df"),
+          expr("cf * 1000 div df").as("burst_pm"),
+          expr("repeat_docs * 1000 div df").as("repeat_pm"))
+        .orderBy(col("burst_pm").desc, col("tok"))
+        .limit(20)
+    }),
+
     // Hierarchical top-k merge — the distributed top-k primitive
     // (per-shard top-k unioned, then merged globally) plus its
     // CORRECTNESS AUDIT: which exact global top-10 tokens would a
@@ -2215,6 +2242,25 @@ object TextQueries {
          |       (tp + tn) * 1000 // nullif(tp + tn + fp + fn, 0) AS acc_pt
          |FROM cm""".stripMargin
     },
+
+    "q_token_burstiness" ->
+      """WITH dt AS (
+        |  SELECT doc_id, t.tok AS tok, count(*) AS c
+        |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+        |  WHERE length(t.tok) > 0
+        |  GROUP BY 1, 2
+        |),
+        |m AS (
+        |  SELECT tok, CAST(sum(c) AS BIGINT) AS cf, count(*) AS df,
+        |         CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS repeat_docs
+        |  FROM dt GROUP BY tok
+        |)
+        |SELECT tok, cf, df,
+        |       CAST(cf * 1000 // df AS BIGINT) AS burst_pm,
+        |       CAST(repeat_docs * 1000 // df AS BIGINT) AS repeat_pm
+        |FROM m WHERE df >= 10
+        |ORDER BY burst_pm DESC, tok LIMIT 20""".stripMargin,
 
     "q_topk_merge" ->
       """WITH tc AS (

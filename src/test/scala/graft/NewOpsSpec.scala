@@ -1358,6 +1358,57 @@ class NewOpsSpec extends SparkSpecBase {
     assert(got.head._5 > got.head._4)
   }
 
+  test("token burstiness: cf/df statistics match an in-memory count table") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val dt = docs.flatMap { case (id, t) =>
+      t.split(" ").filter(_.nonEmpty).map(tok => (id, tok))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val m = dt.groupBy(_._1._2).map { case (tok, v) =>
+      val cf = v.values.sum; val df = v.size.toLong
+      val rep = v.values.count(_ >= 2).toLong
+      (tok, cf, df, cf * 1000 / df, rep * 1000 / df)
+    }.filter(_._3 >= 10)
+    val expected = m.toSeq.sortBy { case (t, _, _, b, _) => (-b, t) }.take(20)
+    val got = TextQueries.queries("q_token_burstiness")(spark, sf).collect()
+      .map(r => (r.getAs[String]("tok"), r.getAs[Long]("cf"),
+        r.getAs[Long]("df"), r.getAs[Long]("burst_pm"),
+        r.getAs[Long]("repeat_pm"))).toSeq
+    assert(got.nonEmpty)
+    assert(got === expected)
+  }
+
+  test("interarrival: day-bounded gap histogram matches an in-memory walk") {
+    val evs = graft.sources.EventSource.batch(spark, sf)
+      .select(col("event_type"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"),
+        col("ts").cast("long").as("es"),
+        expr("unix_micros(ts)").as("us"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    val gaps = evs.groupBy(e => (e._1, e._2)).values.flatMap { rows =>
+      val sorted = rows.sortBy(r => (r._4, r._5))
+      sorted.zip(sorted.drop(1)).map { case (a, b) => (a._1, b._3 - a._3) }
+    }.toSeq
+    val expected = gaps.groupBy { case (t, g) =>
+      (t, java.lang.Long.toBinaryString(math.max(g, 1L)).length.toLong)
+    }.map { case (k, v) =>
+      val gs = v.map(_._2)
+      k -> (gs.length.toLong, gs.min, gs.max, gs.sum / gs.length)
+    }
+    val got = EventQueries.queries("q_interarrival")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, mn, mx, mean) = expected(
+        (r.getAs[String]("event_type"), r.getAs[Long]("gap_bits")))
+      assert(r.getAs[Long]("n") === n)
+      assert(r.getAs[Long]("min_gap") === mn)
+      assert(r.getAs[Long]("max_gap") === mx)
+      assert(r.getAs[Long]("mean_gap") === mean)
+    }
+  }
+
   test("z-order key interleaves bits: zkey reconstructs gx and gy") {
     val rows = graft.queries.GeoQueries.queries("q_zorder_key")(spark, sf).collect()
     assert(rows.nonEmpty)
