@@ -1051,21 +1051,26 @@ object DedupQueries {
     // the withDuplicates near-copies share their base's prefix, so the
     // selection is demonstrably NOT min-id: the longer +1M variant
     // wins its cluster, spec-pinned). The scale design point is the
-    // SHAPE: survivor = max_by(doc_id, ord) with ord packing
-    // (quality, -doc_id) into one BIGINT — a single map-side
-    // combinable aggregate on the cluster key. ONE exchange, no
-    // per-cluster window, no survivor join-back; ties (exact copies)
-    // break to the smallest doc_id deterministically via the packed
-    // ord. Contrast q_dedup_remap, which ships the remap table and
-    // pays the join back.
+    // SHAPE: survivor = max_by(doc_id, ord) with ord a STRUCT
+    // (quality, -doc_id) — structs are orderable in Spark, compared
+    // field-by-field, so max IS (best quality, then smallest doc_id)
+    // with NO packing arithmetic and therefore no overflow bound: any
+    // int64 quality score and any int64 doc_id plug in (the r14
+    // packed-BIGINT ord silently mis-picked past doc_id > 1e10−1 or
+    // toks ≥ ~9.2e8 — ADVICE audit). Still a single map-side
+    // combinable aggregate on the cluster key: ONE exchange, no
+    // per-cluster window, no survivor join-back. The DuckDB oracle
+    // can't struct-order max_by, so it packs into HUGEINT (int128,
+    // 10^18 stride — exact for toks < 9.2e18/1e18 bound-free in
+    // practice). Contrast q_dedup_remap, which ships the remap table
+    // and pays the join back.
     "q_dedup_keep_best" -> ((s, dir) => {
       Corpus.withDuplicates(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"),
           md5(expr("concat_ws(' ', slice(w, 1, 30))")).as("prefix_key"),
           size(col("w")).cast("bigint").as("toks"))
-        .withColumn("ord",
-          expr("toks * 10000000000L + (9999999999L - doc_id)"))
+        .withColumn("ord", expr("struct(toks, -doc_id)"))
         .groupBy("prefix_key")
         .agg(count(lit(1)).as("n_members"),
           expr("max_by(doc_id, ord)").as("survivor_id"),
@@ -1443,7 +1448,8 @@ object DedupQueries {
          |         CAST(len(ws) AS BIGINT) AS toks
          |  FROM w
          |),
-         |o AS (SELECT *, toks * 10000000000 + (9999999999 - doc_id) AS ord FROM sc)
+         |o AS (SELECT *, CAST(toks AS HUGEINT) * 1000000000000000000
+         |               + (999999999999999999 - doc_id) AS ord FROM sc)
          |SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_members,
          |       max_by(doc_id, ord) AS survivor_id,
          |       CAST(max(toks) AS BIGINT) AS survivor_toks,

@@ -706,8 +706,18 @@ object RelationalQueries {
         .join(freq.withColumnRenamed("item", "item2")
           .withColumnRenamed("ic", "ic2"), "item2")
         .select(col("item1"), col("item2"), col("pair_support"),
-          expr("pair_support * n_baskets * 10000 div (ic1 * ic2)")
-            .as("lift_pmyr"))
+          // lift in DECIMAL(38,0) (int128-class) intermediates:
+          // pair_support·n_baskets·10⁴ overflows int64 once
+          // n_baskets ≳ 3e7 (the q_price_index failure mode, caught
+          // there by the gate at sf0.01) — decimal keeps the EXACT
+          // one-step floor formula with no precision change at any
+          // realistic corpus size (overflow needs n_baskets ≳ 1e17).
+          // Runs on the ≤|frequent-pairs| bounded frame, so decimal
+          // arithmetic cost is irrelevant. Spark `div` on decimals
+          // returns BIGINT, matching the oracle's HUGEINT→BIGINT cast.
+          expr("""CAST(pair_support AS DECIMAL(38,0)) * n_baskets
+                 | * 10000 div (CAST(ic1 AS DECIMAL(38,0)) * ic2)"""
+            .stripMargin).as("lift_pmyr"))
         .orderBy(col("pair_support").desc, col("item1"), col("item2"))
         .limit(20)
     }),
@@ -920,10 +930,15 @@ object RelationalQueries {
     // join AQE broadcasts and the bitemporal pick is a bounded HOF
     // over 3 elements — zero per-order fan-out, zero extra shuffles
     // before the bounded matrix aggregate. The pick packs
-    // (valid_from, tx, seg) into one integer (vf·30 + tx·8 + seg:
-    // each stride dominates the lower fields) so max() IS the
-    // latest-valid-then-latest-transaction rule, and −1 marks orders
-    // no version covered yet.
+    // (valid_from, tx, seg) into one integer (vf·32 + tx·8 + seg:
+    // each stride dominates the lower fields, and 32 is 8-aligned so
+    // % 8 exactly recovers seg — tx·8+seg ≤ 2·8+4 = 20 < 32) so
+    // max() IS the latest-valid-then-latest-transaction rule, and −1
+    // marks orders no version covered yet. (A vf stride that is NOT a
+    // multiple of 8 would bleed vf into the %8 extraction — caught by
+    // the ADVICE r14 audit; the spec's version walk is now an
+    // independent argmax, not a formula replica, so it would catch a
+    // recurrence.)
     "q_bitemporal" -> ((s, dir) => {
       val vers = t(s, dir, "customer").select(col("c_custkey").as("ck"),
         expr("""transform(array(0, 1, 2), k -> named_struct(
@@ -936,11 +951,11 @@ object RelationalQueries {
         .select(col("o_orderkey"),
           expr("""coalesce(array_max(transform(
             |  filter(vers, v -> v.vf <= od AND v.tx <= 1),
-            |  v -> v.vf * 30 + v.tx * 8 + v.seg)) % 8, -1)""".stripMargin)
+            |  v -> v.vf * 32 + v.tx * 8 + v.seg)) % 8, -1)""".stripMargin)
             .as("seg_t1"),
           expr("""coalesce(array_max(transform(
             |  filter(vers, v -> v.vf <= od),
-            |  v -> v.vf * 30 + v.tx * 8 + v.seg)) % 8, -1)""".stripMargin)
+            |  v -> v.vf * 32 + v.tx * 8 + v.seg)) % 8, -1)""".stripMargin)
             .as("seg_t2"))
         .groupBy("seg_t1", "seg_t2")
         .agg(count(lit(1)).as("n_orders"),
@@ -2003,7 +2018,8 @@ object RelationalQueries {
         |  GROUP BY 1, 2
         |)
         |SELECT item1, item2, pair_support,
-        |       pair_support * n_baskets * 10000 // (f1.ic * f2.ic) AS lift_pmyr
+        |       CAST(CAST(pair_support AS HUGEINT) * n_baskets * 10000
+        |            // (CAST(f1.ic AS HUGEINT) * f2.ic) AS BIGINT) AS lift_pmyr
         |FROM pairs
         |JOIN freq f1 ON f1.item = pairs.item1
         |JOIN freq f2 ON f2.item = pairs.item2
@@ -2150,9 +2166,9 @@ object RelationalQueries {
         |p AS (
         |  SELECT o_orderkey,
         |         coalesce(max(CASE WHEN vf <= od AND tx <= 1
-        |           THEN vf * 30 + tx * 8 + seg END) % 8, -1) AS seg_t1,
+        |           THEN vf * 32 + tx * 8 + seg END) % 8, -1) AS seg_t1,
         |         coalesce(max(CASE WHEN vf <= od
-        |           THEN vf * 30 + tx * 8 + seg END) % 8, -1) AS seg_t2
+        |           THEN vf * 32 + tx * 8 + seg END) % 8, -1) AS seg_t2
         |  FROM o JOIN v ON ck = o_custkey GROUP BY o_orderkey
         |)
         |SELECT seg_t1, seg_t2, count(*) AS n_orders,

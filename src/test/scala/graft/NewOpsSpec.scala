@@ -1090,12 +1090,17 @@ class NewOpsSpec extends SparkSpecBase {
       .select(col("o_orderkey"), col("o_custkey"),
         dayofmonth(col("o_orderdate")).cast("long").as("od")).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // Independent ground truth: an explicit argmax over (vf, tx)
+    // returning seg — deliberately NOT the engine's packed-integer
+    // formula, so a packing bug (e.g. the r14 vf·30 stride that bled
+    // vf into the %8 extraction) fails here instead of being
+    // replicated.
     def pick(ck: Long, od: Long, txMax: Long): Long = {
       val cands = (0L to 2L).filter(_ <= txMax).flatMap { k =>
         val vf = (ck * 7 + k * 11) % 20 + 1
-        if (vf <= od) Some(vf * 30 + k * 8 + (ck + k) % 5) else None
+        if (vf <= od) Some(((vf, k), (ck + k) % 5)) else None
       }
-      if (cands.isEmpty) -1L else cands.max % 8
+      if (cands.isEmpty) -1L else cands.maxBy(_._1)._2
     }
     val perOrder = orders.filter(o => custs(o._2)).map { case (ok, ck, od) =>
       (pick(ck, od, 1), pick(ck, od, 2), ok)
