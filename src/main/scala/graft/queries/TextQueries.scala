@@ -1292,10 +1292,20 @@ object TextQueries {
     // 2^30 and its floor-log2 taken as a bit-length (length(bin(q)) —
     // no float log whose last ulp differs between engines), so the
     // oracle hash-matches to the digit. Shape: one bigram explode
-    // (cached — consumed by the pair-count aggregate, the prefix-count
-    // aggregate, AND the score join), equi-joins on bigram and prefix,
-    // a broadcast 1-row vocab, one doc-keyed aggregate: every shuffle
-    // is keyed on bounded token keys, never a doc product.
+    // consumed by the pair-count aggregate, the prefix-count
+    // aggregate, the vocab count, AND the score join; equi-joins on
+    // bigram and prefix, a broadcast 1-row vocab, one doc-keyed
+    // aggregate: every shuffle is keyed on bounded token keys, never
+    // a doc product. NOT cached — adjudicated r15 after the driver's
+    // r14 min-basis flag (1.516 → 2.142 s): isolated 7-pass mini-suite
+    // A/B at sf0.1, both runs adjudicated (disp_frac2 0.0), cached
+    // min/med 0.948/1.223 vs UNCACHED 0.913/1.138 — the flag was
+    // in-suite cache/memory pressure, not a code regression (isolated
+    // min sits well under the 1.516 base either way), and the §8
+    // codegen-cheap-lineage clause wins again: recomputing the explode
+    // inside four codegen pipelines beats materializing the exploded
+    // string-heavy frame, while dropping its storage footprint from
+    // the suite.
     "q_lm_score" -> ((s, dir) => {
       val bigrams = expr(
         """element_at(transform(array(split(text, ' ')), toks ->
@@ -1308,7 +1318,6 @@ object TextQueries {
       val bg = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), explode(bigrams).as("b"))
         .select(col("doc_id"), col("b.w1").as("w1"), col("b.bg").as("bigram"))
-        .transform(QueryCaches.cache(_))
       val cPair = bg.groupBy("bigram").agg(count(lit(1)).as("c_pair"))
       val cPrefix = bg.groupBy("w1").agg(count(lit(1)).as("c_prefix"))
       val vocab = bg.agg(countDistinct(col("w1")).as("v"))
