@@ -220,6 +220,36 @@ class NewOpsSpec extends SparkSpecBase {
     }
   }
 
+  test("span dedup: the 64-bit shingle rekey is injective on the fixture " +
+      "corpus (collision-bound backing)") {
+    // The q_span_dedup shuffle key is xxhash64(shingle), not the
+    // ~40-byte shingle string; the correctness argument at the rekey
+    // site (DedupQueries) is a birthday bound — P[any collision] ≈
+    // n²/2⁶⁵ ≈ 7·10⁻⁹ at the fixture's ~5·10⁵ distinct shingles.
+    // This spec pins the empirical half of that argument: on the
+    // deterministic fixture corpus the hash is exactly injective
+    // (distinct hashes == distinct shingle strings), so every gate
+    // run compares the hash-keyed engine against the string-keyed
+    // DuckDB oracle on genuinely collision-free inputs. If a future
+    // fixture regeneration ever introduced a collision, this fails
+    // loudly instead of surfacing as an unexplained oracle mismatch.
+    val k = 5
+    val counts = graft.text.Corpus.withDuplicates(spark, sf)
+      .select(split(col("text"), " ").as("w"))
+      .select(explode(expr(
+        s"""transform(slice(w, 1, greatest(size(w) - ${k - 1}, 0)),
+           |  (x, i) -> concat_ws(' ', x, element_at(w, i + 2),
+           |    element_at(w, i + 3), element_at(w, i + 4),
+           |    element_at(w, i + 5)))""".stripMargin)).as("sh"))
+      .agg(countDistinct(col("sh")).as("n_str"),
+        countDistinct(xxhash64(col("sh"))).as("n_hash"))
+      .head()
+    assert(counts.getAs[Long]("n_str") === counts.getAs[Long]("n_hash"),
+      "xxhash64 must be collision-free on the fixture shingle set")
+    assert(counts.getAs[Long]("n_str") > 10000L,
+      "fixture must exercise a non-trivial shingle population")
+  }
+
   test("span dedup: agrees with a brute-force interval union on random corpora") {
     // seeded random corpora over a tiny vocabulary (dense cross-doc
     // 5-gram collisions — far more island-merge edge cases than the
