@@ -214,6 +214,33 @@ object Bench {
     val ioCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val timesBy = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errBy = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // UNTIMED pass 0 (r15, VERDICT #3): execute every selected query once
+    // before any timed pass. Two measurement problems die here. (1) The
+    // write-once side stores (BucketedTables postings/bucketed layouts,
+    // SideStores round-trip copies, IVF/PQ memo artifacts) are built on
+    // first touch, so their build cost used to land inside the pass-1
+    // time of whichever family query the shuffle happened to order first
+    // — nondeterministic attribution that poisoned that query's minmax.
+    // (2) The r14 scale-fixture lesson: a single cold execution can read
+    // 3–5× its steady state from codegen/JIT/first-read alone, so
+    // 1-pass scale artifacts carried phantom spikes. NOTE the r14
+    // warm_total inflation itself was adjudicated NOT to be pass-1
+    // builds: reconstructing per-pass times from BENCH_DETAIL minmax
+    // vs warm shows the q_bool_retrieval/q_spj_source/q_ann_ivf_probe2
+    // spikes sat in passes 2–3 with pass 1 at the median — later-pass
+    // load/GC bursts under the driver's load_ratio 1.32, which no
+    // prebuild can fix. Pass 0 still makes every timed number a warm
+    // number (build-free, JIT-free), so minmax spreads and warm_total
+    // become interpretable machine-load evidence instead of a mix of
+    // warmup and load. Disable with SPARK_GRAFT_PREBUILD=0 to study
+    // cold behavior deliberately. Errors here are ignored — the timed
+    // passes record them through the normal err channel.
+    if (sys.env.getOrElse("SPARK_GRAFT_PREBUILD", "1") != "0") {
+      baseOrder.foreach { case (_, fn) =>
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+        graft.queries.QueryCaches.releaseAll(spark)
+      }
+    }
     for (pass <- 1 to passes) {
       var pos = 0
       // fresh deterministic shuffle per pass: same seed → same order on a
