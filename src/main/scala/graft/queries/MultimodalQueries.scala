@@ -278,6 +278,65 @@ object MultimodalQueries {
           (col("frame_idx") * 256).cast("bigint").as("byte_offset"))
         .orderBy("doc_id", "frame_idx")
     }),
+
+    // Voice-activity segmentation — the VAD pass an audio corpus runs
+    // before transcription/curation: frames (the q_audio_energy
+    // 256-byte windows) are ACTIVE when their per-sample energy beats
+    // the clip's own mean, compared by exact integer cross-
+    // multiplication (energy·tot_samples > tot_energy·n_samples — no
+    // division, so the short final frame is normalized correctly and
+    // both engines agree to the bit). Consecutive active frames merge
+    // into segments via the q_gaps_islands lag+running-sum shape over
+    // the doc-bounded frame order. Per clip: segment count, active
+    // ratio (pm), and the longest speech run — the fields a
+    // curation filter actually gates on (min speech ratio, max silence
+    // gap). Shape: one mapPartitions batch decode, one 1-row-per-clip
+    // mean join (map-side combinable aggregate, broadcast by AQE),
+    // one doc-bounded window pair — flat at 100 TB. The clip-relative
+    // threshold (not a global constant) is what keeps the operator
+    // meaningful across loudness-normalized and raw corpora alike.
+    "q_audio_vad" -> ((s, dir) => {
+      import s.implicits._
+      val blobs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 20 === 0)
+        .select(col("doc_id"), col("text").cast("binary").as("content"))
+        .as[(Long, Array[Byte])]
+      val frames = blobs.mapPartitions(_.flatMap { case (id, bytes) =>
+        bytes.grouped(256).zipWithIndex.map { case (chunk, i) =>
+          (id, i.toLong, chunk.length.toLong,
+            chunk.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        }
+      }).toDF("doc_id", "chunk_idx", "n_samples", "energy")
+      val totals = frames.groupBy("doc_id")
+        .agg(sum("energy").as("tot_energy"),
+          sum("n_samples").as("tot_samples"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("chunk_idx")
+      val marked = frames.join(totals, "doc_id")
+        .withColumn("active", expr(
+          "CASE WHEN energy * tot_samples > tot_energy * n_samples " +
+            "THEN 1 ELSE 0 END"))
+        .withColumn("start",
+          when(col("active") === 1 &&
+            coalesce(lag(col("active"), 1).over(w), lit(0)) === 0, 1L)
+            .otherwise(0L))
+        .withColumn("seg", sum(col("start")).over(w))
+      val segLens = marked.filter(col("active") === 1)
+        .groupBy("doc_id", "seg")
+        .agg(count(lit(1)).as("seg_len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          max(col("seg_len")).as("longest_seg"))
+      marked.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(col("active")).as("active_frames"))
+        .join(segLens, Seq("doc_id"), "left_outer")
+        .withColumn("n_segments", coalesce(col("n_segments"), lit(0L)))
+        .withColumn("longest_seg", coalesce(col("longest_seg"), lit(0L)))
+        .withColumn("active_pm",
+          expr("active_frames * 10000 div n_frames"))
+        .orderBy("doc_id")
+    }),
   )
 
   private val hexVal: String => String = c =>
@@ -538,5 +597,72 @@ object MultimodalQueries {
         |SELECT doc_id, frame_idx, frame_idx * 256 AS byte_offset
         |FROM frames WHERE frame_idx % 2 = 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // same 256-char frame kernel as q_audio_energy (ASCII text ⇒
+    // ascii() == byte value); activity and segments recomputed
+    // relationally on top
+    "q_audio_vad" ->
+      """WITH sub AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0
+        |),
+        |chunks AS (
+        |  SELECT doc_id,
+        |         unnest(generate_series(0, (length(text) - 1) // 256)) AS chunk_idx,
+        |         text
+        |  FROM sub
+        |),
+        |samples AS (
+        |  SELECT doc_id, chunk_idx,
+        |         substr(text, chunk_idx * 256 + 1, 256) AS chunk,
+        |         unnest(generate_series(1, length(substr(text, chunk_idx * 256 + 1, 256)))) AS j
+        |  FROM chunks
+        |),
+        |frames AS (
+        |  SELECT doc_id, chunk_idx, CAST(count(*) AS BIGINT) AS n_samples,
+        |         CAST(sum(ascii(substr(chunk, j, 1))) AS BIGINT) AS energy
+        |  FROM samples GROUP BY doc_id, chunk_idx
+        |),
+        |tot AS (
+        |  SELECT doc_id, sum(energy) AS tot_energy,
+        |         sum(n_samples) AS tot_samples
+        |  FROM frames GROUP BY doc_id
+        |),
+        |marked AS (
+        |  SELECT f.doc_id, f.chunk_idx,
+        |         CASE WHEN f.energy * t.tot_samples > t.tot_energy * f.n_samples
+        |              THEN 1 ELSE 0 END AS active
+        |  FROM frames f JOIN tot t USING (doc_id)
+        |),
+        |st AS (
+        |  SELECT doc_id, chunk_idx, active,
+        |         CASE WHEN active = 1 AND coalesce(
+        |           lag(active) OVER (PARTITION BY doc_id ORDER BY chunk_idx), 0) = 0
+        |           THEN 1 ELSE 0 END AS start
+        |  FROM marked
+        |),
+        |asg AS (
+        |  SELECT doc_id, chunk_idx, active, start,
+        |         sum(start) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+        |                          ROWS UNBOUNDED PRECEDING) AS seg
+        |  FROM st
+        |),
+        |seglens AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segments,
+        |         CAST(max(seg_len) AS BIGINT) AS longest_seg
+        |  FROM (SELECT doc_id, seg, count(*) AS seg_len
+        |        FROM asg WHERE active = 1 GROUP BY doc_id, seg)
+        |  GROUP BY doc_id
+        |),
+        |docs AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_frames,
+        |         CAST(sum(active) AS BIGINT) AS active_frames
+        |  FROM asg GROUP BY doc_id
+        |)
+        |SELECT d.doc_id, d.n_frames, d.active_frames,
+        |       coalesce(s.n_segments, 0) AS n_segments,
+        |       coalesce(s.longest_seg, 0) AS longest_seg,
+        |       CAST(d.active_frames * 10000 // d.n_frames AS BIGINT) AS active_pm
+        |FROM docs d LEFT JOIN seglens s USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
   )
 }

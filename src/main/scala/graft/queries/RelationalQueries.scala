@@ -1442,6 +1442,51 @@ object RelationalQueries {
           round(sum(col("value").cast("decimal(24,6)")).cast("double")
             / count(lit(1)), 4).as("avg_v"))
         .orderBy("col_name")),
+
+    // Interval-concurrency sweep — peak simultaneously-open orders per
+    // nation (the "max concurrent sessions / in-flight jobs" question).
+    // THE scale point: the naive formulation is an interval SELF-JOIN
+    // (o1 overlaps o2) — Θ(n²) per nation and a death sentence at
+    // 100 TB. The sweep-line replacement is linear: each interval
+    // becomes a +1 (open) and a −1 (close) boundary event, a per-key
+    // ordered running sum walks the timeline, and the peak is max(run).
+    // Order (d, delta) puts closes BEFORE opens at the same day —
+    // half-open [start, end) intervals, so back-to-back orders never
+    // count as concurrent. Determinism under ties: rows tied on
+    // (d, delta) carry the SAME delta, so every permutation yields the
+    // same prefix-sum SET and max() is unique. Shape: one fact-dim
+    // equi-join (AQE picks broadcast as customer allows), a union, one
+    // nation-bounded window (shuffle keyed on nation), one bounded
+    // aggregate. At 100 TB the window key widens to
+    // (nation, epoch-bucket) with carry-in merge — the standard
+    // segment-sweep sharding — but the operator shape is unchanged.
+    // The interval length derives from o_orderkey (deterministic, 1–30
+    // days) so both engines build identical intervals from the fixture.
+    "q_interval_concurrency" -> ((s, dir) => {
+      val iv = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey").as("nk"),
+          expr("CAST(datediff(o_orderdate, DATE '1990-01-01') AS BIGINT)")
+            .as("sd"),
+          expr("""CAST(datediff(o_orderdate, DATE '1990-01-01')
+                 | + o_orderkey % 30 + 1 AS BIGINT)""".stripMargin).as("ed"))
+      val ev = iv.select(col("nk"), col("sd").as("d"), lit(1L).as("delta"))
+        .unionAll(iv.select(col("nk"), col("ed").as("d"),
+          lit(-1L).as("delta")))
+      val w = Window.partitionBy("nk").orderBy("d", "delta")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("open", sum(col("delta")).over(w))
+        .groupBy("nk")
+        .agg(max(col("open")).as("peak_open"),
+          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_orders"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("n_orders"), col("peak_open"))
+        .orderBy("n_name")
+    }),
   )
 
   private val hexVal: String => String = c =>
@@ -2349,5 +2394,31 @@ object RelationalQueries {
         |       round(sum(o_totalprice), 2) AS revenue
         |FROM customer JOIN orders ON c_custkey = o_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_interval_concurrency" ->
+      """WITH iv AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS sd,
+        |         CAST(datediff('day', DATE '1990-01-01', o_orderdate)
+        |              + o_orderkey % 30 + 1 AS BIGINT) AS ed
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |),
+        |ev AS (
+        |  SELECT nk, sd AS d, CAST(1 AS BIGINT) AS delta FROM iv
+        |  UNION ALL
+        |  SELECT nk, ed AS d, CAST(-1 AS BIGINT) AS delta FROM iv
+        |),
+        |run AS (
+        |  SELECT nk, delta,
+        |         sum(delta) OVER (PARTITION BY nk ORDER BY d, delta
+        |                          ROWS UNBOUNDED PRECEDING) AS open
+        |  FROM ev
+        |)
+        |SELECT n_name,
+        |       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_orders,
+        |       CAST(max(open) AS BIGINT) AS peak_open
+        |FROM run JOIN nation ON nk = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
   )
 }

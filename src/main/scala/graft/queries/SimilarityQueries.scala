@@ -1417,6 +1417,55 @@ object SimilarityQueries {
             |CAST(n * n AS DOUBLE) / 1099511627776.0""".stripMargin), 4) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
     }),
+
+    // Embedding-centroid drift — the distribution-shift monitor a
+    // production embedding pipeline runs per slice (here: per label,
+    // the fixture's natural class key): cosine between each slice's
+    // centroid and the corpus centroid. A slice whose centroid swings
+    // away from the global mean signals ingest drift / a poisoned
+    // shard / an encoder rollout gone wrong — the check published
+    // feature-store monitors run. Numerics: the q_embed_covariance
+    // discipline end-to-end — floats quantized to 2^20-scaled BIGINTs
+    // (exact map-side-combinable integer sums; no float-order
+    // nondeterminism), centroids kept as raw SUMS (cosine is scale-
+    // invariant, so sum ≡ mean and no division enters the integer
+    // path), dot/norm products in DECIMAL(38,0) (per-dim sums reach
+    // ~6e11 at fixture scale; their products overflow int64), one
+    // double division at the end, round(_, 4) + 0.0 to canonicalize
+    // −0.0. Shape: one label-keyed vector-sum aggregate over the
+    // corpus (the only corpus-sized exchange), then everything runs
+    // on the BOUNDED |labels| frame with the 1-row global broadcast.
+    "q_centroid_drift" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val vecsuml = udaf(graft.functions.VecSumLongAgg,
+        ExpressionEncoder[Seq[Long]]())
+      val quant = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+      val groups = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("label").cast("bigint").as("label"), quant.as("qv"))
+        .groupBy("label")
+        .agg(vecsuml(col("qv")).as("g"), count(lit(1)).as("n_vecs"))
+        // bounded |labels| frame off the one corpus aggregate,
+        // consumed twice (global derivation + output) — the
+        // q_apportionment pattern; without it the global sum re-scans
+        // the corpus (PlanShapeSpec pins the single scan)
+        .transform(QueryCaches.cache(_))
+      val global = groups.agg(vecsuml(col("g")).as("gg"))
+      def dotDec(a: String, b: String) = expr(
+        s"""aggregate(zip_with($a, $b,
+           |  (x, y) -> CAST(x AS DECIMAL(38, 0)) * y),
+           |  CAST(0 AS DECIMAL(38, 0)), (acc, v) -> acc + v)""".stripMargin)
+      groups.crossJoin(broadcast(global))
+        .withColumn("dot", dotDec("g", "gg"))
+        .withColumn("n2a", dotDec("g", "g"))
+        .withColumn("n2b", dotDec("gg", "gg"))
+        .select(col("label"), col("n_vecs"),
+          (round(expr(
+            """CAST(dot AS DOUBLE) /
+              |(sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE)))"""
+              .stripMargin), 4) + lit(0.0)).as("drift_cos"))
+        .orderBy("label")
+    }),
   )
 
   // ---- oracles -----------------------------------------------------
@@ -2307,5 +2356,36 @@ object SimilarityQueries {
          |  JOIN corpus eb ON eb.vec_id = c.id_b
          |)
          |WHERE sim >= 0.99 ORDER BY id_a, id_b""".stripMargin,
+
+    // same 2^20 quantization as the engine; per-dim BIGINT sums, then
+    // HUGEINT products (the DECIMAL(38,0) twin), one double division
+    "q_centroid_drift" ->
+      """WITH q AS (
+        |  SELECT CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |),
+        |g AS (
+        |  SELECT label, d.i AS i, CAST(sum(qv[d.i]) AS BIGINT) AS gi
+        |  FROM q, generate_series(1, 64) d(i)
+        |  GROUP BY label, d.i
+        |),
+        |nv AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        |       FROM q GROUP BY label),
+        |gl AS (SELECT i, CAST(sum(gi) AS BIGINT) AS ggi FROM g GROUP BY i),
+        |dots AS (
+        |  SELECT label,
+        |         sum(CAST(gi AS HUGEINT) * ggi) AS dot,
+        |         sum(CAST(gi AS HUGEINT) * gi) AS n2a
+        |  FROM g JOIN gl USING (i) GROUP BY label
+        |),
+        |nb AS (SELECT sum(CAST(ggi AS HUGEINT) * ggi) AS n2b FROM gl)
+        |SELECT d.label, nv.n_vecs,
+        |       round(CAST(dot AS DOUBLE) /
+        |             (sqrt(CAST(n2a AS DOUBLE)) * sqrt(CAST(n2b AS DOUBLE))),
+        |             4) + 0.0 AS drift_cos
+        |FROM dots d JOIN nv USING (label) CROSS JOIN nb
+        |ORDER BY d.label""".stripMargin,
   )
 }

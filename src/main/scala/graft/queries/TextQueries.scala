@@ -1979,6 +1979,49 @@ object TextQueries {
         .filter(col("n_shared") >= 10)
         .orderBy("doc_a", "doc_b")
     }),
+
+    // Good–Turing frequency smoothing — the count-of-counts estimator
+    // every n-gram LM leans on: how much probability mass belongs to
+    // UNSEEN events, and what an observed count r is really worth
+    // (r* = (r+1)·N_{r+1}/N_r, Good 1953; published-formula arithmetic
+    // only). Computed over token TRIGRAMS — GT's real habitat (Katz
+    // backoff smooths the n-gram tail, never a closed unigram vocab;
+    // on this fixture's ~50-word vocabulary every unigram count is
+    // ≫ 10, so the unigram band is empty by construction while the
+    // trigram space has a ~16k-type low-count tail). INTEGER
+    // end-to-end, same discipline as q_lm_score: r* is emitted
+    // per-myriad with one floor division, so the oracle hash-matches
+    // to the digit. Shape: doc-local HOF trigram expansion (split
+    // bound once via the outer-lambda idiom — the Corpus.shingles
+    // lesson), one gram-keyed count aggregate (map-side combinable —
+    // the only corpus-sized shuffle), then count-of-counts over the
+    // BOUNDED |distinct frequencies| frame (≲ O(√corpus grams) rows by
+    // the pigeonhole on Σr·N_r), then an r→r+1 self-join on that
+    // bounded frame — broadcast-sized at any corpus scale. A missing
+    // N_{r+1} means r* = 0 (the estimator's own convention at the
+    // tail); the r ≤ 10 band is where GT is actually applied (higher
+    // r → Katz switches to raw counts).
+    "q_good_turing" -> ((s, dir) => {
+      val tris = expr(
+        """element_at(transform(array(split(text, ' ')), toks ->
+          |  CASE WHEN size(toks) < 3 THEN array()
+          |  ELSE transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws('_', element_at(toks, i),
+          |      element_at(toks, i + 1), element_at(toks, i + 2)))
+          |  END), 1)""".stripMargin)
+      val counts = s.read.parquet(s"$dir/documents.parquet")
+        .select(explode(tris).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("c"))
+      val coc = counts.groupBy("c").agg(count(lit(1)).as("n_r"))
+      coc.as("a")
+        .join(broadcast(coc.as("b")), col("b.c") === col("a.c") + 1,
+          "left_outer")
+        .filter(col("a.c") <= 10)
+        .select(col("a.c").as("r"), col("a.n_r").as("n_r"),
+          expr("""(a.c + 1) * coalesce(b.n_r, CAST(0 AS BIGINT)) * 10000
+                 | div a.n_r""".stripMargin).as("rstar_pm"))
+        .orderBy("r")
+    }),
   )
 
   /** Scaled-integer −ln table over the myriad-hash domain:
@@ -3200,5 +3243,22 @@ object TextQueries {
         |       regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
         |                      '[+][0-9]{2}-[0-9]{2}-[0-9]{7}', '[PHONE]', 'g') AS redacted
         |FROM raws ORDER BY o_orderkey""".stripMargin,
+
+    "q_good_turing" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |tg AS (
+        |  SELECT ws[u.i] || '_' || ws[u.i + 1] || '_' || ws[u.i + 2] AS g
+        |  FROM w, unnest(generate_series(1, greatest(len(ws) - 2, 0))) u(i)
+        |),
+        |counts AS (
+        |  SELECT g, CAST(count(*) AS BIGINT) AS c FROM tg GROUP BY g
+        |),
+        |coc AS (SELECT c, CAST(count(*) AS BIGINT) AS n_r
+        |        FROM counts GROUP BY c)
+        |SELECT a.c AS r, a.n_r AS n_r,
+        |       CAST((a.c + 1) * coalesce(b.n_r, 0) * 10000 // a.n_r
+        |            AS BIGINT) AS rstar_pm
+        |FROM coc a LEFT JOIN coc b ON b.c = a.c + 1
+        |WHERE a.c <= 10 ORDER BY r""".stripMargin,
   )
 }

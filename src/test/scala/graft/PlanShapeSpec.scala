@@ -1015,4 +1015,67 @@ class PlanShapeSpec extends SparkSpecBase {
     assert(!p.contains("CartesianProduct"),
       s"posting pairs must come from the t equi-join:\n$p")
   }
+
+  test("q_interval_concurrency: sweep-line, not an interval self-join (r15)") {
+    val p = finalPlan("q_interval_concurrency",
+      graft.queries.RelationalQueries.queries)
+    // the whole point of the operator: NO quadratic pairing anywhere —
+    // the concurrency count comes from a nation-keyed running sum
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap must never pair intervals:\n$p")
+    assert(p.contains("Window"), s"the sweep is a window running sum:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"nation decode must broadcast:\n$p")
+  }
+
+  test("q_good_turing: count-of-counts self-join broadcasts on the " +
+      "bounded frame (r15)") {
+    val p = finalPlan("q_good_turing", graft.queries.TextQueries.queries)
+    assert(p.contains("BroadcastHashJoin"),
+      s"the r -> r+1 join runs on the bounded |distinct counts| frame " +
+        s"and must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      s"gram counts must combine map-side:\n$p")
+  }
+
+  test("q_cdc_chunk_dedup: doc-bounded windows, chunk-hash equi-joins, " +
+      "no count-distinct (r15)") {
+    val p = plan("q_cdc_chunk_dedup", graft.queries.DedupQueries.queries)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"cross-doc marking must equi-join on the chunk hash:\n$p")
+    assert(!p.toLowerCase.contains("distinct"),
+      s"the cross-doc test must be min/max, never count-distinct:\n$p")
+    // exchanges: doc window, chunk assembly, chunk-hash agg + join
+    // back, final doc agg — all key-bounded
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx <= 5, s"expected ≤5 hash exchanges, got $hashEx:\n$p")
+  }
+
+  test("q_audio_vad: per-clip totals broadcast back; windows are " +
+      "doc-bounded (r15)") {
+    val p = finalPlan("q_audio_vad", graft.queries.MultimodalQueries.queries)
+    assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+    assert(p.contains("Window"), s"segments come from a window pair:\n$p")
+  }
+
+  test("q_centroid_drift: one corpus aggregate, bounded tail (r15)") {
+    val p = finalPlan("q_centroid_drift",
+      graft.queries.SimilarityQueries.queries)
+    // the corpus is read ONCE: the label-keyed vector-sum result (a
+    // bounded |labels| frame) is cached and BOTH consumers — the
+    // global-centroid derivation and the output row set — read the
+    // InMemoryTableScan, never a second embeddings pass. (The plan
+    // text still prints FileScan lines inside the cached relation's
+    // own recorded plan, so we pin the reuse, not a raw scan count.)
+    val reuse = "InMemoryTableScan".r.findAllIn(p).length
+    assert(reuse >= 2,
+      s"both consumers must read the cached label frame, got $reuse:\n$p")
+    // the 1-row global joins back as a broadcast cross of a bounded
+    // frame — the q_apportionment shape; no corpus-sized product
+    assert(p.contains("BroadcastNestedLoopJoin BuildRight, Cross"),
+      s"global centroid must broadcast back:\n$p")
+  }
 }

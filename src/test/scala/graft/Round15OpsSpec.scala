@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.{DedupQueries, MultimodalQueries, RelationalQueries,
+  SimilarityQueries, TextQueries}
+
+/** Round-15 operators, each checked against an independent in-memory
+  * reference (never a replica of the engine's own plan): interval
+  * concurrency vs a per-day brute-force count, Good–Turing vs direct
+  * count-of-counts, CDC chunking vs a Scala reimplementation plus the
+  * shift-invariance property that MOTIVATES content-defined chunking,
+  * audio VAD vs a byte-level walk, centroid drift vs BigInt/BigDecimal
+  * arithmetic.
+  */
+class Round15OpsSpec extends SparkSpecBase {
+
+  test("interval concurrency: peak matches a per-day brute-force count") {
+    val custNat = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natName = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val iv = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), col("o_custkey"),
+        expr("CAST(datediff(o_orderdate, DATE '1990-01-01') AS BIGINT)"))
+      .collect()
+      .flatMap { r =>
+        custNat.get(r.getLong(1)).map { nk =>
+          val sd = r.getLong(2)
+          (nk, sd, sd + r.getLong(0) % 30 + 1)
+        }
+      }
+    // brute force: for every nation, count open intervals at every
+    // day in its span ([sd, ed) half-open — ends don't overlap starts)
+    val expected = iv.groupBy(_._1).map { case (nk, xs) =>
+      val days = xs.map(_._2).min to xs.map(_._3).max
+      val peak = days.map(d => xs.count(x => x._2 <= d && d < x._3)).max
+      natName(nk) -> (xs.length.toLong, peak.toLong)
+    }
+    val got = RelationalQueries.queries("q_interval_concurrency")(spark, sf)
+      .collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (n, peak) = expected(r.getString(0))
+      assert(r.getAs[Long]("n_orders") === n, s"n_orders for ${r.getString(0)}")
+      assert(r.getAs[Long]("peak_open") === peak,
+        s"peak_open for ${r.getString(0)}")
+    }
+    // the fixture must actually exercise concurrency, or the sweep
+    // proves nothing
+    assert(got.exists(_.getAs[Long]("peak_open") >= 2L))
+  }
+
+  test("good-turing: count-of-counts and smoothed counts match brute force") {
+    val grams = spark.read.parquet(s"$sf/documents.parquet")
+      .select("text").collect()
+      .flatMap { r =>
+        val ts = r.getString(0).split(" ")
+        if (ts.length < 3) Array.empty[String]
+        else ts.sliding(3).map(_.mkString("_")).toArray
+      }
+    val counts = grams.groupBy(identity).map(_._2.length.toLong)
+    val coc = counts.groupBy(identity).map { case (r, xs) => r -> xs.size.toLong }
+    val got = TextQueries.queries("q_good_turing")(spark, sf).collect()
+    val expected = coc.keys.filter(_ <= 10).toSeq.sorted
+    assert(got.map(_.getAs[Long]("r")).toSeq === expected)
+    got.foreach { row =>
+      val r = row.getAs[Long]("r")
+      assert(row.getAs[Long]("n_r") === coc(r))
+      val rstar = (r + 1) * coc.getOrElse(r + 1, 0L) * 10000L / coc(r)
+      assert(row.getAs[Long]("rstar_pm") === rstar, s"rstar at r=$r")
+    }
+    // singletons exist in any Zipfian fixture; GT's whole point is
+    // mass at r=1
+    assert(got.head.getAs[Long]("r") === 1L)
+  }
+
+  // reference chunker: the published CDC definition (16-bit md5 token
+  // code, gear over the last two codes, mask 8), written straight-line
+  private def cdcChunks(text: String): Vector[String] = {
+    def code(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16)
+    }
+    val toks = text.split(" ").toVector
+    val codes = toks.map(code)
+    val chunks = Vector.newBuilder[String]
+    var cur = Vector.newBuilder[String]
+    for (i <- toks.indices) {
+      if (i > 0 && (codes(i) * 31 + codes(i - 1) * 7) % 8 == 0) {
+        chunks += cur.result().mkString(" "); cur = Vector.newBuilder[String]
+      }
+      cur += toks(i)
+    }
+    chunks += cur.result().mkString(" ")
+    chunks.result()
+  }
+
+  test("cdc chunk dedup: exact copies are fully covered; per-doc stats " +
+      "match the reference chunker") {
+    val rows = DedupQueries.queries("q_cdc_chunk_dedup")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    // injected exact copies chunk identically to their base, so every
+    // chunk is cross-doc duplicated: dup_pm must be exactly 10000
+    val copies = byId.keys.filter(_ >= 2000000L)
+    assert(copies.nonEmpty)
+    copies.foreach { id =>
+      assert(byId(id).getAs[Long]("dup_pm") === 10000L, s"copy $id")
+    }
+    // full per-doc reference: chunk every corpus doc in memory, mark
+    // cross-doc duplicate chunk texts, rebuild each output row
+    val base = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    val corpus = base ++
+      base.filter(_._1 % 4 == 0).map { case (id, t) => (id + 2000000L, t) } ++
+      base.filter(_._1 % 3 == 0).map { case (id, t) =>
+        (id + 1000000L, t + " zzz tail")
+      }
+    val chunked = corpus.map { case (id, t) => id -> cdcChunks(t) }
+    val docsPerChunk = chunked
+      .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+    val expected = chunked.flatMap { case (id, cs) =>
+      val dup = cs.filter(c => docsPerChunk(c).exists(_ != id))
+      if (dup.isEmpty) None
+      else {
+        val dupToks = dup.map(_.split(" ").length.toLong).sum
+        val tot = cs.map(_.split(" ").length.toLong).sum
+        Some(id -> (cs.length.toLong, dup.length.toLong, dupToks,
+          dupToks * 10000L / tot))
+      }
+    }.toMap
+    assert(rows.length === expected.size)
+    rows.foreach { r =>
+      val (nc, nd, dt, pm) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_chunks") === nc, s"n_chunks doc ${r.getLong(0)}")
+      assert(r.getAs[Long]("n_dup_chunks") === nd)
+      assert(r.getAs[Long]("dup_toks") === dt)
+      assert(r.getAs[Long]("dup_pm") === pm)
+    }
+  }
+
+  test("cdc chunk dedup: boundaries survive a prefix insertion " +
+      "(the property fixed-window chunking lacks)") {
+    // B = junk prefix + A's text: every A-chunk after B's first
+    // content-defined boundary reappears verbatim in B, so the pair
+    // shares dup chunks — while any fixed-offset scheme would shift
+    // every window. The junk is chosen with a cut guaranteed inside
+    // A's copy (the reference chunker proves it in-test, not by hope).
+    val aText = spark.read.parquet(s"$sf/documents.parquet")
+      .orderBy("doc_id").select("text").limit(1)
+      .collect().head.getString(0)
+    val bText = "junkprefix " + aText
+    val shared = cdcChunks(aText).toSet
+      .intersect(cdcChunks(bText).toSet)
+    assert(shared.nonEmpty,
+      "fixture text must realign within one doc — pick a longer doc if not")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cdc").toString
+    import spark.implicits._
+    Seq((1L, aText), (2L, bText)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = DedupQueries.queries("q_cdc_chunk_dedup")(spark, dir).collect()
+    // corpus injection adds nothing here (ids 1, 2 match no % rule), so
+    // any dup rows come from genuine A/B chunk realignment
+    assert(got.map(_.getLong(0)).toSet === Set(1L, 2L),
+      "both the original and the prefix-shifted copy must report dup chunks")
+  }
+
+  test("audio vad: segments match a byte-level reference walk") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 20 === 0)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    assert(docs.nonEmpty)
+    val expected = docs.map { case (id, text) =>
+      val frames = text.getBytes("UTF-8").grouped(256).toVector
+        .map(c => (c.length.toLong, c.map(b => (b & 0xff).toLong).sum))
+      val totS = frames.map(_._1).sum
+      val totE = frames.map(_._2).sum
+      val active = frames.map { case (n, e) => e * totS > totE * n }
+      // run-length encode the activity series; active runs = segments
+      val runs = active.foldLeft(Vector.empty[(Boolean, Long)]) { (acc, a) =>
+        if (acc.nonEmpty && acc.last._1 == a) acc.init :+ (a, acc.last._2 + 1)
+        else acc :+ (a, 1L)
+      }.filter(_._1).map(_._2)
+      id -> (frames.length.toLong, active.count(identity).toLong,
+        runs.length.toLong, if (runs.isEmpty) 0L else runs.max,
+        active.count(identity).toLong * 10000L / frames.length)
+    }.toMap
+    val got = MultimodalQueries.queries("q_audio_vad")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nf, af, ns, ls, pm) = expected(r.getLong(0))
+      assert(r.getAs[Long]("n_frames") === nf)
+      assert(r.getAs[Long]("active_frames") === af)
+      assert(r.getAs[Long]("n_segments") === ns)
+      assert(r.getAs[Long]("longest_seg") === ls)
+      assert(r.getAs[Long]("active_pm") === pm)
+    }
+    // the fixture must produce real segmentation, not all-active
+    assert(got.exists(r => r.getAs[Long]("n_segments") >= 1L &&
+      r.getAs[Long]("active_pm") < 10000L))
+  }
+
+  test("centroid drift: cosine matches BigInt arithmetic; bounds hold") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("label").cast("long"), col("embedding")).collect()
+      .map(r => (r.getLong(0),
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 1048576.0).toLong)))
+    val byLabel = vecs.groupBy(_._1)
+    val dims = vecs.head._2.length
+    def sumVec(xs: Iterable[Seq[Long]]): Vector[BigInt] =
+      xs.foldLeft(Vector.fill(dims)(BigInt(0))) { (acc, v) =>
+        acc.zip(v).map { case (a, x) => a + x }
+      }
+    val global = sumVec(vecs.map(_._2).toSeq)
+    val got = SimilarityQueries.queries("q_centroid_drift")(spark, sf)
+      .collect()
+    assert(got.length === byLabel.size)
+    got.foreach { r =>
+      val label = r.getAs[Long]("label")
+      val g = sumVec(byLabel(label).map(_._2).toSeq)
+      val dot = g.zip(global).map { case (a, b) => a * b }.sum
+      val n2a = g.map(x => x * x).sum
+      val n2b = global.map(x => x * x).sum
+      val cos = dot.toDouble / (math.sqrt(n2a.toDouble) * math.sqrt(n2b.toDouble))
+      val want = math.round(cos * 10000.0) / 10000.0
+      assert(r.getAs[Long]("n_vecs") === byLabel(label).length.toLong)
+      assert(math.abs(r.getAs[Double]("drift_cos") - want) <= 1e-4 + 1e-12,
+        s"drift_cos label $label: got ${r.getAs[Double]("drift_cos")} want $want")
+      assert(math.abs(r.getAs[Double]("drift_cos")) <= 1.0)
+    }
+  }
+}
