@@ -625,8 +625,12 @@ class PlanShapeSpec extends SparkSpecBase {
       s"LM scoring must join on bigram/prefix keys, never a product:\n$p")
     val bnl = "BroadcastNestedLoopJoin".r.findAllIn(p).length
     assert(bnl == 1, s"exactly the 1-row vocab may nested-loop attach, got $bnl:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"the bigram explode must be cached — three consumers:\n$p")
+    // the bigram explode is deliberately NOT cached (r15 adjudication:
+    // isolated 7-pass A/B, uncached min/med 0.913/1.138 vs cached
+    // 0.948/1.223 — codegen recompute beats materializing the exploded
+    // string-heavy frame, the 4th cache reversed under the §8 rule)
+    assert(!p.contains("InMemoryTableScan"),
+      s"the bigram explode must recompute in codegen, not cache:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
