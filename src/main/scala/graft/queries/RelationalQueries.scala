@@ -1487,6 +1487,63 @@ object RelationalQueries {
         .select(col("n_name"), col("n_orders"), col("peak_open"))
         .orderBy("n_name")
     }),
+
+    // Mutual information between two categorical columns (customer
+    // nation × order priority) — the feature-association measure a
+    // training pipeline uses for feature selection and leakage triage
+    // (q_chisq_independence answers "are they dependent"; MI answers
+    // "by how many nats", cell by cell). The ln problem is solved the
+    // q_weighted_sample way: probabilities are floored to per-myriad
+    // ints, and −ln over the 10⁴-point myriad domain comes from the
+    // builder-materialized [[TextQueries.lnMyriadScaled]] table that
+    // BOTH engines consume as identical int64 literals — neither
+    // engine calls libm, so PMI values hash-match to the digit.
+    // pmi_p12 = ln(p_xy/(p_x·p_y))·10¹² = L(x)+L(y)−L(xy) with
+    // L = −ln(myriad); mi contribution weights by p_xy. Shape: ONE
+    // corpus-sized aggregate to the bounded |nations × priorities|
+    // cell frame (cached — margins, total, and output all derive from
+    // it, the q_apportionment pattern), margins by re-aggregating the
+    // cells (never a second corpus pass), three broadcast ln-table
+    // lookups, a broadcast nation decode. Flat at 100 TB: everything
+    // after the first aggregate runs on ≤|X|·|Y| rows.
+    "q_mutual_info" -> ((s, dir) => {
+      import s.implicits._
+      val lntab = broadcast(TextQueries.lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => (h.toLong, l) }.toDF("h", "ln_p12"))
+      val cells = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+          .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"),
+          col("o_orderpriority").as("pri"))
+        .agg(count(lit(1)).as("n_xy"))
+        .transform(QueryCaches.cache(_))
+      val nx = cells.groupBy("nk").agg(sum("n_xy").as("n_x"))
+      val ny = cells.groupBy("pri").agg(sum("n_xy").as("n_y"))
+      val nn = cells.agg(sum("n_xy").as("n"))
+      cells.join(nx, "nk").join(ny, "pri").crossJoin(broadcast(nn))
+        .withColumn("pxy_pm", expr("least(n_xy * 10000 div n, 9999)"))
+        .withColumn("px_pm", expr("least(n_x * 10000 div n, 9999)"))
+        .withColumn("py_pm", expr("least(n_y * 10000 div n, 9999)"))
+        .join(lntab.select(col("h").as("pxy_pm"), col("ln_p12").as("lxy")),
+          Seq("pxy_pm"))
+        .join(lntab.select(col("h").as("px_pm"), col("ln_p12").as("lx")),
+          Seq("px_pm"))
+        .join(lntab.select(col("h").as("py_pm"), col("ln_p12").as("ly")),
+          Seq("py_pm"))
+        .withColumn("pmi_p12", expr("lx + ly - lxy"))
+        // p_xy·PMI at 10¹⁶ scale — a pure product, because pmi_p12 is
+        // SIGNED and the repo's determinism rule is "integer division
+        // only on non-negative operands" (both engines truncate, but
+        // the rule stays simple); ≤ 10⁴·2.8·10¹³ < int64
+        .withColumn("mi_contrib_p16", expr("pxy_pm * pmi_p12"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("nk") === col("n_nationkey"))
+        .select(col("n_name"), col("pri"), col("n_xy"),
+          col("pmi_p12"), col("mi_contrib_p16"))
+        .orderBy("n_name", "pri")
+    }),
   )
 
   private val hexVal: String => String = c =>
@@ -2420,5 +2477,43 @@ object RelationalQueries {
         |       CAST(max(open) AS BIGINT) AS peak_open
         |FROM run JOIN nation ON nk = n_nationkey
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+
+    "q_mutual_info" -> {
+      // the same builder-side integers the Spark query broadcasts —
+      // DuckDB never computes ln (see q_weighted_sample)
+      val vals = TextQueries.lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => s"($h,$l)" }.mkString(",")
+      s"""WITH lntab(h, ln_p12) AS (VALUES $vals),
+         |cells AS (
+         |  SELECT c_nationkey AS nk, o_orderpriority AS pri,
+         |         CAST(count(*) AS BIGINT) AS n_xy
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  GROUP BY 1, 2
+         |),
+         |nx AS (SELECT nk, CAST(sum(n_xy) AS BIGINT) AS n_x
+         |       FROM cells GROUP BY nk),
+         |ny AS (SELECT pri, CAST(sum(n_xy) AS BIGINT) AS n_y
+         |       FROM cells GROUP BY pri),
+         |nn AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM cells),
+         |pm AS (
+         |  SELECT c.nk, c.pri, c.n_xy,
+         |         least(c.n_xy * 10000 // n, 9999) AS pxy_pm,
+         |         least(x.n_x * 10000 // n, 9999) AS px_pm,
+         |         least(y.n_y * 10000 // n, 9999) AS py_pm
+         |  FROM cells c JOIN nx x USING (nk) JOIN ny y USING (pri)
+         |  CROSS JOIN nn
+         |)
+         |SELECT n_name, pri, n_xy,
+         |       CAST(tx.ln_p12 + ty.ln_p12 - txy.ln_p12 AS BIGINT)
+         |         AS pmi_p12,
+         |       CAST(pxy_pm * (tx.ln_p12 + ty.ln_p12 - txy.ln_p12)
+         |            AS BIGINT) AS mi_contrib_p16
+         |FROM pm
+         |JOIN lntab txy ON txy.h = pm.pxy_pm
+         |JOIN lntab tx  ON tx.h  = pm.px_pm
+         |JOIN lntab ty  ON ty.h  = pm.py_pm
+         |JOIN nation ON pm.nk = n_nationkey
+         |ORDER BY n_name, pri""".stripMargin
+    },
   )
 }

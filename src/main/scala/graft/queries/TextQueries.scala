@@ -2022,6 +2022,45 @@ object TextQueries {
                  | div a.n_r""".stripMargin).as("rstar_pm"))
         .orderBy("r")
     }),
+
+    // Classifier calibration / reliability bins — the third leg of the
+    // model-based-filtering eval (q_classifier_score gates,
+    // q_confusion_matrix scores the gate; this asks whether the SCORE
+    // is monotone in the truth rate, the property a threshold sweep
+    // silently assumes). Same classifier and same stopword-density
+    // weak label as q_confusion_matrix, verbatim. Docs are binned by
+    // fixed score bands (score_pm div 200000, clamped to 10 bins — a
+    // fixed grid, not quantiles, so bin edges are corpus-independent
+    // and two corpora's diagrams are comparable), then per bin: count,
+    // exact mean score (sum div n — integer), and the observed
+    // positive rate per-myriad. Shape: ONE corpus pass (the token
+    // explode + broadcast weight join), a doc-keyed aggregate, then a
+    // ≤10-row bin aggregate. Flat at 100 TB.
+    "q_calibration_bins" -> ((s, dir) => {
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (col("id") * 37 % 201).as("w"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("""CAST(size(filter(split(text, ' '),
+            |  t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+            |div CAST(size(split(text, ' ')) AS BIGINT) >= 500""".stripMargin)
+            .as("truth"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("truth"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id", "truth")
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+        .withColumn("score_pm", expr("wsum * 10000 div n_toks"))
+        .withColumn("bin", expr("least(score_pm div 200000, 9)"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          expr("sum(score_pm) div count(1)").as("mean_score_pm"),
+          expr("""sum(CASE WHEN truth THEN 1 ELSE 0 END) * 10000
+                 | div count(1)""".stripMargin).as("pos_pm"))
+        .orderBy("bin")
+    }),
   )
 
   /** Scaled-integer −ln table over the myriad-hash domain:
@@ -3260,5 +3299,41 @@ object TextQueries {
         |            AS BIGINT) AS rstar_pm
         |FROM coc a LEFT JOIN coc b ON b.c = a.c + 1
         |WHERE a.c <= 10 ORDER BY r""".stripMargin,
+
+    "q_calibration_bins" -> {
+      s"""WITH wts AS (
+         |  SELECT g.id AS bucket, (g.id * 37) % 201 AS w
+         |  FROM generate_series(0, 255) g(id)
+         |),
+         |docs AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+         |           // CAST(len(string_split(text, ' ')) AS BIGINT) >= 500
+         |           AS truth,
+         |         text
+         |  FROM documents
+         |),
+         |tk AS (
+         |  SELECT doc_id, truth,
+         |         ('0x' || substr(md5(t.tok), 1, 4))::BIGINT % 256 AS bucket
+         |  FROM docs, unnest(string_split(text, ' ')) t(tok)
+         |),
+         |perdoc AS (
+         |  SELECT doc_id, truth, CAST(count(*) AS BIGINT) AS n_toks,
+         |         CAST(sum(w) AS BIGINT) AS wsum
+         |  FROM tk JOIN wts USING (bucket)
+         |  GROUP BY doc_id, truth
+         |),
+         |scored AS (
+         |  SELECT truth, wsum * 10000 // n_toks AS score_pm FROM perdoc
+         |)
+         |SELECT least(score_pm // 200000, 9) AS bin,
+         |       CAST(count(*) AS BIGINT) AS n_docs,
+         |       CAST(sum(score_pm) // count(*) AS BIGINT) AS mean_score_pm,
+         |       CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) * 10000
+         |            // count(*) AS BIGINT) AS pos_pm
+         |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+    },
   )
 }

@@ -207,6 +207,73 @@ class Round15OpsSpec extends SparkSpecBase {
       r.getAs[Long]("active_pm") < 10000L))
   }
 
+  test("mutual info: cells, margins, and PMI match an in-memory rebuild") {
+    val custNat = spark.read.parquet(s"$sf/customer.parquet")
+      .select(col("c_custkey").cast("long"), col("c_nationkey").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val natName = spark.read.parquet(s"$sf/nation.parquet")
+      .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val pairs = spark.read.parquet(s"$sf/orders.parquet")
+      .select("o_custkey", "o_orderpriority").collect()
+      .flatMap(r => custNat.get(r.getLong(0)).map(nk =>
+        (natName(nk), r.getString(1))))
+    val n = pairs.length.toLong
+    val cells = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val nx = pairs.groupBy(_._1).map { case (k, v) => k -> v.length.toLong }
+    val ny = pairs.groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    def pm(c: Long) = math.min(c * 10000L / n, 9999L)
+    val L = graft.queries.TextQueries.lnMyriadScaled
+    val got = graft.queries.RelationalQueries
+      .queries("q_mutual_info")(spark, sf).collect()
+    assert(got.length === cells.size)
+    got.foreach { r =>
+      val key = (r.getString(0), r.getString(1))
+      val cxy = cells(key)
+      assert(r.getAs[Long]("n_xy") === cxy)
+      val pmi = L(pm(nx(key._1)).toInt) + L(pm(ny(key._2)).toInt) -
+        L(pm(cxy).toInt)
+      assert(r.getAs[Long]("pmi_p12") === pmi, s"pmi at $key")
+      assert(r.getAs[Long]("mi_contrib_p16") === pm(cxy) * pmi)
+    }
+    // association must actually vary across cells, or MI is vacuous
+    assert(got.map(_.getAs[Long]("pmi_p12")).distinct.length > 1)
+  }
+
+  test("calibration bins: per-bin stats match a per-doc score rebuild") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def bucket(tok: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(2).map("%02x".format(_)).mkString, 16) % 256
+    }
+    val stop = Set("the", "a", "of", "and", "in")
+    val perDoc = docs.map { case (_, text) =>
+      val toks = text.split(" ")
+      val truth = toks.count(stop) * 10000L / toks.length >= 500L
+      val wsum = toks.map(t => bucket(t) * 37 % 201).sum
+      val scorePm = wsum * 10000L / toks.length
+      (math.min(scorePm / 200000L, 9L), scorePm, truth)
+    }
+    val expected = perDoc.groupBy(_._1).map { case (bin, xs) =>
+      bin -> (xs.length.toLong, xs.map(_._2).sum / xs.length,
+        xs.count(_._3).toLong * 10000L / xs.length)
+    }
+    val got = graft.queries.TextQueries
+      .queries("q_calibration_bins")(spark, sf).collect()
+    assert(got.length === expected.size)
+    got.foreach { r =>
+      val (nd, ms, pos) = expected(r.getAs[Long]("bin"))
+      assert(r.getAs[Long]("n_docs") === nd)
+      assert(r.getAs[Long]("mean_score_pm") === ms)
+      assert(r.getAs[Long]("pos_pm") === pos)
+    }
+    // a one-bin degenerate histogram proves nothing
+    assert(got.length >= 2)
+  }
+
   test("centroid drift: cosine matches BigInt arithmetic; bounds hold") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("label").cast("long"), col("embedding")).collect()
