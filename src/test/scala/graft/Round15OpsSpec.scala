@@ -274,6 +274,48 @@ class Round15OpsSpec extends SparkSpecBase {
     assert(got.length >= 2)
   }
 
+  test("pca power: converges to the dominant eigen-direction of an " +
+      "independently-computed covariance") {
+    // Independent reference: covariance in plain Double from the RAW
+    // floats (not the engine's 2^20 quantization), 60 floating power
+    // iterations with L2 normalization (not the engine's integer
+    // max-abs renormalizer). Agreement in DIRECTION (|cos| ≥ 0.999)
+    // and in Rayleigh quotient then checks the algorithm, not the
+    // formula transcription.
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val n = vecs.length
+    val dims = 64
+    val mean = Array.tabulate(dims)(i => vecs.map(_(i)).sum / n)
+    val cov = Array.tabulate(dims, dims)((i, j) =>
+      vecs.map(v => (v(i) - mean(i)) * (v(j) - mean(j))).sum / n)
+    var ref = Array.fill(dims)(1.0)
+    for (_ <- 1 to 60) {
+      val w = Array.tabulate(dims)(i =>
+        (0 until dims).map(j => cov(i)(j) * ref(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      ref = w.map(_ / norm)
+    }
+    val refLam = (0 until dims).map(i =>
+      (0 until dims).map(j => cov(i)(j) * ref(j)).sum * ref(i)).sum /
+      ref.map(x => x * x).sum
+    val got = graft.queries.SimilarityQueries.queries("q_pca_power")(spark, sf)
+      .collect().sortBy(_.getAs[Long]("i"))
+    assert(got.length === 64)
+    val v = got.map(_.getAs[Long]("v_scaled").toDouble)
+    val cos = (0 until dims).map(i => v(i) * ref(i)).sum /
+      (math.sqrt(v.map(x => x * x).sum) * math.sqrt(ref.map(x => x * x).sum))
+    assert(math.abs(cos) >= 0.999,
+      s"engine direction must match the floating reference, cos=$cos")
+    val lam = got.head.getAs[Double]("lambda1")
+    assert(math.abs(lam - refLam) <= math.abs(refLam) * 0.01 + 1e-9,
+      s"Rayleigh eigenvalue: got $lam, reference $refLam")
+    // the direction must be non-degenerate (not the all-ones start)
+    assert(v.map(math.abs).max === 1048576.0)
+    assert(v.exists(x => math.abs(x) < 1048576.0 * 0.9))
+  }
+
   test("centroid drift: cosine matches BigInt arithmetic; bounds hold") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("label").cast("long"), col("embedding")).collect()
