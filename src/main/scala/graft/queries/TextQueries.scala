@@ -2061,6 +2061,41 @@ object TextQueries {
                  | div count(1)""".stripMargin).as("pos_pm"))
         .orderBy("bin")
     }),
+
+    // Laplace-noised aggregate release — the differential-privacy
+    // MECHANISM (inverse-CDF Laplace: noise = −b·sgn(u−½)·ln(1−2|u−½|))
+    // applied to per-source doc counts, in the REPRODUCIBLE form a
+    // pipeline ships for privacy-report audits: u is the md5-myriad
+    // hash of the group key and ln comes from the builder-side
+    // [[lnMyriadScaled]] table, so the released values are
+    // deterministic, engine-identical, and re-derivable in a review —
+    // the noise DISTRIBUTION is exactly Laplace(b) over the key-hash
+    // ensemble while a production ε-DP release would swap the hash for
+    // a sealed RNG draw (documented, not pretended otherwise). The
+    // map u → table index: c = u−5000 (sign bit), p = 1−|c|/5000
+    // realized as index 2·(5000−|c|)−1 into the (h+1)/10001 domain.
+    // Integer end-to-end (noise in milli-units via one div by 10⁹ of
+    // the 10¹²-scaled ln — non-negative operand, sign applied after).
+    // Shape: one corpus aggregate to the bounded |sources| frame, a
+    // broadcast table lookup — flat at 100 TB.
+    "q_dp_noise" -> ((s, dir) => {
+      import s.implicits._
+      val b = 50L // Laplace scale, in whole counts
+      val lntab = broadcast(lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => (h.toLong, l) }.toDF("h", "ln_p12"))
+      s.read.parquet(s"$dir/documents.parquet")
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .withColumn("u",
+          expr("CAST(conv(substring(md5(source), 1, 4), 16, 10) AS BIGINT) % 10000"))
+        .withColumn("c", expr("u - 5000"))
+        .withColumn("h", expr("greatest(2 * (5000 - abs(c)) - 1, 0)"))
+        .join(lntab, "h")
+        .withColumn("noise_milli", expr(
+          s"CAST(sign(c) AS BIGINT) * ($b * ln_p12 div 1000000000)"))
+        .select(col("source"), col("n_docs"),
+          expr("n_docs * 1000 + noise_milli").as("released_milli"))
+        .orderBy("source")
+    }),
   )
 
   /** Scaled-integer −ln table over the myriad-hash domain:
@@ -3334,6 +3369,35 @@ object TextQueries {
          |       CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) * 10000
          |            // count(*) AS BIGINT) AS pos_pm
          |FROM scored GROUP BY bin ORDER BY bin""".stripMargin
+    },
+
+    "q_dp_noise" -> {
+      val vals = lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => s"($h,$l)" }.mkString(",")
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      def md5c(i: Int) = hv(s"substr(md5(source), $i, 1)")
+      val h4 = s"((${md5c(1)} * 4096 + ${md5c(2)} * 256 + ${md5c(3)} * 16 + ${md5c(4)}) % 10000)"
+      s"""WITH lntab(h, ln_p12) AS (VALUES $vals),
+         |agg AS (
+         |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |         $h4 - 5000 AS c
+         |  FROM documents GROUP BY source
+         |),
+         |keyed AS (
+         |  SELECT source, n_docs, c,
+         |         greatest(2 * (5000 - abs(c)) - 1, 0) AS h
+         |  FROM agg
+         |)
+         |SELECT source, n_docs,
+         |       CAST(n_docs * 1000 + CAST(sign(c) AS BIGINT)
+         |            * (50 * t.ln_p12 // 1000000000) AS BIGINT)
+         |         AS released_milli
+         |FROM keyed JOIN lntab t USING (h)
+         |ORDER BY source""".stripMargin
     },
   )
 }

@@ -316,6 +316,38 @@ class Round15OpsSpec extends SparkSpecBase {
     assert(v.exists(x => math.abs(x) < 1048576.0 * 0.9))
   }
 
+  test("dp noise: released counts match the inverse-CDF Laplace rebuild; " +
+      "mechanism is centered and bounded") {
+    val rows = graft.queries.TextQueries.queries("q_dp_noise")(spark, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    val L = graft.queries.TextQueries.lnMyriadScaled
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val n = counts(src)
+      assert(r.getAs[Long]("n_docs") === n)
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(src.getBytes("UTF-8"))
+      val u = java.lang.Long.parseLong(
+        d.take(2).map("%02x".format(_)).mkString, 16) % 10000
+      val c = u - 5000
+      val h = math.max(2 * (5000 - math.abs(c)) - 1, 0).toInt
+      val noise = java.lang.Long.signum(c) * (50L * L(h) / 1000000000L)
+      assert(r.getAs[Long]("released_milli") === n * 1000 + noise,
+        s"noise at $src")
+      // Laplace(b=50) in milli-units: |noise| ≤ b·ln(10001)·1000 and
+      // far below it for typical u — released must stay plausible
+      assert(math.abs(r.getAs[Long]("released_milli") - n * 1000) <=
+        50L * 9211L)
+    }
+    // the mechanism must actually perturb (not all keys hash to u=5000)
+    assert(rows.exists(r =>
+      r.getAs[Long]("released_milli") !== r.getAs[Long]("n_docs") * 1000))
+  }
+
   test("centroid drift: cosine matches BigInt arithmetic; bounds hold") {
     val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
       .select(col("label").cast("long"), col("embedding")).collect()
