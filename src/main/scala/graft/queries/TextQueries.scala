@@ -2028,30 +2028,39 @@ object TextQueries {
     // q_confusion_matrix scores the gate; this asks whether the SCORE
     // is monotone in the truth rate, the property a threshold sweep
     // silently assumes). Same classifier and same stopword-density
-    // weak label as q_confusion_matrix, verbatim. Docs are binned by
+    // weak label as q_confusion_matrix. Docs are binned by
     // fixed score bands (score_pm div 200000, clamped to 10 bins — a
     // fixed grid, not quantiles, so bin edges are corpus-independent
     // and two corpora's diagrams are comparable), then per bin: count,
     // exact mean score (sum div n — integer), and the observed
-    // positive rate per-myriad. Shape: ONE corpus pass (the token
-    // explode + broadcast weight join), a doc-keyed aggregate, then a
-    // ≤10-row bin aggregate. Flat at 100 TB.
+    // positive rate per-myriad. Shape: the truth label is computed in
+    // its OWN narrow per-doc projection and equi-joined back on
+    // doc_id, NOT carried through the token explode — the carried
+    // form evaluates the stopword-filter HOF per exploded token row
+    // and measured 3.56 s warm min at sf0.1 vs 0.72 s for this join
+    // shape (3-pass A/B in ProbeCal; the [[spark-perf-lessons]]
+    // HOF-once rule). The join is doc_id-keyed on a per-doc frame the
+    // aggregate already produced, so at 100 TB it rides the same key
+    // space as the aggregate; AQE broadcasts at fixture scale. Then a
+    // ≤10-row bin aggregate.
     "q_calibration_bins" -> ((s, dir) => {
       val weights = s.range(256).select(col("id").as("bucket"),
         (col("id") * 37 % 201).as("w"))
-      s.read.parquet(s"$dir/documents.parquet")
+      val perDoc = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+      val truthDf = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           expr("""CAST(size(filter(split(text, ' '),
             |  t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
             |div CAST(size(split(text, ' ')) AS BIGINT) >= 500""".stripMargin)
-            .as("truth"),
-          explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), col("truth"), expr(
-          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
-          .as("bucket"))
-        .join(broadcast(weights), "bucket")
-        .groupBy("doc_id", "truth")
-        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+            .as("truth"))
+      perDoc.join(truthDf, "doc_id")
         .withColumn("score_pm", expr("wsum * 10000 div n_toks"))
         .withColumn("bin", expr("least(score_pm div 200000, 9)"))
         .groupBy("bin")
