@@ -1467,6 +1467,55 @@ object SimilarityQueries {
         .orderBy("label")
     }),
 
+    // Embedding OUTLIER audit — the per-slice quality gate that
+    // catches mis-embedded rows (corrupt inputs, wrong-encoder shards,
+    // label noise): a vector is an outlier when its squared distance
+    // to its label centroid exceeds 4× the label mean. EXACT integers
+    // throughout, no centroid division: with s = Σq (label sum) and
+    // n = |label|, n²·d²(v) = |n·q − s|² — so the flag
+    // n·D_v > 4·ΣD_v (cross-multiplied mean test) and the reported
+    // ratio D_v·10⁴ div ΣD are division-free/deterministic. Products
+    // reach ~1e22, so D is DECIMAL(38,0) / HUGEINT (the
+    // q_embed_covariance discipline). Shape: one label-keyed
+    // vector-sum aggregate (bounded frame, broadcast back), a second
+    // corpus pass computing D_v per vector (map-side: broadcast join
+    // + codegen'd zip_with), ONE label-keyed window for ΣD, then the
+    // bounded label aggregate — shuffles keyed on label only. The
+    // worst offender rides along via max_by(vec_id, D).
+    "q_embedding_outliers" -> ((s, dir) => {
+      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+      val vecsuml = udaf(graft.functions.VecSumLongAgg,
+        ExpressionEncoder[Seq[Long]]())
+      val quant = expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
+      val q = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), col("label").cast("bigint").as("label"),
+          quant.as("qv"))
+      val sums = q.groupBy("label")
+        .agg(vecsuml(col("qv")).as("sv"), count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("label")
+      q.join(broadcast(sums), "label")
+        .withColumn("dd", expr(
+          """aggregate(zip_with(qv, sv, (x, y) ->
+            |  CAST(n * x - y AS DECIMAL(38, 0)) * (n * x - y)),
+            |  CAST(0 AS DECIMAL(38, 0)), (acc, v) -> acc + v)"""
+            .stripMargin))
+        .withColumn("tot", sum(col("dd")).over(w))
+        // deterministic worst pick: max vec_id among the max-D rows
+        // (a bare max_by ties nondeterministically on duplicate
+        // vectors — the q_dedup_keep_best lesson)
+        .withColumn("mxdd", max(col("dd")).over(w))
+        .groupBy("label")
+        .agg(max(col("n")).as("n_vecs"),
+          sum(when(expr("n * dd > 4 * tot"), 1L).otherwise(0L))
+            .as("n_outliers"),
+          max(expr("CAST(dd * 10000 div tot AS BIGINT)"))
+            .as("max_ratio_pm"),
+          max(when(col("dd") === col("mxdd"), col("vec_id")))
+            .as("worst_vec"))
+        .orderBy("label")
+    }),
+
     // Top principal direction of the embedding covariance by POWER
     // ITERATION — the PCA step an embedding pipeline runs for drift
     // axes, whitening, and anisotropy analysis. The covariance enters
@@ -2488,6 +2537,41 @@ object SimilarityQueries {
         |             4) + 0.0 AS drift_cos
         |FROM dots d JOIN nv USING (label) CROSS JOIN nb
         |ORDER BY d.label""".stripMargin,
+
+    "q_embedding_outliers" ->
+      """WITH q AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |         list_transform(embedding,
+        |           x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+        |  FROM embeddings
+        |),
+        |el AS (SELECT vec_id, label, d.i AS i, qv[d.i] AS x
+        |       FROM q, generate_series(1, 64) d(i)),
+        |s AS (SELECT label, i, CAST(sum(x) AS BIGINT) AS si
+        |      FROM el GROUP BY label, i),
+        |n AS (SELECT label, CAST(count(*) AS BIGINT) AS n
+        |      FROM q GROUP BY label),
+        |dd AS (
+        |  SELECT el.vec_id, el.label,
+        |         sum(CAST(n.n * el.x - s.si AS HUGEINT)
+        |             * (n.n * el.x - s.si)) AS dd
+        |  FROM el JOIN s ON s.label = el.label AND s.i = el.i
+        |  JOIN n ON n.label = el.label
+        |  GROUP BY el.vec_id, el.label
+        |),
+        |win AS (
+        |  SELECT vec_id, label, dd,
+        |         sum(dd) OVER (PARTITION BY label) AS tot,
+        |         max(dd) OVER (PARTITION BY label) AS mxdd
+        |  FROM dd
+        |)
+        |SELECT w.label, n.n AS n_vecs,
+        |       CAST(sum(CASE WHEN n.n * w.dd > 4 * w.tot
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        |       CAST(max(w.dd * 10000 // w.tot) AS BIGINT) AS max_ratio_pm,
+        |       max(CASE WHEN w.dd = w.mxdd THEN w.vec_id END) AS worst_vec
+        |FROM win w JOIN n ON n.label = w.label
+        |GROUP BY w.label, n.n ORDER BY w.label""".stripMargin,
 
     // the 8 iterations are UNROLLED as generated CTE pairs (DuckDB
     // recursion adds nothing for a fixed count); all arithmetic

@@ -171,6 +171,59 @@ class Round15OpsSpec extends SparkSpecBase {
       "both the original and the prefix-shifted copy must report dup chunks")
   }
 
+  test("cdc chunk dedup: agrees with the reference chunker on random " +
+      "tiny-vocabulary corpora") {
+    // dense cross-doc chunk collisions + many short/degenerate docs —
+    // far more boundary edge cases than the fixture (1-token docs,
+    // docs with no cut at all, identical docs at different ids)
+    import spark.implicits._
+    for (seed <- Seq(7, 23, 41)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = (0L until 30L).map { i =>
+        val len = 1 + rnd.nextInt(40)
+        (i, Vector.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      } :+ (100L, "a") :+ (101L, "a") // guaranteed duplicate singletons
+      val dir = java.nio.file.Files.createTempDirectory(s"graft-cdc-$seed")
+        .toString
+      docs.toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      // the query reads through Corpus.withDuplicates — model the same
+      // injected exact (%4) and near (%3) copies in the reference
+      val corpus = docs ++
+        docs.filter(_._1 % 4 == 0).map { case (id, t) => (id + 2000000L, t) } ++
+        docs.filter(_._1 % 3 == 0).map { case (id, t) =>
+          (id + 1000000L, t + " zzz tail")
+        }
+      val chunked = corpus.map { case (id, t) => id -> cdcChunks(t) }
+      val docsPerChunk = chunked
+        .flatMap { case (id, cs) => cs.distinct.map(_ -> id) }
+        .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).toSet }
+      val expected = chunked.flatMap { case (id, cs) =>
+        val dup = cs.filter(c => docsPerChunk(c).exists(_ != id))
+        if (dup.isEmpty) None
+        else {
+          val dupToks = dup.map(_.split(" ").length.toLong).sum
+          val tot = cs.map(_.split(" ").length.toLong).sum
+          Some(id -> (cs.length.toLong, dup.length.toLong, dupToks,
+            dupToks * 10000L / tot))
+        }
+      }.toMap
+      val got = DedupQueries.queries("q_cdc_chunk_dedup")(spark, dir)
+        .collect()
+      assert(got.length === expected.size, s"seed $seed row count")
+      got.foreach { r =>
+        val (nc, nd, dt, pm) = expected(r.getLong(0))
+        assert(r.getAs[Long]("n_chunks") === nc, s"seed $seed doc ${r.getLong(0)}")
+        assert(r.getAs[Long]("n_dup_chunks") === nd)
+        assert(r.getAs[Long]("dup_toks") === dt)
+        assert(r.getAs[Long]("dup_pm") === pm)
+      }
+      assert(got.map(_.getLong(0)).toSet.contains(100L),
+        s"seed $seed: the planted singleton duplicate must be found")
+    }
+  }
+
   test("audio vad: segments match a byte-level reference walk") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .filter(col("doc_id") % 20 === 0)
@@ -346,6 +399,41 @@ class Round15OpsSpec extends SparkSpecBase {
     // the mechanism must actually perturb (not all keys hash to u=5000)
     assert(rows.exists(r =>
       r.getAs[Long]("released_milli") !== r.getAs[Long]("n_docs") * 1000))
+  }
+
+  test("embedding outliers: flags and worst picks match a BigInt rebuild") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"), col("label").cast("long"), col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Float](2).map(x => BigInt(
+          math.floor(x.toDouble * 1048576.0).toLong)).toVector))
+    val byLabel = vecs.groupBy(_._2)
+    val got = graft.queries.SimilarityQueries
+      .queries("q_embedding_outliers")(spark, sf).collect()
+    assert(got.length === byLabel.size)
+    got.foreach { r =>
+      val label = r.getAs[Long]("label")
+      val members = byLabel(label)
+      val n = BigInt(members.length)
+      val s = members.map(_._3).reduce((a, b) => a.zip(b).map(t => t._1 + t._2))
+      val dds = members.map { case (id, _, q) =>
+        id -> q.zip(s).map { case (x, si) =>
+          val d = n * x - si; d * d
+        }.sum
+      }
+      val tot = dds.map(_._2).sum
+      val mx = dds.map(_._2).max
+      assert(r.getAs[Long]("n_vecs") === members.length.toLong)
+      assert(r.getAs[Long]("n_outliers") ===
+        dds.count { case (_, dd) => n * dd > 4 * tot }.toLong)
+      assert(r.getAs[Long]("max_ratio_pm") === (mx * 10000 / tot).toLong)
+      assert(r.getAs[Long]("worst_vec") ===
+        dds.filter(_._2 == mx).map(_._1).max)
+    }
+    // the audit must be non-vacuous on the fixture: at least one label
+    // has a genuinely far vector or a nonzero outlier count is fine
+    assert(got.map(_.getAs[Long]("max_ratio_pm")).max >= 10L)
   }
 
   test("centroid drift: cosine matches BigInt arithmetic; bounds hold") {
