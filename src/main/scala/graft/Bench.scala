@@ -236,8 +236,15 @@ object Bench {
     // cold behavior deliberately. Errors here are ignored — the timed
     // passes record them through the normal err channel.
     if (sys.env.getOrElse("SPARK_GRAFT_PREBUILD", "1") != "0") {
-      baseOrder.foreach { case (_, fn) =>
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      baseOrder.foreach { case (name, fn) =>
+        // still untimed + non-fatal, but never silent: a prebuild OOM
+        // or executor loss poisons every timed pass downstream, and an
+        // empty catch would leave only timing anomalies as evidence.
+        try { fn(spark, sfDir).count(); () } catch {
+          case e: Throwable =>
+            System.err.println(
+              s"[bench] prebuild $name failed: ${e.getClass.getName}")
+        }
         graft.queries.QueryCaches.releaseAll(spark)
       }
     }

@@ -1106,30 +1106,41 @@ object EventQueries {
     // user, recency (days since last purchase, anchored to the
     // corpus's max purchase time so the query is self-contained),
     // frequency (purchase count) and monetary value (exact cents),
-    // each quintile-scored with ntile(5) and composed into the 3-digit
-    // RFM segment. Every ntile ordering carries user_id as the final
-    // tie-break: ntile's bucket boundaries depend on the TOTAL order,
-    // so an under-specified sort would let the two engines split ties
-    // differently. Shape: one user-keyed aggregate, a 1-row max
-    // broadcast, then three windows over |users| rows (already
-    // aggregated — the windows never see the event stream).
+    // each quintile-scored and composed into the 3-digit RFM segment.
+    // Every quintile ordering carries user_id as the final tie-break:
+    // bucket boundaries depend on the TOTAL order, so an
+    // under-specified sort would let the two engines split ties
+    // differently. Scale shape (r16 — replaces three unpartitioned
+    // exact ntile(5) windows, each of which planned as a SINGLE task
+    // sorting every user row): per dimension, an exact distributed
+    // rank ([[RankOps.withGlobalRank]] — range-sliced, P-way parallel,
+    // broadcast prefix offsets) and the SQL-standard ntile closed form
+    // from (rank, n) — bit-identical buckets to the oracle's ntile(5)
+    // because the rank is the exact global row_number over the same
+    // unique total order. |users| grows with the corpus, so no stage
+    // here may be keyed on nothing: the only remaining global sort is
+    // the final presentation orderBy shared by every gated query.
     "q_rfm" -> ((s, dir) => {
       val perUser = ev(s, dir).filter(col("event_type") === "purchase")
         .groupBy("user_id")
         .agg(max(unix_timestamp(col("ts"))).as("last_s"),
           count(lit(1)).as("n_purch"),
           sum(round(col("value") * 100).cast("bigint")).as("cents"))
-      val anchor = perUser.agg(max(col("last_s")).as("max_s"))
-      def nt(order: org.apache.spark.sql.Column*) = ntile(5).over(
-        org.apache.spark.sql.expressions.Window.orderBy(order: _*))
-      perUser.crossJoin(broadcast(anchor))
+      val anchor = perUser.agg(max(col("last_s")).as("max_s"),
+        count(lit(1)).as("n_users"))
+      val base = perUser.crossJoin(broadcast(anchor))
         .withColumn("recency_days", expr("(max_s - last_s) div 86400"))
-        .withColumn("r_score",
-          nt(col("recency_days").desc, col("user_id")).cast("bigint"))
-        .withColumn("f_score",
-          nt(col("n_purch").asc, col("user_id")).cast("bigint"))
-        .withColumn("m_score",
-          nt(col("cents").asc, col("user_id")).cast("bigint"))
+      val ranked = Seq[(String, Seq[org.apache.spark.sql.Column])](
+        ("_rk_r", Seq(col("recency_days").desc, col("user_id").asc)),
+        ("_rk_f", Seq(col("n_purch").asc, col("user_id").asc)),
+        ("_rk_m", Seq(col("cents").asc, col("user_id").asc)))
+        .foldLeft(base) { case (df, (rc, ord)) =>
+          RankOps.withGlobalRank(df, rc, 32)(ord: _*)
+        }
+      ranked
+        .withColumn("r_score", RankOps.ntileFromRank("_rk_r", "n_users", 5))
+        .withColumn("f_score", RankOps.ntileFromRank("_rk_f", "n_users", 5))
+        .withColumn("m_score", RankOps.ntileFromRank("_rk_m", "n_users", 5))
         .withColumn("segment",
           col("r_score") * 100 + col("f_score") * 10 + col("m_score"))
         .select("user_id", "recency_days", "n_purch", "cents",

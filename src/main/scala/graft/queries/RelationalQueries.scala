@@ -1454,13 +1454,22 @@ object RelationalQueries {
     // half-open [start, end) intervals, so back-to-back orders never
     // count as concurrent. Determinism under ties: rows tied on
     // (d, delta) carry the SAME delta, so every permutation yields the
-    // same prefix-sum SET and max() is unique. Shape: one fact-dim
-    // equi-join (AQE picks broadcast as customer allows), a union, one
-    // nation-bounded window (shuffle keyed on nation), one bounded
-    // aggregate. At 100 TB the window key widens to
-    // (nation, epoch-bucket) with carry-in merge — the standard
-    // segment-sweep sharding — but the operator shape is unchanged.
-    // The interval length derives from o_orderkey (deterministic, 1–30
+    // same prefix-sum SET and max() is unique.
+    // Scale shape (r16 — replaces the row-level running sum whose
+    // Window.partitionBy(nk) capped parallelism at |nations| = 25 and
+    // made each task sort that nation's ENTIRE boundary stream): the
+    // corpus-sized work is now ONE map-side-combinable aggregate to
+    // the (nation × day) frame — opens o and closes c per day — and
+    // the sweep runs over that frame only. Within a day the running
+    // sum relative to the day's carry-in visits −1..−c then
+    // −c+1..−c+o (closes sort first), so its maximum has the closed
+    // form [c = 0 → o; else greatest(−1, o − c)]; the day's peak is
+    // carry_in + that, and carry_in is a running sum of (o − c) over
+    // days. The remaining nk-keyed window therefore touches only
+    // |nations| × |distinct days| rows — bounded by CALENDAR SPAN,
+    // not corpus size: at 100 TB of orders over the same seven
+    // fixture years the frame is still ≤ 25 × ~2600 rows. The
+    // interval length derives from o_orderkey (deterministic, 1–30
     // days) so both engines build identical intervals from the fixture.
     "q_interval_concurrency" -> ((s, dir) => {
       val iv = t(s, dir, "orders")
@@ -1475,12 +1484,20 @@ object RelationalQueries {
       val ev = iv.select(col("nk"), col("sd").as("d"), lit(1L).as("delta"))
         .unionAll(iv.select(col("nk"), col("ed").as("d"),
           lit(-1L).as("delta")))
-      val w = Window.partitionBy("nk").orderBy("d", "delta")
+      val days = ev.groupBy("nk", "d")
+        .agg(sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("o"),
+          sum(when(col("delta") === -1L, 1L).otherwise(0L)).as("c"))
+      // calendar-bounded frame from here down (PlanSweep-justified)
+      val w = Window.partitionBy("nk").orderBy("d")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("open", sum(col("delta")).over(w))
+      days.withColumn("run_end", sum(col("o") - col("c")).over(w))
+        .withColumn("day_peak",
+          col("run_end") - (col("o") - col("c")) +
+            when(col("c") === 0L, col("o"))
+              .otherwise(greatest(lit(-1L), col("o") - col("c"))))
         .groupBy("nk")
-        .agg(max(col("open")).as("peak_open"),
-          sum(when(col("delta") === 1L, 1L).otherwise(0L)).as("n_orders"))
+        .agg(max(col("day_peak")).as("peak_open"),
+          sum(col("o")).as("n_orders"))
         .join(broadcast(t(s, dir, "nation")
           .select(col("n_nationkey"), col("n_name"))),
           col("nk") === col("n_nationkey"))

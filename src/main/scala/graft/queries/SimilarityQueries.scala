@@ -1567,6 +1567,15 @@ object SimilarityQueries {
         val g = row.getSeq[Long](0)
         val m = row.getSeq[Long](1)
         val n = row.getLong(2)
+        // int64 headroom of the raw moment pass (ADVICE r15): each
+        // outer-product term is ≤ 2^40 (|qv_i| ≤ 2^20), so the int64
+        // sums wrap once n exceeds ~2^23 vectors. The exact-BigInt
+        // stage below starts FROM these sums, so an overflow would
+        // surface as a silent oracle divergence — fail loudly instead.
+        // (At real scale the fix is a DECIMAL(38,0) moment pass, the
+        // q_embedding_outliers pattern; not needed at fixture scales.)
+        require(n <= (1L << 23),
+          s"q_pca_power int64 moment pass overflows beyond 2^23 rows (n=$n)")
         val a = Array.tabulate(64, 64)((i, j) =>
           BigInt(g(i * 64 + j)) * n - BigInt(m(i)) * m(j))
         def matvec(v: Array[BigInt]): Array[BigInt] =

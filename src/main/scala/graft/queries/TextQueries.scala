@@ -2078,9 +2078,11 @@ object TextQueries {
     // hash of the group key and ln comes from the builder-side
     // [[lnMyriadScaled]] table, so the released values are
     // deterministic, engine-identical, and re-derivable in a review —
-    // the noise DISTRIBUTION is exactly Laplace(b) over the key-hash
-    // ensemble while a production ε-DP release would swap the hash for
-    // a sealed RNG draw (documented, not pretended otherwise). The
+    // the noise DISTRIBUTION over the key-hash ensemble is a 10⁴-point
+    // DISCRETIZATION of Laplace(b) (u ranges over [0,9999], so c is
+    // asymmetric on [−5000,4999] with a sgn(0)=0 atom at zero), while
+    // a production ε-DP release would swap the hash for a sealed
+    // continuous RNG draw (documented, not pretended otherwise). The
     // map u → table index: c = u−5000 (sign bit), p = 1−|c|/5000
     // realized as index 2·(5000−|c|)−1 into the (h+1)/10001 domain.
     // Integer end-to-end (noise in milli-units via one div by 10⁹ of

@@ -14,6 +14,20 @@ class FixtureContractSpec extends SparkSpecBase {
     assert(v.isEmpty, s"unexpected violations:\n  ${v.mkString("\n  ")}")
   }
 
+  test("documents.text is pure ASCII at every fixture scale (byte-kernel contract)") {
+    // ADVICE r15: the audio family (q_audio_vad etc.) sums UTF-8 BYTES
+    // engine-side while the DuckDB oracle indexes CHARACTERS; one
+    // non-ASCII char in a regenerated fixture would silently
+    // desynchronize framing and energy between the engines. Pin
+    // octet_length == char_length so regeneration fails loudly here
+    // instead of surfacing as an unexplained gate mismatch.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val bad = spark.read.parquet(s"$d/documents.parquet")
+        .filter(octet_length(col("text")) =!= length(col("text"))).count()
+      assert(bad == 0L, s"$bad non-ASCII documents in $d/documents.parquet")
+    }
+  }
+
   test("perturbed events.ts dtype fails with a useful message") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_contract").toFile.getAbsolutePath

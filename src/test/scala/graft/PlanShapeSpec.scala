@@ -1052,10 +1052,17 @@ class PlanShapeSpec extends SparkSpecBase {
       s"cross-doc marking must equi-join on the chunk hash:\n$p")
     assert(!p.toLowerCase.contains("distinct"),
       s"the cross-doc test must be min/max, never count-distinct:\n$p")
-    // exchanges: doc window, chunk assembly, chunk-hash agg + join
-    // back, final doc agg — all key-bounded
+    // exchanges: doc window, chunk assembly, chunk-hash freq agg (one
+    // exchange reused by the hot and cold derivations), the cold
+    // join-back, final doc agg — all key-bounded or sub-cap by
+    // construction (r16 hot-key routing added the freq/hot/cold split:
+    // +3 reduce-side consumers, bounded at 8 exchanges)
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashEx <= 5, s"expected ≤5 hash exchanges, got $hashEx:\n$p")
+    assert(hashEx <= 8, s"expected ≤8 hash exchanges, got $hashEx:\n$p")
+    // the hot drop-set marking must reach the chunk rows as a
+    // broadcast (map-side, the hot keys never enter a shuffle)
+    assert(p.contains("BroadcastHashJoin"),
+      s"hot-chunk drop-set must broadcast:\n$p")
   }
 
   test("q_audio_vad: per-clip totals broadcast back; windows are " +
