@@ -1354,8 +1354,14 @@ object DedupQueries {
     // corpus outgrows the threshold AQE degrades to a shuffled join,
     // the q_containment de-hinting contract) and only sub-cap keys
     // (≤100 rows each, skew-free by construction) enter the shuffled
-    // join-back. The fixture has no over-cap chunk, so the hot branch
-    // is empty and fixture numbers are unchanged by construction.
+    // join-back. SIZE-GATED like nearDupPairs' SmallCorpusCutoff: the
+    // routing is answer-preserving, so the gate cannot change results
+    // — it only decides which plan runs. Below 200k docs even a
+    // fully-hot key puts <200k pre-combined rows on one reducer (no
+    // straggler) while the split measured +0.44 s on the fixture
+    // (5-pass mini-suite, 2.08 → 2.52 s), so small corpora keep the
+    // plain single-join plan verbatim; above the cutoff the routed
+    // plan engages. One oracle covers both paths unconditionally.
     "q_cdc_chunk_dedup" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
@@ -1375,25 +1381,41 @@ object DedupQueries {
         .agg(count(lit(1)).as("n_toks"),
           md5(expr("array_join(transform(sort_array(collect_list(" +
             "struct(pos, tok))), x -> x.tok), ' ')")).as("ch"))
-      val freq = chunks.groupBy("ch")
-        .agg(count(lit(1)).as("cnt"),
-          min("doc_id").as("mn"), max("doc_id").as("mx"))
-      val hotCap = 100L
-      val hot = freq.filter(col("cnt") > hotCap)
-        .select(col("ch"),
-          when(col("mn") =!= col("mx"), 1L).otherwise(0L).as("hot_isd"))
-      val coldDup = freq
-        .filter(col("cnt") <= hotCap && col("mn") =!= col("mx"))
-        .select(col("ch"), lit(1L).as("cold_isd"))
-      val routed = chunks.join(hot, Seq("ch"), "left_outer")
-      val hotRows = routed.filter(col("hot_isd").isNotNull)
-        .select(col("doc_id"), col("n_toks"), col("hot_isd").as("isd"))
-      val coldRows = routed.filter(col("hot_isd").isNull)
-        .select(col("ch"), col("doc_id"), col("n_toks"))
-        .join(coldDup, Seq("ch"), "left_outer")
-        .select(col("doc_id"), col("n_toks"),
-          coalesce(col("cold_isd"), lit(0L)).as("isd"))
-      hotRows.unionByName(coldRows)
+      // forceRouted: plan-pin hook so PlanShapeSpec can assert the
+      // large-corpus shape without a 200k-doc fixture
+      val bigCorpus = s.conf.getOption("spark.graft.cdc.forceRouted")
+        .contains("true") ||
+        s.read.parquet(s"$dir/documents.parquet").count() > 200000L
+      val marked = if (!bigCorpus) {
+        val dup = chunks.groupBy("ch")
+          .agg(min("doc_id").as("mn"), max("doc_id").as("mx"))
+          .filter(col("mn") =!= col("mx"))
+          .select(col("ch"), lit(1L).as("isd"))
+        chunks.join(dup, Seq("ch"), "left_outer")
+          .withColumn("isd", coalesce(col("isd"), lit(0L)))
+          .select("doc_id", "n_toks", "isd")
+      } else {
+        val freq = chunks.groupBy("ch")
+          .agg(count(lit(1)).as("cnt"),
+            min("doc_id").as("mn"), max("doc_id").as("mx"))
+        val hotCap = 100L
+        val hot = freq.filter(col("cnt") > hotCap)
+          .select(col("ch"),
+            when(col("mn") =!= col("mx"), 1L).otherwise(0L).as("hot_isd"))
+        val coldDup = freq
+          .filter(col("cnt") <= hotCap && col("mn") =!= col("mx"))
+          .select(col("ch"), lit(1L).as("cold_isd"))
+        val routed = chunks.join(hot, Seq("ch"), "left_outer")
+        val hotRows = routed.filter(col("hot_isd").isNotNull)
+          .select(col("doc_id"), col("n_toks"), col("hot_isd").as("isd"))
+        val coldRows = routed.filter(col("hot_isd").isNull)
+          .select(col("ch"), col("doc_id"), col("n_toks"))
+          .join(coldDup, Seq("ch"), "left_outer")
+          .select(col("doc_id"), col("n_toks"),
+            coalesce(col("cold_isd"), lit(0L)).as("isd"))
+        hotRows.unionByName(coldRows)
+      }
+      marked
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_chunks"),
           sum(col("isd")).as("n_dup_chunks"),

@@ -1126,6 +1126,11 @@ object EventQueries {
         .agg(max(unix_timestamp(col("ts"))).as("last_s"),
           count(lit(1)).as("n_purch"),
           sum(round(col("value") * 100).cast("bigint")).as("cents"))
+      // NOT cached: perUser is read by the anchor aggregate, rank 1's
+      // boundary sampling, and rank 1's exchange — but its lineage is
+      // one codegen aggregate over a page-cached scan, and the cache
+      // barrier measured at parity-to-worse (2.41 vs 2.00 s mini-suite
+      // median, neighbors normalized) — the cache-stops-paying rule
       val anchor = perUser.agg(max(col("last_s")).as("max_s"),
         count(lit(1)).as("n_users"))
       val base = perUser.crossJoin(broadcast(anchor))

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact distributed global rank — the scale-safe replacement for an
@@ -9,52 +8,81 @@ import org.apache.spark.sql.functions._
   * task sorting every row while the rest of the cluster idles; the
   * q_rfm weak-flag from the round-15 verdict).
   *
-  * Shape: range-repartition on the order keys (P slices), local
-  * `row_number` within each slice (window keyed by slice id — P-way
-  * parallel), then add each slice's prefix offset. The offsets come
-  * from the bounded P-row slice-count frame via a broadcast triangle
-  * self-join (b.pid < a.pid), NOT a window — so the physical plan
-  * contains no empty-partition-spec Window node at all, which is what
-  * the PlanSweep global-window audit pins.
+  * Shape (ONE corpus exchange per rank): range-repartition on the
+  * order keys (P slices), sort WITHIN each slice (no second exchange),
+  * then decompose `monotonically_increasing_id()` — whose documented
+  * layout is partitionId in the upper bits and the 0-based in-
+  * partition record number in the lower 33 — into (slice id, local
+  * index). The global rank is the slice's prefix offset + local index
+  * + 1. The offsets come from the BOUNDED (≤ P rows, P a plan
+  * constant) slice-count frame collected to the driver and re-entered
+  * as a literal array — the SideStores-codebook pattern for bounded
+  * control data, NOT a corpus collect — so the plan after the
+  * exchange is a single codegen'd Project: no Window (empty-partition
+  * or otherwise), no join, no broadcast build.
+  *
+  * Two rejected shapes, measured on q_rfm's 3-rank chain (5-pass
+  * mini-suite medians, sf0.1):
+  *  - pid-keyed row_number window for the local index: re-shuffles
+  *    the whole frame by slice id — 2.09 s;
+  *  - declarative offsets (slice-count aggregate + broadcast triangle
+  *    join): column pruning gives the counts consumer a DIFFERENT
+  *    range exchange than the ranked-rows consumer, ReuseExchange
+  *    never unifies them, and chained ranks then recompute the full
+  *    upstream lineage per consumer (the q_pca_power chained-plan
+  *    blowup) — 2.86 s uncached, and still ~2.7 s with the frame
+  *    cached because each rank pays cache-materialization plus two
+  *    broadcast-build jobs in fixed scheduler overhead.
+  * The driver-offset form runs one job per rank (the bounded count,
+  * which also materializes the cache the ranked rows re-read) and
+  * measured 2.00 s — the residual over the old 0.28 s global-ntile
+  * windows is fixed per-job scheduler overhead (boundary sampling +
+  * count + final per rank), flat in data size: the price of a shape
+  * whose parallelism scales instead of one task sorting every user.
+  * (Also probed: caching q_rfm's per-user input under the chain —
+  * parity-to-worse, see the in-query note.)
   *
   * Correctness notes:
-  *  - Ranks are exact for ANY slice boundary choice: range
-  *    partitioning guarantees every row in slice i orders before every
-  *    row in slice i+1, and local row_number + prefix offset is then
+  *  - Ranks are exact for ANY slice-boundary choice: range
+  *    partitioning guarantees every row in slice i orders before
+  *    every row in slice i+1, and local index + prefix offset is then
   *    the global row_number. The caller must make the total order
-  *    unique (tie-break column) for cross-engine determinism — same
-  *    contract as the window it replaces.
-  *  - `spark_partition_id()` is captured in a Project immediately
-  *    above the range exchange; the two consumers of `ranged` (main
-  *    frame and slice counts) canonicalize to the same exchange, so
-  *    ReuseExchange computes the range shuffle once and both sides see
-  *    identical pids. AQE never coalesces an explicit repartition, and
-  *    even a contiguous merge would preserve the slice-order property.
-  *  - Empty slices (|df| < parts) simply never appear in the count
-  *    frame; absent pids contribute 0 to every prefix, which is
-  *    correct.
+  *    unique (tie-break column) — same contract as the window this
+  *    replaces; it also makes the in-partition sort, and therefore
+  *    the decomposed id, deterministic under task retry.
+  *  - The cache pins ONE materialization of the nondeterministic id
+  *    column, so the counts job and the consuming query see identical
+  *    slice assignments by construction (released per-query via
+  *    QueryCaches.releaseAll, like every builder cache).
+  *  - Empty slices simply contribute 0 to the prefix sums.
+  *  - Bound: the 33-bit local index caps a slice at ~8.6e9 rows —
+  *    at 2^33 rows per slice the slice itself is mis-sized long
+  *    before the id wraps (pick parts ~ data / executor-memory).
   */
 object RankOps {
 
   def withGlobalRank(df: DataFrame, rankCol: String, parts: Int)
                     (order: Column*): DataFrame = {
     val pid = rankCol + "_pid"
-    val ranged = df.repartitionByRange(parts, order: _*)
-      .withColumn(pid, spark_partition_id())
-    val counts = ranged.groupBy(col(pid)).agg(count(lit(1)).as("_n"))
-    // prefix offsets over the bounded (<= parts)-row frame: triangle
-    // self-join instead of a global window — O(parts^2) pairs, flat at
-    // any data scale, and keeps the plan free of single-task windows.
-    val offs = counts.as("a")
-      .join(broadcast(counts.as("b")),
-        col(s"b.$pid") < col(s"a.$pid"), "left")
-      .groupBy(col(s"a.$pid").as(pid))
-      .agg(coalesce(sum(col("b._n")), lit(0L)).as("_off"))
-    val local = row_number().over(
-      Window.partitionBy(pid).orderBy(order: _*))
-    ranged.join(broadcast(offs), pid)
-      .withColumn(rankCol, (col("_off") + local).cast("bigint"))
-      .drop(pid, "_off")
+    val idx = rankCol + "_idx"
+    val indexed = QueryCaches.cache(
+      df.repartitionByRange(parts, order: _*)
+        .sortWithinPartitions(order: _*)
+        .withColumn("_mid", monotonically_increasing_id())
+        .withColumn(pid, expr("_mid >> 33"))
+        .withColumn(idx, expr("_mid & 8589934591")) // 2^33 - 1
+        .drop("_mid"))
+    // bounded control collect: ≤ `parts` rows, a plan constant — the
+    // prefix offsets re-enter the plan as a literal array lookup
+    val counts = indexed.groupBy(col(pid)).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1)).toMap
+    val offs = (0 until parts)
+      .scanLeft(0L)((acc, p) => acc + counts.getOrElse(p, 0L)).init
+    val offCol = element_at(array(offs.map(lit): _*),
+      col(pid).cast("int") + 1)
+    indexed
+      .withColumn(rankCol, (offCol + col(idx) + 1L).cast("bigint"))
+      .drop(pid, idx)
   }
 
   /** Closed-form `ntile(k)` bucket from an exact 1-based rank `rk`

@@ -1052,17 +1052,26 @@ class PlanShapeSpec extends SparkSpecBase {
       s"cross-doc marking must equi-join on the chunk hash:\n$p")
     assert(!p.toLowerCase.contains("distinct"),
       s"the cross-doc test must be min/max, never count-distinct:\n$p")
-    // exchanges: doc window, chunk assembly, chunk-hash freq agg (one
-    // exchange reused by the hot and cold derivations), the cold
-    // join-back, final doc agg — all key-bounded or sub-cap by
-    // construction (r16 hot-key routing added the freq/hot/cold split:
-    // +3 reduce-side consumers, bounded at 8 exchanges)
+    // exchanges: doc window, chunk assembly, chunk-hash agg + join
+    // back, final doc agg — all key-bounded
     val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
-    assert(hashEx <= 8, s"expected ≤8 hash exchanges, got $hashEx:\n$p")
-    // the hot drop-set marking must reach the chunk rows as a
-    // broadcast (map-side, the hot keys never enter a shuffle)
-    assert(p.contains("BroadcastHashJoin"),
-      s"hot-chunk drop-set must broadcast:\n$p")
+    assert(hashEx <= 5, s"expected ≤5 hash exchanges, got $hashEx:\n$p")
+  }
+
+  test("q_cdc_chunk_dedup large-corpus path: hot chunks route through a " +
+      "broadcast drop-set, sub-cap keys keep the equi-join (r16)") {
+    withConf("spark.graft.cdc.forceRouted" -> "true") {
+      val p = plan("q_cdc_chunk_dedup", graft.queries.DedupQueries.queries)
+      // the hot drop-set marking must reach the chunk rows as a
+      // broadcast (map-side; the hot keys never enter a shuffle)
+      assert(p.contains("BroadcastHashJoin"),
+        s"hot-chunk drop-set must broadcast:\n$p")
+      assert(p.contains("Union"),
+        s"hot and cold rows must merge before the per-doc aggregate:\n$p")
+      assert(!p.contains("CartesianProduct"), s"no product:\n$p")
+      // same answer either path: the routed plan is answer-preserving,
+      // pinned by the oracle gate which runs the default path
+    }
   }
 
   test("q_audio_vad: per-clip totals broadcast back; windows are " +

@@ -99,6 +99,18 @@ class Round15OpsSpec extends SparkSpecBase {
     chunks.result()
   }
 
+  test("cdc chunk dedup: routed (hot-cap) path returns exactly the plain " +
+      "path's rows (r16 answer-preservation)") {
+    val plain = DedupQueries.queries("q_cdc_chunk_dedup")(spark, sf)
+      .collect().map(_.toString).sorted
+    withConf("spark.graft.cdc.forceRouted" -> "true") {
+      val routed = DedupQueries.queries("q_cdc_chunk_dedup")(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(routed.toSeq == plain.toSeq,
+        "hot-key routing must be a pure plan rewrite")
+    }
+  }
+
   test("cdc chunk dedup: exact copies are fully covered; per-doc stats " +
       "match the reference chunker") {
     val rows = DedupQueries.queries("q_cdc_chunk_dedup")(spark, sf).collect()
