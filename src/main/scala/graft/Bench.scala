@@ -2,6 +2,27 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 object Bench {
+  /** Evaluate a query's FULL physical plan (r16). The previous consume
+    * action was `df.count()`, which re-optimizes with the count on top
+    * and PRUNES: a query tail ending in a global aggregate collapses
+    * to a constant-1-row count that never executes the body at all,
+    * and any final projection's expressions are dropped because row
+    * counting needs no columns. That is how the r15 Part-8 mystery
+    * happened — q_confusion_matrix's carried per-token HOF never ran
+    * under the bench (global-agg tail, pruned to ~0.6 s) while the
+    * shape-identical q_calibration_bins paid it in full (grouped
+    * tail keeps its keys, and the upstream aggregate's truth GROUP
+    * key keeps the HOF) at 3.6 s: the "5x execution mode" was two
+    * different COUNT plans, not two modes of one plan. `toRdd` skips
+    * the re-optimization and runs the exact plan the query declares —
+    * every operator, every output column — so timed numbers now
+    * measure what Verify and a real consumer pay. (RDD count does not
+    * collect rows to the driver; rows stream as InternalRow.)
+    */
+  private def consume(df: org.apache.spark.sql.DataFrame): Unit = {
+    df.queryExecution.toRdd.count(); ()
+  }
+
   /** Fixed headline subset for the one-line summary. The driver captures only
     * the last ~2000 chars of output, so the printed JSON line must stay well
     * under that; the full per-query map (all ~120 queries) goes to
@@ -240,7 +261,7 @@ object Bench {
         // still untimed + non-fatal, but never silent: a prebuild OOM
         // or executor loss poisons every timed pass downstream, and an
         // empty catch would leave only timing anomalies as evidence.
-        try { fn(spark, sfDir).count(); () } catch {
+        try { consume(fn(spark, sfDir)) } catch {
           case e: Throwable =>
             System.err.println(
               s"[bench] prebuild $name failed: ${e.getClass.getName}")
@@ -260,7 +281,7 @@ object Bench {
         }
         val t0 = System.nanoTime()
         val err =
-          try { fn(spark, sfDir).count(); None }
+          try { consume(fn(spark, sfDir)); None }
           catch { case e: Throwable =>
             Some(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
           }

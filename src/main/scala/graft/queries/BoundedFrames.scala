@@ -21,6 +21,8 @@ package graft.queries
 object BoundedFrames {
 
   val globalWindowJustified: Map[String, String] = Map(
+    "q_bootstrap_ci" ->
+      "rank-5/rank-95 order statistics over the B = 100 replica-mean frame — B is a plan constant",
     "q_apportionment" ->
       "row_number over the bounded |sources| frame (one corpus aggregate upstream); seats grid is a constant 1000",
     "q_growth_accounting" ->

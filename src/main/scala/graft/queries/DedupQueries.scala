@@ -210,6 +210,39 @@ object DedupQueries {
         .orderBy("src_a", "src_b")
     }),
 
+    // Duplicate-concentration diversity per source — Simpson/HHI over
+    // the exact-dup cluster sizes within each source: the curation
+    // dashboard number that separates "this crawl slice has a few
+    // mega-duplicated boilerplate pages" from "uniform light
+    // duplication" (same HHI, very different fixes). Cluster = md5
+    // content hash over the dup-injected corpus; copies recover their
+    // base doc's source via doc_id % 1e6 and a broadcast-sized join
+    // back to the (doc_id, source) projection. hhi_pm = Σ n_c²·10⁴
+    // div N², eff_x100 = N²·100 div Σ n_c² (inverse Simpson =
+    // effective cluster count). Shape: one corpus hash aggregate to
+    // the (source, cluster) frame, one re-aggregate to |sources|,
+    // integer throughout. int64 bound: N²·10⁴ caps per-source docs at
+    // ~9.6e6 (the q_centroid_drift documentation discipline); past
+    // that the pair goes DECIMAL(38,0), the q_embedding_outliers path.
+    "q_simpson_diversity" -> ((s, dir) => {
+      val src = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id").as("base_id"), col("source"))
+      val clusters = Corpus.withDuplicates(s, dir)
+        .select((col("doc_id") % 1000000L).as("base_id"),
+          md5(col("text")).as("h"))
+        .join(src, "base_id")
+        .groupBy("source", "h").agg(count(lit(1)).as("n_c"))
+      clusters.groupBy("source")
+        .agg(sum(col("n_c")).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum(expr("n_c * n_c")).as("ss"))
+        .select(col("source"), col("n_docs"), col("n_clusters"),
+          (col("n_docs") - col("n_clusters")).as("dup_docs"),
+          expr("ss * 10000 div (n_docs * n_docs)").as("hhi_pm"),
+          expr("n_docs * n_docs * 100 div ss").as("eff_x100"))
+        .orderBy("source")
+    }),
+
     // n-gram Jaccard between each base doc and its near-twin.
     "q_dedup_ngram" -> ((s, dir) => {
       val corpus = Corpus.withDuplicates(s, dir)
@@ -1537,6 +1570,25 @@ object DedupQueries {
          |SELECT md5(text) AS content_hash, min(doc_id) AS survivor_id,
          |       count(*) AS n_copies
          |FROM corpus GROUP BY md5(text) ORDER BY survivor_id""".stripMargin,
+
+    "q_simpson_diversity" ->
+      s"""WITH ${Corpus.corpusCte},
+         |clusters AS (
+         |  SELECT d.source AS source, md5(c.text) AS h,
+         |         CAST(count(*) AS BIGINT) AS n_c
+         |  FROM corpus c JOIN documents d ON c.doc_id % 1000000 = d.doc_id
+         |  GROUP BY d.source, md5(c.text)
+         |),
+         |per AS (
+         |  SELECT source, CAST(sum(n_c) AS BIGINT) AS n_docs,
+         |         CAST(count(*) AS BIGINT) AS n_clusters,
+         |         CAST(sum(n_c * n_c) AS BIGINT) AS ss
+         |  FROM clusters GROUP BY source
+         |)
+         |SELECT source, n_docs, n_clusters, n_docs - n_clusters AS dup_docs,
+         |       CAST(ss * 10000 // (n_docs * n_docs) AS BIGINT) AS hhi_pm,
+         |       CAST(n_docs * n_docs * 100 // ss AS BIGINT) AS eff_x100
+         |FROM per ORDER BY source""".stripMargin,
 
     "q_paragraph_dedup" ->
       s"""WITH ${Corpus.corpusCte},

@@ -467,6 +467,58 @@ object EventQueries {
         .orderBy("d")
     }),
 
+    // SAX symbolic motifs (Lin et al.) over the per-type daily count
+    // series — the symbolic time-series step behind motif/anomaly
+    // mining on operational metrics: each day's count is mapped to a
+    // 4-letter alphabet by the series' OWN exact quartiles (rank-
+    // defined on the value histogram — the q_winsorize discipline, so
+    // breakpoints are integers and engine-identical), then repeated
+    // 3-day words are counted. Scale shape: ONE map-combinable corpus
+    // aggregate to the (type × day) frame; quartiles, symbols, the
+    // lead-window word assembly, and motif counting all run on that
+    // CALENDAR-bounded frame (windows keyed by event_type carry the
+    // bounded-input justification in-line — the day frame is ≤
+    // |types| × |span days| rows at any corpus size).
+    "q_sax_motifs" -> ((s, dir) => {
+      val daily = ev(s, dir)
+        .groupBy(col("event_type"),
+          datediff(date_trunc("day", col("ts")).cast("date"),
+            lit("1970-01-01").cast("date")).cast("bigint").as("d"))
+        .agg(count(lit(1)).as("c"))
+      // calendar-bounded from here down
+      val hist = daily.groupBy("event_type", "c")
+        .agg(count(lit(1)).as("nc"))
+      val wCum = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("c")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type")
+      val cuts = hist
+        .withColumn("cum", sum(col("nc")).over(wCum))
+        .withColumn("m", sum(col("nc")).over(wAll))
+        .groupBy("event_type")
+        .agg(
+          min(when(col("cum") >= expr("(m * 1 + 3) div 4"), col("c"))).as("q1"),
+          min(when(col("cum") >= expr("(m * 2 + 3) div 4"), col("c"))).as("q2"),
+          min(when(col("cum") >= expr("(m * 3 + 3) div 4"), col("c"))).as("q3"))
+      val wLead = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("d")
+      daily.join(cuts, "event_type")
+        .withColumn("sym",
+          when(col("c") <= col("q1"), "a")
+            .when(col("c") <= col("q2"), "b")
+            .when(col("c") <= col("q3"), "c")
+            .otherwise("d"))
+        .withColumn("motif", concat(col("sym"),
+          lead(col("sym"), 1).over(wLead), lead(col("sym"), 2).over(wLead)))
+        .filter(col("motif").isNotNull)
+        .groupBy("event_type", "motif")
+        .agg(count(lit(1)).as("n_occ"))
+        .filter(col("n_occ") >= 2)
+        .orderBy(col("event_type"), col("n_occ").desc, col("motif"))
+    }),
+
     // Rolling 7-day median of the daily count series per type — the
     // robust-baseline smoother behind volume anomaly banding (median
     // shrugs off the single-day spikes that wreck a rolling mean).
@@ -1669,6 +1721,51 @@ object EventQueries {
         |SELECT event_type, lag_k, num, den,
         |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS acf
         |FROM up ORDER BY event_type, lag_k""".stripMargin,
+
+    "q_sax_motifs" ->
+      """WITH daily AS (
+        |  SELECT event_type,
+        |         CAST(datediff('day', DATE '1970-01-01',
+        |           CAST(date_trunc('day', ts) AS DATE)) AS BIGINT) AS d,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY event_type, 2
+        |),
+        |hist AS (
+        |  SELECT event_type, c, CAST(count(*) AS BIGINT) AS nc
+        |  FROM daily GROUP BY event_type, c
+        |),
+        |cum AS (
+        |  SELECT event_type, c, nc,
+        |         sum(nc) OVER (PARTITION BY event_type ORDER BY c
+        |                       ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(nc) OVER (PARTITION BY event_type) AS m
+        |  FROM hist
+        |),
+        |cuts AS (
+        |  SELECT event_type,
+        |         min(CASE WHEN cum >= (m * 1 + 3) // 4 THEN c END) AS q1,
+        |         min(CASE WHEN cum >= (m * 2 + 3) // 4 THEN c END) AS q2,
+        |         min(CASE WHEN cum >= (m * 3 + 3) // 4 THEN c END) AS q3
+        |  FROM cum GROUP BY event_type
+        |),
+        |sym AS (
+        |  SELECT daily.event_type AS event_type, d,
+        |         CASE WHEN c <= q1 THEN 'a' WHEN c <= q2 THEN 'b'
+        |              WHEN c <= q3 THEN 'c' ELSE 'd' END AS s
+        |  FROM daily JOIN cuts ON daily.event_type = cuts.event_type
+        |),
+        |words AS (
+        |  SELECT event_type,
+        |         s || lead(s, 1) OVER (PARTITION BY event_type ORDER BY d)
+        |           || lead(s, 2) OVER (PARTITION BY event_type ORDER BY d)
+        |           AS motif
+        |  FROM sym
+        |)
+        |SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n_occ
+        |FROM words WHERE motif IS NOT NULL
+        |GROUP BY event_type, motif
+        |HAVING count(*) >= 2
+        |ORDER BY event_type, n_occ DESC, motif""".stripMargin,
 
     "q_growth_accounting" ->
       """WITH ud AS (

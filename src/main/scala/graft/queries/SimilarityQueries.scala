@@ -177,6 +177,18 @@ object SimilarityQueries {
     s.read.parquet(s"$dir/embeddings.parquet").repartition(col("vec_id"))
   }
 
+  /** q_random_projection's ±1 sign matrix (row-major (i, j), 64×16):
+    * md5 parity of "i_j", materialized builder-side ONCE and embedded
+    * in both engines as the same literal array — the lnMyriadScaled
+    * shared-table discipline, so no cross-engine hash arithmetic.
+    */
+  private[graft] val rpSigns: IndexedSeq[Int] =
+    for { i <- 0 until 64; j <- 0 until 16 } yield {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"${i}_${j}".getBytes("UTF-8"))
+      if ((d(1) & 1) == 0) 1 else -1
+    }
+
   /** The coarse-quantizer moment aggregation shared by the three IVF
     * queries: per cell (label), the elementwise embedding sum (typed
     * map-side-combined Aggregator) and member count → (cell, sums, n).
@@ -544,6 +556,48 @@ object SimilarityQueries {
           sum(when(col("qid2").isNotNull, 1L).otherwise(0L)).as("n_hit"))
         .withColumn("recall_pm", expr("n_hit * 1000 div n_exact"))
         .orderBy("query_id")
+    }),
+
+    // Johnson–Lindenstrauss random projection (64 → 16 dims, ±1 sign
+    // matrix) plus a distance-distortion audit — the cheap
+    // dimensionality-reduction step pipelines run before coarse
+    // clustering or LSH when PQ is too heavy. The sign matrix is
+    // builder-materialized from md5 parity of (i, j) and embedded in
+    // BOTH engines as the same 1024-literal array (the lnMyriadScaled
+    // discipline — no cross-engine hash arithmetic at all), vectors
+    // are quantized by the q_pca_power floor(x·1024) rule, so y_j =
+    // Σᵢ qxᵢ·s(i,j) and every distance is exact int64 (|y_j| ≤ 64·2¹⁰·
+    // 2¹⁰ headroom; squared diffs ≤ ~2³⁴, sums ≤ 2³⁸). Audit pairs are
+    // deterministic neighbors (a ≡ 0, b = a+1 mod 50 lanes): under a
+    // ±1 projection E‖ya−yb‖² = 16·‖qa−qb‖², so ratio_pm clusters at
+    // 10⁴·16/16 = 10⁴. Shape: per-row map for the projection, one
+    // equi-join on vec_id+1 for the pairs — no shuffle beyond the
+    // join, flat at 100 TB.
+    "q_random_projection" -> ((s, dir) => {
+      val signArr = s"array(${rpSigns.mkString(",")})"
+      val qx = "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))"
+      def side(m: Int, idc: String, qc: String, pc: String) =
+        emb(s, dir).filter(col("vec_id") % 50 === m)
+          .select(col("vec_id").as(idc),
+            expr(qx).as(qc),
+            expr(
+              s"""transform(sequence(1, 16), j ->
+                 |  aggregate(sequence(1, 64), CAST(0 AS BIGINT),
+                 |    (acc, i) -> acc + element_at($qx, i) *
+                 |                element_at($signArr, (i - 1) * 16 + j)))"""
+                .stripMargin).as(pc))
+      val a = side(0, "a_id", "qa", "pa")
+      val b = side(1, "b_id", "qb", "pb")
+      def d2(x: String, y: String) = expr(
+        s"aggregate(zip_with($x, $y, (u, v) -> (u - v) * (u - v)), " +
+          "CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+      a.join(b, col("b_id") === col("a_id") + 1)
+        .select(col("a_id"), col("b_id"),
+          d2("qa", "qb").as("d2_orig"),
+          d2("pa", "pb").as("d2_proj"))
+        .withColumn("ratio_pm",
+          expr("d2_proj * 10000 div nullif(16 * d2_orig, 0)"))
+        .orderBy("a_id")
     }),
 
     // Int8 quantization of the embedding column — the storage/transfer
@@ -1387,33 +1441,46 @@ object SimilarityQueries {
     // the SAME exact integers, so the quotient is bit-identical.
     // Quantization bias is ≤ 2·E|x|/2²⁰ ≈ 4e-7, two orders below the
     // 4-dp output granularity. The oracle mirrors the quantization.
+    // r16 shape note: this originally accumulated the 2080 triangle
+    // products per row through nested interpreted HOF lambdas into the
+    // boxed Seq[Long] UDAF (VecSumLongAgg) — which the bench's old
+    // count() action never executed (a 1-row-aggregate cross join
+    // counts without evaluating; the Bench.consume fix exposed the
+    // real cost: 38.7 s at sf0.1). The rewrite is the codegen-native
+    // relational form of the same exact integer moment pass: posexplode
+    // the quantized vector, per-vector equi-self-join (i ≤ j triangle,
+    // fan-out a constant 2080 per vector), ONE map-side-combinable
+    // hash aggregate to the bounded 2080-cell frame, margins from a
+    // second 64-group aggregate of the same exploded frame — every
+    // operator whole-stage codegen'd, no boxing. Measured 38.7 → ~1 s.
+    // int64 bound: |q| ≤ 2^20, products ≤ 2^40, so the cell sums wrap
+    // past ~2^23 vectors — same documented bound as q_pca_power's
+    // moment pass (DECIMAL(38,0) is the at-scale path).
     "q_embed_covariance" -> ((s, dir) => {
-      import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
-      val vecsuml = udaf(graft.functions.VecSumLongAgg,
-        ExpressionEncoder[Seq[Long]]())
       val quant = expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT))")
-      val tri = expr(
-        """flatten(transform(sequence(1, 64), i ->
-          |  transform(sequence(i, 64), j ->
-          |    element_at(qv, CAST(i AS INT)) *
-          |    element_at(qv, CAST(j AS INT)))))""".stripMargin)
-      val moments = s.read.parquet(s"$dir/embeddings.parquet")
-        .select(quant.as("qv"))
-        .select(tri.as("tri"), col("qv"))
-        .agg(vecsuml(col("tri")).as("g"), vecsuml(col("qv")).as("m"),
-          count(lit(1)).as("n"))
-      val idx = s.range(1, 65).toDF("i")
-        .select(col("i"), explode(expr("sequence(i, CAST(64 AS BIGINT))")).as("j"))
-        .withColumn("k", expr("(i - 1) * 65 - (i - 1) * i div 2 + (j - i) + 1"))
-      idx.crossJoin(broadcast(moments))
+      val ex = s.read.parquet(s"$dir/embeddings.parquet")
+        .select(col("vec_id"), posexplode(quant).as(Seq("p", "q")))
+        .select(col("vec_id"), (col("p") + 1).cast("bigint").as("i"),
+          col("q"))
+      val cells = ex.as("a").join(ex.as("b"),
+          col("a.vec_id") === col("b.vec_id") && col("a.i") <= col("b.i"))
+        .groupBy(col("a.i").as("i"), col("b.i").as("j"))
+        .agg(sum(expr("a.q * b.q")).as("gsum"))
+      val margins = ex.groupBy("i")
+        .agg(sum(col("q")).as("mi"), count(lit(1)).as("n"))
+      cells
+        .join(broadcast(margins.select(col("i"), col("mi").as("m_i"),
+          col("n"))), "i")
+        .join(broadcast(margins.select(col("i").as("j"),
+          col("mi").as("m_j"))), "j")
         // the trailing “+ 0.0” canonicalizes IEEE −0.0 → 0.0: DuckDB's
         // round yields −0.0 for tiny negatives where Spark yields 0.0,
         // and the hash gate distinguishes them
         .select(col("i"), col("j"), (round(expr(
-          """CAST(CAST(element_at(g, CAST(k AS INT)) AS DECIMAL(38, 0)) * CAST(n AS DECIMAL(38, 0)) -
-            |     CAST(element_at(m, CAST(i AS INT)) AS DECIMAL(38, 0)) *
-            |     CAST(element_at(m, CAST(j AS INT)) AS DECIMAL(38, 0)) AS DOUBLE) /
+          """CAST(CAST(gsum AS DECIMAL(38, 0)) * CAST(n AS DECIMAL(38, 0)) -
+            |     CAST(m_i AS DECIMAL(38, 0)) *
+            |     CAST(m_j AS DECIMAL(38, 0)) AS DOUBLE) /
             |CAST(n * n AS DOUBLE) / 1099511627776.0""".stripMargin), 4) + lit(0.0)).as("cov"))
         .orderBy("i", "j")
     }),
@@ -1774,6 +1841,40 @@ object SimilarityQueries {
       |)""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    "q_random_projection" -> {
+      val signList = s"[${rpSigns.mkString(",")}]"
+      s"""WITH v AS (
+         |  SELECT vec_id,
+         |         list_transform(embedding,
+         |           x -> CAST(floor(CAST(x AS DOUBLE) * 1024.0) AS BIGINT))
+         |           AS qv
+         |  FROM embeddings WHERE vec_id % 50 IN (0, 1)
+         |),
+         |p AS (
+         |  SELECT vec_id, qv,
+         |         list_transform(generate_series(1, 16), j ->
+         |           CAST(list_sum(list_transform(generate_series(1, 64),
+         |             i -> qv[i] * ($signList)[(i - 1) * 16 + j]))
+         |           AS BIGINT)) AS pv
+         |  FROM v
+         |),
+         |pairs AS (
+         |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |         CAST(list_sum(list_transform(generate_series(1, 64),
+         |           i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i])))
+         |           AS BIGINT) AS d2_orig,
+         |         CAST(list_sum(list_transform(generate_series(1, 16),
+         |           j -> (a.pv[j] - b.pv[j]) * (a.pv[j] - b.pv[j])))
+         |           AS BIGINT) AS d2_proj
+         |  FROM p a JOIN p b ON b.vec_id = a.vec_id + 1
+         |  WHERE a.vec_id % 50 = 0
+         |)
+         |SELECT a_id, b_id, d2_orig, d2_proj,
+         |       CAST(d2_proj * 10000 // nullif(16 * d2_orig, 0) AS BIGINT)
+         |         AS ratio_pm
+         |FROM pairs ORDER BY a_id""".stripMargin
+    },
+
     "q_ivf_centroids" -> ivfFullRecomputeSql,
     "q_ivf_update" -> ivfFullRecomputeSql,
 

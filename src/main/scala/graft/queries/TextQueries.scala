@@ -1572,30 +1572,37 @@ object TextQueries {
     // step that closes the model-based-filtering loop (score → gate →
     // measure against a trusted label). Truth here is the stopword-
     // density weak label (the q_budget_select quality signal); the
-    // prediction is q_classifier_score's gate verbatim. ONE corpus
-    // pass: the label is computed doc-side in the same projection that
-    // explodes the tokens, rides the (doc_id, truth) group key through
-    // the scoring aggregate (truth is functionally dependent on doc_id
-    // — the composite key costs nothing), and the 4-cell matrix plus
-    // all ratio metrics are a re-aggregation of the per-doc frame.
-    // Metrics are integer per-mille with nullif guards, so a degenerate
-    // corpus yields NULLs instead of an ANSI divide-by-zero.
+    // prediction is q_classifier_score's gate verbatim. The label is
+    // computed in its own NARROW per-doc projection and equi-joined
+    // back on doc_id (the q_calibration_bins r15 shape, applied here
+    // in r16): the earlier carried form — label in the same projection
+    // that explodes the tokens — re-evaluates the stopword HOF per
+    // exploded token row, a ~5× real cost (3.6 s vs 0.65 s at sf0.1)
+    // that the bench's old count() action MASKED for this query
+    // because a global-aggregate tail prunes to a constant under
+    // count() (the r15 Part-8 "two execution modes" mystery — see
+    // Bench.consume and ROUND16_NOTES). The 4-cell matrix plus all
+    // ratio metrics re-aggregate the per-doc frame. Metrics are
+    // integer per-mille with nullif guards, so a degenerate corpus
+    // yields NULLs instead of an ANSI divide-by-zero.
     "q_confusion_matrix" -> ((s, dir) => {
       val weights = s.range(256).select(col("id").as("bucket"),
         (col("id") * 37 % 201).as("w"))
-      val perDoc = s.read.parquet(s"$dir/documents.parquet")
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+      val truthDf = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"),
           expr("""CAST(size(filter(split(text, ' '),
             |  t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
             |div CAST(size(split(text, ' ')) AS BIGINT) >= 500""".stripMargin)
-            .as("truth"),
-          explode(split(col("text"), " ")).as("tok"))
-        .select(col("doc_id"), col("truth"), expr(
-          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
-          .as("bucket"))
-        .join(broadcast(weights), "bucket")
-        .groupBy("doc_id", "truth")
-        .agg(count(lit(1)).as("n_toks"), sum(col("w")).as("wsum"))
+            .as("truth"))
+      val perDoc = scored.join(truthDf, "doc_id")
         .withColumn("pred", expr("wsum * 10000 div n_toks") >= 1000000L)
       perDoc.agg(
           sum(when(col("truth") && col("pred"), 1L).otherwise(0L)).as("tp"),
@@ -1978,6 +1985,184 @@ object TextQueries {
         .agg(count(lit(1)).as("n_shared"))
         .filter(col("n_shared") >= 10)
         .orderBy("doc_a", "doc_b")
+    }),
+
+    // Winsorized length statistics per source — the outlier-robust
+    // scaling step a curation pipeline runs before length-based
+    // filtering or mixture budgeting: clamp each doc's token count at
+    // the source's EXACT rank-defined p05/p95 and report the clamped
+    // total/mean. The scale trick is the q_weighted_median /
+    // q_interval_concurrency discipline: the corpus is reduced FIRST
+    // by one map-combinable aggregate to the (source × token-count)
+    // VALUE HISTOGRAM — bounded by the token-count DOMAIN (≤ max doc
+    // length, 91 distinct values on this fixture), not by rows — and
+    // every rank computation, including the clamped sum (Σ c(v) ·
+    // clamp(v, lo, hi)), runs on that bounded frame; the raw docs are
+    // never revisited. Percentile-disc semantics: p_k = min v with
+    // cum(v) ≥ ceil(k·n), exact and engine-identical in integers.
+    "q_winsorize" -> ((s, dir) => {
+      val hist = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("v"))
+        .groupBy("source", "v").agg(count(lit(1)).as("c"))
+      // bounded frame from here down: |sources| x |distinct lengths|
+      val wCum = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("source")
+      val cuts = hist
+        .withColumn("cum", sum(col("c")).over(wCum))
+        .withColumn("n", sum(col("c")).over(wAll))
+        .withColumn("lo_rank", expr("(n * 5 + 99) div 100"))
+        .withColumn("hi_rank", expr("(n * 95 + 99) div 100"))
+        .groupBy("source")
+        .agg(max(col("n")).as("n_docs"),
+          min(when(col("cum") >= col("lo_rank"), col("v"))).as("p05_toks"),
+          min(when(col("cum") >= col("hi_rank"), col("v"))).as("p95_toks"))
+      hist.join(cuts, "source")
+        .groupBy(col("source"), col("n_docs"),
+          col("p05_toks"), col("p95_toks"))
+        .agg(sum(expr("c * greatest(least(v, p95_toks), p05_toks)"))
+          .as("win_total_toks"))
+        .withColumn("win_mean_c", expr("win_total_toks * 100 div n_docs"))
+        .select("source", "n_docs", "p05_toks", "p95_toks",
+          "win_total_toks", "win_mean_c")
+        .orderBy("source")
+    }),
+
+    // Interpolated Kneser–Ney bigram probabilities — the smoothing
+    // behind every count-based n-gram LM a data pipeline still ships
+    // (quality scoring, contamination LMs, tokenizer evaluation):
+    // P(w2|w1) = max(c12 − D, 0)/c1 + (D·r1(w1)/c1)·Pcont(w2), with
+    // the absolute discount D = n1/(n1 + 2n2) (Ney–Essen–Kneser) and
+    // the CONTINUATION probability Pcont(w2) = |{w1 : c12 > 0}| / |{
+    // distinct bigram types}| — the part that makes KN better than
+    // Katz (a word seen in many CONTEXTS, not often, carries the
+    // back-off mass). All integer per-myriad with the identical
+    // floor-division chain in both engines: p_kn_pm =
+    // max(c12·10⁴ − D_pm, 0) div c1 + ((D_pm·r1 div c1)·cont_pm)
+    // div 10⁴. Shape: ONE corpus tokenize+count to the bigram TYPE
+    // frame (map-side combinable; cached — four consumers, each
+    // otherwise a shuffle-bearing recompute), margins and corpus
+    // constants re-aggregate that frame, equi-joins on w1/w2 over
+    // type frames (sublinear in the corpus), broadcast 1-row consts.
+    "q_kn_smoothing" -> ((s, dir) => {
+      val bg = QueryCaches.cache(
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(expr(
+            """element_at(transform(array(split(text, ' ')), w ->
+              |  transform(slice(w, 1, greatest(size(w) - 1, 0)),
+              |    (x, i) -> struct(x AS w1, element_at(w, i + 2) AS w2))),
+              |1)""".stripMargin).as("bgs"))
+          .select(explode(col("bgs")).as("bg"))
+          .select(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12")))
+      val left = bg.groupBy("w1")
+        .agg(sum("c12").as("c1"), count(lit(1)).as("r1"))
+      val cont = bg.groupBy("w2").agg(count(lit(1)).as("nleft"))
+      val consts = bg.agg(
+        count(lit(1)).as("tt"),
+        sum(when(col("c12") === 1L, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("c12") === 2L, 1L).otherwise(0L)).as("n2"))
+        .withColumn("d_pm", expr("n1 * 10000 div (n1 + 2 * n2)"))
+      bg.filter(col("c12") >= 5L)
+        .join(left, "w1")
+        .join(cont, "w2")
+        .crossJoin(broadcast(consts))
+        .withColumn("cont_pm", expr("nleft * 10000 div tt"))
+        .withColumn("p_kn_pm", expr(
+          """greatest(c12 * 10000 - d_pm, 0) div c1
+            | + ((d_pm * r1 div c1) * cont_pm) div 10000""".stripMargin))
+        .select("w1", "w2", "c12", "p_kn_pm")
+        .orderBy("w1", "w2")
+    }),
+
+    // Deterministic Poisson-bootstrap confidence interval for the
+    // corpus mean token count — the uncertainty a curation report
+    // should attach to any sampled statistic. The classic driver-side
+    // resample is replaced by the DISTRIBUTED Poisson bootstrap
+    // (Chamandy et al.): each doc enters replica b with multiplicity
+    // drawn from Poisson(1), here realized as the md5-myriad hash of
+    // (doc_id, b) against the 10⁴-scaled Poisson CDF (3679/7358/9197/
+    // 9810 — the q_dp_noise discretization discipline), so both
+    // engines draw identical replicas and the numbers are
+    // re-derivable in a review. Shape: one explode by the CONSTANT
+    // B = 100 (linear, map-side combinable straight to ≤ B groups),
+    // one B-row frame for the order statistics — the global
+    // rank-5/rank-95 window runs on exactly 100 rows (constant,
+    // BoundedFrames-registered). Means are exact integer x100.
+    "q_bootstrap_ci" -> ((s, dir) => {
+      val reps = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("v"))
+        .select(col("doc_id"), col("v"),
+          explode(expr("sequence(0, 99)")).as("b"))
+        .withColumn("u", expr(
+          "CAST(conv(substring(md5(concat(doc_id, '_', b)), 1, 4), 16, 10) AS BIGINT) % 10000"))
+        .withColumn("m", expr(
+          """CASE WHEN u < 3679 THEN 0 WHEN u < 7358 THEN 1
+            |     WHEN u < 9197 THEN 2 WHEN u < 9810 THEN 3
+            |     ELSE 4 END""".stripMargin))
+        .groupBy("b")
+        .agg(sum(expr("m * v")).as("wsum"), sum(col("m")).as("wn"))
+        .withColumn("mean_x100", expr("wsum * 100 div nullif(wn, 0)"))
+      val ranked = reps.withColumn("rk",
+        row_number().over(Window.orderBy(col("mean_x100"), col("b"))))
+      val point = s.read.parquet(s"$dir/documents.parquet")
+        .agg(expr("sum(CAST(size(split(text, ' ')) AS BIGINT)) * 100 div count(1)")
+          .as("point_x100"), count(lit(1)).as("n_docs"))
+      ranked.agg(
+          min(when(col("rk") === 5L, col("mean_x100"))).as("lo_x100"),
+          min(when(col("rk") === 95L, col("mean_x100"))).as("hi_x100"))
+        .crossJoin(broadcast(point))
+        .select("n_docs", "point_x100", "lo_x100", "hi_x100")
+    }),
+
+    // Rank-biased overlap (Webber et al. 2010) between two retrieval
+    // rankings — the top-weighted eval that compares ranked lists a
+    // retrieval pipeline A/Bs (here raw term frequency vs
+    // length-normalized density, per probe term): RBO_p =
+    // (1−p) Σ_d p^{d−1}·|A_d ∩ B_d|/d, p = 0.9, truncated at k = 10.
+    // Integer end-to-end via builder-materialized tables both engines
+    // consume as identical literals (the lnMyriadScaled discipline):
+    // pw(d) = round(0.9^{d−1}·10¹²) and its per-depth suffix sums
+    // sfx(m) = Σ_{d=m..10} pw(d) div d — a doc first co-present at
+    // depth m = max(rankA, rankB) contributes sfx(m), so the whole
+    // sum needs only ONE join of the two ≤10-row-per-term top lists.
+    // Scale shape: the per-term top-10s come from rank-limited
+    // windows (WindowGroupLimit — partial top-k map-side, reducers
+    // see ≤ k·tasks rows), the doc-length normalizer is the narrow
+    // per-doc join (the q_confusion_matrix r16 lesson), and
+    // everything after the top-k is ≤ 10·|terms| rows.
+    "q_rank_biased_overlap" -> ((s, dir) => {
+      val terms = Seq("the", "a", "of", "and", "in")
+      val pw = (1 to 10).map(d =>
+        math.round(StrictMath.pow(0.9, d - 1) * 1e12))
+      val sfx = (1 to 10).map(m => (m to 10).map(d => pw(d - 1) / d).sum)
+      val lens = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("n_toks"))
+      val tf = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .filter(col("tok").isin(terms: _*))
+        .groupBy("tok", "doc_id").agg(count(lit(1)).as("tf"))
+        .join(lens, "doc_id")
+        .withColumn("density_pm", expr("tf * 10000 div n_toks"))
+        .transform(QueryCaches.cache(_)) // two rank-limited consumers
+      def topk(order: org.apache.spark.sql.Column, rc: String) =
+        tf.withColumn(rc, row_number().over(
+            Window.partitionBy("tok").orderBy(order, col("doc_id"))))
+          .filter(col(rc) <= 10)
+          .select(col("tok"), col("doc_id"), col(rc))
+      val ra = topk(col("tf").desc, "ra")
+      val rb = topk(col("density_pm").desc, "rb")
+      ra.join(rb, Seq("tok", "doc_id"))
+        .withColumn("sfx", element_at(
+          array(sfx.map(lit): _*),
+          expr("CAST(greatest(ra, rb) AS INT)")))
+        .groupBy(col("tok").as("term"))
+        .agg(count(lit(1)).as("n_common"),
+          expr("sum(sfx) div 10").as("rbo_p12"))
+        .orderBy("term")
     }),
 
     // Good–Turing frequency smoothing — the count-of-counts estimator
@@ -3328,6 +3513,158 @@ object TextQueries {
         |       regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
         |                      '[+][0-9]{2}-[0-9]{2}-[0-9]{7}', '[PHONE]', 'g') AS redacted
         |FROM raws ORDER BY o_orderkey""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH hist AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM documents GROUP BY source, 2
+        |),
+        |cum AS (
+        |  SELECT source, v, c,
+        |         sum(c) OVER (PARTITION BY source ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS cum,
+        |         sum(c) OVER (PARTITION BY source) AS n
+        |  FROM hist
+        |),
+        |cuts AS (
+        |  SELECT source, CAST(max(n) AS BIGINT) AS n_docs,
+        |         min(CASE WHEN cum >= (n * 5 + 99) // 100 THEN v END) AS p05_toks,
+        |         min(CASE WHEN cum >= (n * 95 + 99) // 100 THEN v END) AS p95_toks
+        |  FROM cum GROUP BY source
+        |),
+        |win AS (
+        |  SELECT h.source AS source, n_docs, p05_toks, p95_toks,
+        |         CAST(sum(c * greatest(least(v, p95_toks), p05_toks))
+        |              AS BIGINT) AS win_total_toks
+        |  FROM hist h JOIN cuts USING (source)
+        |  GROUP BY h.source, n_docs, p05_toks, p95_toks
+        |)
+        |SELECT source, n_docs, p05_toks, p95_toks, win_total_toks,
+        |       CAST(win_total_toks * 100 // n_docs AS BIGINT) AS win_mean_c
+        |FROM win ORDER BY source""".stripMargin,
+
+    "q_kn_smoothing" ->
+      """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12
+        |  FROM (SELECT ws[u.i] AS w1, ws[u.i + 1] AS w2
+        |        FROM w, unnest(generate_series(1, greatest(len(ws) - 1, 0))) u(i))
+        |  GROUP BY w1, w2
+        |),
+        |lft AS (
+        |  SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+        |         CAST(count(*) AS BIGINT) AS r1
+        |  FROM bg GROUP BY w1
+        |),
+        |cont AS (
+        |  SELECT w2, CAST(count(*) AS BIGINT) AS nleft FROM bg GROUP BY w2
+        |),
+        |consts AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS tt,
+        |         CAST(sum(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |         CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
+        |  FROM bg
+        |),
+        |d AS (SELECT tt, n1 * 10000 // (n1 + 2 * n2) AS d_pm FROM consts)
+        |SELECT bg.w1 AS w1, bg.w2 AS w2, c12,
+        |       CAST(greatest(c12 * 10000 - d_pm, 0) // c1
+        |            + ((d_pm * r1 // c1) * (nleft * 10000 // tt)) // 10000
+        |            AS BIGINT) AS p_kn_pm
+        |FROM bg JOIN lft ON bg.w1 = lft.w1
+        |        JOIN cont ON bg.w2 = cont.w2
+        |        CROSS JOIN d
+        |WHERE c12 >= 5
+        |ORDER BY w1, w2""".stripMargin,
+
+    "q_rank_biased_overlap" -> {
+      val pw = (1 to 10).map(d =>
+        math.round(StrictMath.pow(0.9, d - 1) * 1e12))
+      val sfx = (1 to 10).map(m => (m to 10).map(d => pw(d - 1) / d).sum)
+      val sfxCase = (1 to 10)
+        .map(m => s"WHEN ${m} THEN ${sfx(m - 1)}").mkString(" ")
+      s"""WITH lens AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT)
+         |           AS n_toks
+         |  FROM documents
+         |),
+         |tf AS (
+         |  SELECT t.tok AS tok, d.doc_id AS doc_id,
+         |         CAST(count(*) AS BIGINT) AS tf
+         |  FROM documents d, unnest(string_split(d.text, ' ')) t(tok)
+         |  WHERE t.tok IN ('the','a','of','and','in')
+         |  GROUP BY t.tok, d.doc_id
+         |),
+         |scored AS (
+         |  SELECT tok, tf.doc_id AS doc_id, tf,
+         |         tf * 10000 // n_toks AS density_pm
+         |  FROM tf JOIN lens ON tf.doc_id = lens.doc_id
+         |),
+         |ra AS (
+         |  SELECT tok, doc_id, rk AS ra FROM (
+         |    SELECT tok, doc_id, row_number() OVER (
+         |      PARTITION BY tok ORDER BY tf DESC, doc_id) AS rk
+         |    FROM scored) WHERE rk <= 10
+         |),
+         |rb AS (
+         |  SELECT tok, doc_id, rk AS rb FROM (
+         |    SELECT tok, doc_id, row_number() OVER (
+         |      PARTITION BY tok ORDER BY density_pm DESC, doc_id) AS rk
+         |    FROM scored) WHERE rk <= 10
+         |)
+         |SELECT ra.tok AS term, CAST(count(*) AS BIGINT) AS n_common,
+         |       CAST(sum(CASE greatest(ra, rb) $sfxCase END) // 10
+         |            AS BIGINT) AS rbo_p12
+         |FROM ra JOIN rb ON ra.tok = rb.tok AND ra.doc_id = rb.doc_id
+         |GROUP BY ra.tok ORDER BY term""".stripMargin
+    },
+
+    "q_bootstrap_ci" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      def md5c(i: Int) =
+        hv(s"substr(md5(doc_id || '_' || g.b), $i, 1)")
+      val u = s"((${md5c(1)} * 4096 + ${md5c(2)} * 256 + ${md5c(3)} * 16 + ${md5c(4)}) % 10000)"
+      s"""WITH docs AS (
+         |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+         |  FROM documents
+         |),
+         |drawn AS (
+         |  SELECT v, g.b AS b,
+         |         CASE WHEN $u < 3679 THEN 0 WHEN $u < 7358 THEN 1
+         |              WHEN $u < 9197 THEN 2 WHEN $u < 9810 THEN 3
+         |              ELSE 4 END AS m
+         |  FROM docs, unnest(generate_series(0, 99)) g(b)
+         |),
+         |reps AS (
+         |  SELECT b, CAST(sum(m * v) AS BIGINT) AS wsum,
+         |         CAST(sum(m) AS BIGINT) AS wn
+         |  FROM drawn GROUP BY b
+         |),
+         |ranked AS (
+         |  SELECT wsum * 100 // nullif(wn, 0) AS mean_x100,
+         |         row_number() OVER (ORDER BY wsum * 100 // nullif(wn, 0), b)
+         |           AS rk
+         |  FROM reps
+         |),
+         |ci AS (
+         |  SELECT CAST(min(CASE WHEN rk = 5 THEN mean_x100 END) AS BIGINT)
+         |           AS lo_x100,
+         |         CAST(min(CASE WHEN rk = 95 THEN mean_x100 END) AS BIGINT)
+         |           AS hi_x100
+         |  FROM ranked
+         |),
+         |pt AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(v) * 100 // count(*) AS BIGINT) AS point_x100
+         |  FROM docs
+         |)
+         |SELECT n_docs, point_x100, lo_x100, hi_x100
+         |FROM ci CROSS JOIN pt""".stripMargin
+    },
 
     "q_good_turing" ->
       """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),

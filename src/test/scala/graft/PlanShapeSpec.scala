@@ -654,14 +654,19 @@ class PlanShapeSpec extends SparkSpecBase {
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
-  test("q_embed_covariance: one typed-Aggregator reduce, broadcast index unflatten") {
+  test("q_embed_covariance: codegen triangle self-join + hash aggregate, " +
+      "no boxed Aggregator (r16)") {
     val p = plan("q_embed_covariance", graft.queries.SimilarityQueries.queries)
-    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
-      s"the gram reduce must be the typed Aggregator:\n$p")
+    // the r16 rewrite: posexplode + per-vector equi-self-join + ONE
+    // map-combinable hash aggregate to the 2080-cell frame — the boxed
+    // Seq[Long] Aggregator (ObjectHashAggregate) cost 38.7 s of
+    // interpreted-lambda work that the old count() consume had hidden
+    assert(!p.contains("ObjectHashAggregate"),
+      s"the gram reduce must be a codegen hash aggregate, not the boxed Aggregator:\n$p")
+    assert(p.contains("HashAggregate") && p.contains("partial_sum"),
+      s"cell sums must combine map-side:\n$p")
     assert(!p.contains("CartesianProduct"),
-      s"the 1-row moments must broadcast onto the index table:\n$p")
-    val exploded = "Generate explode".r.findAllIn(p).length
-    assert(exploded <= 1, s"only the 2080-row index explode is allowed, got $exploded:\n$p")
+      s"margins must broadcast onto the cell frame:\n$p")
     graft.queries.QueryCaches.releaseAll(spark)
   }
 
