@@ -2059,11 +2059,19 @@ object TextQueries {
       val left = bg.groupBy("w1")
         .agg(sum("c12").as("c1"), count(lit(1)).as("r1"))
       val cont = bg.groupBy("w2").agg(count(lit(1)).as("nleft"))
+      // Discount guard: on this fixture's CLOSED ~31-token vocabulary
+      // the count-1/count-2 bigram bands EMPTY as the corpus grows (at
+      // sf0.1 every bigram type has c12 ≥ 3 — the same degeneracy that
+      // pushed q_good_turing to trigrams), leaving n1/(n1+2n2)
+      // undefined; the literature default D = 0.75 (7500 pm) applies
+      // when the count-of-counts estimate is unavailable. nullif +
+      // coalesce keeps both engines on the identical arithmetic.
       val consts = bg.agg(
         count(lit(1)).as("tt"),
         sum(when(col("c12") === 1L, 1L).otherwise(0L)).as("n1"),
         sum(when(col("c12") === 2L, 1L).otherwise(0L)).as("n2"))
-        .withColumn("d_pm", expr("n1 * 10000 div (n1 + 2 * n2)"))
+        .withColumn("d_pm",
+          expr("coalesce(n1 * 10000 div nullif(n1 + 2 * n2, 0), 7500)"))
       bg.filter(col("c12") >= 5L)
         .join(left, "w1")
         .join(cont, "w2")
@@ -3566,7 +3574,9 @@ object TextQueries {
         |         CAST(sum(CASE WHEN c12 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2
         |  FROM bg
         |),
-        |d AS (SELECT tt, n1 * 10000 // (n1 + 2 * n2) AS d_pm FROM consts)
+        |d AS (SELECT tt,
+        |        coalesce(n1 * 10000 // nullif(n1 + 2 * n2, 0), 7500) AS d_pm
+        |      FROM consts)
         |SELECT bg.w1 AS w1, bg.w2 AS w2, c12,
         |       CAST(greatest(c12 * 10000 - d_pm, 0) // c1
         |            + ((d_pm * r1 // c1) * (nleft * 10000 // tt)) // 10000

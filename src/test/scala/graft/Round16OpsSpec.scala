@@ -51,7 +51,7 @@ class Round16OpsSpec extends SparkSpecBase {
     val tt = bg.size.toLong
     val n1 = bg.values.count(_ == 1L).toLong
     val n2 = bg.values.count(_ == 2L).toLong
-    val dPm = n1 * 10000 / (n1 + 2 * n2)
+    val dPm = if (n1 + 2 * n2 == 0) 7500L else n1 * 10000 / (n1 + 2 * n2)
     val got = TextQueries.queries("q_kn_smoothing")(spark, sf).collect()
     assert(got.nonEmpty)
     val expected = bg.filter(_._2 >= 5)
