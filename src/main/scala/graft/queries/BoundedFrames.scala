@@ -21,6 +21,8 @@ package graft.queries
 object BoundedFrames {
 
   val globalWindowJustified: Map[String, String] = Map(
+    "q_decile_lift" ->
+      "cumulative capture/lift over the constant 10-row decile frame (ranks themselves come from RankOps, no global sort)",
     "q_bootstrap_ci" ->
       "rank-5/rank-95 order statistics over the B = 100 replica-mean frame — B is a plan constant",
     "q_apportionment" ->

@@ -519,6 +519,41 @@ object EventQueries {
         .orderBy(col("event_type"), col("n_occ").desc, col("motif"))
     }),
 
+    // Per-state transition entropy of the user event chain — the
+    // behavioral-diversity number next to q_event_transitions' raw
+    // counts: how predictable is the next event GIVEN the current one
+    // (low entropy = funnel-like flows; a sudden rise flags bot
+    // traffic or instrumentation drift). Transition probabilities are
+    // floored to per-myriad ints and −ln comes from the shared
+    // builder-side [[TextQueries.lnMyriadScaled]] table — the
+    // q_mutual_info discipline, so H = Σ p·(−ln p) hash-matches to
+    // the digit and a p that floors to 0 contributes exactly 0 (the
+    // limit value) with no special-casing. Shape: one user-bounded
+    // lead window (the q_event_transitions exchange), one corpus
+    // aggregate to the bounded |types|² transition frame, broadcast
+    // table lookups — flat at 100 TB.
+    "q_transition_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val lntab = broadcast(TextQueries.lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => (h.toLong, l) }.toDF("h", "ln_p12"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val trans = ev(s, dir)
+        .withColumn("et_to", lead(col("event_type"), 1).over(w))
+        .filter(col("et_to").isNotNull)
+        .groupBy(col("event_type").as("et_from"), col("et_to"))
+        .agg(count(lit(1)).as("c"))
+      val margins = trans.groupBy("et_from").agg(sum("c").as("c_from"))
+      trans.join(margins, "et_from")
+        .withColumn("p_pm", expr("least(c * 10000 div c_from, 9999)"))
+        .join(lntab.select(col("h").as("p_pm"), col("ln_p12")), Seq("p_pm"))
+        .groupBy("et_from")
+        .agg(max(col("c_from")).as("n_out"),
+          count(lit(1)).as("n_targets"),
+          expr("sum(p_pm * ln_p12) div 10000").as("entropy_p12"))
+        .orderBy("et_from")
+    }),
+
     // Rolling 7-day median of the daily count series per type — the
     // robust-baseline smoother behind volume anomaly banding (median
     // shrugs off the single-day spikes that wreck a rolling mean).
@@ -1721,6 +1756,37 @@ object EventQueries {
         |SELECT event_type, lag_k, num, den,
         |       round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 4) AS acf
         |FROM up ORDER BY event_type, lag_k""".stripMargin,
+
+    "q_transition_entropy" -> {
+      // the same builder-side integers the Spark query broadcasts
+      val vals = TextQueries.lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => s"($h,$l)" }.mkString(",")
+      s"""WITH lntab(h, ln_p12) AS (VALUES $vals),
+         |tr AS (
+         |  SELECT event_type AS et_from,
+         |         lead(event_type, 1) OVER (PARTITION BY user_id
+         |                                   ORDER BY ts, event_id) AS et_to
+         |  FROM events
+         |),
+         |tc AS (
+         |  SELECT et_from, et_to, CAST(count(*) AS BIGINT) AS c
+         |  FROM tr WHERE et_to IS NOT NULL GROUP BY et_from, et_to
+         |),
+         |m AS (
+         |  SELECT et_from, CAST(sum(c) AS BIGINT) AS c_from
+         |  FROM tc GROUP BY et_from
+         |),
+         |p AS (
+         |  SELECT tc.et_from AS et_from, c_from,
+         |         least(c * 10000 // c_from, 9999) AS p_pm
+         |  FROM tc JOIN m ON tc.et_from = m.et_from
+         |)
+         |SELECT et_from, CAST(max(c_from) AS BIGINT) AS n_out,
+         |       CAST(count(*) AS BIGINT) AS n_targets,
+         |       CAST(sum(p_pm * ln_p12) // 10000 AS BIGINT) AS entropy_p12
+         |FROM p JOIN lntab ON p_pm = h
+         |GROUP BY et_from ORDER BY et_from""".stripMargin
+    },
 
     "q_sax_motifs" ->
       """WITH daily AS (

@@ -2264,6 +2264,96 @@ object TextQueries {
         .orderBy("bin")
     }),
 
+    // Decile lift / gains table for the quality classifier — the
+    // ranking-eval a filtering pipeline reads before picking a budget
+    // cutoff ("the top 20% of docs by score capture X% of the good
+    // ones"). Docs are ranked by score via the r16 exact distributed
+    // rank ([[RankOps.withGlobalRank]] — no single-task ntile window;
+    // the second production consumer of the q_rfm primitive) and
+    // bucketed with the closed-form ntile(10); per decile: doc count,
+    // positives under the stopword weak label (the q_confusion_matrix
+    // narrow-join shape), then cumulative capture and lift on the
+    // CONSTANT 10-row decile frame (BoundedFrames-registered global
+    // window). lift_x100 multiplies cum_pos·n_all·100 — int64-safe to
+    // ~3e8 docs, past which the pair goes DECIMAL(38,0).
+    "q_decile_lift" -> ((s, dir) => {
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (col("id") * 37 % 201).as("w"))
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(expr("sum(w) * 10000 div count(1)").as("score_pm"))
+      val truthDf = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("""CAST(size(filter(split(text, ' '),
+            |  t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+            |div CAST(size(split(text, ' ')) AS BIGINT) >= 500""".stripMargin)
+            .as("truth"))
+      val base = scored.join(truthDf, "doc_id")
+      val anchor = base.agg(count(lit(1)).as("n_all"),
+        sum(when(col("truth"), 1L).otherwise(0L)).as("pos_all"))
+      val ranked = RankOps.withGlobalRank(
+        base.crossJoin(broadcast(anchor)), "_rk", 32)(
+        col("score_pm").desc, col("doc_id").asc)
+      val dec = ranked
+        .withColumn("decile", RankOps.ntileFromRank("_rk", "n_all", 10))
+        .groupBy("decile")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"),
+          max(col("n_all")).as("n_all"), max(col("pos_all")).as("pos_all"))
+      val wCum = Window.orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec
+        .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
+        .withColumn("cum_n", sum(col("n_docs")).over(wCum))
+        .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_pos"),
+          expr("cum_pos * 10000 div pos_all").as("capture_pm"),
+          expr("cum_pos * n_all * 100 div (cum_n * pos_all)").as("lift_x100"))
+        .orderBy("decile")
+    }),
+
+    // Exact AUC of the quality classifier against the weak label — the
+    // threshold-free ranking metric, by the Mann–Whitney rank identity
+    // AUC = (Σ_{positives} rank − n⁺(n⁺+1)/2) / (n⁺·n⁻), where rank is
+    // the ascending position by score. The rank is the r16 exact
+    // distributed rank (no single-task window); score ties break by
+    // doc_id — the DETERMINISTIC-tie convention this repo's gates
+    // need, documented as a deviation from midrank AUC (both engines
+    // apply the identical total order, so the value is reproducible;
+    // midranks would need a second per-score aggregate). Integer
+    // bound: the numerator ≤ n⁺·n⁻ and ×10⁴ stays in int64 to ~3e7
+    // docs; past that the division pair goes DECIMAL(38,0).
+    "q_auc" -> ((s, dir) => {
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (col("id") * 37 % 201).as("w"))
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(expr("sum(w) * 10000 div count(1)").as("score_pm"))
+      val truthDf = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          expr("""CAST(size(filter(split(text, ' '),
+            |  t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+            |div CAST(size(split(text, ' ')) AS BIGINT) >= 500""".stripMargin)
+            .as("truth"))
+      RankOps.withGlobalRank(scored.join(truthDf, "doc_id"), "_rk", 32)(
+          col("score_pm").asc, col("doc_id").asc)
+        .agg(sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"),
+          sum(when(!col("truth"), 1L).otherwise(0L)).as("n_neg"),
+          sum(when(col("truth"), col("_rk")).otherwise(0L)).as("rk_pos"))
+        .select(col("n_pos"), col("n_neg"),
+          expr("""(rk_pos - n_pos * (n_pos + 1) div 2) * 10000
+                 | div (n_pos * n_neg)""".stripMargin).as("auc_pm"))
+    }),
+
     // Laplace-noised aggregate release — the differential-privacy
     // MECHANISM (inverse-CDF Laplace: noise = −b·sgn(u−½)·ln(1−2|u−½|))
     // applied to per-source doc counts, in the REPRODUCIBLE form a
@@ -3521,6 +3611,115 @@ object TextQueries {
         |       regexp_replace(regexp_replace(raw, '[a-z0-9]+@[a-z0-9.]+[a-z]', '[EMAIL]', 'g'),
         |                      '[+][0-9]{2}-[0-9]{2}-[0-9]{7}', '[PHONE]', 'g') AS redacted
         |FROM raws ORDER BY o_orderkey""".stripMargin,
+
+    "q_decile_lift" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val bucket = s"(${hv("substr(md5(t.tok), 3, 1)")} * 16 + " +
+        s"${hv("substr(md5(t.tok), 4, 1)")})"
+      s"""WITH wts AS (
+         |  SELECT i AS bucket, (i * 37) % 201 AS w
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
+         |),
+         |bk AS (
+         |  SELECT doc_id, $bucket AS bucket
+         |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(w) * 10000 // count(*) AS BIGINT) AS score_pm
+         |  FROM bk JOIN wts USING (bucket) GROUP BY doc_id
+         |),
+         |lbl AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+         |           // CAST(len(string_split(text, ' ')) AS BIGINT) >= 500 AS truth
+         |  FROM documents
+         |),
+         |base AS (
+         |  SELECT sc.doc_id AS doc_id, score_pm, truth
+         |  FROM sc JOIN lbl ON sc.doc_id = lbl.doc_id
+         |),
+         |tot AS (
+         |  SELECT CAST(count(*) AS BIGINT) AS n_all,
+         |         CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS pos_all
+         |  FROM base
+         |),
+         |rk AS (
+         |  SELECT truth, CAST(ntile(10) OVER (ORDER BY score_pm DESC, doc_id)
+         |           AS BIGINT) AS decile
+         |  FROM base
+         |),
+         |dec AS (
+         |  SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+         |         CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_pos
+         |  FROM rk GROUP BY decile
+         |),
+         |cm AS (
+         |  SELECT decile, n_docs, n_pos,
+         |         sum(n_pos) OVER (ORDER BY decile
+         |                          ROWS UNBOUNDED PRECEDING) AS cum_pos,
+         |         sum(n_docs) OVER (ORDER BY decile
+         |                           ROWS UNBOUNDED PRECEDING) AS cum_n
+         |  FROM dec
+         |)
+         |SELECT decile, n_docs, n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
+         |       CAST(cum_pos * 10000 // pos_all AS BIGINT) AS capture_pm,
+         |       CAST(cum_pos * n_all * 100 // (cum_n * pos_all) AS BIGINT)
+         |         AS lift_x100
+         |FROM cm CROSS JOIN tot ORDER BY decile""".stripMargin
+    },
+
+    "q_auc" -> {
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val bucket = s"(${hv("substr(md5(t.tok), 3, 1)")} * 16 + " +
+        s"${hv("substr(md5(t.tok), 4, 1)")})"
+      s"""WITH wts AS (
+         |  SELECT i AS bucket, (i * 37) % 201 AS w
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
+         |),
+         |bk AS (
+         |  SELECT doc_id, $bucket AS bucket
+         |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(w) * 10000 // count(*) AS BIGINT) AS score_pm
+         |  FROM bk JOIN wts USING (bucket) GROUP BY doc_id
+         |),
+         |lbl AS (
+         |  SELECT doc_id,
+         |         CAST(len(list_filter(string_split(text, ' '),
+         |           t -> t IN ('the','a','of','and','in'))) AS BIGINT) * 10000
+         |           // CAST(len(string_split(text, ' ')) AS BIGINT) >= 500 AS truth
+         |  FROM documents
+         |),
+         |rk AS (
+         |  SELECT truth,
+         |         CAST(row_number() OVER (ORDER BY score_pm ASC, sc.doc_id ASC)
+         |           AS BIGINT) AS r
+         |  FROM sc JOIN lbl ON sc.doc_id = lbl.doc_id
+         |)
+         |SELECT CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |       CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_neg,
+         |       CAST((sum(CASE WHEN truth THEN r ELSE 0 END)
+         |             - sum(CASE WHEN truth THEN 1 ELSE 0 END)
+         |               * (sum(CASE WHEN truth THEN 1 ELSE 0 END) + 1) // 2)
+         |            * 10000
+         |            // (sum(CASE WHEN truth THEN 1 ELSE 0 END)
+         |               * sum(CASE WHEN NOT truth THEN 1 ELSE 0 END))
+         |            AS BIGINT) AS auc_pm
+         |FROM rk""".stripMargin
+    },
 
     "q_winsorize" ->
       """WITH hist AS (
