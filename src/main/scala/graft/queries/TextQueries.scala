@@ -2173,6 +2173,107 @@ object TextQueries {
         .orderBy("term")
     }),
 
+    // Exact two-sample Kolmogorov–Smirnov distance, each source vs
+    // the whole corpus, over the doc token-length distribution — the
+    // distribution-drift test a curation pipeline runs per crawl
+    // slice ("did src7's length profile move?"). All integer: both
+    // CDFs are evaluated on the shared bounded VALUE GRID (distinct
+    // token counts — the q_winsorize histogram discipline), and the
+    // sup statistic compares cross-multiplied step heights
+    // |cum_s·n_all − cum_all·n_s| so no division happens until the
+    // final per-myriad report. The grid is |sources| × |distinct
+    // lengths| — bounded by the length DOMAIN, not the corpus — so
+    // everything after one corpus aggregate is flat at 100 TB.
+    // argmax_v is the smallest v attaining the sup (deterministic).
+    "q_ks_test" -> ((s, dir) => {
+      val lens = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"),
+          expr("CAST(size(split(text, ' ')) AS BIGINT)").as("v"))
+      val hist = lens.groupBy("source", "v").agg(count(lit(1)).as("c"))
+        .transform(QueryCaches.cache(_)) // grid + corpus margins
+      val vals = hist.select("v").distinct()
+      val srcs = hist.groupBy("source").agg(sum("c").as("n_s"))
+      val corpus = hist.groupBy("v").agg(sum("c").as("c_all"))
+      val grid = srcs.crossJoin(vals) // bounded: |sources| x |lengths|
+        .join(hist, Seq("source", "v"), "left_outer")
+        .join(corpus, "v")
+        .withColumn("c", coalesce(col("c"), lit(0L)))
+      val wCum = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val nAll = hist.agg(sum("c").as("n_all"))
+      val stepped = grid
+        .withColumn("cum_s", sum(col("c")).over(wCum))
+        .withColumn("cum_all", sum(col("c_all")).over(wCum))
+        .crossJoin(broadcast(nAll))
+        .withColumn("diff",
+          abs(col("cum_s") * col("n_all") - col("cum_all") * col("n_s")))
+      val wSrc = Window.partitionBy("source")
+      stepped
+        .withColumn("d_raw", max(col("diff")).over(wSrc))
+        .filter(col("diff") === col("d_raw"))
+        .groupBy(col("source"), col("n_s").as("n_src"), col("d_raw"),
+          col("n_all"))
+        .agg(min(col("v")).as("argmax_v"))
+        .select(col("source"), col("n_src"), col("argmax_v"),
+          expr("d_raw * 10000 div (n_src * n_all)").as("d_pm"))
+        .orderBy("source")
+    }),
+
+    // Population stability index of the classifier-score distribution
+    // between the base corpus and the deterministic recrawl slice
+    // (doc_id % 4 = 0) — the score-drift monitor that decides when a
+    // model-based filter needs recalibration. Fixed 10-bin grid (the
+    // q_calibration_bins bands, so the two diagrams share axes);
+    // per-myriad bin rates clamped to ≥ 1 (the standard PSI epsilon —
+    // an empty bin otherwise makes the index infinite); ln from the
+    // shared builder-side table, so contrib_p16 =
+    // (p_pm − q_pm)·(L(q_pm) − L(p_pm)) is exact, non-negative by
+    // construction (L is decreasing), and hash-stable. Shape: one
+    // corpus scoring pass (the q_classifier_score join), one 10-cell
+    // aggregate per side, broadcast table lookups — flat at 100 TB.
+    "q_psi" -> ((s, dir) => {
+      import s.implicits._
+      val lntab = broadcast(lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => (h.toLong, l) }.toDF("h", "ln_p12"))
+      val weights = s.range(256).select(col("id").as("bucket"),
+        (col("id") * 37 % 201).as("w"))
+      val scored = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), expr(
+          "CAST(conv(substring(md5(tok), 1, 4), 16, 10) AS BIGINT) % 256")
+          .as("bucket"))
+        .join(broadcast(weights), "bucket")
+        .groupBy("doc_id")
+        .agg(expr("sum(w) * 10000 div count(1)").as("score_pm"))
+        .withColumn("bin", expr("least(score_pm div 200000, 9)"))
+        .transform(QueryCaches.cache(_)) // both sides re-aggregate it
+      def side(df: DataFrame, rate: String) = {
+        val cnts = df.groupBy("bin").agg(count(lit(1)).as("nb"))
+        cnts.crossJoin(broadcast(cnts.agg(sum("nb").as("n"))))
+          .select(col("bin"),
+            expr("greatest(least(nb * 10000 div n, 9999), 1)").as(rate))
+      }
+      val base = side(scored, "base_pm")
+      val cur = side(scored.filter(col("doc_id") % 4 === 0), "cur_pm")
+      val bins = s.range(10).select(col("id").as("bin"))
+      val perBin = bins
+        .join(base, Seq("bin"), "left_outer")
+        .join(cur, Seq("bin"), "left_outer")
+        .withColumn("base_pm", coalesce(col("base_pm"), lit(1L)))
+        .withColumn("cur_pm", coalesce(col("cur_pm"), lit(1L)))
+        .join(lntab.select(col("h").as("base_pm"),
+          col("ln_p12").as("l_base")), Seq("base_pm"))
+        .join(lntab.select(col("h").as("cur_pm"),
+          col("ln_p12").as("l_cur")), Seq("cur_pm"))
+        .withColumn("contrib_p16",
+          expr("(base_pm - cur_pm) * (l_cur - l_base)"))
+      perBin
+        .crossJoin(broadcast(
+          perBin.agg(sum(col("contrib_p16")).as("psi_p16"))))
+        .select("bin", "base_pm", "cur_pm", "contrib_p16", "psi_p16")
+        .orderBy("bin")
+    }),
+
     // Good–Turing frequency smoothing — the count-of-counts estimator
     // every n-gram LM leans on: how much probability mass belongs to
     // UNSEEN events, and what an observed count r is really worth
@@ -3719,6 +3820,110 @@ object TextQueries {
          |               * sum(CASE WHEN NOT truth THEN 1 ELSE 0 END))
          |            AS BIGINT) AS auc_pm
          |FROM rk""".stripMargin
+    },
+
+    "q_ks_test" ->
+      """WITH lens AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents
+        |),
+        |hist AS (
+        |  SELECT source, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM lens GROUP BY source, v
+        |),
+        |vals AS (SELECT DISTINCT v FROM hist),
+        |srcs AS (
+        |  SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM hist GROUP BY source
+        |),
+        |corpus AS (
+        |  SELECT v, CAST(sum(c) AS BIGINT) AS c_all FROM hist GROUP BY v
+        |),
+        |nall AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM hist),
+        |grid AS (
+        |  SELECT s.source AS source, n_s, vals.v AS v,
+        |         coalesce(h.c, 0) AS c, corpus.c_all AS c_all
+        |  FROM srcs s CROSS JOIN vals
+        |  LEFT JOIN hist h ON h.source = s.source AND h.v = vals.v
+        |  JOIN corpus ON corpus.v = vals.v
+        |),
+        |stepped AS (
+        |  SELECT source, n_s, v,
+        |         sum(c) OVER (PARTITION BY source ORDER BY v
+        |                      ROWS UNBOUNDED PRECEDING) AS cum_s,
+        |         sum(c_all) OVER (PARTITION BY source ORDER BY v
+        |                          ROWS UNBOUNDED PRECEDING) AS cum_all
+        |  FROM grid
+        |),
+        |dd AS (
+        |  SELECT source, n_s, v, abs(cum_s * n_all - cum_all * n_s) AS diff
+        |  FROM stepped CROSS JOIN nall
+        |),
+        |mx AS (SELECT source, max(diff) AS d_raw FROM dd GROUP BY source)
+        |SELECT dd.source AS source, CAST(n_s AS BIGINT) AS n_src,
+        |       CAST(min(v) AS BIGINT) AS argmax_v,
+        |       CAST(d_raw * 10000 // (n_s * (SELECT n_all FROM nall))
+        |            AS BIGINT) AS d_pm
+        |FROM dd JOIN mx ON dd.source = mx.source AND dd.diff = mx.d_raw
+        |GROUP BY dd.source, n_s, d_raw
+        |ORDER BY source""".stripMargin,
+
+    "q_psi" -> {
+      val vals = lnMyriadScaled.zipWithIndex
+        .map { case (l, h) => s"($h,$l)" }.mkString(",")
+      val hv: String => String = c =>
+        s"(CASE $c WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3 " +
+          s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
+          s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
+          s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+      val bucket = s"(${hv("substr(md5(t.tok), 3, 1)")} * 16 + " +
+        s"${hv("substr(md5(t.tok), 4, 1)")})"
+      s"""WITH lntab(h, ln_p12) AS (VALUES $vals),
+         |wts AS (
+         |  SELECT i AS bucket, (i * 37) % 201 AS w
+         |  FROM (SELECT unnest(generate_series(0, 255)) AS i)
+         |),
+         |bk AS (
+         |  SELECT doc_id, $bucket AS bucket
+         |  FROM documents, unnest(string_split(text, ' ')) t(tok)
+         |),
+         |sc AS (
+         |  SELECT doc_id, CAST(sum(w) * 10000 // count(*) AS BIGINT) AS score_pm
+         |  FROM bk JOIN wts USING (bucket) GROUP BY doc_id
+         |),
+         |binned AS (SELECT doc_id, least(score_pm // 200000, 9) AS bin FROM sc),
+         |b AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb FROM binned GROUP BY bin),
+         |bn AS (SELECT CAST(sum(nb) AS BIGINT) AS n FROM b),
+         |base AS (
+         |  SELECT bin, greatest(least(nb * 10000 // n, 9999), 1) AS base_pm
+         |  FROM b CROSS JOIN bn
+         |),
+         |cc AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS nb
+         |  FROM binned WHERE doc_id % 4 = 0 GROUP BY bin
+         |),
+         |cn AS (SELECT CAST(sum(nb) AS BIGINT) AS n FROM cc),
+         |cur AS (
+         |  SELECT bin, greatest(least(nb * 10000 // n, 9999), 1) AS cur_pm
+         |  FROM cc CROSS JOIN cn
+         |),
+         |bins AS (SELECT CAST(unnest(generate_series(0, 9)) AS BIGINT) AS bin),
+         |per AS (
+         |  SELECT bins.bin AS bin, coalesce(base_pm, 1) AS base_pm,
+         |         coalesce(cur_pm, 1) AS cur_pm
+         |  FROM bins LEFT JOIN base ON bins.bin = base.bin
+         |            LEFT JOIN cur ON bins.bin = cur.bin
+         |),
+         |pc AS (
+         |  SELECT bin, base_pm, cur_pm,
+         |         (base_pm - cur_pm) * (lc.ln_p12 - lb.ln_p12) AS contrib_p16
+         |  FROM per JOIN lntab lb ON per.base_pm = lb.h
+         |           JOIN lntab lc ON per.cur_pm = lc.h
+         |)
+         |SELECT bin, CAST(base_pm AS BIGINT) AS base_pm,
+         |       CAST(cur_pm AS BIGINT) AS cur_pm,
+         |       CAST(contrib_p16 AS BIGINT) AS contrib_p16,
+         |       CAST((SELECT sum(contrib_p16) FROM pc) AS BIGINT) AS psi_p16
+         |FROM pc ORDER BY bin""".stripMargin
     },
 
     "q_winsorize" ->

@@ -168,6 +168,69 @@ class Round16OpsSpec extends SparkSpecBase {
     assert(got == exp2.toMap)
   }
 
+  test("ks test: per-source sup distance matches an exact CDF-walk reference") {
+    val all = docs.map { case (_, s2, t) => (s2, t.split(" ").length.toLong) }
+    val nAll = all.length.toLong
+    val values = all.map(_._2).distinct.sorted
+    val got = TextQueries.queries("q_ks_test")(spark, sf).collect()
+      .map(r => r.getString(0) -> r).toMap
+    all.groupBy(_._1).foreach { case (src, ds) =>
+      val nS = ds.length.toLong
+      var cumS = 0L; var cumAll = 0L
+      var dRaw = -1L; var argmax = -1L
+      values.foreach { v =>
+        cumS += ds.count(_._2 == v)
+        cumAll += all.count(_._2 == v)
+        val diff = math.abs(cumS * nAll - cumAll * nS)
+        if (diff > dRaw) { dRaw = diff; argmax = v }
+      }
+      val row = got(src)
+      assert(row.getAs[Long]("n_src") == nS, src)
+      assert(row.getAs[Long]("argmax_v") == argmax, s"$src argmax")
+      assert(row.getAs[Long]("d_pm") == dRaw * 10000 / (nS * nAll), s"$src d")
+    }
+  }
+
+  test("psi: bin rates and contributions match a hash-scored reference") {
+    def score(t: String): Long = {
+      val toks = t.split(" ")
+      val ws = toks.map { tok =>
+        val d = java.security.MessageDigest.getInstance("MD5")
+          .digest(tok.getBytes("UTF-8"))
+        val b = (((d(0) & 0xffL) << 8) | (d(1) & 0xffL)) % 256
+        b * 37 % 201
+      }
+      ws.sum * 10000 / toks.length
+    }
+    val binned = docs.map { case (id, _, t) =>
+      (id, math.min(score(t) / 200000, 9L))
+    }
+    def rates(ds: Seq[(Long, Long)]): Map[Long, Long] = {
+      val n = ds.length.toLong
+      ds.groupBy(_._2).map { case (b, g) =>
+        b -> math.max(math.min(g.length.toLong * 10000 / n, 9999L), 1L)
+      }
+    }
+    val base = rates(binned)
+    val cur = rates(binned.filter(_._1 % 4 == 0))
+    def l(p: Long) = TextQueries.lnMyriadScaled(p.toInt)
+    val expected = (0L to 9L).map { b =>
+      val (bp, cp) = (base.getOrElse(b, 1L), cur.getOrElse(b, 1L))
+      (b, bp, cp, (bp - cp) * (l(cp) - l(bp)))
+    }
+    val psiTotal = expected.map(_._4).sum
+    val got = TextQueries.queries("q_psi")(spark, sf).collect()
+    assert(got.length == 10)
+    got.foreach { r =>
+      val b = r.getLong(0)
+      val e = expected(b.toInt)
+      assert(r.getAs[Long]("base_pm") == e._2, s"bin $b base")
+      assert(r.getAs[Long]("cur_pm") == e._3, s"bin $b cur")
+      assert(r.getAs[Long]("contrib_p16") == e._4, s"bin $b contrib")
+      assert(r.getAs[Long]("psi_p16") == psiTotal, s"bin $b total")
+    }
+  }
+
   test("random projection: one audit pair recomputed exactly from the " +
       "sign matrix; expected-distortion centering holds in aggregate") {
     val rows = SimilarityQueries.queries("q_random_projection")(spark, sf)
