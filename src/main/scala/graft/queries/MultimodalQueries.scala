@@ -17,6 +17,55 @@ import graft.multimodal.MultimodalOps
   */
 object MultimodalQueries {
 
+  /** Shared Hamming-band near-dup pairing for 64-bit perceptual
+    * fingerprints (image aHash, audio energy-delta): 4×16-bit bands,
+    * candidates on any-band equality, verified at bit_count(xor) ≤ 6.
+    *
+    * Scale posture (r16, adjudicated from the 20× full run): a 16-bit
+    * band domain admits the r13 degenerate-key quadratic — the AUDIO
+    * fingerprint's correlated energy-delta bits put linear-in-N
+    * occupancy into a few band values, measured 2.05 → 5.39 s in-suite
+    * (5.96 s isolated, 3-pass) for 2× rows at 10×→20× while the image
+    * and simhash siblings stayed ≤1.3×. Same remedy as nearDupPairs,
+    * size-gated: above 100k fingerprints, band keys with occupancy >
+    * 200 drop via an AQE-adaptive broadcast anti-join (the drop-set,
+    * never the keep-set). Documented trade (the r13 contract): a true
+    * near-dup pair whose EVERY shared band is hot is lost — at a hot
+    * 16-bit key almost all pairs are non-matches. Fixtures sit far
+    * below the gate so the oracle's plain-plan semantics hold at
+    * every gate scale; `spark.graft.fpband.cap` forces the capped
+    * path (any corpus size) for the spec that pins capped ⊆ plain.
+    */
+  private def hammingBandPairs(s: SparkSession, hashes: DataFrame): DataFrame = {
+    val bandsRaw = hashes
+      .select(col("doc_id"), col("hash"),
+        explode(expr("sequence(0, 3)")).as("band_idx"))
+      .withColumn("band_val",
+        expr("shiftrightunsigned(hash, band_idx * 16) & 65535"))
+    val capConf = s.conf.getOption("spark.graft.fpband.cap").map(_.toLong)
+    val bands =
+      if (capConf.isEmpty && hashes.count() <= 100000L) bandsRaw
+      else {
+        val hot = bandsRaw.groupBy("band_idx", "band_val")
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > capConf.getOrElse(200L))
+          .select("band_idx", "band_val")
+        bandsRaw.join(hot, Seq("band_idx", "band_val"), "left_anti")
+      }
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.hash").as("ha"), col("b.hash").as("hb"))
+      .distinct() // OR-of-bands: multi-band agreement counts once
+    cand.withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
+      .filter(col("hamming") <= 6)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy("id_a", "id_b")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // binary column + typed batch decode (mapPartitions, stub codec).
@@ -137,23 +186,7 @@ object MultimodalQueries {
              else Nil)
         blobs.iterator.map { case (d, blob) => MultimodalOps.aHash64(d, blob) }
       }).toDF("doc_id", "hash"))
-      val bands = hashes
-        .select(col("doc_id"), col("hash"),
-          explode(expr("sequence(0, 3)")).as("band_idx"))
-        .withColumn("band_val",
-          expr("shiftrightunsigned(hash, band_idx * 16) & 65535"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.hash").as("ha"), col("b.hash").as("hb"))
-        .distinct() // OR-of-bands: multi-band agreement counts once
-      cand.withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
-        .filter(col("hamming") <= 6)
-        .select(col("id_a"), col("id_b"), col("hamming"))
-        .orderBy("id_a", "id_b")
+      hammingBandPairs(s, hashes)
     }),
 
     // Audio NEAR-DUP DEDUP — dedup brought to the audio column,
@@ -178,23 +211,7 @@ object MultimodalQueries {
              else Nil)
         blobs.iterator.map { case (d, blob) => MultimodalOps.audioFp64(d, blob) }
       }).toDF("doc_id", "hash"))
-      val bands = hashes
-        .select(col("doc_id"), col("hash"),
-          explode(expr("sequence(0, 3)")).as("band_idx"))
-        .withColumn("band_val",
-          expr("shiftrightunsigned(hash, band_idx * 16) & 65535"))
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band_idx") === col("b.band_idx") &&
-            col("a.band_val") === col("b.band_val") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          col("a.hash").as("ha"), col("b.hash").as("hb"))
-        .distinct() // OR-of-bands: multi-band agreement counts once
-      cand.withColumn("hamming", expr("CAST(bit_count(ha ^ hb) AS BIGINT)"))
-        .filter(col("hamming") <= 6)
-        .select(col("id_a"), col("id_b"), col("hamming"))
-        .orderBy("id_a", "id_b")
+      hammingBandPairs(s, hashes)
     }),
 
     // REAL pixel resize (thumbnail generation) — the remaining member

@@ -231,6 +231,24 @@ class Round16OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("fp band cap: capped path is a subset of plain and converges to it " +
+      "as the cap loosens") {
+    import graft.queries.MultimodalQueries
+    val plain = MultimodalQueries.queries("q_audio_fp_dedup")(spark, sf)
+      .collect().map(_.toString).toSet
+    withConf("spark.graft.fpband.cap" -> "1000000") {
+      val loose = MultimodalQueries.queries("q_audio_fp_dedup")(spark, sf)
+        .collect().map(_.toString).toSet
+      assert(loose == plain, "a never-hot cap must not change the answer")
+    }
+    withConf("spark.graft.fpband.cap" -> "1") {
+      val tight = MultimodalQueries.queries("q_audio_fp_dedup")(spark, sf)
+        .collect().map(_.toString).toSet
+      assert(tight.subsetOf(plain),
+        "capping may only DROP candidate pairs, never invent them")
+    }
+  }
+
   test("random projection: one audit pair recomputed exactly from the " +
       "sign matrix; expected-distortion centering holds in aggregate") {
     val rows = SimilarityQueries.queries("q_random_projection")(spark, sf)
