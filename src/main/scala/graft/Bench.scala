@@ -422,8 +422,11 @@ object Bench {
       f"[bench] UNADJUDICATED RUN: disp_frac2=$dispFrac2%.3f (gate 0.02) " +
         f"load_ratio=$loadRatio%.2f io_load_ratio=$ioLoadRatio%.2f (gate 1.5) " +
         "— machine was not quiet; re-run before citing these numbers")
+    // the measurement basis rides in every artifact (r16 break lesson):
+    // a future round diffing two files with different "basis" values is
+    // comparing across the count()→toRdd break and must stop
     val unadjJson =
-      s""""unadjudicated":$unadjudicated,"disp_frac2":${"%.4f".format(dispFrac2)},"""
+      s""""unadjudicated":$unadjudicated,"basis":"toRdd","disp_frac2":${"%.4f".format(dispFrac2)},"""
     val detail =
       s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"regression_basis":"min_vs_prev_median","regressions":${deltaMap(regressed)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")

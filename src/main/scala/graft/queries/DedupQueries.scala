@@ -227,6 +227,11 @@ object DedupQueries {
     "q_simpson_diversity" -> ((s, dir) => {
       val src = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id").as("base_id"), col("source"))
+      // `doc_id % 1e6` recovers the base doc ONLY under the fixture
+      // contract base doc_id < 1e6 (pinned in FixtureContractSpec); the
+      // Scale10/Scale20 fixtures offset copies by 1e7, so every copy's
+      // rows resolve to copy-0 — correct there only because source is
+      // copy-invariant by construction.
       val clusters = Corpus.withDuplicates(s, dir)
         .select((col("doc_id") % 1000000L).as("base_id"),
           md5(col("text")).as("h"))

@@ -46,10 +46,20 @@ object MultimodalQueries {
     val bands =
       if (capConf.isEmpty && hashes.count() <= 100000L) bandsRaw
       else {
-        val hot = bandsRaw.groupBy("band_idx", "band_val")
+        val hot = QueryCaches.cache(bandsRaw
+          .groupBy("band_idx", "band_val")
           .agg(count(lit(1)).as("n"))
           .filter(col("n") > capConf.getOrElse(200L))
-          .select("band_idx", "band_val")
+          .select("band_idx", "band_val"))
+        // ADVICE r16: the anti-join is answer-changing (a true pair whose
+        // every shared band is hot is dropped), so scale runs must be able
+        // to quantify the recall trade — count the drop-set and log it.
+        // The band domain is bounded (4 × 2¹⁶ keys), so this extra job is
+        // one tiny aggregate over the already-cached hot frame.
+        val nHot = hot.count()
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft.fpband: dropping $nHot hot band keys " +
+            s"(cap=${capConf.getOrElse(200L)}) from the near-dup pair join")
         bandsRaw.join(hot, Seq("band_idx", "band_val"), "left_anti")
       }
     val cand = bands.as("a")

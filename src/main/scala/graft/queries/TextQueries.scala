@@ -2113,8 +2113,13 @@ object TextQueries {
         .groupBy("b")
         .agg(sum(expr("m * v")).as("wsum"), sum(col("m")).as("wn"))
         .withColumn("mean_x100", expr("wsum * 100 div nullif(wn, 0)"))
+      // Order statistics sort by coalesce(mean, -1): a replica whose every
+      // multiplicity drew 0 has NULL mean, and Spark sorts NULLs first while
+      // DuckDB sorts them last — pinning NULL below every real (non-negative)
+      // mean makes the rank-5/95 picks engine-identical by construction.
       val ranked = reps.withColumn("rk",
-        row_number().over(Window.orderBy(col("mean_x100"), col("b"))))
+        row_number().over(
+          Window.orderBy(expr("coalesce(mean_x100, -1)"), col("b"))))
       val point = s.read.parquet(s"$dir/documents.parquet")
         .agg(expr("sum(CAST(size(split(text, ' ')) AS BIGINT)) * 100 div count(1)")
           .as("point_x100"), count(lit(1)).as("n_docs"))
@@ -2412,8 +2417,12 @@ object TextQueries {
         .withColumn("cum_pos", sum(col("n_pos")).over(wCum))
         .withColumn("cum_n", sum(col("n_docs")).over(wCum))
         .select(col("decile"), col("n_docs"), col("n_pos"), col("cum_pos"),
-          expr("cum_pos * 10000 div pos_all").as("capture_pm"),
-          expr("cum_pos * n_all * 100 div (cum_n * pos_all)").as("lift_x100"))
+          // nullif guard: a corpus with zero positives must yield NULL on
+          // both engines, not an ANSI divide-by-zero on the Spark side
+          // (same discipline as q_confusion_matrix).
+          expr("cum_pos * 10000 div nullif(pos_all, 0)").as("capture_pm"),
+          expr("cum_pos * n_all * 100 div nullif(cum_n * pos_all, 0)")
+            .as("lift_x100"))
         .orderBy("decile")
     }),
 
@@ -2451,8 +2460,11 @@ object TextQueries {
           sum(when(!col("truth"), 1L).otherwise(0L)).as("n_neg"),
           sum(when(col("truth"), col("_rk")).otherwise(0L)).as("rk_pos"))
         .select(col("n_pos"), col("n_neg"),
+          // nullif guard: all-positive or all-negative corpora make the
+          // Mann–Whitney denominator 0 — AUC is undefined there, and both
+          // engines must agree on NULL rather than Spark throwing.
           expr("""(rk_pos - n_pos * (n_pos + 1) div 2) * 10000
-                 | div (n_pos * n_neg)""".stripMargin).as("auc_pm"))
+                 | div nullif(n_pos * n_neg, 0)""".stripMargin).as("auc_pm"))
     }),
 
     // Laplace-noised aggregate release — the differential-privacy
@@ -3770,9 +3782,10 @@ object TextQueries {
          |  FROM dec
          |)
          |SELECT decile, n_docs, n_pos, CAST(cum_pos AS BIGINT) AS cum_pos,
-         |       CAST(cum_pos * 10000 // pos_all AS BIGINT) AS capture_pm,
-         |       CAST(cum_pos * n_all * 100 // (cum_n * pos_all) AS BIGINT)
-         |         AS lift_x100
+         |       CAST(cum_pos * 10000 // nullif(pos_all, 0) AS BIGINT)
+         |         AS capture_pm,
+         |       CAST(cum_pos * n_all * 100 // nullif(cum_n * pos_all, 0)
+         |            AS BIGINT) AS lift_x100
          |FROM cm CROSS JOIN tot ORDER BY decile""".stripMargin
     },
 
@@ -3816,8 +3829,8 @@ object TextQueries {
          |             - sum(CASE WHEN truth THEN 1 ELSE 0 END)
          |               * (sum(CASE WHEN truth THEN 1 ELSE 0 END) + 1) // 2)
          |            * 10000
-         |            // (sum(CASE WHEN truth THEN 1 ELSE 0 END)
-         |               * sum(CASE WHEN NOT truth THEN 1 ELSE 0 END))
+         |            // nullif(sum(CASE WHEN truth THEN 1 ELSE 0 END)
+         |               * sum(CASE WHEN NOT truth THEN 1 ELSE 0 END), 0)
          |            AS BIGINT) AS auc_pm
          |FROM rk""".stripMargin
     },
@@ -4060,7 +4073,8 @@ object TextQueries {
          |),
          |ranked AS (
          |  SELECT wsum * 100 // nullif(wn, 0) AS mean_x100,
-         |         row_number() OVER (ORDER BY wsum * 100 // nullif(wn, 0), b)
+         |         row_number() OVER (
+         |           ORDER BY coalesce(wsum * 100 // nullif(wn, 0), -1), b)
          |           AS rk
          |  FROM reps
          |),

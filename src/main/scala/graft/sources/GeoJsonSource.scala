@@ -140,6 +140,50 @@ object GeoJsonSource {
           lit(0), (acc, n) => acc + n).cast("bigint").as("n_vertices"),
         coordsToWkt(col("f.geometry.coordinates")).as("wkt"))
 
+  /** SRC-4 (ETL.py:265–267): the projected cursor. The reference's
+    * SearchCursor takes an explicit field list
+    * (`["REGC_code", "REGC_name_ascii", "SHAPE@"]`) and the service
+    * materializes ONLY those; Spark's JSON reader does not nested-prune
+    * through explode (the SchemaPruning rule covers Parquet/ORC), so the
+    * cursor declares the pruned schema AT THE READER — the scan's
+    * ReadSchema is exactly the cursor's field list, and unrequested
+    * fields (feature/geometry `type`, or the whole geometry for an
+    * attribute-only cursor) are never parsed. CursorProjectSpec pins
+    * this on the formatted plan.
+    *
+    * Field names: `code` → properties.REGC_code, `raw_title` →
+    * properties.REGC_name_ascii, `wkt` → geometry.coordinates rewritten
+    * to WKT (the `SHAPE@` token's text form).
+    */
+  def cursor(spark: SparkSession, path: String, fields: Seq[String]): DataFrame = {
+    val known = Set("code", "raw_title", "wkt")
+    val bad = fields.filterNot(known)
+    require(bad.isEmpty, s"unknown cursor fields: ${bad.mkString(", ")}")
+    val props = StructType(
+      (if (fields.contains("code"))
+         Seq(StructField("REGC_code", StringType)) else Nil) ++
+      (if (fields.contains("raw_title"))
+         Seq(StructField("REGC_name_ascii", StringType)) else Nil))
+    val featFields =
+      (if (props.nonEmpty) Seq(StructField("properties", props)) else Nil) ++
+      (if (fields.contains("wkt"))
+         Seq(StructField("geometry", StructType(Seq(
+           StructField("coordinates",
+             ArrayType(ArrayType(ArrayType(DoubleType))))))))
+       else Nil)
+    val readSchema = StructType(Seq(
+      StructField("features", ArrayType(StructType(featFields)))))
+    val cols = fields.map {
+      case "code"      => col("f.properties.REGC_code").as("code")
+      case "raw_title" => col("f.properties.REGC_name_ascii").as("raw_title")
+      case "wkt"       => coordsToWkt(col("f.geometry.coordinates")).as("wkt")
+    }
+    spark.read.option("multiLine", "true").schema(readSchema)
+      .json(materialize(path))
+      .select(explode(col("features")).as("f"))
+      .select(cols: _*)
+  }
+
   /** The pipeline's region dimension (`code, name, raw_title, wkt`) from a
     * FeatureCollection: attributes + geometry from the document, display
     * `name` decoded via the reference's region lookup (ETL.py:275 — the

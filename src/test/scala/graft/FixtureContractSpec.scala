@@ -21,10 +21,30 @@ class FixtureContractSpec extends SparkSpecBase {
     // desynchronize framing and energy between the engines. Pin
     // octet_length == char_length so regeneration fails loudly here
     // instead of surfacing as an unexplained gate mismatch.
-    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+    // r17: sf0.1 included — the q_kn_smoothing regime change (ROUND16_NOTES
+    // Part 3) showed bench-scale fixtures can drift independently of the
+    // gate-scale ones.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                  "/root/testdata/sf0.1")) {
       val bad = spark.read.parquet(s"$d/documents.parquet")
         .filter(octet_length(col("text")) =!= length(col("text"))).count()
       assert(bad == 0L, s"$bad non-ASCII documents in $d/documents.parquet")
+    }
+  }
+
+  test("documents.doc_id < 1e6 at every fixture scale (dup-offset arithmetic contract)") {
+    // ADVICE r16: Corpus.withDuplicates and its consumers
+    // (q_simpson_diversity's `doc_id % 1000000` base-doc recovery,
+    // q_dedup_ngram's twin-offset windows) assume base doc_ids live
+    // strictly below the 1e6 copy offset. A regenerated fixture with
+    // larger ids would silently mis-attribute clusters to the wrong
+    // base doc; fail loudly here instead.
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                  "/root/testdata/sf0.1")) {
+      val bad = spark.read.parquet(s"$d/documents.parquet")
+        .filter(col("doc_id") >= 1000000L || col("doc_id") < 0L).count()
+      assert(bad == 0L,
+        s"$bad documents with doc_id outside [0, 1e6) in $d/documents.parquet")
     }
   }
 
