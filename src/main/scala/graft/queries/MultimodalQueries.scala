@@ -27,14 +27,19 @@ object MultimodalQueries {
     * occupancy into a few band values, measured 2.05 → 5.39 s in-suite
     * (5.96 s isolated, 3-pass) for 2× rows at 10×→20× while the image
     * and simhash siblings stayed ≤1.3×. Same remedy as nearDupPairs,
-    * size-gated: above 100k fingerprints, band keys with occupancy >
+    * size-gated: above 10k fingerprints, band keys with occupancy >
     * 200 drop via an AQE-adaptive broadcast anti-join (the drop-set,
-    * never the keep-set). Documented trade (the r13 contract): a true
-    * near-dup pair whose EVERY shared band is hot is lost — at a hot
-    * 16-bit key almost all pairs are non-matches. Fixtures sit far
-    * below the gate so the oracle's plain-plan semantics hold at
-    * every gate scale; `spark.graft.fpband.cap` forces the capped
-    * path (any corpus size) for the spec that pins capped ⊆ plain.
+    * never the keep-set). The r16 gate was 100k, which the r17 20×
+    * rerun proved never engages at the scale fixtures (33k fps) — the
+    * degenerate-key quadratic ran uncapped and measured 3.3× for 2×
+    * rows; 10k keeps every gate/bench fixture (≤2k fps) on the plain
+    * plan while the hot aggregate (one linear pass) guards everything
+    * larger. Documented trade (the r13 contract): a true near-dup
+    * pair whose EVERY shared band is hot is lost — at a hot 16-bit
+    * key almost all pairs are non-matches; q_fpband_recall gates the
+    * measured recall of the capped path every round, and the drop-set
+    * size is logged. `spark.graft.fpband.cap` forces the capped path
+    * (any corpus size) for the spec that pins capped ⊆ plain.
     */
   private def hammingBandPairs(s: SparkSession, hashes: DataFrame): DataFrame = {
     val bandsRaw = hashes
@@ -44,7 +49,7 @@ object MultimodalQueries {
         expr("shiftrightunsigned(hash, band_idx * 16) & 65535"))
     val capConf = s.conf.getOption("spark.graft.fpband.cap").map(_.toLong)
     val bands =
-      if (capConf.isEmpty && hashes.count() <= 100000L) bandsRaw
+      if (capConf.isEmpty && hashes.count() <= 10000L) bandsRaw
       else {
         val hot = QueryCaches.cache(bandsRaw
           .groupBy("band_idx", "band_val")
@@ -222,6 +227,50 @@ object MultimodalQueries {
         blobs.iterator.map { case (d, blob) => MultimodalOps.audioFp64(d, blob) }
       }).toDF("doc_id", "hash"))
       hammingBandPairs(s, hashes)
+    }),
+
+    // RECALL AUDIT of the capped hot-band path (ADVICE r16 follow-up):
+    // the size-gated occupancy cap in hammingBandPairs is
+    // answer-changing above the gate (a true pair whose EVERY shared
+    // band is hot is dropped), and until now the recall trade was only
+    // a log line. This query makes it a GATED NUMBER: the capped path
+    // is forced (cap 25 — small enough to bite on the fixture's
+    // correlated audio energy-delta bands) and its found-pair count is
+    // measured against the plain path's truth pairs — the same
+    // harness shape as q_ann_recall for the ANN family. Scale shape:
+    // both paths are band-keyed (never all-pairs); the recall frame is
+    // one left join of two pair sets + a global aggregate.
+    "q_fpband_recall" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id")).as[Long]
+      val hashes = QueryCaches.cache(ids.mapPartitions(_.flatMap { id =>
+        val blobs =
+          (id, MultimodalOps.encodePcm(id, bump = false)) ::
+            (if (id % 3 == 0)
+               List((id + 5000000L, MultimodalOps.encodePcm(id, bump = true)))
+             else Nil)
+        blobs.iterator.map { case (d, blob) => MultimodalOps.audioFp64(d, blob) }
+      }).toDF("doc_id", "hash"))
+      // capped variant first (conf read is EAGER inside hammingBandPairs),
+      // then restore before building the plain truth variant
+      val prevCap = s.conf.getOption("spark.graft.fpband.cap")
+      s.conf.set("spark.graft.fpband.cap", "25")
+      val capped =
+        try hammingBandPairs(s, hashes)
+        finally prevCap match {
+          case Some(p) => s.conf.set("spark.graft.fpband.cap", p)
+          case None    => s.conf.unset("spark.graft.fpband.cap")
+        }
+      val plain = hammingBandPairs(s, hashes)
+      plain.select(col("id_a"), col("id_b"))
+        .join(capped.select(col("id_a"), col("id_b"), lit(1L).as("found")),
+          Seq("id_a", "id_b"), "left_outer")
+        .agg(count(lit(1)).as("n_true_pairs"),
+          sum(coalesce(col("found"), lit(0L))).as("n_found"))
+        .select(col("n_true_pairs"), col("n_found"),
+          expr("n_found * 10000 div nullif(n_true_pairs, 0)").as("recall_pm"))
     }),
 
     // REAL pixel resize (thumbnail generation) — the remaining member
@@ -540,6 +589,81 @@ object MultimodalQueries {
         |)
         |SELECT id_a, id_b, hamming FROM ham
         |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
+
+    // the recall audit re-derived: same audio-fp bits/bands CTEs, the
+    // capped candidate set is bands minus the occupancy>25 keys (the
+    // forced cap the query sets), and — because kept ⊆ bands — a
+    // capped pair is exactly a plain truth pair whose pair survives in
+    // the capped candidate set, so hamming verifies ONCE on the plain
+    // side
+    "q_fpband_recall" ->
+      """WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+        |auds AS (
+        |  SELECT doc_id, doc_id AS src_id, 0 AS bump FROM sub
+        |  UNION ALL
+        |  SELECT doc_id + 5000000, doc_id, 1 FROM sub WHERE doc_id % 3 = 0
+        |),
+        |en AS (
+        |  SELECT a.doc_id, t.t // 64 AS w,
+        |         CAST(sum((a.src_id * 17 + t.t * 11) % 251
+        |           + CASE WHEN a.bump = 1 AND t.t = 0 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS e
+        |  FROM auds a, unnest(generate_series(0, 4159)) t(t)
+        |  GROUP BY 1, 2
+        |),
+        |bits AS (
+        |  SELECT a.doc_id, a.w AS bit,
+        |         CASE WHEN b.e > a.e THEN 1 ELSE 0 END AS bv
+        |  FROM en a JOIN en b ON b.doc_id = a.doc_id AND b.w = a.w + 1
+        |  WHERE a.w <= 63
+        |),
+        |bands AS (
+        |  SELECT doc_id, bit // 16 AS band_idx,
+        |         CAST(sum(CASE WHEN bv = 1 THEN CAST(1 AS BIGINT) << (bit % 16)
+        |                       ELSE 0 END) AS BIGINT) AS band_val
+        |  FROM bits GROUP BY 1, 2
+        |),
+        |hot AS (
+        |  SELECT band_idx, band_val FROM bands
+        |  GROUP BY 1, 2 HAVING count(*) > 25
+        |),
+        |kept AS (
+        |  SELECT b.doc_id, b.band_idx, b.band_val
+        |  FROM bands b LEFT JOIN hot h
+        |    ON b.band_idx = h.band_idx AND b.band_val = h.band_val
+        |  WHERE h.band_idx IS NULL
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id
+        |),
+        |cand_capped AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM kept a JOIN kept b
+        |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+        |   AND a.doc_id < b.doc_id
+        |),
+        |truth AS (
+        |  SELECT c.id_a, c.id_b
+        |  FROM cand c
+        |  JOIN bits xa ON xa.doc_id = c.id_a
+        |  JOIN bits xb ON xb.doc_id = c.id_b AND xb.bit = xa.bit
+        |  GROUP BY 1, 2
+        |  HAVING sum(CASE WHEN xa.bv <> xb.bv THEN 1 ELSE 0 END) <= 6
+        |),
+        |agg AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_true_pairs,
+        |         CAST(sum(CASE WHEN cc.id_a IS NOT NULL THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS n_found
+        |  FROM truth t LEFT JOIN cand_capped cc
+        |    ON t.id_a = cc.id_a AND t.id_b = cc.id_b
+        |)
+        |SELECT n_true_pairs, n_found,
+        |       CAST(n_found * 10000 // nullif(n_true_pairs, 0) AS BIGINT)
+        |         AS recall_pm
+        |FROM agg""".stripMargin,
 
     // the resize re-derived with integer division only: dims from the
     // id formula, target dims from the shared aspect-preserving floor
