@@ -51,8 +51,32 @@ object Bench {
     */
   private val DefaultSfDir = "/root/testdata/sf0.1"
 
-  /** Parse a previous detail file into the per-query median base for
-    * the regression report, or refuse it with the reason. Two refusals:
+  /** The previous run's comparison base: per-query medians, per-query
+    * max-over-passes (each query's OWN recorded variance band), the
+    * CPU-canary median (the machine-speed index the band comparison
+    * normalizes by), and the filesystem write-canary (the environment
+    * key for sink-heavy queries).
+    */
+  private[graft] final case class PrevBase(
+      med: Map[String, Double],
+      max: Map[String, Double],
+      canaryMed: Option[Double],
+      fsCanary: Option[Double])
+
+  /** Queries whose timed body WRITES through the local filesystem
+    * (temp-dir sinks), making their wall time a property of the host's
+    * filesystem as much as of the code: q_pipeline_e2e measured a
+    * tight 1.82 s in the driver container vs a tight 3.17 s
+    * builder-local on IDENTICAL code (r17 adjudication — ROUND17_NOTES
+    * Part 5). These rows are compared only like-for-like: when the
+    * fs write-canary moved >1.5× between base and current run, their
+    * min-basis flags route to the advisory "regressions_cross_env"
+    * key instead of the gating "regressions" (VERDICT r17 #4).
+    */
+  private[graft] val SinkHeavy: Set[String] = Set("q_pipeline_e2e")
+
+  /** Parse a previous detail file into the per-query base for the
+    * regression report, or refuse it with the reason. Two refusals:
     * a detail measured at another sfDir (not like-for-like), and — the
     * r12 hole — one flagged `"unadjudicated": true`. An unadjudicated
     * detail is a load-poisoned run whose medians are inflated
@@ -64,7 +88,7 @@ object Bench {
     * driver committed one) cannot poison the next comparison.
     */
   private[graft] def parsePrevBase(
-      txt: String, sfDir: String): Either[String, Map[String, Double]] = {
+      txt: String, sfDir: String): Either[String, PrevBase] = {
     if (""""unadjudicated"\s*:\s*true""".r.findFirstIn(txt).isDefined)
       Left("flagged \"unadjudicated\": true (load-poisoned run) — not a " +
         "citable regression base; restore an adjudicated detail file")
@@ -76,9 +100,18 @@ object Bench {
       // carries "warm"/"minmax" maps keyed by the same query names
       val scope = """"queries":\{([^}]*)\}""".r
         .findFirstMatchIn(txt).map(_.group(1)).getOrElse(txt)
-      Right(""""(q_[A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
+      val med = """"(q_[A-Za-z0-9_]+)":([0-9][0-9.eE+-]*)""".r
         .findAllMatchIn(scope)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      val mmScope = """"minmax":\{([^}]*)\}""".r
+        .findFirstMatchIn(txt).map(_.group(1)).getOrElse("")
+      val max = """"(q_[A-Za-z0-9_]+)":\[[0-9.eE+-]+,([0-9][0-9.eE+-]*)\]""".r
+        .findAllMatchIn(mmScope)
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      def num(key: String): Option[Double] =
+        ("\"" + key + """":([0-9][0-9.eE+-]*)""").r
+          .findFirstMatchIn(txt).map(_.group(1).toDouble)
+      Right(PrevBase(med, max, num("canary_med"), num("fs_canary")))
     }
   }
 
@@ -146,8 +179,9 @@ object Bench {
     // the detail file — the committed base (or the per-sf sibling for
     // alt runs) is the comparison base for the regression report.
     val prevDetail = new java.io.File(detailName)
-    val prev: Map[String, Double] =
-      if (!prevDetail.exists()) Map.empty
+    val emptyBase = PrevBase(Map.empty, Map.empty, None, None)
+    val prev: PrevBase =
+      if (!prevDetail.exists()) emptyBase
       else try {
         val src = scala.io.Source.fromFile(prevDetail, "UTF-8")
         val txt = try src.mkString finally src.close()
@@ -155,9 +189,9 @@ object Bench {
           case Right(m) => m
           case Left(reason) =>
             System.err.println(s"[bench] PREV BASE REFUSED ($detailName): $reason")
-            Map.empty
+            emptyBase
         }
-      } catch { case _: Throwable => Map.empty }
+      } catch { case _: Throwable => emptyBase }
 
     // Per query: run `passes` times back-to-back, keep the median (and the
     // spread). A broken query must surface as an "err" entry, never as a
@@ -230,6 +264,31 @@ object Bench {
       ioCanaryDf.collect()
       (System.nanoTime() - t0) / 1e9
     }
+    // Filesystem WRITE canary — the environment key for sink-heavy
+    // queries (VERDICT r17 #4): q_pipeline_e2e's wall time is dominated
+    // by temp-dir sink writes, and identical code measured a tight
+    // 1.82 s in the driver container vs 3.17 s builder-local — a
+    // filesystem property, not a regression. One 256 KiB create +
+    // fsync + delete in java.io.tmpdir (where the sinks write), min of
+    // 3, measured once per run: the READ canary (ioCanaryDf) can't see
+    // write-path differences (page cache absorbs reads on both hosts).
+    // Sink-heavy min-basis flags gate only when this canary is
+    // like-for-like between base and current run.
+    def fsWriteCanary(): Double = {
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val buf = new Array[Byte](256 * 1024)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val f = java.nio.file.Files.createTempFile(dir, "graft_fsc", ".tmp")
+        val ch = java.nio.channels.FileChannel.open(f,
+          java.nio.file.StandardOpenOption.WRITE)
+        try { ch.write(java.nio.ByteBuffer.wrap(buf)); ch.force(true) }
+        finally ch.close()
+        java.nio.file.Files.delete(f)
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val fsCanary = try fsWriteCanary() catch { case _: Throwable => 0.0 }
     canaryTime(); ioCanaryTime() // untimed compile/JIT of the canary plans
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val ioCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
@@ -324,41 +383,6 @@ object Bench {
     val total = medians.map(_._2).sum
     val warmTotal = warms.map(_._2).sum
 
-    // Regression report vs the prior round's medians: flag movement ≥30%
-    // AND ≥0.3 s — the absolute floor keeps millisecond queries' jitter out.
-    def moved(now: Double, before: Double): Boolean =
-      math.abs(now - before) >= 0.3 &&
-        math.abs(now - before) >= 0.3 * math.min(now, before)
-    // REGRESSIONS compare this run's MIN-over-passes against the base median
-    // (r11 verdict #2): host load inflates medians suite-wide but rarely all
-    // passes of one query, and this repo's documented cross-run practice is
-    // minima. The median-based list manufactured 14 false regressions in the
-    // load-flagged BENCH_r11 run; a query flagged here was slower than its
-    // base even at its best pass. IMPROVEMENTS stay median-based — a lucky
-    // fast pass must not claim a win the typical pass doesn't show.
-    // errored queries are excluded from BOTH comparisons, not just the
-    // dispersion gate: a fast-fail's min can never flag as a regression
-    // (it IS fast), so without this filter a broken query would instead
-    // surface as the round's biggest "improvement" — n_err and the
-    // errors map are the only honest channel for it.
-    val ok = results.collect { case (k, med, _, mn, _, None) => (k, med, mn) }
-    val compared = ok.flatMap { case (k, now, _) => prev.get(k).map(p => (k, now, p)) }
-    val comparedMin = ok.flatMap { case (k, _, mn) => prev.get(k).map(p => (k, mn, p)) }
-    val regressed = comparedMin.filter { case (_, mn, p) => mn > p && moved(mn, p) }
-    val improved  = compared.filter { case (_, now, p) => now < p && moved(now, p) }
-    // ADVISORY median-basis list (r12 ADVICE): the min basis filters
-    // load-inflated false positives but is blind to a regression whose
-    // best pass stays fast while warm passes got slower (cache/GC
-    // behavior). The median comparison rides along under its own key —
-    // visible, but never the gating "regressions"/"n_regressed" signal,
-    // so it can't re-manufacture the r11 false-positive storm.
-    val regressedMed = compared.filter { case (_, now, p) => now > p && moved(now, p) }
-    def deltaMap(xs: Seq[(String, Double, Double)]): String =
-      xs.sortBy { case (_, now, p) => -(now - p).abs }
-        .map { case (k, now, p) =>
-          s""""$k":{"prev":${"%.3f".format(p)},"now":${"%.3f".format(now)},"ratio":${"%.2f".format(now / math.max(p, 1e-9))}}""" }
-        .mkString("{", ",", "}")
-
     // Full per-query detail → file (too large for the driver's tail capture):
     // medians as the canonical "queries" map (what the next round reads back
     // as `prev`), plus per-query min/max and the regression/improvement maps.
@@ -395,6 +419,71 @@ object Bench {
     val (ioCanaryMed, ioLoadRatio) = loadIdx(ioCanarySeries.map(_._3).toSeq)
     val canaryJson = seriesJson(canarySeries.toSeq)
     val ioCanaryJson = seriesJson(ioCanarySeries.toSeq)
+
+    // Regression report vs the prior round's base: flag movement ≥30%
+    // AND ≥0.3 s — the absolute floor keeps millisecond queries' jitter out.
+    def moved(now: Double, before: Double): Boolean =
+      math.abs(now - before) >= 0.3 &&
+        math.abs(now - before) >= 0.3 * math.min(now, before)
+    // REGRESSIONS (r17 rework, VERDICT #1 — end the re-litigation cycle):
+    // a gating flag now means "this query exceeded its OWN recorded
+    // variance band even after normalizing out the machine-speed shift",
+    // not "was a sub-second query on a busy host". Three layers:
+    //  (a) BASIS stays min-over-passes vs the base median (r11 verdict
+    //      #2): host load inflates medians suite-wide but rarely all
+    //      passes of one query.
+    //  (b) CANARY NORMALIZATION: the r17 driver run showed the
+    //      LEVEL_SHIFTS signature — canary 1.15× over base, median
+    //      per-query ratio 1.14× — a uniform machine shift that
+    //      min-basis alone cannot remove because it inflates every
+    //      pass. This run's min divides by max(1, canary_now/canary_base)
+    //      before comparing (only slow-downs normalize; a quieter
+    //      machine must not manufacture regressions in the other
+    //      direction).
+    //  (c) VARIANCE BAND: the normalized min must also exceed the
+    //      base run's MAX-over-passes for that query (its own recorded
+    //      spread). q_embedding_near_dup / q_dedup_simhash_pairs /
+    //      q_retention_cohort were flagged in r16 AND r17 and
+    //      adjudicated clean both times — sub-second queries whose
+    //      pass-to-pass spread is wider than the 30% rule; their own
+    //      band absorbs exactly that.
+    // IMPROVEMENTS stay median-based and unnormalized — a lucky fast
+    // pass (or hotter base machine) must not claim a win the typical
+    // pass doesn't show. Errored queries are excluded from BOTH
+    // comparisons, not just the dispersion gate: a fast-fail's min can
+    // never flag as a regression (it IS fast), so without this filter a
+    // broken query would surface as the round's biggest "improvement" —
+    // n_err and the errors map are the only honest channel for it.
+    val canaryFactor = (for (p <- prev.canaryMed if p > 0 && canaryMed > 0)
+      yield math.max(1.0, canaryMed / p)).getOrElse(1.0)
+    // sink-heavy rows compare like-for-like only: fs write-canary moved
+    // >1.5× in either direction ⇒ different storage environment
+    val crossEnv = (for (p <- prev.fsCanary if p > 0 && fsCanary > 0)
+      yield fsCanary / p > 1.5 || p / fsCanary > 1.5).getOrElse(false)
+    val ok = results.collect { case (k, med, _, mn, _, None) => (k, med, mn) }
+    val compared = ok.flatMap { case (k, now, _) => prev.med.get(k).map(p => (k, now, p)) }
+    val regressedAll = ok.flatMap { case (k, _, mn) =>
+      prev.med.get(k).map { p =>
+        val normMin = mn / canaryFactor
+        val band = math.max(p, prev.max.getOrElse(k, p))
+        (k, normMin, p, normMin > band && moved(normMin, p))
+      }
+    }.collect { case (k, normMin, p, true) => (k, normMin, p) }
+    val (regressedEnv, regressed) =
+      regressedAll.partition { case (k, _, _) => crossEnv && SinkHeavy(k) }
+    val improved  = compared.filter { case (_, now, p) => now < p && moved(now, p) }
+    // ADVISORY median-basis list (r12 ADVICE): the min basis filters
+    // load-inflated false positives but is blind to a regression whose
+    // best pass stays fast while warm passes got slower (cache/GC
+    // behavior). The median comparison rides along under its own key —
+    // visible, but never the gating "regressions"/"n_regressed" signal,
+    // so it can't re-manufacture the r11 false-positive storm.
+    val regressedMed = compared.filter { case (_, now, p) => now > p && moved(now, p) }
+    def deltaMap(xs: Seq[(String, Double, Double)]): String =
+      xs.sortBy { case (_, now, p) => -(now - p).abs }
+        .map { case (k, now, p) =>
+          s""""$k":{"prev":${"%.3f".format(p)},"now":${"%.3f".format(now)},"ratio":${"%.2f".format(now / math.max(p, 1e-9))}}""" }
+        .mkString("{", ",", "}")
     // HARD GATE (round-10 verdict: two consecutive closeout benches were
     // recorded under machine load and their regression lists wasted a round
     // each to adjudicate). The load indicator is per-query DISPERSION — the
@@ -428,14 +517,14 @@ object Bench {
     val unadjJson =
       s""""unadjudicated":$unadjudicated,"basis":"toRdd","disp_frac2":${"%.4f".format(dispFrac2)},"""
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"regression_basis":"min_vs_prev_median","regressions":${deltaMap(regressed)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"canary_factor":${"%.3f".format(canaryFactor)},"cross_env":$crossEnv,"regression_basis":"norm_min_vs_prev_band","regressions":${deltaMap(regressed)},"regressions_cross_env":${deltaMap(regressedEnv)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
 
     // Compact summary line (fits the tail): total of per-query medians over
     // ALL queries + a fixed headline subset of per-query medians.
     val hl = medians.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"canary_factor":${"%.3f".format(canaryFactor)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

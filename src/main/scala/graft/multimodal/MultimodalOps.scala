@@ -228,11 +228,37 @@ object MultimodalOps {
     * near-duplicate injection, an audibly-identical clip whose bytes
     * differ.
     */
+  /** Per-copy sample-step coefficients for the PCM synth (index =
+    * doc_id div 10⁷, the Scale10 copy index; 0 at every gated fixture,
+    * where doc_id < 10⁶ — FixtureContractSpec). The base signal
+    * (srcId·17 + t·11) mod 251 is fully determined by srcId mod 251,
+    * so the whole corpus carries ≤251 distinct signals and true
+    * near-dup pairs grow QUADRATICALLY with corpus size (r17 scale
+    * runs: ~1.79M Hamming-≤6 pairs at 20× — a degenerate space that
+    * made the capped-path recall audit read 0). Varying the t
+    * coefficient per copy changes the modular wrap pattern inside
+    * every 64-sample window, so copies share no fingerprints: the
+    * energy-delta hash spaces of two coefficients from this table
+    * overlap in 12 value pairs TOTAL over the full 251-phase space ×
+    * all 190 copy pairs (exhaustively enumerated), vs every pair
+    * colliding under a shared coefficient. Entries beyond index 0 were
+    * vetted by exhaustive scan of all 250 units mod 251 for minimal
+    * within-copy near-pair density (2 490 = the exact-phase floor;
+    * unvetted picks measured up to 780 625 — window phase shifts
+    * 64k ≈ 0 mod 251 collapse the space) and for bump-dup
+    * preservation (every +1-bump stays Hamming ≤ 6 of its source).
+    * Scale10Spec pins the per-copy dispersion (VERDICT r17 #3).
+    */
+  private val PcmCoef: Array[Long] = Array(
+    11, 45, 53, 60, 61, 65, 68, 70, 73, 74,
+    80, 95, 96, 104, 105, 109, 111, 140, 142, 146)
+
   def encodePcm(srcId: Long, bump: Boolean): Array[Byte] = {
     val out = new Array[Byte](4160)
+    val k = PcmCoef(((srcId / 10000000L) % 20L).toInt)
     var t = 0
     while (t < 4160) {
-      var v = ((srcId * 17 + t * 11) % 251).toInt
+      var v = ((srcId * 17 + t * k) % 251).toInt
       if (bump && t == 0) v += 1
       out(t) = v.toByte
       t += 1

@@ -37,24 +37,59 @@ object MultimodalQueries {
     * larger. Documented trade (the r13 contract): a true near-dup
     * pair whose EVERY shared band is hot is lost — at a hot 16-bit
     * key almost all pairs are non-matches; q_fpband_recall gates the
-    * measured recall of the capped path every round, and the drop-set
-    * size is logged. `spark.graft.fpband.cap` forces the capped path
-    * (any corpus size) for the spec that pins capped ⊆ plain.
+    * measured recall of the capped path every round (forced cap 25,
+    * fixture-scale), q_fpband_recall_prod gates the PRODUCTION cap
+    * 200 (VERDICT r17 #2 — the number users actually run), and the
+    * drop-set size is logged.
+    *
+    * Cap selection is an EXPLICIT parameter (ADVICE r17): the recall
+    * audits build capped and uncapped variants of the same corpus in
+    * one session, and threading the forced cap through session conf
+    * made the truth arm silently take the default capped path above
+    * the size gate (measuring cap-25 vs cap-200 instead of vs plain)
+    * and raced any concurrent build in the same session.
+    * `spark.graft.fpband.cap` remains the EXTERNAL override only,
+    * consulted solely under [[CapAuto]].
+    *
+    * Cache precondition (VERDICT r17 #6): under [[CapAuto]] with no
+    * conf override the size gate runs an EAGER `hashes.count()` — an
+    * extra job per invocation that is only free because every caller
+    * caches `hashes` first (they all do: the fingerprint kernel feeds
+    * both the gate and the pair join). An uncached caller would pay
+    * the fingerprint pipeline twice; cache the input or pass an
+    * explicit cap.
     */
-  private def hammingBandPairs(s: SparkSession, hashes: DataFrame): DataFrame = {
+  private[queries] sealed trait BandCap
+  /** Size-gated default: conf override if set, else plain ≤10k fps, else cap 200. */
+  private[queries] case object CapAuto extends BandCap
+  /** Plain (uncapped) plan regardless of corpus size — the truth arm. */
+  private[queries] case object CapOff extends BandCap
+  /** Capped path forced at occupancy `n`, any corpus size. */
+  private[queries] final case class CapForced(n: Long) extends BandCap
+
+  private def hammingBandPairs(s: SparkSession, hashes: DataFrame,
+      cap: BandCap = CapAuto): DataFrame = {
     val bandsRaw = hashes
       .select(col("doc_id"), col("hash"),
         explode(expr("sequence(0, 3)")).as("band_idx"))
       .withColumn("band_val",
         expr("shiftrightunsigned(hash, band_idx * 16) & 65535"))
-    val capConf = s.conf.getOption("spark.graft.fpband.cap").map(_.toLong)
-    val bands =
-      if (capConf.isEmpty && hashes.count() <= 10000L) bandsRaw
-      else {
+    val effCap: Option[Long] = cap match {
+      case CapOff       => None
+      case CapForced(n) => Some(n)
+      case CapAuto =>
+        val capConf = s.conf.getOption("spark.graft.fpband.cap").map(_.toLong)
+        if (capConf.isDefined) capConf
+        else if (hashes.count() <= 10000L) None
+        else Some(200L)
+    }
+    val bands = effCap match {
+      case None => bandsRaw
+      case Some(c) =>
         val hot = QueryCaches.cache(bandsRaw
           .groupBy("band_idx", "band_val")
           .agg(count(lit(1)).as("n"))
-          .filter(col("n") > capConf.getOrElse(200L))
+          .filter(col("n") > c)
           .select("band_idx", "band_val"))
         // ADVICE r16: the anti-join is answer-changing (a true pair whose
         // every shared band is hot is dropped), so scale runs must be able
@@ -64,9 +99,13 @@ object MultimodalQueries {
         val nHot = hot.count()
         org.slf4j.LoggerFactory.getLogger(getClass).warn(
           s"graft.fpband: dropping $nHot hot band keys " +
-            s"(cap=${capConf.getOrElse(200L)}) from the near-dup pair join")
+            s"(cap=$c) from the near-dup pair join")
         bandsRaw.join(hot, Seq("band_idx", "band_val"), "left_anti")
-      }
+    }
+    bandPairVerify(bands)
+  }
+
+  private def bandPairVerify(bands: DataFrame): DataFrame = {
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -79,6 +118,37 @@ object MultimodalQueries {
       .filter(col("hamming") <= 6)
       .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy("id_a", "id_b")
+  }
+
+  /** Shared recall-audit body for the two q_fpband_recall variants:
+    * one fingerprint pass (cached — the hammingBandPairs cache
+    * precondition), the capped path forced at `capAt`, the truth arm
+    * genuinely uncapped ([[CapOff]] — never the Auto default, which
+    * above the size gate is itself cap-200), one left join + global
+    * aggregate. Both caps are explicit parameters; session conf is
+    * never touched, so a concurrent build in the same session can't
+    * observe a forced cap (ADVICE r17).
+    */
+  private def fpbandRecall(s: SparkSession,
+      ids: org.apache.spark.sql.Dataset[Long], capAt: Long): DataFrame = {
+    import s.implicits._
+    val hashes = QueryCaches.cache(ids.mapPartitions(_.flatMap { id =>
+      val blobs =
+        (id, MultimodalOps.encodePcm(id, bump = false)) ::
+          (if (id % 3 == 0)
+             List((id + 5000000L, MultimodalOps.encodePcm(id, bump = true)))
+           else Nil)
+      blobs.iterator.map { case (d, blob) => MultimodalOps.audioFp64(d, blob) }
+    }).toDF("doc_id", "hash"))
+    val capped = hammingBandPairs(s, hashes, CapForced(capAt))
+    val plain = hammingBandPairs(s, hashes, CapOff)
+    plain.select(col("id_a"), col("id_b"))
+      .join(capped.select(col("id_a"), col("id_b"), lit(1L).as("found")),
+        Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .select(col("n_true_pairs"), col("n_found"),
+        expr("n_found * 10000 div nullif(n_true_pairs, 0)").as("recall_pm"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -245,32 +315,24 @@ object MultimodalQueries {
       val ids = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 4 === 0)
         .select(col("doc_id")).as[Long]
-      val hashes = QueryCaches.cache(ids.mapPartitions(_.flatMap { id =>
-        val blobs =
-          (id, MultimodalOps.encodePcm(id, bump = false)) ::
-            (if (id % 3 == 0)
-               List((id + 5000000L, MultimodalOps.encodePcm(id, bump = true)))
-             else Nil)
-        blobs.iterator.map { case (d, blob) => MultimodalOps.audioFp64(d, blob) }
-      }).toDF("doc_id", "hash"))
-      // capped variant first (conf read is EAGER inside hammingBandPairs),
-      // then restore before building the plain truth variant
-      val prevCap = s.conf.getOption("spark.graft.fpband.cap")
-      s.conf.set("spark.graft.fpband.cap", "25")
-      val capped =
-        try hammingBandPairs(s, hashes)
-        finally prevCap match {
-          case Some(p) => s.conf.set("spark.graft.fpband.cap", p)
-          case None    => s.conf.unset("spark.graft.fpband.cap")
-        }
-      val plain = hammingBandPairs(s, hashes)
-      plain.select(col("id_a"), col("id_b"))
-        .join(capped.select(col("id_a"), col("id_b"), lit(1L).as("found")),
-          Seq("id_a", "id_b"), "left_outer")
-        .agg(count(lit(1)).as("n_true_pairs"),
-          sum(coalesce(col("found"), lit(0L))).as("n_found"))
-        .select(col("n_true_pairs"), col("n_found"),
-          expr("n_found * 10000 div nullif(n_true_pairs, 0)").as("recall_pm"))
+      fpbandRecall(s, ids, capAt = 25L)
+    }),
+
+    // The SAME audit at the PRODUCTION cap (VERDICT r17 #2): the
+    // forced-25 variant above proves the audit machinery bites at
+    // fixture scale, but the setting users actually run is the Auto
+    // default cap 200 — until now its recall above the size gate was
+    // only a log line. This row makes it a gated number at every
+    // fixture, and the scale artifacts (BENCH_SCALE*) carry its
+    // 10×/20× values. Truth arm is the genuinely UNCAPPED plan
+    // (ADVICE r17: the old conf-threaded truth arm silently fell back
+    // to cap 200 above the gate — exactly what this query must not do).
+    "q_fpband_recall_prod" -> ((s, dir) => {
+      import s.implicits._
+      val ids = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id")).as[Long]
+      fpbandRecall(s, ids, capAt = 200L)
     }),
 
     // REAL pixel resize (thumbnail generation) — the remaining member
@@ -555,7 +617,9 @@ object MultimodalQueries {
         |),
         |en AS (
         |  SELECT a.doc_id, t.t // 64 AS w,
-        |         CAST(sum((a.src_id * 17 + t.t * 11) % 251
+        |         CAST(sum((a.src_id * 17 + t.t * list_extract(
+        |             [11,45,53,60,61,65,68,70,73,74,80,95,96,104,105,109,111,140,142,146],
+        |             CAST((a.src_id // 10000000) % 20 AS INTEGER) + 1)) % 251
         |           + CASE WHEN a.bump = 1 AND t.t = 0 THEN 1 ELSE 0 END)
         |           AS BIGINT) AS e
         |  FROM auds a, unnest(generate_series(0, 4159)) t(t)
@@ -591,13 +655,18 @@ object MultimodalQueries {
         |WHERE hamming <= 6 ORDER BY id_a, id_b""".stripMargin,
 
     // the recall audit re-derived: same audio-fp bits/bands CTEs, the
-    // capped candidate set is bands minus the occupancy>25 keys (the
-    // forced cap the query sets), and — because kept ⊆ bands — a
+    // capped candidate set is bands minus the occupancy>cap keys (the
+    // forced cap the query passes), and — because kept ⊆ bands — a
     // capped pair is exactly a plain truth pair whose pair survives in
     // the capped candidate set, so hamming verifies ONCE on the plain
-    // side
-    "q_fpband_recall" ->
-      """WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
+    // side. Shared by both variants: forced 25 (fixture-scale bite)
+    // and the production cap 200 (VERDICT r17 #2).
+    "q_fpband_recall" -> fpbandRecallSql(25L),
+    "q_fpband_recall_prod" -> fpbandRecallSql(200L),
+  ) ++ oraclesTail
+
+  private def fpbandRecallSql(cap: Long): String =
+      s"""WITH sub AS (SELECT doc_id FROM documents WHERE doc_id % 4 = 0),
         |auds AS (
         |  SELECT doc_id, doc_id AS src_id, 0 AS bump FROM sub
         |  UNION ALL
@@ -605,7 +674,9 @@ object MultimodalQueries {
         |),
         |en AS (
         |  SELECT a.doc_id, t.t // 64 AS w,
-        |         CAST(sum((a.src_id * 17 + t.t * 11) % 251
+        |         CAST(sum((a.src_id * 17 + t.t * list_extract(
+        |             [11,45,53,60,61,65,68,70,73,74,80,95,96,104,105,109,111,140,142,146],
+        |             CAST((a.src_id // 10000000) % 20 AS INTEGER) + 1)) % 251
         |           + CASE WHEN a.bump = 1 AND t.t = 0 THEN 1 ELSE 0 END)
         |           AS BIGINT) AS e
         |  FROM auds a, unnest(generate_series(0, 4159)) t(t)
@@ -625,7 +696,7 @@ object MultimodalQueries {
         |),
         |hot AS (
         |  SELECT band_idx, band_val FROM bands
-        |  GROUP BY 1, 2 HAVING count(*) > 25
+        |  GROUP BY 1, 2 HAVING count(*) > $cap
         |),
         |kept AS (
         |  SELECT b.doc_id, b.band_idx, b.band_val
@@ -663,7 +734,11 @@ object MultimodalQueries {
         |SELECT n_true_pairs, n_found,
         |       CAST(n_found * 10000 // nullif(n_true_pairs, 0) AS BIGINT)
         |         AS recall_pm
-        |FROM agg""".stripMargin,
+        |FROM agg""".stripMargin
+
+  // def, not val: referenced from the `oracles` initializer above,
+  // which runs first in source order (a val here would still be null)
+  private def oraclesTail: Map[String, String] = Map(
 
     // the resize re-derived with integer division only: dims from the
     // id formula, target dims from the shared aspect-preserving floor

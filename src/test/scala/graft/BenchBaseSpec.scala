@@ -2,7 +2,8 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pins for Bench's prev-base parsing (no SparkSession needed).
+/** Pins for Bench's prev-base parsing and the banded-normalized
+  * regression rule's inputs (no SparkSession needed).
   *
   * The r12 hole this guards: the driver committed a detail file whose
   * own gate had flagged it `"unadjudicated": true` (load_ratio 3.06,
@@ -11,6 +12,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * regressions up to the inflation factor invisible on the next run.
   * parsePrevBase must refuse such a file, loudly, in code rather than
   * by docs convention.
+  *
+  * The r17 extension (VERDICT #1/#4): the base now also carries each
+  * query's max-over-passes (its variance band), the CPU-canary median
+  * (normalization denominator), and the fs write-canary (sink-heavy
+  * environment key) — parsed from the same committed detail file.
   */
 class BenchBaseSpec extends AnyFunSuite {
 
@@ -19,11 +25,30 @@ class BenchBaseSpec extends AnyFunSuite {
   private def detail(unadj: Boolean, sfDir: String = sf): String =
     s"""{"metric":"total","value":127.2,"unit":"sec","unadjudicated":$unadj,""" +
       s""""disp_frac2":0.0000,"queries":{"q_agg_pricing":0.345,"q_tfidf":0.5},""" +
-      s""""warm":{"q_agg_pricing":0.999,"q_tfidf":0.999},"sf":"$sfDir"}"""
+      s""""warm":{"q_agg_pricing":0.999,"q_tfidf":0.999},""" +
+      s""""minmax":{"q_agg_pricing":[0.300000,0.412000],"q_tfidf":[0.480000,0.770000]},""" +
+      s""""canary_med":0.0148,"fs_canary":0.00210,"sf":"$sfDir"}"""
 
-  test("an adjudicated same-sf detail parses to its medians map") {
+  test("an adjudicated same-sf detail parses to medians, bands, and canaries") {
     val r = Bench.parsePrevBase(detail(unadj = false), sf)
-    assert(r == Right(Map("q_agg_pricing" -> 0.345, "q_tfidf" -> 0.5)))
+    assert(r.isRight)
+    val b = r.toOption.get
+    assert(b.med == Map("q_agg_pricing" -> 0.345, "q_tfidf" -> 0.5))
+    assert(b.max == Map("q_agg_pricing" -> 0.412, "q_tfidf" -> 0.77),
+      "the band ceiling is the MAX side of each minmax pair")
+    assert(b.canaryMed.contains(0.0148))
+    assert(b.fsCanary.contains(0.0021))
+  }
+
+  test("a pre-r18 detail without minmax/canary fields still yields medians") {
+    val legacy =
+      s"""{"metric":"total","value":1.0,"unit":"sec","unadjudicated":false,""" +
+        s""""queries":{"q_tfidf":0.5},"sf":"$sf"}"""
+    val r = Bench.parsePrevBase(legacy, sf)
+    assert(r.isRight)
+    val b = r.toOption.get
+    assert(b.med == Map("q_tfidf" -> 0.5))
+    assert(b.max.isEmpty && b.canaryMed.isEmpty && b.fsCanary.isEmpty)
   }
 
   test("an unadjudicated detail is REFUSED as a regression base") {
@@ -47,6 +72,13 @@ class BenchBaseSpec extends AnyFunSuite {
   test("medians come from the queries object, not the warm map") {
     // both maps share key names; the parse must scope to "queries"
     val r = Bench.parsePrevBase(detail(unadj = false), sf)
-    assert(r.exists(_("q_agg_pricing") == 0.345))
+    assert(r.exists(_.med("q_agg_pricing") == 0.345))
+  }
+
+  test("the sink-heavy set names only filesystem-writing queries that exist") {
+    // every member must be a real query (a typo would silently disable
+    // the cross-env routing for the query it meant to protect)
+    Bench.SinkHeavy.foreach(k =>
+      assert(SparkEntry.queries.contains(k), s"SinkHeavy names unknown query $k"))
   }
 }
