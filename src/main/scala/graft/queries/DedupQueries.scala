@@ -160,6 +160,31 @@ object DedupQueries {
           concat(col("text"), lit(" zzz tail")).as("text")))
   }
 
+  /** On-disk parquet tree for q_stream_dedup_cluster: the chain
+    * graph's nodes (customer keys) split into 6 INTERLEAVED chunk
+    * files (chunk = id mod 6), so chain neighbors (c, c+1) arrive in
+    * different micro-batches and cross-batch merges are what the
+    * stream exercises. Spark writes (no driver collect), one coalesced
+    * file per chunk, built once per JVM per dir, published atomically.
+    */
+  private def clusterNodeTree(s: SparkSession, dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_cluster_nodes_$key"
+    SideStores.stagedTree(out) { stage =>
+      val nodes = s.read.parquet(s"$dir/customer.parquet")
+        .select(col("c_custkey").as("id"))
+      (0 until 6).foreach { b =>
+        nodes.filter(col("id") % 6 === b).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/chunk$b")
+      }
+    }
+    out
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group by content hash, keep the smallest id.
@@ -978,6 +1003,106 @@ object DedupQueries {
         .orderBy("cluster_id")
     }),
 
+    // INCREMENTAL cluster maintenance as a STREAM (VERDICT r17 #8 —
+    // the main+delta pattern the BM25 index already has, brought to
+    // the dedup survivor/cluster state): new documents arrive in
+    // micro-batches (Trigger.AvailableNow file source, one chunk file
+    // per trigger) and cluster assignments UPDATE without full
+    // recompute. Per batch: (1) only the edges incident to NEW nodes
+    // materialize (two semi-joins against the seen-so-far node set —
+    // an edge between two old nodes was already processed the batch
+    // its second endpoint arrived); (2) those edges' endpoint labels
+    // form a LABEL-MERGE graph, resolved to component minima by the
+    // same alternatingStarComponents used in batch — but over the
+    // touched LABELS only, a frame proportional to the delta, not the
+    // corpus; (3) one outer join remaps the cumulative state. So
+    // per-batch work ∝ batch size + touched clusters — at 100 TB new
+    // docs stream in and only their clusters recompute, never the
+    // corpus. Each batch's state is eagerly localCheckpointed: the
+    // micro-batch frame is only valid inside foreachBatch, so the
+    // state must not reference it lazily across batches.
+    //
+    // Correctness: connected components are arrival-order independent,
+    // and the min-label invariant holds inductively (every batch's
+    // merge takes the min over the merged components' labels, which
+    // are themselves component minima of the arrived prefix), so the
+    // drained state EQUALS the batch q_dedup_cluster — same closed-form
+    // oracle, the batch ≡ stream discipline q_stream_pipeline set. The
+    // chunk files interleave ids mod 6 (chain neighbors c, c+1 land in
+    // different files), so nearly every edge merges ACROSS batches —
+    // the incremental path is exercised, not bypassed.
+    "q_stream_dedup_cluster" -> ((s, dir) => {
+      val tree = clusterNodeTree(s, dir)
+      graft.streaming.EventStreams.drainTuned(s, dir) {
+        var assign: DataFrame = null
+        val update = (batch: DataFrame, _: Long) => {
+          val newNodes = batch.select(col("id")).distinct()
+          val known =
+            if (assign == null) newNodes
+            else assign.select(col("id")).unionByName(newNodes)
+          // chain-rule edges incident to a new node, other endpoint seen
+          val fwd = newNodes
+            .filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+            .select(col("id").as("src"), (col("id") + 1).as("dst"))
+          val bwd = newNodes
+            .select((col("id") - 1).as("src"), col("id").as("dst"))
+            .filter(col("src") % 10 >= 1 && col("src") % 10 <= 3)
+          val edges = fwd.unionByName(bwd)
+            .join(known.select(col("id").as("src")), Seq("src"), "left_semi")
+            .join(known.select(col("id").as("dst")), Seq("dst"), "left_semi")
+            .distinct()
+          val cur =
+            if (assign == null) newNodes.select(col("id"), col("id").as("label"))
+            else assign.unionByName(
+              newNodes.join(assign.select(col("id")), Seq("id"), "left_anti")
+                .select(col("id"), col("id").as("label")))
+          // label-merge graph: endpoint labels of this batch's edges
+          val el = edges
+            .join(cur.select(col("id").as("src"), col("label").as("la")), "src")
+            .join(cur.select(col("id").as("dst"), col("label").as("lb")), "dst")
+            .select(col("la"), col("lb"))
+            .filter(col("la") =!= col("lb")).distinct()
+          val labelNodes = el.select(col("la").as("id"))
+            .unionByName(el.select(col("lb").as("id"))).distinct()
+          val roots = GraphOps.alternatingStarComponents(labelNodes,
+            el.select(col("la").as("src"), col("lb").as("dst")))._1
+          assign = cur
+            .join(roots.select(col("id").as("label"), col("label").as("root")),
+              Seq("label"), "left_outer")
+            .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+            .localCheckpoint(true)
+          ()
+        }
+        val shm = new java.io.File("/dev/shm")
+        val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val ckpt = java.nio.file.Files.createTempDirectory(base, "graft_ckpt_")
+        val q = s.readStream
+          .schema("id BIGINT")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tree/chunk*") // glob: chunks live one level down
+          .writeStream
+          .foreachBatch(update)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); () } finally {
+          q.stop()
+          try {
+            val walk = java.nio.file.Files.walk(ckpt)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally walk.close()
+          } catch { case _: Throwable => () }
+          s.streams.resetTerminated()
+        }
+        assign.groupBy(col("label").as("cluster_id"))
+          .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
+            max(col("id")).as("max_id"))
+          .orderBy("cluster_id")
+      }
+    }),
+
     // 16-bit SimHash per subset doc (full 64-bit is the same loop with
     // a wider accumulator; 16 bits keeps the oracle SQL tractable).
     "q_dedup_simhash" -> ((s, dir) =>
@@ -1474,6 +1599,17 @@ object DedupQueries {
       s"WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7 " +
       s"WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11 " +
       s"WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+
+  private val dedupClusterSql =
+    """WITH comp AS (
+      |  SELECT c_custkey AS id,
+      |         CASE WHEN c_custkey % 10 BETWEEN 1 AND 4
+      |              THEN c_custkey - (c_custkey % 10) + 1
+      |              ELSE c_custkey END AS cluster_id
+      |  FROM customer
+      |)
+      |SELECT cluster_id, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
+      |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
   private val jaccardSql =
     "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)"
@@ -2193,17 +2329,12 @@ object DedupQueries {
 
     // closed form: nodes c%10∈{1..4} belong to the chain rooted at
     // c − c%10 + 1 (edges exist iff both endpoints ≤ max key, which the
-    // CASE respects because membership follows the surviving nodes)
-    "q_dedup_cluster" ->
-      """WITH comp AS (
-        |  SELECT c_custkey AS id,
-        |         CASE WHEN c_custkey % 10 BETWEEN 1 AND 4
-        |              THEN c_custkey - (c_custkey % 10) + 1
-        |              ELSE c_custkey END AS cluster_id
-        |  FROM customer
-        |)
-        |SELECT cluster_id, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
-        |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin,
+    // CASE respects because membership follows the surviving nodes).
+    // Shared VERBATIM with the streaming twin — batch ≡ stream is the
+    // gated contract: incremental per-batch merges must converge to
+    // exactly the batch components.
+    "q_dedup_cluster" -> dedupClusterSql,
+    "q_stream_dedup_cluster" -> dedupClusterSql,
 
     "q_dedup_simhash" ->
       s"""WITH ssub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

@@ -830,17 +830,11 @@ object EtlQueries {
       .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
     val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5
     val out = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_tree_$key"
-    SideStores.ensure(out) {
-      // ADVICE r17: build into a unique temp sibling, then atomically
-      // move into place — a delete-then-rebuild of the shared path
-      // raced a second JVM whose Trigger.AvailableNow listing could run
-      // mid-delete and see a partial tree. With the rename, readers see
-      // either the old complete tree or the new one, never a prefix.
-      val outPath = java.nio.file.Paths.get(out)
-      val stage = java.nio.file.Files.createTempDirectory(
-        outPath.getParent, outPath.getFileName.toString + ".stage")
-      // fixture materialization only (≤ 816 rows, once per JVM per dir);
-      // the measured operator is the stream that READS the tree
+    // staged + atomic rename (ADVICE r17): readers only ever see a
+    // complete tree. Fixture materialization only (≤ 816 rows, once
+    // per JVM per dir); the measured operator is the stream that
+    // READS the tree.
+    SideStores.stagedTree(out) { stage =>
       Manifest.build(s, dir)
         .groupBy("base_name").agg(min("region_code").as("region_code"))
         .collect()
@@ -852,24 +846,6 @@ object EtlQueries {
             "asc\n")
           ()
         }
-      def rmTree(p: java.nio.file.Path): Unit = {
-        val walk = java.nio.file.Files.walk(p) // closed: each walk leaked a dir handle per rebuild
-        try walk.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => { java.nio.file.Files.delete(q); () })
-        finally walk.close()
-      }
-      if (java.nio.file.Files.exists(outPath)) rmTree(outPath)
-      try
-        java.nio.file.Files.move(stage, outPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-      catch {
-        // a concurrent JVM won the rename between our delete and move:
-        // its tree is complete and identical (same deterministic rows) —
-        // drop the stage copy and use theirs
-        case _: java.nio.file.FileAlreadyExistsException |
-             _: java.nio.file.FileSystemException
-            if java.nio.file.Files.exists(outPath) => rmTree(stage)
-      }
     }
     out
   }

@@ -19,6 +19,37 @@ object SideStores {
     if (!written.contains(key)) { write; written += key }
   }
 
+  /** Write-once ON-DISK tree with atomic publication: `build` fills a
+    * unique staging sibling, which is then atomically renamed to `out`
+    * — a reader (e.g. a Trigger.AvailableNow file-source listing in a
+    * concurrent JVM) sees either the previous complete tree or the new
+    * one, never a partial prefix (ADVICE r17). If a concurrent JVM
+    * wins the rename race, its tree is byte-identical (the build is a
+    * pure function of `out`'s key) and the staged copy is discarded.
+    */
+  def stagedTree(out: String)(build: java.nio.file.Path => Unit): Unit =
+    ensure(out) {
+      val outPath = java.nio.file.Paths.get(out)
+      val stage = java.nio.file.Files.createTempDirectory(
+        outPath.getParent, outPath.getFileName.toString + ".stage")
+      build(stage)
+      def rmTree(p: java.nio.file.Path): Unit = {
+        val walk = java.nio.file.Files.walk(p) // closed: leaks a dir handle otherwise
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => { java.nio.file.Files.delete(q); () })
+        finally walk.close()
+      }
+      if (java.nio.file.Files.exists(outPath)) rmTree(outPath)
+      try
+        java.nio.file.Files.move(stage, outPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException |
+             _: java.nio.file.FileSystemException
+            if java.nio.file.Files.exists(outPath) => rmTree(stage)
+      }
+    }
+
   /** Build-once value cache with the same contract as [[ensure]]: the
     * value must be a pure function of the key (which should encode the
     * sfDir). Used for driver-built sketches (e.g. the q_dedup_bloom
