@@ -255,7 +255,16 @@ object MultimodalOps {
 
   def encodePcm(srcId: Long, bump: Boolean): Array[Byte] = {
     val out = new Array[Byte](4160)
-    val k = PcmCoef(((srcId / 10000000L) % 20L).toInt)
+    // No silent wrap past the vetted table: a ≥(PcmCoef.length)× fixture
+    // reusing coefficients would reintroduce the cross-copy fingerprint
+    // collapse this table exists to fix (ADVICE r18) — extend the vetted
+    // table rather than wrapping.
+    val copy = srcId / 10000000L
+    require(copy >= 0 && copy < PcmCoef.length,
+      s"PCM copy index $copy (srcId=$srcId) exceeds the vetted coefficient " +
+        s"table (${PcmCoef.length} entries); extend PcmCoef before scaling past " +
+        s"${PcmCoef.length} copies")
+    val k = PcmCoef(copy.toInt)
     var t = 0
     while (t < 4160) {
       var v = ((srcId * 17 + t * k) % 251).toInt

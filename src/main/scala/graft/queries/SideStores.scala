@@ -39,7 +39,20 @@ object SideStores {
           .forEach(q => { java.nio.file.Files.delete(q); () })
         finally walk.close()
       }
-      if (java.nio.file.Files.exists(outPath)) rmTree(outPath)
+      // An existing tree is moved ASIDE atomically (not deleted in place):
+      // deleting before the publish re-opens the partial-visibility window
+      // for a concurrent-JVM reader (ADVICE r18). The aside copy is deleted
+      // only after the new tree is live.
+      var trash: java.nio.file.Path = null
+      if (java.nio.file.Files.exists(outPath)) {
+        trash = outPath.resolveSibling(
+          outPath.getFileName.toString + ".trash." + java.util.UUID.randomUUID())
+        try java.nio.file.Files.move(outPath, trash,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch { // a concurrent JVM moved/replaced it first; its tree is identical
+          case _: java.nio.file.NoSuchFileException => trash = null
+        }
+      }
       try
         java.nio.file.Files.move(stage, outPath,
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
@@ -48,6 +61,7 @@ object SideStores {
              _: java.nio.file.FileSystemException
             if java.nio.file.Files.exists(outPath) => rmTree(stage)
       }
+      if (trash != null) rmTree(trash)
     }
 
   /** Build-once value cache with the same contract as [[ensure]]: the

@@ -159,6 +159,12 @@ object GeoJsonSource {
     val known = Set("code", "raw_title", "wkt")
     val bad = fields.filterNot(known)
     require(bad.isEmpty, s"unknown cursor fields: ${bad.mkString(", ")}")
+    // the reference cursor takes a non-empty, duplicate-free field list;
+    // duplicates here would emit duplicate output columns that break
+    // downstream select-by-name (ADVICE r17 #4)
+    require(fields.nonEmpty, "cursor requires at least one field")
+    require(fields.distinct == fields,
+      s"duplicate cursor fields: ${fields.diff(fields.distinct).distinct.mkString(", ")}")
     val props = StructType(
       (if (fields.contains("code"))
          Seq(StructField("REGC_code", StringType)) else Nil) ++
