@@ -61,7 +61,26 @@ object Bench {
       med: Map[String, Double],
       max: Map[String, Double],
       canaryMed: Option[Double],
-      fsCanary: Option[Double])
+      fsCanary: Option[Double],
+      stageCanaryMed: Option[Double] = None)
+
+  /** Detail-file write routing (VERDICT r18 #2): a bench run must never
+    * overwrite the committed regression base in place — the r18 driver
+    * run left a looser 271.5 s detail sitting over the adjudicated
+    * 256.9 s base in the working tree, one accidental `git add` away
+    * from weakening every future band. Every run writes
+    * `<base>_LAST.json`; the base name is written ONLY when the
+    * operator explicitly promotes (SPARK_GRAFT_PROMOTE_BASE=1) AND the
+    * run passed its own adjudication gate (promoting a load-poisoned
+    * run is refused even when asked — parsePrevBase would reject it on
+    * the next run anyway, but the refusal belongs at write time).
+    */
+  private[graft] def detailRoutes(
+      baseName: String, promote: Boolean,
+      unadjudicated: Boolean): (String, Option[String]) = {
+    val last = baseName.stripSuffix(".json") + "_LAST.json"
+    (last, if (promote && !unadjudicated) Some(baseName) else None)
+  }
 
   /** Queries whose timed body WRITES through the local filesystem
     * (temp-dir sinks), making their wall time a property of the host's
@@ -111,7 +130,8 @@ object Bench {
       def num(key: String): Option[Double] =
         ("\"" + key + """":([0-9][0-9.eE+-]*)""").r
           .findFirstMatchIn(txt).map(_.group(1).toDouble)
-      Right(PrevBase(med, max, num("canary_med"), num("fs_canary")))
+      Right(PrevBase(med, max, num("canary_med"), num("fs_canary"),
+        num("stage_canary_med")))
     }
   }
 
@@ -289,9 +309,38 @@ object Bench {
       }.min
     }
     val fsCanary = try fsWriteCanary() catch { case _: Throwable => 0.0 }
+    // MULTI-STAGE canary (VERDICT r18 #4): a fixed-shape 8-stage
+    // shuffle chain on constant data. The single-job CPU canary indexes
+    // raw compute but under-reads PER-STAGE overhead shifts (task
+    // scheduling, shuffle write/read, stage turnaround): the r18 host
+    // phase elevated 15–30-stage iterative queries 1.5–1.9× while the
+    // CPU canary read 1.07×, and six flags needed a manual old-code A/B
+    // to settle (docs/LEVEL_SHIFTS.md). This job IS the canary class
+    // those queries resemble. Shape: 8 chained repartition exchanges
+    // over 2M constant rows + one final sum — all shuffle machinery, no
+    // data growth. A FRESH DataFrame per sample forces fresh RDD
+    // lineage (no cross-sample shuffle reuse) while codegen caches by
+    // generated source, so samples after the untimed warmup measure the
+    // machine, not compilation. Each sample = min of 3 executions
+    // (same debt-shedding rationale as minOf2 on the CPU canary).
+    def mkStageCanaryDf(): org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.functions.{col, lit}
+      var df = spark.range(1 << 21)
+        .select((col("id") % 65536).as("k"), col("id").as("v"))
+      var i = 0
+      while (i < 8) { df = df.repartition(col("k") + lit(i)); i += 1 }
+      df.selectExpr("sum(v) as s")
+    }
+    def stageCanaryTime(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      consume(mkStageCanaryDf())
+      (System.nanoTime() - t0) / 1e9
+    }.min
     canaryTime(); ioCanaryTime() // untimed compile/JIT of the canary plans
+    try stageCanaryTime() catch { case _: Throwable => () } // untimed warmup
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val ioCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    val stageCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val timesBy = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errBy = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // UNTIMED pass 0 (r15, VERDICT #3): execute every selected query once
@@ -330,6 +379,12 @@ object Bench {
     }
     for (pass <- 1 to passes) {
       var pos = 0
+      // one stage-canary sample per suite pass: heavier than the CPU/IO
+      // canaries (8 shuffles), so it rides at pass boundaries rather
+      // than every 20 queries — 3 samples across a run span the same
+      // wall-clock window the queries do
+      try stageCanarySeries += ((pass, 0, stageCanaryTime()))
+      catch { case _: Throwable => () }
       // fresh deterministic shuffle per pass: same seed → same order on a
       // re-run of the same pass, different order across passes
       val order = new scala.util.Random(7919L * pass).shuffle(baseOrder)
@@ -386,8 +441,9 @@ object Bench {
     // Full per-query detail → file (too large for the driver's tail capture):
     // medians as the canonical "queries" map (what the next round reads back
     // as `prev`), plus per-query min/max and the regression/improvement maps.
-    // Routing (detailName) was decided up top, before the prev read.
-    val detailPath = new java.io.File(detailName).getAbsolutePath
+    // Routing (detailName) was decided up top, before the prev read; the
+    // WRITE target (always the _LAST sibling; base only on explicit
+    // adjudicated promotion) is resolved after the adjudication gate below.
     val minmax = results
       .map { case (k, _, _, mn, mx, _) =>
         s""""$k":[${"%.6f".format(mn)},${"%.6f".format(mx)}]""" }
@@ -419,6 +475,13 @@ object Bench {
     val (ioCanaryMed, ioLoadRatio) = loadIdx(ioCanarySeries.map(_._3).toSeq)
     val canaryJson = seriesJson(canarySeries.toSeq)
     val ioCanaryJson = seriesJson(ioCanarySeries.toSeq)
+    // stage canary: only `passes` samples, so the median is over all of
+    // them (its own warmup already ran untimed before pass 1)
+    val stageCanaryMed = {
+      val s = stageCanarySeries.map(_._3).toSeq
+      if (s.isEmpty) 0.0 else med(s)
+    }
+    val stageCanaryJson = seriesJson(stageCanarySeries.toSeq)
 
     // Regression report vs the prior round's base: flag movement ≥30%
     // AND ≥0.3 s — the absolute floor keeps millisecond queries' jitter out.
@@ -456,19 +519,46 @@ object Bench {
     // n_err and the errors map are the only honest channel for it.
     val canaryFactor = (for (p <- prev.canaryMed if p > 0 && canaryMed > 0)
       yield math.max(1.0, canaryMed / p)).getOrElse(1.0)
+    // stage factor (VERDICT r18 #4): the same max(1, now/base) rule as
+    // the CPU factor, measured on the 8-stage shuffle chain. Gating
+    // normalizes by max(canaryFactor, stageFactor): a genuine ≥30%-
+    // above-band code regression survives division by a measured
+    // fixed-job host factor, while the r18-style per-stage host phase
+    // (stage canary 1.5×, CPU canary 1.07×) stops manufacturing flags
+    // that only an old-code A/B could clear. Rows a canary-only rule
+    // WOULD have flagged ride along under "regressions_stage_env" so
+    // the absorption is visible, never silent. The A/B protocol
+    // (docs/LEVEL_SHIFTS.md) stays as escalation for flags surviving
+    // both factors.
+    val stageFactor = (for (p <- prev.stageCanaryMed if p > 0 && stageCanaryMed > 0)
+      yield math.max(1.0, stageCanaryMed / p)).getOrElse(1.0)
+    val normFactor = math.max(canaryFactor, stageFactor)
     // sink-heavy rows compare like-for-like only: fs write-canary moved
     // >1.5× in either direction ⇒ different storage environment
     val crossEnv = (for (p <- prev.fsCanary if p > 0 && fsCanary > 0)
       yield fsCanary / p > 1.5 || p / fsCanary > 1.5).getOrElse(false)
     val ok = results.collect { case (k, med, _, mn, _, None) => (k, med, mn) }
     val compared = ok.flatMap { case (k, now, _) => prev.med.get(k).map(p => (k, now, p)) }
-    val regressedAll = ok.flatMap { case (k, _, mn) =>
+    val banded = ok.flatMap { case (k, _, mn) =>
       prev.med.get(k).map { p =>
-        val normMin = mn / canaryFactor
+        val normMin = mn / normFactor
+        val cpuMin = mn / canaryFactor
         val band = math.max(p, prev.max.getOrElse(k, p))
-        (k, normMin, p, normMin > band && moved(normMin, p))
+        (k, normMin, cpuMin, p, band)
       }
-    }.collect { case (k, normMin, p, true) => (k, normMin, p) }
+    }
+    val regressedAll = banded.collect {
+      case (k, normMin, _, p, band) if normMin > band && moved(normMin, p) =>
+        (k, normMin, p)
+    }
+    // visibility for the stage-factor absorption: rows the canary-only
+    // rule would flag but the stage factor clears (advisory, non-gating)
+    val regressedStageEnv = banded.collect {
+      case (k, normMin, cpuMin, p, band)
+          if !(normMin > band && moved(normMin, p)) &&
+            cpuMin > band && moved(cpuMin, p) =>
+        (k, cpuMin, p)
+    }
     val (regressedEnv, regressed) =
       regressedAll.partition { case (k, _, _) => crossEnv && SinkHeavy(k) }
     val improved  = compared.filter { case (_, now, p) => now < p && moved(now, p) }
@@ -516,15 +606,28 @@ object Bench {
     // comparing across the count()→toRdd break and must stop
     val unadjJson =
       s""""unadjudicated":$unadjudicated,"basis":"toRdd","disp_frac2":${"%.4f".format(dispFrac2)},"""
+    // Write routing: always the _LAST sibling; the committed base name
+    // only on explicit adjudicated promotion (detailRoutes scaladoc).
+    val promote = sys.env.getOrElse("SPARK_GRAFT_PROMOTE_BASE", "0") == "1"
+    val (lastName, promotedName) = detailRoutes(detailName, promote, unadjudicated)
+    if (promote && promotedName.isEmpty) System.err.println(
+      "[bench] PROMOTION REFUSED: run is unadjudicated — the committed " +
+        s"base $detailName stays untouched; re-run on a quiet window")
+    val detailPath = new java.io.File(lastName).getAbsolutePath
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"canary_factor":${"%.3f".format(canaryFactor)},"cross_env":$crossEnv,"regression_basis":"norm_min_vs_prev_band","regressions":${deltaMap(regressed)},"regressions_cross_env":${deltaMap(regressedEnv)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"stage_canary":$stageCanaryJson,"stage_canary_med":${"%.4f".format(stageCanaryMed)},"canary_factor":${"%.3f".format(canaryFactor)},"stage_factor":${"%.3f".format(stageFactor)},"cross_env":$crossEnv,"regression_basis":"norm_min_vs_prev_band","regressions":${deltaMap(regressed)},"regressions_cross_env":${deltaMap(regressedEnv)},"regressions_stage_env":${deltaMap(regressedStageEnv)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
+    promotedName.foreach { n =>
+      val p = new java.io.PrintWriter(new java.io.File(n).getAbsolutePath, "UTF-8")
+      try p.println(detail) finally p.close()
+      System.err.println(s"[bench] promoted this adjudicated run to base $n")
+    }
 
     // Compact summary line (fits the tail): total of per-query medians over
     // ALL queries + a fixed headline subset of per-query medians.
     val hl = medians.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"canary_factor":${"%.3f".format(canaryFactor)},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"stage_canary_med":${"%.4f".format(stageCanaryMed)},"canary_factor":${"%.3f".format(canaryFactor)},"stage_factor":${"%.3f".format(stageFactor)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }

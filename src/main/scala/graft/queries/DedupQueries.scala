@@ -185,6 +185,241 @@ object DedupQueries {
     out
   }
 
+  /** On-disk parquet tree for q_stream_keep_best: the dedup corpus
+    * (originals + injected near-duplicates) split into 6 interleaved
+    * chunk files (chunk = doc_id mod 6). A duplicate's id is its
+    * source + 10⁶ ≡ source + 4 (mod 6), so every (original, duplicate)
+    * pair lands in DIFFERENT micro-batches and the survivor state is
+    * genuinely revised across batches, not resolved within one.
+    */
+  private def keepBestDocTree(s: SparkSession, dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5d = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5d
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_keepbest_docs_$key"
+    SideStores.stagedTree(out) { stage =>
+      val docs = Corpus.withDuplicates(s, dir).select(col("doc_id"), col("text"))
+      (0 until 6).foreach { b =>
+        docs.filter(col("doc_id") % 6 === b).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/chunk$b")
+      }
+    }
+    out
+  }
+
+  /** Typed rows for the q_stream_keep_best state machine (object-level:
+    * product encoders resolve here, not inside the query lambda).
+    */
+  final case class KbRow(doc_id: Long, prefix_key: String, toks: Long)
+  final case class KbState(prefix_key: String, n_members: Long,
+      survivor_id: Long, survivor_toks: Long, min_toks: Long)
+
+  /** Per-batch instrumentation from the last [[streamClusterDrain]] in
+    * this thread: rows EAGERLY materialized this batch (`ckptRows` — the
+    * delta-proportionality evidence StreamClusterSpec asserts; -1 when
+    * the probe conf is off, because counting costs a per-batch job) and
+    * the merge-graph pair count (`mergePairs` — always recorded, the
+    * driver already holds the collected pairs; -1 when the batch
+    * overflowed the cap and routed to the distributed fallback, where
+    * the exact count is unknown by design). q_streamcluster_mergesize
+    * turns the pair counts into the gated cap-margin audit row
+    * (VERDICT r18 #6).
+    */
+  private[graft] final case class StreamClusterBatch(
+      batch: Long, ckptRows: Long, mergePairs: Long)
+
+  /** Probe rows of the most recent drain (any thread; volatile is
+    * enough — the spec runs the drain and reads synchronously).
+    */
+  @volatile private[graft] var lastStreamClusterProbe: Vector[StreamClusterBatch] =
+    Vector.empty
+
+  /** Drain the chunked node stream, maintaining cluster state with
+    * DELTA-ONLY materialization (VERDICT r18 #5): per batch the ONLY
+    * eagerly-checkpointed frames are the batch's own arrival rows (and,
+    * on the rare fallback route, the touched-label root mapping) — both
+    * ∝ the delta, never the cumulative state. The cumulative assignment
+    * stays a LAZY plan: union of per-batch arrival checkpoints threaded
+    * through one broadcast remap join per batch (map-side, ≤cap rows),
+    * so per-batch checkpoint BYTES are O(delta) instead of the previous
+    * O(total state) full-state rewrite — on a long-lived stream the
+    * per-batch cost follows the delta, not the corpus. The lazy chain's
+    * read-side depth is bounded by a compaction checkpoint every
+    * `spark.graft.streamcluster.compact_every` batches (default 32 —
+    * amortized O(state/32) per batch, the same main+delta-then-compact
+    * cadence as q_index_compact; the 6-chunk gated fixture never
+    * triggers it, which is exactly what lets StreamClusterSpec assert
+    * pure-delta writes). Batch-frame hygiene: every frame the lazy
+    * chain references is either a checkpoint (arrivals, fallback roots)
+    * or driver-local (union-find roots via toDF), so nothing dangles
+    * into an expired micro-batch.
+    *
+    * Returns the final (lazy) assignment and the per-batch probe rows.
+    */
+  private def streamClusterDrain(
+      s: SparkSession, dir: String): (DataFrame, Vector[StreamClusterBatch]) = {
+    val tree = clusterNodeTree(s, dir)
+    graft.streaming.EventStreams.drainTuned(s, dir) {
+      import s.implicits._
+      val probe = s.conf.getOption("spark.graft.streamcluster.probe").contains("true")
+      val cap = s.conf.getOption("spark.graft.streamcluster.cap")
+        .map(_.toInt).getOrElse(100000)
+      val compactEvery = s.conf.getOption("spark.graft.streamcluster.compact_every")
+        .map(_.toInt).getOrElse(32)
+      var assign: DataFrame = null
+      var sinceCompact = 0
+      val batches = scala.collection.mutable.ArrayBuffer.empty[StreamClusterBatch]
+      val update = (batch: DataFrame, batchId: Long) => {
+        // per-run ids are disjoint across batches by construction
+        // (the chunk files partition the key space; each invocation
+        // drains a FRESH checkpoint, so no micro-batch replays) — no
+        // distinct/anti-join hygiene needed, and a violation would
+        // inflate n_nodes and fail the oracle gate loudly.
+        // The arrival delta is the batch's ONLY full-width checkpoint:
+        // new nodes enter with label = own id (the component-minimum
+        // invariant's base case).
+        val newRows = batch.select(col("id"), col("id").as("label"))
+          .localCheckpoint(true)
+        val newNodes = newRows.select(col("id"))
+        // CANDIDATE chain-rule edges incident to a new node
+        // (other-endpoint existence is NOT checked here: the label
+        // joins below are inner, so an edge to a never-seen node
+        // drops there for free — two semi-join exchanges saved per
+        // batch). Duplicate edges ((new,new) pairs appear in both
+        // orientations) are harmless: union-find and the star rounds
+        // are both idempotent on repeated pairs — cheaper than a
+        // per-batch distinct exchange
+        val fwd = newNodes
+          .filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
+          .select(col("id").as("src"), (col("id") + 1).as("dst"))
+        val bwd = newNodes
+          .select((col("id") - 1).as("src"), col("id").as("dst"))
+          .filter(col("src") % 10 >= 1 && col("src") % 10 <= 3)
+        val edges = fwd.unionByName(bwd)
+        val cur =
+          if (assign == null) newRows else assign.unionByName(newRows)
+        // label-merge graph: endpoint labels of this batch's edges.
+        // DELTA-sized by construction (≤ one pair per batch edge), so
+        // the common case resolves with a driver union-find: the
+        // first 10× run paid 18.7 s here because every micro-batch
+        // ran the full distributed star machinery (2–4 rounds × 2
+        // shuffle-joins + a signature collect + 2 localCheckpoints)
+        // on a merge graph of a few hundred labels — per-batch FIXED
+        // cost, not data. One limit(cap+1) collect both sizes the
+        // gate and delivers the pairs (no second job); graphs larger
+        // than the cap (a pathological batch merging >1e5 clusters
+        // at once) fall back to the distributed star rounds. Same
+        // size-gated routing as the fpband/CDC hot-key caps — but
+        // answer-PRESERVING here (both paths compute the same roots;
+        // StreamClusterSpec forces the fallback and pins equality).
+        // no distinct: duplicate pairs are idempotent in both
+        // resolution paths, and the pair stream is delta-bounded
+        // (≤ 2 rows per batch edge) either way
+        val el = edges
+          .join(cur.select(col("id").as("src"), col("label").as("la")), "src")
+          .join(cur.select(col("id").as("dst"), col("label").as("lb")), "dst")
+          .select(col("la"), col("lb"))
+          .filter(col("la") =!= col("lb"))
+        val pairRows = el.limit(cap + 1).collect()
+        val fast = pairRows.length <= cap
+        val roots: DataFrame =
+          if (fast) {
+            // min-root union-find with path compression: parent maps
+            // every non-root label to a smaller label, so find()
+            // terminates and the component root IS the minimum
+            val parent = scala.collection.mutable.LongMap.empty[Long]
+            def find(x: Long): Long = {
+              var r = x
+              while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+              var c = x
+              while (parent.getOrElse(c, c) != c) {
+                val n = parent(c); parent(c) = r; c = n
+              }
+              r
+            }
+            pairRows.foreach { row =>
+              val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
+              if (ra != rb) {
+                if (ra < rb) parent(rb) = ra else parent(ra) = rb
+              }
+            }
+            // keys snapshotted BEFORE find(): path compression mutates
+            // the map, and mutating a LongMap mid-iteration is undefined
+            // by the collection contract (ADVICE r18)
+            parent.keys.toArray.map(l => (l, find(l)))
+              .filter { case (l, r) => l != r }.toSeq
+              .toDF("label", "root")
+          } else {
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"graft.streamcluster: merge graph exceeds $cap pairs — " +
+                "routing to distributed star resolution")
+            val labelNodes = el.select(col("la").as("id"))
+              .unionByName(el.select(col("lb").as("id"))).distinct()
+            // checkpointed: the lazy assignment chain replays its remap
+            // join on every later execution, and the star rounds must
+            // run once per batch, not once per replay. Size ∝ labels
+            // touched by THIS batch's merges — delta-bounded.
+            GraphOps.alternatingStarComponents(labelNodes,
+              el.select(col("la").as("src"), col("lb").as("dst")))._1
+              .filter(col("id") =!= col("label"))
+              .select(col("id").as("label"), col("label").as("root"))
+              .localCheckpoint(true)
+          }
+        // broadcast only the driver-resolved mapping (≤ cap rows by
+        // construction); the distributed fallback's mapping can be
+        // arbitrarily large — let the planner pick its join
+        val rootsHinted = if (fast) broadcast(roots) else roots
+        // the remap stays LAZY: one broadcast left-outer join appended
+        // to the assignment plan — no O(state) write here
+        assign = cur
+          .join(rootsHinted, Seq("label"), "left_outer")
+          .select(col("id"), coalesce(col("root"), col("label")).as("label"))
+        sinceCompact += 1
+        var ckptRows = if (probe) {
+          var n = newRows.count()
+          if (!fast) n += roots.count()
+          n
+        } else -1L
+        if (sinceCompact >= compactEvery) {
+          assign = assign.localCheckpoint(true)
+          sinceCompact = 0
+          if (probe) ckptRows += assign.count()
+        }
+        batches += StreamClusterBatch(batchId, ckptRows,
+          if (fast) pairRows.length.toLong else -1L)
+        ()
+      }
+      val shm = new java.io.File("/dev/shm")
+      val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val ckpt = java.nio.file.Files.createTempDirectory(base, "graft_ckpt_")
+      val q = s.readStream
+        .schema("id BIGINT")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(s"$tree/chunk*") // glob: chunks live one level down
+        .writeStream
+        .foreachBatch(update)
+        .option("checkpointLocation", ckpt.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try { q.awaitTermination(); () } finally {
+        q.stop()
+        try {
+          val walk = java.nio.file.Files.walk(ckpt)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
+        } catch { case _: Throwable => () }
+        s.streams.resetTerminated()
+      }
+      val out = batches.toVector
+      lastStreamClusterProbe = out
+      (assign, out)
+    }
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Exact dedup: group by content hash, keep the smallest id.
@@ -1009,18 +1244,14 @@ object DedupQueries {
     // micro-batches (Trigger.AvailableNow file source, one chunk file
     // per trigger) and cluster assignments UPDATE without full
     // recompute. Per batch: (1) only the edges incident to NEW nodes
-    // materialize (two semi-joins against the seen-so-far node set —
-    // an edge between two old nodes was already processed the batch
-    // its second endpoint arrived); (2) those edges' endpoint labels
-    // form a LABEL-MERGE graph, resolved to component minima by the
-    // same alternatingStarComponents used in batch — but over the
-    // touched LABELS only, a frame proportional to the delta, not the
-    // corpus; (3) one outer join remaps the cumulative state. So
-    // per-batch work ∝ batch size + touched clusters — at 100 TB new
-    // docs stream in and only their clusters recompute, never the
-    // corpus. Each batch's state is eagerly localCheckpointed: the
-    // micro-batch frame is only valid inside foreachBatch, so the
-    // state must not reference it lazily across batches.
+    // materialize; (2) those edges' endpoint labels form a LABEL-MERGE
+    // graph, resolved to component minima over the touched LABELS only
+    // — a frame proportional to the delta, not the corpus; (3) one
+    // broadcast remap join extends the (lazy) cumulative assignment.
+    // Per-batch CHECKPOINT bytes ∝ delta (VERDICT r18 #5 — see
+    // streamClusterDrain), so at 100 TB new docs stream in and both
+    // the recompute AND the state I/O follow the delta, never the
+    // corpus.
     //
     // Correctness: connected components are arrival-order independent,
     // and the min-label invariant holds inductively (every batch's
@@ -1032,134 +1263,112 @@ object DedupQueries {
     // different files), so nearly every edge merges ACROSS batches —
     // the incremental path is exercised, not bypassed.
     "q_stream_dedup_cluster" -> ((s, dir) => {
-      val tree = clusterNodeTree(s, dir)
-      graft.streaming.EventStreams.drainTuned(s, dir) {
-        var assign: DataFrame = null
-        val update = (batch: DataFrame, _: Long) => {
-          // per-run ids are disjoint across batches by construction
-          // (the chunk files partition the key space; each invocation
-          // drains a FRESH checkpoint, so no micro-batch replays) — no
-          // distinct/anti-join hygiene needed, and a violation would
-          // inflate n_nodes and fail the oracle gate loudly
-          val newNodes = batch.select(col("id"))
-          // CANDIDATE chain-rule edges incident to a new node
-          // (other-endpoint existence is NOT checked here: the label
-          // joins below are inner, so an edge to a never-seen node
-          // drops there for free — two semi-join exchanges saved per
-          // batch). Duplicate edges ((new,new) pairs appear in both
-          // orientations) are harmless: union-find and the star rounds
-          // are both idempotent on repeated pairs — cheaper than a
-          // per-batch distinct exchange
-          val fwd = newNodes
-            .filter(col("id") % 10 >= 1 && col("id") % 10 <= 3)
-            .select(col("id").as("src"), (col("id") + 1).as("dst"))
-          val bwd = newNodes
-            .select((col("id") - 1).as("src"), col("id").as("dst"))
-            .filter(col("src") % 10 >= 1 && col("src") % 10 <= 3)
-          val edges = fwd.unionByName(bwd)
-          val cur =
-            if (assign == null) newNodes.select(col("id"), col("id").as("label"))
-            else assign.unionByName(newNodes.select(col("id"), col("id").as("label")))
-          // label-merge graph: endpoint labels of this batch's edges.
-          // DELTA-sized by construction (≤ one pair per batch edge), so
-          // the common case resolves with a driver union-find: the
-          // first 10× run paid 18.7 s here because every micro-batch
-          // ran the full distributed star machinery (2–4 rounds × 2
-          // shuffle-joins + a signature collect + 2 localCheckpoints)
-          // on a merge graph of a few hundred labels — per-batch FIXED
-          // cost, not data. One limit(cap+1) collect both sizes the
-          // gate and delivers the pairs (no second job); graphs larger
-          // than the cap (a pathological batch merging >1e5 clusters
-          // at once) fall back to the distributed star rounds. Same
-          // size-gated routing as the fpband/CDC hot-key caps — but
-          // answer-PRESERVING here (both paths compute the same roots;
-          // StreamClusterSpec forces the fallback and pins equality).
-          // no distinct: duplicate pairs are idempotent in both
-          // resolution paths, and the pair stream is delta-bounded
-          // (≤ 2 rows per batch edge) either way
-          val el = edges
-            .join(cur.select(col("id").as("src"), col("label").as("la")), "src")
-            .join(cur.select(col("id").as("dst"), col("label").as("lb")), "dst")
-            .select(col("la"), col("lb"))
-            .filter(col("la") =!= col("lb"))
-          val cap = s.conf.getOption("spark.graft.streamcluster.cap")
-            .map(_.toInt).getOrElse(100000)
-          val pairRows = el.limit(cap + 1).collect()
-          val roots: DataFrame =
-            if (pairRows.length <= cap) {
-              // min-root union-find with path compression: parent maps
-              // every non-root label to a smaller label, so find()
-              // terminates and the component root IS the minimum
-              val parent = scala.collection.mutable.LongMap.empty[Long]
-              def find(x: Long): Long = {
-                var r = x
-                while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
-                var c = x
-                while (parent.getOrElse(c, c) != c) {
-                  val n = parent(c); parent(c) = r; c = n
-                }
-                r
-              }
-              pairRows.foreach { row =>
-                val ra = find(row.getLong(0)); val rb = find(row.getLong(1))
-                if (ra != rb) {
-                  if (ra < rb) parent(rb) = ra else parent(ra) = rb
-                }
-              }
-              import s.implicits._
-              parent.keysIterator.map(l => (l, find(l)))
-                .filter { case (l, r) => l != r }.toSeq
-                .toDF("label", "root")
-            } else {
-              org.slf4j.LoggerFactory.getLogger(getClass).warn(
-                s"graft.streamcluster: merge graph exceeds $cap pairs — " +
-                  "routing to distributed star resolution")
-              val labelNodes = el.select(col("la").as("id"))
-                .unionByName(el.select(col("lb").as("id"))).distinct()
-              GraphOps.alternatingStarComponents(labelNodes,
-                el.select(col("la").as("src"), col("lb").as("dst")))._1
-                .filter(col("id") =!= col("label"))
-                .select(col("id").as("label"), col("label").as("root"))
-            }
-          // broadcast only the driver-resolved mapping (≤ cap rows by
-          // construction); the distributed fallback's mapping can be
-          // arbitrarily large — let the planner pick its join
-          val rootsHinted =
-            if (pairRows.length <= cap) broadcast(roots) else roots
-          assign = cur
-            .join(rootsHinted, Seq("label"), "left_outer")
-            .select(col("id"), coalesce(col("root"), col("label")).as("label"))
-            .localCheckpoint(true)
-          ()
-        }
-        val shm = new java.io.File("/dev/shm")
-        val base = if (shm.isDirectory && shm.canWrite) shm.toPath
-          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-        val ckpt = java.nio.file.Files.createTempDirectory(base, "graft_ckpt_")
-        val q = s.readStream
-          .schema("id BIGINT")
+      val (assign, _) = streamClusterDrain(s, dir)
+      assign.groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"))
+        .orderBy("cluster_id")
+    }),
+
+    // Cap-margin AUDIT for the stream-cluster driver union-find
+    // (VERDICT r18 #6): the 100k-pair cap that routes a batch's merge
+    // graph to the driver fast path was a magic number — this query
+    // makes the margin a MEASURED, oracle-gated row at every fixture
+    // (and lands in the scale artifacts at 10×/20× via Verify +
+    // tools/scale_artifacts.py). It drains the real stream and reports
+    // the LARGEST per-batch merge graph observed. The oracle re-derives
+    // the same number arithmetically: chunk b holds ids ≡ b (mod 6) and
+    // AvailableNow processes chunks in filename order, so a valid chain
+    // edge (c, c+1) survives the inner label joins exactly once — in
+    // the batch its LATER endpoint arrives, max(c mod 6, (c+1) mod 6) —
+    // and the la≠lb filter never drops a chain edge (the chain graph is
+    // a forest: an edge's endpoints cannot be already-connected when it
+    // is processed). Per-batch merge-pair count therefore equals the
+    // count of valid edges with that activation batch, a pure GROUP BY
+    // in SQL. The cap column carries the PRODUCTION default (the margin
+    // being audited), pinned as a literal on both sides.
+    "q_streamcluster_mergesize" -> ((s, dir) => {
+      val (_, batches) = streamClusterDrain(s, dir)
+      require(batches.forall(_.mergePairs >= 0),
+        "merge graph overflowed the cap during the audit drain — raise " +
+          "spark.graft.streamcluster.cap for this fixture")
+      val mx = batches.map(_.mergePairs).max
+      val withMerges = batches.count(_.mergePairs > 0).toLong
+      import s.implicits._
+      Seq((mx, withMerges, 100000L))
+        .toDF("max_merge_pairs", "n_batches_with_merges", "cap")
+    }),
+
+    // INCREMENTAL survivor selection as a STREAM (VERDICT r18 #8 — the
+    // last mutable dedup artifact brought under the batch ≡ stream
+    // discipline: index r14, pipeline r17, clusters r18, survivors
+    // now): documents arrive in micro-batches and each prefix-key
+    // cluster's best survivor (max tokens, ties to min doc_id) REVISES
+    // incrementally. Machinery deliberately differs from the cluster
+    // query: this is Spark's own keyed state store via
+    // mapGroupsWithState (per-key state = one 5-field record, bounded
+    // regardless of cluster size; the engine's HDFS-backed store writes
+    // per-batch DELTA files of touched keys only — the delta-sized
+    // state I/O the cluster query hand-builds, here for free), Update
+    // output into a memory sink, last emission per key selected at
+    // drain end by the monotone member counter. The fold is
+    // order-independent (max over a total order + counters), so the
+    // drained state equals batch q_dedup_keep_best verbatim — same
+    // oracle. The chunk tree puts every (original, duplicate) pair in
+    // different batches (keepBestDocTree), so survivor revision is
+    // exercised cross-batch, not resolved within one. At 100 TB: state
+    // ∝ distinct clusters, per-batch I/O ∝ touched keys, and the memory
+    // sink becomes an upsert sink (foreachBatch MERGE) with the same
+    // plan.
+    "q_stream_keep_best" -> ((s, dir) => {
+      import s.implicits._
+      val tree = keepBestDocTree(s, dir)
+      val name = s"stream_keep_best_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val updates = graft.streaming.EventStreams.drainTuned(s, dir) {
+        val rows = s.readStream
+          .schema("doc_id BIGINT, text STRING")
           .option("maxFilesPerTrigger", 1)
-          .parquet(s"$tree/chunk*") // glob: chunks live one level down
-          .writeStream
-          .foreachBatch(update)
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination(); () } finally {
-          q.stop()
-          try {
-            val walk = java.nio.file.Files.walk(ckpt)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-            finally walk.close()
-          } catch { case _: Throwable => () }
-          s.streams.resetTerminated()
-        }
-        assign.groupBy(col("label").as("cluster_id"))
-          .agg(count(lit(1)).as("n_nodes"), min(col("id")).as("min_id"),
-            max(col("id")).as("max_id"))
-          .orderBy("cluster_id")
+          .parquet(s"$tree/chunk*")
+          .select(col("doc_id"), split(col("text"), " ").as("w"))
+          .select(col("doc_id"),
+            md5(expr("concat_ws(' ', slice(w, 1, 30))")).as("prefix_key"),
+            size(col("w")).cast("bigint").as("toks"))
+          .as[KbRow]
+        val st = rows.groupByKey(_.prefix_key)
+          .mapGroupsWithState[KbState, KbState](
+            org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+            (key: String, it: Iterator[KbRow], state: org.apache.spark.sql.streaming.GroupState[KbState]) =>
+              var cur = state.getOption
+                .getOrElse(KbState(key, 0L, -1L, -1L, Long.MaxValue))
+              it.foreach { r =>
+                // same total order as the batch max_by ord struct
+                // (toks desc, doc_id asc); -1L sentinel loses to any
+                // real token count, so the first row always installs
+                val better = r.toks > cur.survivor_toks ||
+                  (r.toks == cur.survivor_toks && r.doc_id < cur.survivor_id)
+                cur = KbState(key, cur.n_members + 1,
+                  if (better) r.doc_id else cur.survivor_id,
+                  if (better) r.toks else cur.survivor_toks,
+                  math.min(cur.min_toks, r.toks))
+              }
+              state.update(cur)
+              cur
+          }
+        graft.streaming.EventStreams.runToCompletion(st.toDF(), name,
+          org.apache.spark.sql.streaming.OutputMode.Update())
       }
+      // last emission per key: n_members is strictly monotone across a
+      // key's emissions (every emitting batch added ≥1 member), so the
+      // lexicographic struct max IS the final state
+      updates.groupBy(col("prefix_key"))
+        .agg(max(struct(col("n_members"), col("survivor_id"),
+          col("survivor_toks"), col("min_toks"))).as("m"))
+        .filter(col("m.n_members") >= 2)
+        .select(col("prefix_key"), col("m.n_members").as("n_members"),
+          col("m.survivor_id").as("survivor_id"),
+          col("m.survivor_toks").as("survivor_toks"),
+          col("m.min_toks").as("min_toks"))
+        .orderBy("prefix_key")
     }),
 
     // 16-bit SimHash per subset doc (full 64-bit is the same loop with
@@ -1670,6 +1879,27 @@ object DedupQueries {
       |SELECT cluster_id, count(*) AS n_nodes, min(id) AS min_id, max(id) AS max_id
       |FROM comp GROUP BY cluster_id ORDER BY cluster_id""".stripMargin
 
+  /** Shared by q_dedup_keep_best and its streaming twin
+    * q_stream_keep_best (batch ≡ stream — one oracle serves both).
+    */
+  private val keepBestSql =
+    s"""WITH ${Corpus.corpusCte},
+       |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
+       |sc AS (
+       |  SELECT doc_id,
+       |         md5(array_to_string(list_slice(ws, 1, 30), ' ')) AS prefix_key,
+       |         CAST(len(ws) AS BIGINT) AS toks
+       |  FROM w
+       |),
+       |o AS (SELECT *, CAST(toks AS HUGEINT) * 1000000000000000000
+       |               + (999999999999999999 - doc_id) AS ord FROM sc)
+       |SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_members,
+       |       max_by(doc_id, ord) AS survivor_id,
+       |       CAST(max(toks) AS BIGINT) AS survivor_toks,
+       |       CAST(min(toks) AS BIGINT) AS min_toks
+       |FROM o GROUP BY prefix_key HAVING count(*) >= 2
+       |ORDER BY prefix_key""".stripMargin
+
   private val jaccardSql =
     "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)"
 
@@ -1806,23 +2036,11 @@ object DedupQueries {
          |       md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY idx), '')) AS cleaned_hash
          |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q_dedup_keep_best" ->
-      s"""WITH ${Corpus.corpusCte},
-         |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM corpus),
-         |sc AS (
-         |  SELECT doc_id,
-         |         md5(array_to_string(list_slice(ws, 1, 30), ' ')) AS prefix_key,
-         |         CAST(len(ws) AS BIGINT) AS toks
-         |  FROM w
-         |),
-         |o AS (SELECT *, CAST(toks AS HUGEINT) * 1000000000000000000
-         |               + (999999999999999999 - doc_id) AS ord FROM sc)
-         |SELECT prefix_key, CAST(count(*) AS BIGINT) AS n_members,
-         |       max_by(doc_id, ord) AS survivor_id,
-         |       CAST(max(toks) AS BIGINT) AS survivor_toks,
-         |       CAST(min(toks) AS BIGINT) AS min_toks
-         |FROM o GROUP BY prefix_key HAVING count(*) >= 2
-         |ORDER BY prefix_key""".stripMargin,
+    "q_dedup_keep_best" -> keepBestSql,
+
+    // batch ≡ stream: the incremental survivor state drains to exactly
+    // the batch survivor table
+    "q_stream_keep_best" -> keepBestSql,
 
     // positions: DuckDB's generate_series is 1-based vs posexplode's
     // 0-based — only position DIFFERENCES enter the result (island
@@ -2394,6 +2612,26 @@ object DedupQueries {
     // exactly the batch components.
     "q_dedup_cluster" -> dedupClusterSql,
     "q_stream_dedup_cluster" -> dedupClusterSql,
+
+    // activation-batch arithmetic: chunk b = ids ≡ b (mod 6), processed
+    // in order, so a valid chain edge contributes its one merge pair in
+    // the batch its later endpoint arrives (see the query's comment)
+    "q_streamcluster_mergesize" ->
+      """WITH e AS (
+        |  SELECT c.c_custkey AS src, c.c_custkey + 1 AS dst
+        |  FROM customer c
+        |  WHERE c.c_custkey % 10 BETWEEN 1 AND 3
+        |    AND EXISTS (SELECT 1 FROM customer d
+        |                WHERE d.c_custkey = c.c_custkey + 1)
+        |),
+        |b AS (
+        |  SELECT GREATEST(src % 6, dst % 6) AS batch, count(*) AS cnt
+        |  FROM e GROUP BY 1
+        |)
+        |SELECT CAST(max(cnt) AS BIGINT) AS max_merge_pairs,
+        |       CAST(count(*) AS BIGINT) AS n_batches_with_merges,
+        |       CAST(100000 AS BIGINT) AS cap
+        |FROM b""".stripMargin,
 
     "q_dedup_simhash" ->
       s"""WITH ssub AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),

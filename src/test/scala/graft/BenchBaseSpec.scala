@@ -75,6 +75,33 @@ class BenchBaseSpec extends AnyFunSuite {
     assert(r.exists(_.med("q_agg_pricing") == 0.345))
   }
 
+  test("stage_canary_med parses into the base when present, None when absent") {
+    val withStage = detail(unadj = false)
+      .replace(""""canary_med":0.0148""", """"canary_med":0.0148,"stage_canary_med":0.4321""")
+    assert(Bench.parsePrevBase(withStage, sf).toOption.get
+      .stageCanaryMed.contains(0.4321))
+    assert(Bench.parsePrevBase(detail(unadj = false), sf).toOption.get
+      .stageCanaryMed.isEmpty)
+  }
+
+  test("detail writes route to the _LAST sibling; the base is written only " +
+      "on explicit adjudicated promotion (VERDICT r18 #2)") {
+    // default run: base untouched
+    assert(Bench.detailRoutes("BENCH_DETAIL.json", promote = false,
+      unadjudicated = false) == ("BENCH_DETAIL_LAST.json", None))
+    // explicit promotion of an adjudicated run: base written too
+    assert(Bench.detailRoutes("BENCH_DETAIL.json", promote = true,
+      unadjudicated = false) ==
+      ("BENCH_DETAIL_LAST.json", Some("BENCH_DETAIL.json")))
+    // promotion of a load-poisoned run is refused even when asked
+    assert(Bench.detailRoutes("BENCH_DETAIL.json", promote = true,
+      unadjudicated = true) == ("BENCH_DETAIL_LAST.json", None))
+    // per-sf scale details get the same protection
+    assert(Bench.detailRoutes("BENCH_DETAIL_graft_sf1x_28234660.json",
+      promote = false, unadjudicated = false) ==
+      ("BENCH_DETAIL_graft_sf1x_28234660_LAST.json", None))
+  }
+
   test("the sink-heavy set names only filesystem-writing queries that exist") {
     // every member must be a real query (a typo would silently disable
     // the cross-env routing for the query it meant to protect)

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.DedupQueries
+
+/** Independent references for the round-19 work: delta-only stream-
+  * cluster state (VERDICT r18 #5), the merge-graph cap audit (#6), the
+  * streaming survivor selection (#8), and the r18 ADVICE guards.
+  */
+class Round19OpsSpec extends SparkSpecBase {
+
+  test("stream-cluster per-batch checkpoint rows equal the arrival delta — " +
+      "never the cumulative state (VERDICT r18 #5)") {
+    withConf("spark.graft.streamcluster.probe" -> "true") {
+      DedupQueries.queries("q_stream_dedup_cluster")(spark, sf).collect()
+    }
+    graft.queries.QueryCaches.releaseAll(spark)
+    val probe = DedupQueries.lastStreamClusterProbe
+    assert(probe.size == 6, s"expected 6 micro-batches, got ${probe.size}")
+    // expected deltas: chunk b holds the customer keys ≡ b (mod 6)
+    val nodes = spark.read.parquet(s"$sf/customer.parquet")
+      .select((col("c_custkey") % 6).as("b")).groupBy("b").count()
+      .collect().map(r => r.getLong(1)).sorted.toVector
+    val ckpt = probe.map(_.ckptRows).sorted
+    assert(ckpt == nodes,
+      s"per-batch checkpointed rows $ckpt != per-chunk arrival deltas $nodes — " +
+        "a full-state rewrite (or a missed delta) crept back in")
+    val total = nodes.sum
+    assert(probe.map(_.ckptRows).max < total,
+      "one batch materialized the whole cumulative state")
+  }
+
+  test("q_streamcluster_mergesize equals the probe's observed merge graphs " +
+      "and sits far under the production cap") {
+    val row = DedupQueries.queries("q_streamcluster_mergesize")(spark, sf)
+      .collect().head
+    graft.queries.QueryCaches.releaseAll(spark)
+    val probe = DedupQueries.lastStreamClusterProbe
+    assert(row.getLong(0) == probe.map(_.mergePairs).max)
+    assert(row.getLong(1) == probe.count(_.mergePairs > 0).toLong)
+    assert(row.getLong(2) == 100000L)
+    assert(row.getLong(0) > 0, "audit fixture produced no merges — vacuous")
+    assert(row.getLong(0) < row.getLong(2),
+      "merge graph at fixture scale exceeds the driver union-find cap")
+  }
+
+  test("q_stream_keep_best drains to exactly the batch survivor table, " +
+      "with revisions crossing micro-batches (VERDICT r18 #8)") {
+    val stream = DedupQueries.queries("q_stream_keep_best")(spark, sf)
+      .collect().map(_.toString).toSet
+    val batch = DedupQueries.queries("q_dedup_keep_best")(spark, sf)
+      .collect().map(_.toString).toSet
+    graft.queries.QueryCaches.releaseAll(spark)
+    assert(stream.nonEmpty, "no multi-member clusters in the fixture — vacuous")
+    assert(stream == batch,
+      "incremental survivor state diverged from the batch max_by")
+    // cross-batch precondition: a duplicate's id is source + 10⁶
+    // ≡ source + 4 (mod 6), so no (original, duplicate) pair shares a
+    // chunk — pin the arithmetic the equality's strength rests on
+    assert(1000000L % 6 != 0,
+      "duplicate offset is a multiple of the chunk modulus — pairs would " +
+        "arrive in one batch and the incremental path would be bypassed")
+  }
+
+  test("cursor rejects an empty or duplicate field list (ADVICE r17 #4)") {
+    val path = s"$sf/../regions.geojson" // any path: validation precedes IO
+    intercept[IllegalArgumentException] {
+      graft.sources.GeoJsonSource.cursor(spark, path, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.GeoJsonSource.cursor(spark, path, Seq("code", "code"))
+    }
+  }
+
+  test("encodePcm refuses a copy index beyond the vetted coefficient table " +
+      "instead of silently wrapping (ADVICE r18)") {
+    // copy 19 is the last vetted entry; copy 20 must fail loudly
+    graft.multimodal.MultimodalOps.encodePcm(19L * 10000000L, bump = false)
+    intercept[IllegalArgumentException] {
+      graft.multimodal.MultimodalOps.encodePcm(20L * 10000000L, bump = false)
+    }
+  }
+
+  test("stagedTree republish over an existing tree leaves a complete tree " +
+      "and no trash siblings (ADVICE r18)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_staged_spec")
+    val out = dir.resolve("store").toString
+    def build(n: Int): Unit = graft.queries.SideStores.stagedTree(out + n) { p =>
+      java.nio.file.Files.createDirectories(p)
+      java.nio.file.Files.write(p.resolve("data.txt"), s"v$n".getBytes)
+    }
+    build(1)
+    // simulate the concurrent-JVM case ensure() hides: call the publish
+    // path again with the target already present (fresh key suffix
+    // defeats the per-JVM memo; pre-create the target to force move-aside)
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(out + 2, "stale"))
+    build(2)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out + 2, "data.txt")),
+      "republished tree is incomplete")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(out + 2, "stale")),
+      "old tree contents leaked into the new publish")
+    val trash = java.nio.file.Files.list(dir)
+    try {
+      val leftovers = trash.filter(p => p.getFileName.toString.contains(".trash."))
+        .count()
+      assert(leftovers == 0, "move-aside trash not cleaned up")
+    } finally trash.close()
+  }
+}

@@ -41,6 +41,22 @@ def read_recall(vdir: str) -> dict:
     return out
 
 
+def read_mergesize(vdir: str) -> dict:
+    """Stream-cluster merge-graph size at this fixture (VERDICT r18 #6):
+    makes the driver union-find cap a measured margin in the scale
+    artifacts, not a guess."""
+    files = glob.glob(f"{vdir}/q_streamcluster_mergesize/*.parquet")
+    if not files:
+        return {}
+    r = pd.concat(pd.read_parquet(f) for f in files).iloc[0]
+    return {
+        "max_merge_pairs": int(r["max_merge_pairs"]),
+        "n_batches_with_merges": int(r["n_batches_with_merges"]),
+        "cap": int(r["cap"]),
+        "cap_headroom": round(int(r["cap"]) / max(1, int(r["max_merge_pairs"])), 1),
+    }
+
+
 def main() -> None:
     d10_path, d20_path = sys.argv[1], sys.argv[2]
     d10 = json.load(open(d10_path))
@@ -60,8 +76,14 @@ def main() -> None:
         d["wall_ratio_canaries"] = [d10["canary_med"], d20["canary_med"]]
     if len(sys.argv) > 3:
         d10["fpband_recall"] = read_recall(sys.argv[3])
+        ms10 = read_mergesize(sys.argv[3])
+        if ms10:
+            d10["streamcluster_merge_graph"] = ms10
     if len(sys.argv) > 4:
         d20["fpband_recall"] = read_recall(sys.argv[4])
+        ms20 = read_mergesize(sys.argv[4])
+        if ms20:
+            d20["streamcluster_merge_graph"] = ms20
         t10 = d10.get("fpband_recall", {}).get("q_fpband_recall_prod", {})
         t20 = d20["fpband_recall"].get("q_fpband_recall_prod", {})
         if t10.get("n_true_pairs") and t20.get("n_true_pairs"):
@@ -73,7 +95,8 @@ def main() -> None:
           f"normalized {norm:.3f}")
     for name, d in (("10x", d10), ("20x", d20)):
         print(name, "total", round(d["value"], 1), "load", d["load_ratio"],
-              "recall:", d.get("fpband_recall"))
+              "recall:", d.get("fpband_recall"),
+              "mergesize:", d.get("streamcluster_merge_graph"))
     print("growth:", d20.get("true_pair_growth_20x_over_10x"))
 
 
