@@ -30,6 +30,46 @@ class Round19OpsSpec extends SparkSpecBase {
       "one batch materialized the whole cumulative state")
   }
 
+  test("stream-cluster compaction cadence: compact_every=2 checkpoints the " +
+      "full state exactly on schedule and leaves the answer unchanged") {
+    def run(): Set[String] = {
+      val r = DedupQueries.queries("q_stream_dedup_cluster")(spark, sf)
+        .collect().map(_.toString).toSet
+      graft.queries.QueryCaches.releaseAll(spark)
+      r
+    }
+    withConf("spark.graft.streamcluster.probe" -> "true") {
+      val base = run()
+      val baseDeltas = DedupQueries.lastStreamClusterProbe.map(_.ckptRows)
+      val compacted = withConfValue(
+        "spark.graft.streamcluster.compact_every" -> "2")(run())
+      assert(compacted == base,
+        "compaction changed the drained cluster assignments")
+      val probe = DedupQueries.lastStreamClusterProbe
+      // deltas in batch order (probe batch ids are the arrival order)
+      val d = baseDeltas
+      val expected = probe.indices.map { k =>
+        // sinceCompact hits 2 on every second batch → compaction there
+        // checkpoints the cumulative state (sum of deltas so far) on
+        // top of the batch's own arrival delta
+        if (k % 2 == 1) d(k) + d.take(k + 1).sum else d(k)
+      }.toVector
+      assert(probe.map(_.ckptRows) == expected,
+        s"compaction checkpoint schedule ${probe.map(_.ckptRows)} != $expected")
+    }
+  }
+
+  /** withConf, but returning the body's value. */
+  private def withConfValue[T](kv: (String, String))(body: => T): T = {
+    val prev = spark.conf.getOption(kv._1)
+    spark.conf.set(kv._1, kv._2)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(kv._1, v)
+      case None    => spark.conf.unset(kv._1)
+    }
+  }
+
   test("q_streamcluster_mergesize equals the probe's observed merge graphs " +
       "and sits far under the production cap") {
     val row = DedupQueries.queries("q_streamcluster_mergesize")(spark, sf)
