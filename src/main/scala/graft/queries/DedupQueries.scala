@@ -250,8 +250,10 @@ object DedupQueries {
     * `spark.graft.streamcluster.compact_every` batches (default 32 —
     * amortized O(state/32) per batch, the same main+delta-then-compact
     * cadence as q_index_compact; the 6-chunk gated fixture never
-    * triggers it, which is exactly what lets StreamClusterSpec assert
-    * pure-delta writes). Batch-frame hygiene: every frame the lazy
+    * triggers it, which is exactly what lets Round19OpsSpec assert
+    * pure-delta writes — and a compact_every=2 case pins the compaction
+    * schedule and its answer-neutrality). Batch-frame hygiene: every
+    * frame the lazy
     * chain references is either a checkpoint (arrivals, fallback roots)
     * or driver-local (union-find roots via toDF), so nothing dangles
     * into an expired micro-batch.
