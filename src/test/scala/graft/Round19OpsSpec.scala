@@ -94,12 +94,26 @@ class Round19OpsSpec extends SparkSpecBase {
     assert(stream.nonEmpty, "no multi-member clusters in the fixture — vacuous")
     assert(stream == batch,
       "incremental survivor state diverged from the batch max_by")
-    // cross-batch precondition: a duplicate's id is source + 10⁶
-    // ≡ source + 4 (mod 6), so no (original, duplicate) pair shares a
-    // chunk — pin the arithmetic the equality's strength rests on
-    assert(1000000L % 6 != 0,
-      "duplicate offset is a multiple of the chunk modulus — pairs would " +
-        "arrive in one batch and the incremental path would be bypassed")
+    // cross-batch precondition, pinned at DATA level (equality alone
+    // cannot distinguish an incremental drain from a single-batch one):
+    // some multi-member cluster must have members in ≥2 distinct chunks
+    // (doc_id mod 6), so the 6-file maxFilesPerTrigger=1 source is
+    // FORCED to deliver them in different micro-batches and the state
+    // genuinely revises
+    val crossChunk = graft.text.Corpus.withDuplicates(spark, sf)
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .select(col("doc_id"),
+        md5(expr("concat_ws(' ', slice(w, 1, 30))")).as("prefix_key"))
+      .groupBy("prefix_key")
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("doc_id") % 6).as("n_chunks"))
+      .filter(col("n") >= 2 && col("n_chunks") >= 2)
+      .count()
+    graft.queries.QueryCaches.releaseAll(spark)
+    assert(crossChunk > 0,
+      "no multi-member cluster spans chunks — the stream would resolve " +
+        "every survivor within one batch and the incremental path would " +
+        "be bypassed")
   }
 
   test("cursor rejects an empty or duplicate field list (ADVICE r17 #4)") {
