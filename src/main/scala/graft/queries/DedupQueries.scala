@@ -160,26 +160,163 @@ object DedupQueries {
           concat(col("text"), lit(" zzz tail")).as("text")))
   }
 
-  /** On-disk parquet tree for q_stream_dedup_cluster: the chain
-    * graph's nodes (customer keys) split into 6 INTERLEAVED chunk
-    * files (chunk = id mod 6), so chain neighbors (c, c+1) arrive in
-    * different micro-batches and cross-batch merges are what the
-    * stream exercises. Spark writes (no driver collect), one coalesced
-    * file per chunk, built once per JVM per dir, published atomically.
+  /** LSH band self-join → DISTINCT candidate pairs, with the size-gated
+    * HOT-BAND-KEY occupancy cap ported from the fingerprint pack
+    * (VERDICT r19 #1; template MultimodalQueries.hammingBandPairs,
+    * r13): a band key shared by n docs contributes n(n−1)/2 candidate
+    * rows, so one degenerate key grows the join QUADRATICALLY in the
+    * hot key while contributing almost no verified pairs — and the
+    * text packs have a natural degenerate class: every doc whose
+    * shingle set is EMPTY (< 3 tokens) minhashes to the identical 4
+    * band keys (sig = "" per seed → bkey = md5("")), and identical
+    * boilerplate texts collide the same way. Above the size gate (or
+    * under a forced cap) band keys with occupancy > cap are dropped
+    * from BOTH sides via one anti-join against the bounded hot-key
+    * set; the drop-set size is logged (ADVICE r16 discipline) and the
+    * capped path's recall is a GATED number at the fixture and
+    * production caps (q_textband_recall / q_textband_recall_prod),
+    * never an assumption. Corpora at or below the gate keep the exact
+    * plain plan, so every pre-existing fixture oracle is unchanged.
+    *
+    * `gateRows` (the band-row count, ~4× docs) is consulted ONLY under
+    * [[MultimodalQueries.CapAuto]] with no conf override; callers pass
+    * the cheapest CACHED equivalent (the fingerprint pack's
+    * cache-precondition discipline — counting an uncached band frame
+    * would pay its kernel pipeline twice). `spark.graft.textband.cap`
+    * is the external override, mirroring `spark.graft.fpband.cap`;
+    * audits force caps explicitly and never thread them through
+    * session conf (ADVICE r17).
+    *
+    * Answer-preserving when capped? NO, by design — a true pair whose
+    * every shared band key is hot is lost (same trade as the
+    * fingerprint cap); what keeps it honest is the measured recall.
+    * The self-join's two sides stay canonically identical under the
+    * cap (one shared anti-join), so ReuseExchange still computes the
+    * banded side once for callers that rely on it (q_dedup_consensus).
     */
-  private def clusterNodeTree(s: SparkSession, dir: String): String = {
+  private[graft] def bandSelfJoinCands(s: SparkSession, bands: DataFrame,
+      keyCols: Seq[String], gateRows: => Long,
+      cap: MultimodalQueries.BandCap = MultimodalQueries.CapAuto): DataFrame = {
+    val effCap: Option[Long] = cap match {
+      case MultimodalQueries.CapOff       => None
+      case MultimodalQueries.CapForced(n) => Some(n)
+      case MultimodalQueries.CapAuto =>
+        val capConf = s.conf.getOption("spark.graft.textband.cap").map(_.toLong)
+        if (capConf.isDefined) capConf
+        else if (gateRows <= 40000L) None // ≈10k docs × 4 bands
+        else Some(200L)
+    }
+    val kept = effCap match {
+      case None => bands
+      case Some(c) =>
+        val hot = QueryCaches.cache(bands
+          .groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"))
+          .filter(col("n") > c)
+          .select(keyCols.map(col): _*))
+        val nHot = hot.count()
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"graft.textband: dropping $nHot hot band keys (cap=$c) " +
+            "from the LSH candidate self-join")
+        bands.join(hot, keyCols, "left_anti")
+    }
+    kept.as("a").join(kept.as("b"),
+        keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Shared body for the two q_textband_recall variants — the text-pack
+    * mirror of MultimodalQueries.fpbandRecall (VERDICT r19 #1). Audit
+    * corpus = the q_dedup_minhash sub-corpus PLUS a planted degenerate
+    * block (every 7th doc re-emitted at +3×10⁶ with a sub-shingle-width
+    * text, so the whole block shares the empty-set band keys md5("") —
+    * the quadratic-in-disguise class the cap exists for: ~72 docs ≈
+    * 2.5k junk candidates at sf0.01). Capped arm forced at `capAt`,
+    * truth arm genuinely uncapped ([[MultimodalQueries.CapOff]]); both
+    * verified by INTEGER cross-multiplication (2·∩ ≥ ∪ AND ∪ > 0 —
+    * never the float jaccard: two empty sets give 0/0, which Spark
+    * orders as NaN ≥ 0.5 = true while DuckDB yields NULL = false, so
+    * the float form would diverge between engines exactly on the
+    * planted block). Emits recall AND both candidate counts — at a cap
+    * the block clears, recall stays 10000‰ while n_cand collapses,
+    * which is the designed trade made visible. Session conf untouched
+    * (ADVICE r17).
+    */
+  private[graft] def textBandRecall(s: SparkSession, dir: String,
+      capAt: Long): DataFrame = {
+    val docs = minhashDocs(s, dir).unionByName(
+      s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 7 === 0)
+        .select((col("doc_id") + 3000000L).as("doc_id"), lit("xx").as("text")))
+    val bands = QueryCaches.cache(docs
+      .withColumn("sh", Corpus.shingles("text"))
+      .select(col("doc_id"),
+        posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
+    val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
+    def verified(cands: DataFrame): DataFrame = cands
+      .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), "id_b")
+      .filter(
+        size(array_intersect(col("sh_a"), col("sh_b"))) * 2 >=
+          size(array_union(col("sh_a"), col("sh_b"))) &&
+          size(array_union(col("sh_a"), col("sh_b"))) > 0)
+      .select(col("id_a"), col("id_b"))
+    val cappedCands = QueryCaches.cache(bandSelfJoinCands(s, bands,
+      Seq("band", "bkey"), 0L, MultimodalQueries.CapForced(capAt)))
+    val plainCands = QueryCaches.cache(bandSelfJoinCands(s, bands,
+      Seq("band", "bkey"), 0L, MultimodalQueries.CapOff))
+    verified(plainCands)
+      .join(verified(cappedCands).withColumn("found", lit(1L)),
+        Seq("id_a", "id_b"), "left_outer")
+      .agg(count(lit(1)).as("n_true_pairs"),
+        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+      .crossJoin(broadcast(plainCands.agg(count(lit(1)).as("n_cand_plain"))))
+      .crossJoin(broadcast(cappedCands.agg(count(lit(1)).as("n_cand_capped"))))
+      .select(col("n_true_pairs"), col("n_found"),
+        expr("n_found * 10000 div nullif(n_true_pairs, 0)").as("recall_pm"),
+        col("n_cand_plain"), col("n_cand_capped"))
+  }
+
+  /** On-disk parquet tree for q_stream_dedup_cluster: the chain
+    * graph's nodes (customer keys) split into `chunks` INTERLEAVED
+    * chunk files (chunk = id mod `chunks`), so chain neighbors
+    * (c, c+1) arrive in different micro-batches and cross-batch merges
+    * are what the stream exercises. Spark writes (no driver collect),
+    * one coalesced file per chunk, built once per JVM per (dir,
+    * chunks), published atomically.
+    *
+    * Chunk files carry STRICTLY INCREASING lastModified stamps in
+    * chunk order (ADVICE r19): Spark's file source orders files by
+    * modification time with unspecified tie-breaking, and the
+    * q_streamcluster_mergesize oracle attributes a merge to
+    * GREATEST(src % chunks, dst % chunks) — i.e. it assumes chunk b is
+    * batch b. The stamps make that processing order enforced rather
+    * than incidental (coarse-mtime filesystems would otherwise tie).
+    */
+  private def clusterNodeTree(s: SparkSession, dir: String,
+      chunks: Int = 6): String = {
     val abs = new java.io.File(dir).getAbsolutePath
     val md5 = java.security.MessageDigest.getInstance("MD5")
       .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5
+    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5 +
+      (if (chunks == 6) "" else s"_c$chunks")
     val out =
       s"${System.getProperty("java.io.tmpdir")}/graft_cluster_nodes_$key"
     SideStores.stagedTree(out) { stage =>
       val nodes = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("id"))
-      (0 until 6).foreach { b =>
-        nodes.filter(col("id") % 6 === b).coalesce(1)
+      val t0 = java.nio.file.Files.getLastModifiedTime(stage).toMillis
+      (0 until chunks).foreach { b =>
+        nodes.filter(col("id") % chunks === b).coalesce(1)
           .write.mode("overwrite").parquet(s"$stage/chunk$b")
+        val walk = java.nio.file.Files.walk(stage.resolve(s"chunk$b"))
+        try walk.forEach { p =>
+          java.nio.file.Files.setLastModifiedTime(p,
+            java.nio.file.attribute.FileTime.fromMillis(t0 + b * 2000L))
+          ()
+        } finally walk.close()
       }
     }
     out
@@ -188,9 +325,13 @@ object DedupQueries {
   /** On-disk parquet tree for q_stream_keep_best: the dedup corpus
     * (originals + injected near-duplicates) split into 6 interleaved
     * chunk files (chunk = doc_id mod 6). A duplicate's id is its
-    * source + 10⁶ ≡ source + 4 (mod 6), so every (original, duplicate)
-    * pair lands in DIFFERENT micro-batches and the survivor state is
-    * genuinely revised across batches, not resolved within one.
+    * source + 10⁶ ≡ source + 4 (mod 6) and an exact copy's is its
+    * source + 2×10⁶ ≡ source + 2 (mod 6), so every (original,
+    * duplicate) pair — BOTH injected duplicate classes (ADVICE r19) —
+    * lands in DIFFERENT micro-batches and the survivor state is
+    * genuinely revised across batches, not resolved within one. Anyone
+    * changing the Corpus.withDuplicates offsets must keep every offset
+    * ≢ 0 (mod 6).
     */
   private def keepBestDocTree(s: SparkSession, dir: String): String = {
     val abs = new java.io.File(dir).getAbsolutePath
@@ -216,8 +357,11 @@ object DedupQueries {
   final case class KbState(prefix_key: String, n_members: Long,
       survivor_id: Long, survivor_toks: Long, min_toks: Long)
 
-  /** Per-batch instrumentation from the last [[streamClusterDrain]] in
-    * this thread: rows EAGERLY materialized this batch (`ckptRows` — the
+  /** Per-batch instrumentation from the most recent
+    * [[streamClusterDrain]] — PROCESS-GLOBAL, spec-only (ADVICE r19):
+    * concurrent drains would clobber each other's probe, so specs that
+    * cannot tolerate that must consume the probe via the drain's return
+    * value instead. Fields: rows EAGERLY materialized this batch (`ckptRows` — the
     * delta-proportionality evidence StreamClusterSpec asserts; -1 when
     * the probe conf is off, because counting costs a per-batch job) and
     * the merge-graph pair count (`mergePairs` — always recorded, the
@@ -230,8 +374,10 @@ object DedupQueries {
   private[graft] final case class StreamClusterBatch(
       batch: Long, ckptRows: Long, mergePairs: Long)
 
-  /** Probe rows of the most recent drain (any thread; volatile is
-    * enough — the spec runs the drain and reads synchronously).
+  /** Probe rows of the most recent drain in the whole process (volatile
+    * is enough for visibility — each spec runs its drain and reads the
+    * probe synchronously on one thread; see the clobbering caveat on
+    * [[StreamClusterBatch]]).
     */
   @volatile private[graft] var lastStreamClusterProbe: Vector[StreamClusterBatch] =
     Vector.empty
@@ -260,9 +406,10 @@ object DedupQueries {
     *
     * Returns the final (lazy) assignment and the per-batch probe rows.
     */
-  private def streamClusterDrain(
-      s: SparkSession, dir: String): (DataFrame, Vector[StreamClusterBatch]) = {
-    val tree = clusterNodeTree(s, dir)
+  private[graft] def streamClusterDrain(
+      s: SparkSession, dir: String,
+      chunks: Int = 6): (DataFrame, Vector[StreamClusterBatch]) = {
+    val tree = clusterNodeTree(s, dir, chunks)
     graft.streaming.EventStreams.drainTuned(s, dir) {
       import s.implicits._
       val probe = s.conf.getOption("spark.graft.streamcluster.probe").contains("true")
@@ -607,11 +754,12 @@ object DedupQueries {
       // cache also survives plan changes that would break exchange
       // reuse. Released by the harness via QueryCaches.releaseAll.
 
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      // size-gated hot-band-key cap (VERDICT r19 #1): plain plan at or
+      // below the gate (this fixture — oracle unchanged), occupancy cap
+      // above it, recall gated by q_textband_recall/_prod. The gate
+      // count reads the already-cached band frame.
+      val cands = bandSelfJoinCands(s, bands, Seq("band", "bkey"),
+        gateRows = bands.count())
       val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
       cands
         .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -641,11 +789,10 @@ object DedupQueries {
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
           posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
-      val cands = QueryCaches.cache(bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct())
+      // same size-gated capped construction as q_dedup_minhash (the
+      // banding under audit must be the banding production runs)
+      val cands = QueryCaches.cache(bandSelfJoinCands(s, bands,
+        Seq("band", "bkey"), gateRows = bands.count()))
       val planted = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 10 === 0)
         .select(col("doc_id").as("id_a"),
@@ -671,6 +818,19 @@ object DedupQueries {
           expr("n_verified * 1000 div greatest(n_candidates, 1)")
             .as("verify_rate_pm"))
     }),
+
+    // Capped-band RECALL audits (VERDICT r19 #1) — the q_fpband_recall
+    // twins for the text LSH packs: what does the hot-band-key
+    // occupancy cap cost in verified pairs, and what does it buy in
+    // candidate volume, both as oracle-gated numbers. Forced cap 25
+    // bites at sf0.01 (the planted empty-shingle block is ~72 docs →
+    // its 4 shared band keys are hot → ~2.5k junk candidates drop);
+    // cap 200 is the production Auto default, biting from sf0.1 up —
+    // the scale artifacts carry its 10×/20× values, mirroring
+    // q_fpband_recall_prod.
+    "q_textband_recall" -> ((s, dir) => textBandRecall(s, dir, capAt = 25L)),
+    "q_textband_recall_prod" -> ((s, dir) =>
+      textBandRecall(s, dir, capAt = 200L)),
 
     // Corpus-level MinHash sketch per source via the typed Aggregator
     // (graft.text.MinHashAgg): per seed, min md5 over every shingle of
@@ -700,11 +860,13 @@ object DedupQueries {
         .select(col("doc_id"), simhash64Udf(col("text")).as("w")))
       val bands = words.select(col("doc_id"),
         posexplode(col("w")).as(Seq("band", "bv")))
-      val cands = bands.as("a").join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      // capped like the minhash bands (VERDICT r19 #1) — SimHash band
+      // words are 16-bit, so unlike md5 band keys they collide
+      // naturally as the corpus grows; the gate count reuses the
+      // cached `words` frame (bands itself is a cheap uncached
+      // posexplode, 4 rows per cached word row)
+      val cands = bandSelfJoinCands(s, bands, Seq("band", "bv"),
+        gateRows = words.count() * 4)
       cands
         .join(words.select(col("doc_id").as("id_a"), col("w").as("wa")), "id_a")
         .join(words.select(col("doc_id").as("id_b"), col("w").as("wb")), "id_b")
@@ -760,16 +922,24 @@ object DedupQueries {
       val ex = hashed.as("a").join(hashed.as("b"),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      // minhash: banded LSH candidates verified at jaccard >= 0.5
+      // `words` is defined up here (its simhash consumer is below)
+      // because its cache also serves as the CHEAP size-gate count for
+      // both capped band joins: mbands stays deliberately uncached
+      // (r13 §8 — its self-join's sides are canonically identical, so
+      // ReuseExchange computes the kernel once; a property the capped
+      // construction preserves, both sides sharing one anti-join), and
+      // counting it directly would pay the minhash kernel an extra
+      // full pass. words rows = consensus docs exactly.
+      val words = QueryCaches.cache(docs
+        .select(col("doc_id"), simhash64Udf(col("text")).as("w")))
+      // minhash: banded LSH candidates verified at jaccard >= 0.5,
+      // size-gated hot-key cap as in q_dedup_minhash (VERDICT r19 #1)
       val mbands = docs
         .withColumn("sh", Corpus.shingles("text"))
         .select(col("doc_id"),
           posexplode(bandKeys(s)).as(Seq("band", "bkey")))
-      val mcands = mbands.as("a").join(mbands.as("b"),
-          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      val mcands = bandSelfJoinCands(s, mbands, Seq("band", "bkey"),
+        gateRows = words.count() * 4)
       val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
       val mh = mcands
         .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")
@@ -779,15 +949,11 @@ object DedupQueries {
             size(array_union(col("sh_a"), col("sh_b"))), 4) >= 0.5)
         .select("id_a", "id_b")
       // simhash: band-word collision candidates verified at hamming <= 12
-      val words = QueryCaches.cache(docs
-        .select(col("doc_id"), simhash64Udf(col("text")).as("w")))
+      // (words cached above); same capped construction
       val sbands = words.select(col("doc_id"),
         posexplode(col("w")).as(Seq("band", "bv")))
-      val scands = sbands.as("a").join(sbands.as("b"),
-          col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .distinct()
+      val scands = bandSelfJoinCands(s, sbands, Seq("band", "bv"),
+        gateRows = words.count() * 4)
       val sh = scands
         .join(words.select(col("doc_id").as("id_a"), col("w").as("wa")), "id_a")
         .join(words.select(col("doc_id").as("id_b"), col("w").as("wb")), "id_b")
@@ -1280,7 +1446,11 @@ object DedupQueries {
     // tools/scale_artifacts.py). It drains the real stream and reports
     // the LARGEST per-batch merge graph observed. The oracle re-derives
     // the same number arithmetically: chunk b holds ids ≡ b (mod 6) and
-    // AvailableNow processes chunks in filename order, so a valid chain
+    // AvailableNow processes chunks in chunk order — ENFORCED by the
+    // strictly increasing mtime stamps clusterNodeTree writes (ADVICE
+    // r19: the file source sorts by modification time, and without the
+    // stamps a coarse-mtime filesystem could tie and flip the batch
+    // attribution) — so a valid chain
     // edge (c, c+1) survives the inner label joins exactly once — in
     // the batch its LATER endpoint arrives, max(c mod 6, (c+1) mod 6) —
     // and the la≠lb filter never drops a chain edge (the chain graph is
@@ -1905,6 +2075,97 @@ object DedupQueries {
   private val jaccardSql =
     "round(len(list_intersect(sa.sh, sb.sh)) * 1.0 / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)"
 
+  /** Oracle for the q_textband_recall variants: re-derives the audit
+    * corpus (minhash sub-corpus + the +3×10⁶ degenerate block), the
+    * band keys — with the EMPTY-shingle-set case matched to the
+    * kernel: a doc with no shingles has sig = '' per seed, hence band
+    * keys md5(''||'') on every band, realized via the LEFT JOIN +
+    * coalesce(h, '') below (an inner derivation would simply LOSE
+    * empty docs and miss the entire degenerate block) — the hot-key
+    * set at the forced cap, both candidate sets, and the
+    * integer-cross-multiplied verification (2·∩ ≥ ∪ AND ∪ > 0; the
+    * float jaccard is avoided deliberately — see textBandRecall).
+    */
+  private def textBandRecallSql(cap: Long): String =
+    s"""WITH msub AS (
+       |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, text || ' zzz tail' FROM documents WHERE doc_id % 10 = 0
+       |  UNION ALL
+       |  SELECT doc_id + 3000000, 'xx' FROM documents WHERE doc_id % 7 = 0
+       |),
+       |msh AS (SELECT doc_id, unnest(${Corpus.shinglesSql.replace("text", "msub.text")}) AS shingle FROM msub),
+       |mh AS (
+       |  SELECT doc_id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || shingle)) AS h
+       |  FROM msh CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS seed)
+       |  GROUP BY doc_id, seed
+       |),
+       |sig AS (
+       |  SELECT m.doc_id,
+       |         coalesce(min(CASE WHEN seed = 0 THEN h END), '') AS s0,
+       |         coalesce(min(CASE WHEN seed = 1 THEN h END), '') AS s1,
+       |         coalesce(min(CASE WHEN seed = 2 THEN h END), '') AS s2,
+       |         coalesce(min(CASE WHEN seed = 3 THEN h END), '') AS s3,
+       |         coalesce(min(CASE WHEN seed = 4 THEN h END), '') AS s4,
+       |         coalesce(min(CASE WHEN seed = 5 THEN h END), '') AS s5,
+       |         coalesce(min(CASE WHEN seed = 6 THEN h END), '') AS s6,
+       |         coalesce(min(CASE WHEN seed = 7 THEN h END), '') AS s7
+       |  FROM msub m LEFT JOIN mh ON mh.doc_id = m.doc_id
+       |  GROUP BY m.doc_id
+       |),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band, md5(s0 || s1) AS bkey FROM sig
+       |  UNION ALL SELECT doc_id, 1, md5(s2 || s3) FROM sig
+       |  UNION ALL SELECT doc_id, 2, md5(s4 || s5) FROM sig
+       |  UNION ALL SELECT doc_id, 3, md5(s6 || s7) FROM sig
+       |),
+       |hot AS (
+       |  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING count(*) > $cap
+       |),
+       |kept AS (
+       |  SELECT b.doc_id, b.band, b.bkey FROM bands b
+       |  WHERE NOT EXISTS (SELECT 1 FROM hot h
+       |                    WHERE h.band = b.band AND h.bkey = b.bkey)
+       |),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |ccand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM kept a JOIN kept b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |),
+       |sets AS (SELECT doc_id, ${Corpus.shinglesSql.replace("text", "msub.text")} AS sh FROM msub),
+       |pv AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM cand c JOIN sets sa ON sa.doc_id = c.id_a
+       |              JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE len(list_intersect(sa.sh, sb.sh)) * 2 >= len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |    AND len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+       |),
+       |cv AS (
+       |  SELECT c.id_a, c.id_b
+       |  FROM ccand c JOIN sets sa ON sa.doc_id = c.id_a
+       |               JOIN sets sb ON sb.doc_id = c.id_b
+       |  WHERE len(list_intersect(sa.sh, sb.sh)) * 2 >= len(list_distinct(list_concat(sa.sh, sb.sh)))
+       |    AND len(list_distinct(list_concat(sa.sh, sb.sh))) > 0
+       |),
+       |agg AS (
+       |  SELECT (SELECT count(*) FROM pv) AS n_true_pairs,
+       |         (SELECT count(*) FROM pv p JOIN cv c
+       |            ON c.id_a = p.id_a AND c.id_b = p.id_b) AS n_found,
+       |         (SELECT count(*) FROM cand) AS n_cand_plain,
+       |         (SELECT count(*) FROM ccand) AS n_cand_capped
+       |)
+       |SELECT CAST(n_true_pairs AS BIGINT) AS n_true_pairs,
+       |       CAST(n_found AS BIGINT) AS n_found,
+       |       CAST(n_found * 10000 // nullif(n_true_pairs, 0) AS BIGINT) AS recall_pm,
+       |       CAST(n_cand_plain AS BIGINT) AS n_cand_plain,
+       |       CAST(n_cand_capped AS BIGINT) AS n_cand_capped
+       |FROM agg""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_containment" ->
       s"""WITH exc AS (
@@ -2300,6 +2561,9 @@ object DedupQueries {
          |       CAST(n_verified AS BIGINT) AS n_verified,
          |       CAST(n_verified * 1000 // greatest(n_candidates, 1) AS BIGINT) AS verify_rate_pm
          |FROM agg""".stripMargin,
+
+    "q_textband_recall" -> textBandRecallSql(25L),
+    "q_textband_recall_prod" -> textBandRecallSql(200L),
 
     "q_source_minhash" ->
       s"""WITH sh AS (

@@ -59,13 +59,13 @@ object MultimodalQueries {
     * the fingerprint pipeline twice; cache the input or pass an
     * explicit cap.
     */
-  private[queries] sealed trait BandCap
+  private[graft] sealed trait BandCap
   /** Size-gated default: conf override if set, else plain ≤10k fps, else cap 200. */
-  private[queries] case object CapAuto extends BandCap
+  private[graft] case object CapAuto extends BandCap
   /** Plain (uncapped) plan regardless of corpus size — the truth arm. */
-  private[queries] case object CapOff extends BandCap
+  private[graft] case object CapOff extends BandCap
   /** Capped path forced at occupancy `n`, any corpus size. */
-  private[queries] final case class CapForced(n: Long) extends BandCap
+  private[graft] final case class CapForced(n: Long) extends BandCap
 
   private def hammingBandPairs(s: SparkSession, hashes: DataFrame,
       cap: BandCap = CapAuto): DataFrame = {

@@ -22,10 +22,17 @@ object SideStores {
   /** Write-once ON-DISK tree with atomic publication: `build` fills a
     * unique staging sibling, which is then atomically renamed to `out`
     * — a reader (e.g. a Trigger.AvailableNow file-source listing in a
-    * concurrent JVM) sees either the previous complete tree or the new
-    * one, never a partial prefix (ADVICE r17). If a concurrent JVM
-    * wins the rename race, its tree is byte-identical (the build is a
-    * pure function of `out`'s key) and the staged copy is discarded.
+    * concurrent JVM) that LISTS `out` sees either the previous complete
+    * tree or the new one, never a partial prefix (ADVICE r17). If a
+    * concurrent JVM wins the rename race, its tree is byte-identical
+    * (the build is a pure function of `out`'s key) and the staged copy
+    * is discarded. Limit (ADVICE r19): the old tree is deleted right
+    * after publish, so a reader that listed file paths inside it BEFORE
+    * the publish can still have those files vanish mid-read — atomic
+    * publication closes the listing window only. Acceptable for these
+    * same-content tmp-dir side stores (a re-list sees the identical
+    * bytes); a store with cross-JVM readers and changing content would
+    * need a deletion grace period instead.
     */
   def stagedTree(out: String)(build: java.nio.file.Path => Unit): Unit =
     ensure(out) {

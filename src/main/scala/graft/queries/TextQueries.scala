@@ -78,6 +78,79 @@ object TextQueries {
       .select(col("doc_id"),
         posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
 
+  /** MAIN+DELTA phrase serving shared by q_index_incremental (batch
+    * delta) and q_stream_index_delta (micro-batch delta) — ONE body on
+    * purpose (the r13 copy-paste lesson: duplicated probe recipes
+    * drift). The probe phrase derives from the BASE segment (at
+    * serving time the lexicon predates the delta); a doc lives in
+    * exactly ONE segment, so the phrase probe runs PER SEGMENT and the
+    * per-doc results union — the base keeps its zero-exchange bucketed
+    * probe and only the delta pays a (delta-sized) shuffle. Probing
+    * the union of raw postings instead would re-shuffle the whole base
+    * (the union erases the bucketed partitioning) — pinned out in
+    * PlanShapeSpec via the exchange budget.
+    */
+  private def mainDeltaPhraseProbe(s: SparkSession, baseIdx: DataFrame,
+      delta: DataFrame): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val phraseRow = baseIdx
+      .select(col("term"), lead(col("term"), 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(concat_ws(" ", col("term"), col("nxt")).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram")).limit(1)
+      .select(split(col("bigram"), " ").getItem(0).as("t1"),
+        split(col("bigram"), " ").getItem(1).as("t2"))
+      .collect()
+    if (phraseRow.isEmpty)
+      Seq.empty[(Long, String, Long)].toDF("doc_id", "phrase", "n_occurrences")
+    else {
+      val (t1, t2) = (phraseRow(0).getString(0), phraseRow(0).getString(1))
+      def probe(seg: DataFrame) = {
+        val a = seg.filter(col("term") === t1)
+          .select(col("doc_id"), col("pos"))
+        val b = seg.filter(col("term") === t2)
+          .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
+        a.join(b, col("doc_id") === col("doc_id2") &&
+            col("pos2") === col("pos") + 1)
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_occurrences"))
+      }
+      probe(baseIdx)
+        .unionByName(probe(delta))
+        .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
+          col("n_occurrences"))
+        .orderBy(col("n_occurrences").desc, col("doc_id"))
+        .limit(20)
+    }
+  }
+
+  /** On-disk parquet tree for q_stream_index_delta: the delta segment's
+    * documents (doc_id % 10 = 7) split into 4 INTERLEAVED chunk files
+    * (chunk = (doc_id div 10) mod 4), so the streamed delta accretes
+    * across micro-batches instead of arriving whole. Built once per
+    * JVM per dir, published atomically (SideStores).
+    */
+  private def deltaDocTree(s: SparkSession, dir: String): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5d = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5d
+    val out =
+      s"${System.getProperty("java.io.tmpdir")}/graft_idxdelta_docs_$key"
+    SideStores.stagedTree(out) { stage =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 10 === 7)
+        .select(col("doc_id"), col("text"))
+      (0 until 4).foreach { b =>
+        docs.filter((col("doc_id") / 10).cast("bigint") % 4 === b).coalesce(1)
+          .write.mode("overwrite").parquet(s"$stage/chunk$b")
+      }
+    }
+    out
+  }
+
   private def toks(c: String) = s"split($c, ' ')"
 
   /** count of tokens equal to the literal `w` (codegen'd lambda). */
@@ -806,41 +879,70 @@ object TextQueries {
     // The probe phrase derives from the BASE segment (at serving time
     // the lexicon predates the delta); oracle = the same derivation in
     // SQL with counts over the full corpus.
-    "q_index_incremental" -> ((s, dir) => {
+    "q_index_incremental" -> ((s, dir) =>
+      mainDeltaPhraseProbe(s, basePostingsIndex(s, dir),
+        deltaPostings(s, dir))),
+
+    // Streaming MAIN+DELTA index SERVING (VERDICT r19 #2 — the last
+    // index-lifecycle piece brought under the batch ≡ stream
+    // discipline: incremental r14, compaction r14, clusters r18,
+    // survivors r19, serving now): delta documents arrive in
+    // micro-batches, each batch is tokenized and eagerly materialized
+    // as its own postings SEGMENT (localCheckpoint ∝ the batch delta —
+    // the LSM memtable-flush shape; never a rewrite of accumulated
+    // delta, never the base), and at serving time the probe runs per
+    // segment exactly like the batch twin: the bucketed base keeps its
+    // zero-exchange probe, the accreted delta segments pay one
+    // delta-sized shuffle. The drained union of segments IS
+    // deltaPostings row-for-row (chunking partitions the delta docs;
+    // tokenization is per-row), so the result is gated VERBATIM on the
+    // batch q_index_incremental oracle. At 100 TB: per-batch cost ∝
+    // arrivals, segment count bounded by the q_index_compact cadence
+    // (compaction is the batch query's job; the stream only accretes).
+    "q_stream_index_delta" -> ((s, dir) => {
       import s.implicits._
       val baseIdx = basePostingsIndex(s, dir)
-      val delta = deltaPostings(s, dir)
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val phraseRow = baseIdx
-        .select(col("term"), lead(col("term"), 1).over(w).as("nxt"))
-        .filter(col("nxt").isNotNull)
-        .select(concat_ws(" ", col("term"), col("nxt")).as("bigram"))
-        .groupBy("bigram").agg(count(lit(1)).as("n"))
-        .orderBy(col("n").desc, col("bigram")).limit(1)
-        .select(split(col("bigram"), " ").getItem(0).as("t1"),
-          split(col("bigram"), " ").getItem(1).as("t2"))
-        .collect()
-      if (phraseRow.isEmpty)
-        Seq.empty[(Long, String, Long)].toDF("doc_id", "phrase", "n_occurrences")
-      else {
-        val (t1, t2) = (phraseRow(0).getString(0), phraseRow(0).getString(1))
-        def probe(seg: DataFrame) = {
-          val a = seg.filter(col("term") === t1)
-            .select(col("doc_id"), col("pos"))
-          val b = seg.filter(col("term") === t2)
-            .select(col("doc_id").as("doc_id2"), col("pos").as("pos2"))
-          a.join(b, col("doc_id") === col("doc_id2") &&
-              col("pos2") === col("pos") + 1)
-            .groupBy("doc_id")
-            .agg(count(lit(1)).as("n_occurrences"))
+      val tree = deltaDocTree(s, dir)
+      var delta: DataFrame = null
+      graft.streaming.EventStreams.drainTuned(s, dir) {
+        val update = (batch: DataFrame, batchId: Long) => {
+          // tokenize + flush THIS batch's postings as one segment; the
+          // lazy `delta` plan is a union of checkpointed segments, so
+          // nothing dangles into an expired micro-batch
+          val seg = batch.select(col("doc_id"),
+            posexplode(split(col("text"), " ")).as(Seq("pos", "term")))
+            .localCheckpoint(true)
+          delta = if (delta == null) seg else delta.unionByName(seg)
+          ()
         }
-        probe(baseIdx)
-          .unionByName(probe(delta))
-          .select(col("doc_id"), lit(t1 + " " + t2).as("phrase"),
-            col("n_occurrences"))
-          .orderBy(col("n_occurrences").desc, col("doc_id"))
-          .limit(20)
+        val shm = new java.io.File("/dev/shm")
+        val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val ckpt = java.nio.file.Files.createTempDirectory(base, "graft_ckpt_")
+        val q = s.readStream
+          .schema("doc_id BIGINT, text STRING")
+          .option("maxFilesPerTrigger", 1)
+          .parquet(s"$tree/chunk*")
+          .writeStream
+          .foreachBatch(update)
+          .option("checkpointLocation", ckpt.toString)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try { q.awaitTermination(); () } finally {
+          q.stop()
+          try {
+            val walk = java.nio.file.Files.walk(ckpt)
+            try walk.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+            finally walk.close()
+          } catch { case _: Throwable => () }
+          s.streams.resetTerminated()
+        }
       }
+      val drained =
+        if (delta != null) delta
+        else Seq.empty[(Long, Int, String)].toDF("doc_id", "pos", "term")
+      mainDeltaPhraseProbe(s, baseIdx, drained)
     }),
 
     // Index COMPACTION — the merge step that completes the LSM story
@@ -3302,7 +3404,15 @@ object TextQueries {
     // phrase derives from the BASE segment (doc_id % 10 <> 7) — the
     // serving-time lexicon predates the delta; counts cover the full
     // corpus through both segments
-    "q_index_incremental" ->
+    "q_index_incremental" -> indexIncrementalSql,
+
+    // batch ≡ stream: the drained delta segments union to exactly the
+    // batch delta, so the streamed serving result is gated verbatim on
+    // the batch oracle
+    "q_stream_index_delta" -> indexIncrementalSql,
+  ) ++ textOraclesTail
+
+  private lazy val indexIncrementalSql: String =
       """WITH toks AS (
         |  SELECT doc_id, u.i AS pos, string_split(text, ' ')[u.i] AS term
         |  FROM documents,
@@ -3325,7 +3435,9 @@ object TextQueries {
         |JOIN top1 ON p1.term = t1
         |JOIN toks p2 ON p2.doc_id = p1.doc_id AND p2.pos = p1.pos + 1
         |            AND p2.term = t2
-        |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY n_occurrences DESC, p1.doc_id LIMIT 20""".stripMargin
+
+  private lazy val textOraclesTail: Map[String, String] = Map(
 
     // boolean retrieval: t1/t2 = top-2 by occurrence (the index probes'
     // shared derivation), t3 = argmin |2·df − nd| over the rest; the

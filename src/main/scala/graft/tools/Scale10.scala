@@ -47,15 +47,21 @@ object Scale10 {
   /** Source alphabet of the per-copy character bijection. */
   private[graft] val PermSrc = "aeioustnr"
 
-  /** Distinct bijections over [[PermSrc]]: vowels rotate by i mod 5,
-    * the consonants "stnr" rotate independently by i mod 4 — two copies
-    * share the map only when i ≡ j (mod 20), so all pairs in 0..9
-    * differ, and a text identical across ANY two copies would have to
-    * contain none of a,e,i,o,u,s,t,n,r (the sf0.1 corpus has zero such
-    * rows even for the s/t subset alone). i = 0 is the identity.
+  /** Distinct bijections over [[PermSrc]]: vowels rotate by i mod 5 —
+    * over the FORWARD vowel order for copies 0..19 and the REVERSED
+    * order for 20..39 (r20, for the 40× probe) — and the consonants
+    * "stnr" rotate independently by i mod 4. (i mod 5, i mod 4, i div
+    * 20) is injective over 0..39, and a reversed 5-rotation never
+    * equals a forward one, so all 40 maps are pairwise distinct; the
+    * pairwise positional gap stays ≥ 4 of 9 (Scale10Spec pins both
+    * over the full 0..39 family), so a text identical across ANY two
+    * copies would have to lack an entire character block (the sf0.1
+    * corpus has zero such rows even for the s/t subset alone). i = 0
+    * is the identity.
     */
   private[graft] def charPerm(i: Int): String = {
-    val v = "aeiou"; val c = "stnr"
+    val v = if (i / 20 == 0) "aeiou" else "uoiea"
+    val c = "stnr"
     val r = i % 5; val q = i % 4
     v.substring(r) + v.substring(0, r) + c.substring(q) + c.substring(0, q)
   }
@@ -78,13 +84,12 @@ object Scale10 {
   }
 
   def build(s: SparkSession, srcDir: String, outDir: String, n: Int): Unit = {
-    // charPerm cycles with period 20 (lcm of the independent mod-5
-    // vowel and mod-4 consonant rotations), so copies 0..19 all carry
-    // pairwise-distinct bijections with the ≥4-char block gap
-    // (Scale10Spec pins both at 20). Past 20 copies i and i-20 share a
-    // map and the corpus degenerates into stacked replicas — fail
-    // loudly at the boundary.
-    require(n >= 1 && n <= 20, s"copies must be in [1, 20], got $n")
+    // charPerm carries 40 pairwise-distinct bijections (period-20
+    // rotation family × forward/reversed vowel order) with the ≥4-char
+    // block gap (Scale10Spec pins both at 40). Past 40 copies i and
+    // i-40 share a map and the corpus degenerates into stacked
+    // replicas — fail loudly at the boundary.
+    require(n >= 1 && n <= 40, s"copies must be in [1, 40], got $n")
     new java.io.File(outDir).mkdirs()
     def src(t: String) = s.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit =

@@ -18,18 +18,20 @@ class Scale10Spec extends SparkSpecBase {
     dir
   }
 
-  test("charPerm: 20 distinct bijections, identity at 0, pairwise no-gap") {
-    // the full period: (i mod 5, i mod 4) is injective over 0..19 by
-    // CRT, so all 20 copies Scale10.build accepts carry distinct maps
-    val perms = (0 until 20).map(Scale10.charPerm)
+  test("charPerm: 40 distinct bijections, identity at 0, pairwise no-gap") {
+    // copies 0..19: (i mod 5, i mod 4) injective by CRT over the
+    // forward vowel order; 20..39 repeat the rotation family over the
+    // REVERSED order (r20), and a reversed 5-rotation never equals a
+    // forward one — all 40 maps Scale10.build accepts are distinct
+    val perms = (0 until 40).map(Scale10.charPerm)
     assert(perms(0) == Scale10.PermSrc)
-    assert(perms.distinct.length == 20)
+    assert(perms.distinct.length == 40)
     perms.foreach(p => assert(p.sorted == Scale10.PermSrc.sorted, p))
     // rotations move whole blocks, so any two copies' maps disagree on
     // ≥4 source chars (all 5 vowels, all 4 consonants, or both) — a
     // cross-copy-identical text must lack an entire block. The first
     // design's i/i+5 gap was only {s, t}: 2 chars.
-    for (i <- 0 until 20; j <- (i + 1) until 20) {
+    for (i <- 0 until 40; j <- (i + 1) until 40) {
       val nDiff = Scale10.PermSrc.indices.count(x => perms(i)(x) != perms(j)(x))
       assert(nDiff >= 4, s"copies $i/$j differ on only $nDiff chars")
     }
