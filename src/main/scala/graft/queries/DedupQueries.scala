@@ -246,9 +246,15 @@ object DedupQueries {
     */
   private[graft] def textBandRecall(s: SparkSession, dir: String,
       capAt: Long): DataFrame = {
+    // the planted block is BOUNDED (copy-0 ids only, doc_id < 1e6):
+    // the block shares ONE band-key set, so the UNCAPPED truth arm is
+    // quadratic in it — a block growing with the corpus would make the
+    // audit itself the blow-up it measures (≈4×10⁸ junk pairs at the
+    // 40× fixture). Fixed block ≈715 docs from sf0.1 up: still 3.5× the
+    // production cap, so the prod audit keeps biting at every scale.
     val docs = minhashDocs(s, dir).unionByName(
       s.read.parquet(s"$dir/documents.parquet")
-        .filter(col("doc_id") % 7 === 0)
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000000L)
         .select((col("doc_id") + 3000000L).as("doc_id"), lit("xx").as("text")))
     val bands = QueryCaches.cache(docs
       .withColumn("sh", Corpus.shingles("text"))
@@ -2092,7 +2098,8 @@ object DedupQueries {
        |  UNION ALL
        |  SELECT doc_id + 1000000, text || ' zzz tail' FROM documents WHERE doc_id % 10 = 0
        |  UNION ALL
-       |  SELECT doc_id + 3000000, 'xx' FROM documents WHERE doc_id % 7 = 0
+       |  SELECT doc_id + 3000000, 'xx' FROM documents
+       |  WHERE doc_id % 7 = 0 AND doc_id < 1000000
        |),
        |msh AS (SELECT doc_id, unnest(${Corpus.shinglesSql.replace("text", "msub.text")}) AS shingle FROM msub),
        |mh AS (

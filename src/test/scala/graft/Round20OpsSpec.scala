@@ -153,7 +153,8 @@ class Round20OpsSpec extends SparkSpecBase {
       .unionByName(docs.filter(col("doc_id") % 10 === 0)
         .select((col("doc_id") + 1000000L).as("doc_id"),
           concat(col("text"), lit(" zzz tail")).as("text")))
-      .unionByName(docs.filter(col("doc_id") % 7 === 0)
+      .unionByName(docs
+        .filter(col("doc_id") % 7 === 0 && col("doc_id") < 1000000L)
         .select((col("doc_id") + 3000000L).as("doc_id"), lit("xx").as("text")))
     val k = audit
       .filter(size(graft.text.Corpus.shingles("text")) === 0).count()
