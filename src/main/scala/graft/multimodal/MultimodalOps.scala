@@ -240,18 +240,26 @@ object MultimodalOps {
     * every 64-sample window, so copies share no fingerprints: the
     * energy-delta hash spaces of two coefficients from this table
     * overlap in 12 value pairs TOTAL over the full 251-phase space ×
-    * all 190 copy pairs (exhaustively enumerated), vs every pair
-    * colliding under a shared coefficient. Entries beyond index 0 were
-    * vetted by exhaustive scan of all 250 units mod 251 for minimal
-    * within-copy near-pair density (2 490 = the exact-phase floor;
-    * unvetted picks measured up to 780 625 — window phase shifts
-    * 64k ≈ 0 mod 251 collapse the space) and for bump-dup
-    * preservation (every +1-bump stays Hamming ≤ 6 of its source).
-    * Scale10Spec pins the per-copy dispersion (VERDICT r17 #3).
+    * all 780 copy pairs (exhaustively enumerated — every one of the 12
+    * from the single legacy (109, 142) pair; the r20 extension added
+    * ZERO), vs every pair colliding under a shared coefficient.
+    * Entries beyond index 0 were vetted by exhaustive scan of all 250
+    * units mod 251 for minimal within-copy near-pair density (unvetted
+    * picks measure up to ~780k phase-pair collisions — window phase
+    * shifts 64k ≈ 0 mod 251 collapse the space; the vetted entries sit
+    * at 0–12 distinct-phase pairs each, legacy k=11 at 281) and for
+    * bump-dup preservation (every +1-bump stays Hamming ≤ 6 of its
+    * source, all 251 phases). Indices 20–39 (r20, for the 40× probe)
+    * re-ran the same exhaustive scan: candidate pool = bump-safe units
+    * with within-copy density ≤ 12, greedy pick minimizing added
+    * cross-coefficient collisions against the growing set — every pick
+    * added 0. Scale10Spec pins the per-copy dispersion (VERDICT r17 #3).
     */
   private val PcmCoef: Array[Long] = Array(
     11, 45, 53, 60, 61, 65, 68, 70, 73, 74,
-    80, 95, 96, 104, 105, 109, 111, 140, 142, 146)
+    80, 95, 96, 104, 105, 109, 111, 140, 142, 146,
+    147, 155, 156, 171, 177, 178, 181, 183, 186, 190,
+    191, 198, 206, 88, 115, 136, 163, 44, 207, 119)
 
   def encodePcm(srcId: Long, bump: Boolean): Array[Byte] = {
     val out = new Array[Byte](4160)

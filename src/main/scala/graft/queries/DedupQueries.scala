@@ -601,6 +601,57 @@ object DedupQueries {
         .orderBy("dup_id")
     }),
 
+    // CO-LOCATED remap serving (VERDICT r19 #7): the dedup remap table
+    // is the artifact every downstream consumer joins against (rewrite
+    // stored references to dropped docs → their survivors), and that
+    // join is hot enough to deserve the postings-index treatment — the
+    // remap AND the reference table are persisted BUCKETED + SORTED on
+    // the probe key (8 buckets, aligned repartition → one file per
+    // bucket), so the rewrite join is a sort-merge with NO exchange and
+    // NO sort on either side: the layout is the shuffle, paid once at
+    // write time (q_bucketed_join discipline; exchange-free plan pinned
+    // in Round20OpsSpec). References cite the re-crawl copies (+2×10⁶
+    // for every doc_id % 4 = 0 — links point at duplicate URLs), the
+    // left join canonicalizes them through the remap, and the output
+    // re-aggregates citations per canonical survivor (that GROUP BY and
+    // the presentation sort are the plan's only exchanges). At 100 TB
+    // the remap is rewritten per dedup pass but probed by every
+    // downstream job — exactly the postings-index cost profile.
+    "q_remap_serve" -> ((s, dir) => {
+      BucketedTables.ensure(s, Seq("graft_bkt_remap", "graft_bkt_refs"),
+          "spark.graft.remapbkt.writtenDir", dir) {
+        val hashed = Corpus.withDuplicates(s, dir)
+          .select(col("doc_id"), md5(col("text")).as("content_hash"))
+        val survivors = hashed.groupBy("content_hash")
+          .agg(min(col("doc_id")).as("survivor_id"))
+        hashed.join(survivors, "content_hash")
+          .filter(col("doc_id") =!= col("survivor_id"))
+          .select(col("doc_id").as("dup_id"), col("survivor_id"))
+          .repartition(8, col("dup_id"))
+          .write.mode("overwrite")
+          .bucketBy(8, "dup_id").sortBy("dup_id")
+          .saveAsTable("graft_bkt_remap")
+        s.read.parquet(s"$dir/documents.parquet")
+          .select(col("doc_id").as("src_id"),
+            when(col("doc_id") % 4 === 0, col("doc_id") + 2000000L)
+              .otherwise(col("doc_id")).as("cited"))
+          .repartition(8, col("cited"))
+          .write.mode("overwrite")
+          .bucketBy(8, "cited").sortBy("cited")
+          .saveAsTable("graft_bkt_refs")
+      }
+      QueryCaches.scopedConf(s,
+        "spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
+      val remap = s.table("graft_bkt_remap")
+      val refs = s.table("graft_bkt_refs")
+      refs.hint("merge")
+        .join(remap, refs("cited") === remap("dup_id"), "left_outer")
+        .select(coalesce(col("survivor_id"), col("cited")).as("canonical_id"))
+        .groupBy("canonical_id")
+        .agg(count(lit(1)).as("n_refs"))
+        .orderBy("canonical_id")
+    }),
+
     // Cross-source duplicate overlap matrix: for every pair of sources,
     // how many distinct content hashes they share — the crawl-analytics
     // view that decides which feeds are redundant (a re-crawl snapshot
@@ -2568,6 +2619,28 @@ object DedupQueries {
          |       CAST(n_verified AS BIGINT) AS n_verified,
          |       CAST(n_verified * 1000 // greatest(n_candidates, 1) AS BIGINT) AS verify_rate_pm
          |FROM agg""".stripMargin,
+
+    // the rewrite join canonicalizes citations of the exact re-crawl
+    // copies through the min-id survivor remap
+    "q_remap_serve" ->
+      s"""WITH ${Corpus.corpusCte},
+         |hashed AS (SELECT doc_id, md5(text) AS h FROM corpus),
+         |surv AS (SELECT h, min(doc_id) AS survivor_id FROM hashed GROUP BY h),
+         |remap AS (
+         |  SELECT doc_id AS dup_id, survivor_id
+         |  FROM hashed JOIN surv USING (h)
+         |  WHERE doc_id <> survivor_id
+         |),
+         |refs AS (
+         |  SELECT doc_id AS src_id,
+         |         CASE WHEN doc_id % 4 = 0 THEN doc_id + 2000000
+         |              ELSE doc_id END AS cited
+         |  FROM documents
+         |)
+         |SELECT coalesce(r.survivor_id, f.cited) AS canonical_id,
+         |       CAST(count(*) AS BIGINT) AS n_refs
+         |FROM refs f LEFT JOIN remap r ON r.dup_id = f.cited
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_textband_recall" -> textBandRecallSql(25L),
     "q_textband_recall_prod" -> textBandRecallSql(200L),

@@ -128,10 +128,11 @@ class Round19OpsSpec extends SparkSpecBase {
 
   test("encodePcm refuses a copy index beyond the vetted coefficient table " +
       "instead of silently wrapping (ADVICE r18)") {
-    // copy 19 is the last vetted entry; copy 20 must fail loudly
-    graft.multimodal.MultimodalOps.encodePcm(19L * 10000000L, bump = false)
+    // copy 39 is the last vetted entry (extended for the r20 40× probe);
+    // copy 40 must fail loudly
+    graft.multimodal.MultimodalOps.encodePcm(39L * 10000000L, bump = false)
     intercept[IllegalArgumentException] {
-      graft.multimodal.MultimodalOps.encodePcm(20L * 10000000L, bump = false)
+      graft.multimodal.MultimodalOps.encodePcm(40L * 10000000L, bump = false)
     }
   }
 

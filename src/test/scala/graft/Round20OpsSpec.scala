@@ -142,6 +142,22 @@ class Round20OpsSpec extends SparkSpecBase {
     }
   }
 
+  test("q_remap_serve: the bucketed rewrite join is exchange-free — the " +
+    "only shuffles are the downstream re-aggregate and the presentation " +
+    "sort (VERDICT r19 #7)") {
+    val df = DedupQueries.queries("q_remap_serve")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    graft.queries.QueryCaches.releaseAll(spark)
+    assert(p.contains("SortMergeJoin"), "rewrite join must stay SMJ")
+    // exactly 1 hash exchange in the whole plan = the canonical_id
+    // re-aggregate; zero under the join itself (the bucketed layout IS
+    // the shuffle). The presentation sort is a range exchange.
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(hashEx == 1,
+      s"expected exactly 1 hash exchange (the canonical_id re-aggregate), " +
+        s"got $hashEx:\n$p")
+  }
+
   test("end-to-end recall audit: a biting cap drops exactly the planted " +
     "empty-shingle block's quadratic candidates with zero recall loss") {
     // k = docs in the audit corpus with an EMPTY shingle set (the +3e6
