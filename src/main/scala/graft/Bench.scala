@@ -309,6 +309,38 @@ object Bench {
       }.min
     }
     val fsCanary = try fsWriteCanary() catch { case _: Throwable => 0.0 }
+    // Small-file METADATA canary (round 20): the fs write canary's one
+    // 256 KiB create+fsync+delete is dominated by the fsync and
+    // under-reads pure namespace cost — create/rename/delete of many
+    // tiny files, the operation mix of the multi-sink pipeline queries
+    // (GeoTIFF + zip + JSON sidecars into a temp tree). The r20
+    // close-out measured q_pipeline_e2e 1.3-1.5× above band on
+    // byte-identical code with the CPU, stage, AND fs canaries all
+    // like-for-like (ROUND20_NOTES §9) — this series indexes the one
+    // host axis none of them reads. 64 files × (create + 1 KiB write +
+    // atomic rename + delete), min of 3, once per run. RECORD-ONLY: no
+    // gating factor (the stage-canary arming discipline — commit the
+    // series first; normalization can only be armed once a committed
+    // base carries a reference median).
+    def metaCanary(): Double = {
+      val dir = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+      val buf = new Array[Byte](1024)
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 64) {
+          val f = java.nio.file.Files.createTempFile(dir, "graft_mc", ".tmp")
+          java.nio.file.Files.write(f, buf)
+          val g = f.resolveSibling(f.getFileName.toString + ".mv")
+          java.nio.file.Files.move(f, g,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+          java.nio.file.Files.delete(g)
+          i += 1
+        }
+        (System.nanoTime() - t0) / 1e9
+      }.min
+    }
+    val metaCanaryMed = try metaCanary() catch { case _: Throwable => 0.0 }
     // MULTI-STAGE canary (VERDICT r18 #4): a fixed-shape 8-stage
     // shuffle chain on constant data. The single-job CPU canary indexes
     // raw compute but under-reads PER-STAGE overhead shifts (task
@@ -336,11 +368,30 @@ object Bench {
       consume(mkStageCanaryDf())
       (System.nanoTime() - t0) / 1e9
     }.min
+    // JOB-LAUNCH canary (round 20): N trivial single-task jobs
+    // back-to-back — indexes per-job driver/scheduler turnaround, which
+    // the stage canary (one 9-stage job) amortizes across its shuffles
+    // and the CPU canary (one job per sample) reads only once per
+    // sample. Micro-batch streaming drains and multi-sink pipelines
+    // launch dozens of tiny jobs per query, so a host phase in job
+    // turnaround scales them ~linearly while every other canary stays
+    // flat. 16 jobs per sample, min of 3, one sample per pass (rides at
+    // pass boundaries beside the stage canary). RECORD-ONLY — same
+    // arming discipline as meta_canary.
+    val jobCanaryRdd = spark.sparkContext.parallelize(Seq(1), 1)
+    def jobCanaryTime(): Double = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 16) { jobCanaryRdd.count(); i += 1 }
+      (System.nanoTime() - t0) / 1e9
+    }.min
     canaryTime(); ioCanaryTime() // untimed compile/JIT of the canary plans
     try stageCanaryTime() catch { case _: Throwable => () } // untimed warmup
+    try jobCanaryTime() catch { case _: Throwable => () } // untimed warmup
     val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val ioCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val stageCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+    val jobCanarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
     val timesBy = scala.collection.mutable.LinkedHashMap.empty[String, Vector[Double]]
     val errBy = scala.collection.mutable.LinkedHashMap.empty[String, String]
     // UNTIMED pass 0 (r15, VERDICT #3): execute every selected query once
@@ -384,6 +435,8 @@ object Bench {
       // than every 20 queries — 3 samples across a run span the same
       // wall-clock window the queries do
       try stageCanarySeries += ((pass, 0, stageCanaryTime()))
+      catch { case _: Throwable => () }
+      try jobCanarySeries += ((pass, 0, jobCanaryTime()))
       catch { case _: Throwable => () }
       // fresh deterministic shuffle per pass: same seed → same order on a
       // re-run of the same pass, different order across passes
@@ -482,6 +535,11 @@ object Bench {
       if (s.isEmpty) 0.0 else med(s)
     }
     val stageCanaryJson = seriesJson(stageCanarySeries.toSeq)
+    val jobCanaryMed = {
+      val s = jobCanarySeries.map(_._3).toSeq
+      if (s.isEmpty) 0.0 else med(s)
+    }
+    val jobCanaryJson = seriesJson(jobCanarySeries.toSeq)
 
     // Regression report vs the prior round's base: flag movement ≥30%
     // AND ≥0.3 s — the absolute floor keeps millisecond queries' jitter out.
@@ -615,7 +673,7 @@ object Bench {
         s"base $detailName stays untouched; re-run on a quiet window")
     val detailPath = new java.io.File(lastName).getAbsolutePath
     val detail =
-      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"stage_canary":$stageCanaryJson,"stage_canary_med":${"%.4f".format(stageCanaryMed)},"canary_factor":${"%.3f".format(canaryFactor)},"stage_factor":${"%.3f".format(stageFactor)},"cross_env":$crossEnv,"regression_basis":"norm_min_vs_prev_band","regressions":${deltaMap(regressed)},"regressions_cross_env":${deltaMap(regressedEnv)},"regressions_stage_env":${deltaMap(regressedStageEnv)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"passes":$passes,"queries":${qmap(medians, "%.6f")},"warm":${qmap(warms, "%.6f")},"minmax":$minmax,"canary":$canaryJson,"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary":$ioCanaryJson,"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"meta_canary":${"%.5f".format(metaCanaryMed)},"stage_canary":$stageCanaryJson,"stage_canary_med":${"%.4f".format(stageCanaryMed)},"job_canary":$jobCanaryJson,"job_canary_med":${"%.4f".format(jobCanaryMed)},"canary_factor":${"%.3f".format(canaryFactor)},"stage_factor":${"%.3f".format(stageFactor)},"cross_env":$crossEnv,"regression_basis":"norm_min_vs_prev_band","regressions":${deltaMap(regressed)},"regressions_cross_env":${deltaMap(regressedEnv)},"regressions_stage_env":${deltaMap(regressedStageEnv)},"regressions_median":${deltaMap(regressedMed)},"improvements":${deltaMap(improved)},"n_compared":${compared.size},"n_err":${errs.size}$errJson,"sf":"$sfDir"}"""
     val w = new java.io.PrintWriter(detailPath, "UTF-8")
     try w.println(detail) finally w.close()
     promotedName.foreach { n =>
@@ -627,7 +685,7 @@ object Bench {
     // Compact summary line (fits the tail): total of per-query medians over
     // ALL queries + a fixed headline subset of per-query medians.
     val hl = medians.filter { case (k, _) => headline.contains(k) }
-    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"stage_canary_med":${"%.4f".format(stageCanaryMed)},"canary_factor":${"%.3f".format(canaryFactor)},"stage_factor":${"%.3f".format(stageFactor)},"detail":"$detailPath","sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${"%.3f".format(total)},"unit":"sec",$unadjJson"warm_total":${"%.3f".format(warmTotal)},"n_queries":${results.size},"passes":$passes,"queries":${qmap(hl, "%.3f")},"n_err":${errs.size},"n_regressed":${regressed.size},"n_improved":${improved.size},"canary_med":${"%.4f".format(canaryMed)},"load_ratio":${"%.2f".format(loadRatio)},"io_canary_med":${"%.4f".format(ioCanaryMed)},"io_load_ratio":${"%.2f".format(ioLoadRatio)},"fs_canary":${"%.5f".format(fsCanary)},"meta_canary":${"%.5f".format(metaCanaryMed)},"stage_canary_med":${"%.4f".format(stageCanaryMed)},"job_canary_med":${"%.4f".format(jobCanaryMed)},"canary_factor":${"%.3f".format(canaryFactor)},"stage_factor":${"%.3f".format(stageFactor)},"detail":"$detailPath","sf":"$sfDir"}""")
     spark.stop()
   }
 }
