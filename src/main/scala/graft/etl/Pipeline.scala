@@ -232,7 +232,13 @@ object Pipeline {
 
     // SNK-1 analog: the converted store is columnar parquet (grid text
     // + product metadata per row), replacing the reference's COG files.
-    catalog.write.mode("overwrite").parquet(s"$sinkRoot/catalog.parquet")
+    // coalesce(8): the catalog is one row per product — small relative
+    // to the data at every scale — so writing it at the session's 32
+    // shuffle partitions yields a tray of near-empty part files (26
+    // tiny files + sidecars at the fixture). Eight bounds the
+    // small-file count without serializing the write through one task
+    // the way coalesce(1) would if the catalog grows.
+    catalog.coalesce(8).write.mode("overwrite").parquet(s"$sinkRoot/catalog.parquet")
 
     // hand back the WRITTEN store, not the in-memory lineage: consumers
     // read the parquet (cheap, pruned) and the cache can be dropped now

@@ -94,10 +94,27 @@ object S3Sink {
     b.result()
   }
 
-  /** Executor-side: filesystem handle for `root` from shipped entries. */
+  /** Executor-side: filesystem handle for `root` from shipped entries.
+    *
+    * For the local scheme this returns the RAW local filesystem — no
+    * `.crc` checksum sidecars. The sidecars are a ChecksumFileSystem
+    * artifact of local mode only (object stores and HDFS carry their
+    * own integrity), and they DOUBLE the small-file count of every
+    * multi-sink write: 826 of q_pipeline_e2e's 1652 output files were
+    * `.crc`, on exactly the small-file-write axis local mode is
+    * slowest and most host-sensitive on (ROUND20_NOTES §9b). Unwrapping
+    * the cached instance's raw layer mutates no shared state; writes
+    * land byte-identical, and readers through either layer are
+    * unaffected (ChecksumFileSystem only verifies when a sidecar
+    * exists). Sinks write to fresh temp/staging dirs, so no file with a
+    * pre-existing sidecar is ever overwritten through the raw layer.
+    */
   def fileSystemFor(root: String, entries: Map[String, String]): FileSystem = {
     val conf = new Configuration()
     entries.foreach { case (k, v) => conf.set(k, v) }
-    new Path(root).getFileSystem(conf)
+    new Path(root).getFileSystem(conf) match {
+      case l: org.apache.hadoop.fs.LocalFileSystem => l.getRawFileSystem
+      case other => other
+    }
   }
 }
