@@ -157,6 +157,8 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // no .crc sidecars from Spark's own local writes (see scaladoc)
+    graft.sinks.S3Sink.disableLocalWriteChecksums(spark)
     // untimed warmup: JIT/codegen/session init otherwise lands entirely
     // on whichever query happens to iterate first
     try {

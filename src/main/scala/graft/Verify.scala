@@ -17,6 +17,8 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // no .crc sidecars from Spark's own local writes (see scaladoc)
+    graft.sinks.S3Sink.disableLocalWriteChecksums(spark)
     new java.io.File(outDir).mkdirs()
     // fixture-schema tripwire: a regenerated fixture with a drifted
     // encoding must surface as ONE named problem here, not as N

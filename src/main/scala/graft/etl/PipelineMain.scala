@@ -40,6 +40,8 @@ object PipelineMain {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // no .crc sidecars from Spark's own local writes (see scaladoc)
+    graft.sinks.S3Sink.disableLocalWriteChecksums(spark)
 
     val regions = (opts.get("regions_geojson"), opts.get("regions_json")) match {
       // SRC-3: a GeoJSON FeatureCollection (the feature-service response

@@ -117,4 +117,22 @@ object S3Sink {
       case other => other
     }
   }
+
+  /** Session-level counterpart of [[fileSystemFor]]'s raw-layer unwrap:
+    * stop `.crc` sidecar writes from the JVM's CACHED local filesystem,
+    * the instance Spark's OWN writers use — streaming-checkpoint
+    * offsets/commits/state files and parquet part files otherwise each
+    * carry one sidecar, doubling the small-file count of every stream
+    * drain and every local parquet write. Local scheme only (no other
+    * scheme's cached instance is touched); readers verify checksums
+    * only when a sidecar exists, and every write path here lands in a
+    * fresh directory (parquet overwrite deletes the tree first;
+    * checkpoint and staging dirs are per-run), so no file is ever
+    * rewritten in place under a stale sidecar. Call once after session
+    * creation in local-mode entry points.
+    */
+  def disableLocalWriteChecksums(spark: SparkSession): Unit =
+    try FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .setWriteChecksum(false)
+    catch { case _: Throwable => () }
 }

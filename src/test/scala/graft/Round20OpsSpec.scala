@@ -187,4 +187,29 @@ class Round20OpsSpec extends SparkSpecBase {
     assert(candPlain - candCapped === k * (k - 1) / 2,
       "the cap must drop exactly the degenerate block's pair volume")
   }
+
+  test("local writes carry no .crc sidecars: sink writers use the raw " +
+    "local filesystem and the session's cached local FS has checksum " +
+    "writes disabled (S3Sink.disableLocalWriteChecksums)") {
+    import org.apache.spark.sql.functions._
+    val out = java.nio.file.Files.createTempDirectory("graft_nocrc_").toString
+    // Spark's own writer path (parquet part files + _SUCCESS)
+    spark.range(100).select(col("id")).coalesce(2)
+      .write.mode("overwrite").parquet(s"$out/t.parquet")
+    // the sink writer path (Hadoop FS API via fileSystemFor)
+    val fs = graft.sinks.S3Sink.fileSystemFor(
+      s"$out/z", graft.sinks.S3Sink.fsConfEntries(spark))
+    val o = fs.create(new org.apache.hadoop.fs.Path(s"$out/z/a.txt"), true)
+    try o.write("x".getBytes("UTF-8")) finally o.close()
+    val crcs = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+    var found = List.empty[String]
+    while (crcs.hasNext) {
+      val p = crcs.next()
+      if (p.getFileName.toString.endsWith(".crc")) found ::= p.toString
+    }
+    assert(found.isEmpty, s"unexpected .crc sidecars: $found")
+    // and the data still reads back through the standard session path
+    assert(spark.read.parquet(s"$out/t.parquet").count() === 100L)
+  }
 }
