@@ -277,7 +277,12 @@ object DedupQueries {
       .join(verified(cappedCands).withColumn("found", lit(1L)),
         Seq("id_a", "id_b"), "left_outer")
       .agg(count(lit(1)).as("n_true_pairs"),
-        sum(coalesce(col("found"), lit(0L))).as("n_found"))
+        // outer coalesce: SUM over ZERO rows is NULL while the oracle's
+        // scalar count(*) is 0 — on a corpus with no verified true
+        // pairs the two engines would diverge exactly on the
+        // degenerate edge this audit exists for
+        coalesce(sum(coalesce(col("found"), lit(0L))), lit(0L))
+          .as("n_found"))
       .crossJoin(broadcast(plainCands.agg(count(lit(1)).as("n_cand_plain"))))
       .crossJoin(broadcast(cappedCands.agg(count(lit(1)).as("n_cand_capped"))))
       .select(col("n_true_pairs"), col("n_found"),
@@ -303,13 +308,8 @@ object DedupQueries {
     */
   private def clusterNodeTree(s: SparkSession, dir: String,
       chunks: Int = 6): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5 +
-      (if (chunks == 6) "" else s"_c$chunks")
-    val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_cluster_nodes_$key"
+    val out = SideStores.keyedTmpPath("graft_cluster_nodes_", dir,
+      if (chunks == 6) "" else s"_c$chunks")
     SideStores.stagedTree(out) { stage =>
       val nodes = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_custkey").as("id"))
@@ -340,12 +340,7 @@ object DedupQueries {
     * ≢ 0 (mod 6).
     */
   private def keepBestDocTree(s: SparkSession, dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md5d = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5d
-    val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_keepbest_docs_$key"
+    val out = SideStores.keyedTmpPath("graft_keepbest_docs_", dir)
     SideStores.stagedTree(out) { stage =>
       val docs = Corpus.withDuplicates(s, dir).select(col("doc_id"), col("text"))
       (0 until 6).foreach { b =>
@@ -546,29 +541,8 @@ object DedupQueries {
           if (fast) pairRows.length.toLong else -1L)
         ()
       }
-      val shm = new java.io.File("/dev/shm")
-      val base = if (shm.isDirectory && shm.canWrite) shm.toPath
-        else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-      val ckpt = java.nio.file.Files.createTempDirectory(base, "graft_ckpt_")
-      val q = s.readStream
-        .schema("id BIGINT")
-        .option("maxFilesPerTrigger", 1)
-        .parquet(s"$tree/chunk*") // glob: chunks live one level down
-        .writeStream
-        .foreachBatch(update)
-        .option("checkpointLocation", ckpt.toString)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try { q.awaitTermination(); () } finally {
-        q.stop()
-        try {
-          val walk = java.nio.file.Files.walk(ckpt)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-          finally walk.close()
-        } catch { case _: Throwable => () }
-        s.streams.resetTerminated()
-      }
+      graft.streaming.EventStreams.drainParquetFiles(s, "id BIGINT",
+        s"$tree/chunk*")(update) // glob: chunks live one level down
       val out = batches.toVector
       lastStreamClusterProbe = out
       (assign, out)

@@ -89,14 +89,9 @@ object EtlQueries {
   private[graft] def streamTree(s: SparkSession, dir: String): String = {
     // key on the sanitized ABSOLUTE path (ADVICE r10): two fixture dirs
     // sharing a basename but not a parent must not silently reuse each
-    // other's memoized tree within one JVM. Sanitization itself can
-    // alias ('/tmp/fix a' vs '/tmp/fix_a' — ADVICE r11), so a digest of
-    // the RAW path rides along to make distinct paths never collide.
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_stream_tree_$key"
+    // other's memoized tree within one JVM (keying recipe + aliasing
+    // rationale: SideStores.keyedTmpPath).
+    val out = SideStores.keyedTmpPath("graft_stream_tree_", dir)
     SideStores.ensure(out) {
       val root = new java.io.File(out)
       if (root.exists()) {
@@ -825,11 +820,7 @@ object EtlQueries {
     * ETL.py:244–251).
     */
   private[graft] def catalogTree(s: SparkSession, dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md5 = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5
-    val out = s"${System.getProperty("java.io.tmpdir")}/graft_catalog_tree_$key"
+    val out = SideStores.keyedTmpPath("graft_catalog_tree_", dir)
     // staged + atomic rename (ADVICE r17): readers only ever see a
     // complete tree. Fixture materialization only (≤ 816 rows, once
     // per JVM per dir); the measured operator is the stream that

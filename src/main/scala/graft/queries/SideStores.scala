@@ -14,6 +14,23 @@ object SideStores {
   private val written = scala.collection.mutable.Set.empty[String]
   private val memos = scala.collection.mutable.Map.empty[String, Any]
 
+  /** Tmp-dir path keyed to `dir`'s absolute path: the sanitized path
+    * plus a 4-byte md5 of the RAW path (sanitization can alias —
+    * '/tmp/fix a' vs '/tmp/fix_a', ADVICE r11 — so the digest makes
+    * distinct paths never collide), under java.io.tmpdir with
+    * `prefix`. ONE copy of the recipe — it had grown to five hand
+    * copies across the query packs (r20 review). `suffix` lands
+    * verbatim in the key for variants that must not alias (e.g. a
+    * per-chunk-count tree).
+    */
+  def keyedTmpPath(prefix: String, dir: String, suffix: String = ""): String = {
+    val abs = new java.io.File(dir).getAbsolutePath
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5 + suffix
+    s"${System.getProperty("java.io.tmpdir")}/$prefix$key"
+  }
+
   /** Run `write` iff `key` has not been materialized by this JVM yet. */
   def ensure(key: String)(write: => Unit): Unit = synchronized {
     if (!written.contains(key)) { write; written += key }

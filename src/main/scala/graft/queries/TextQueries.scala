@@ -133,12 +133,7 @@ object TextQueries {
     * JVM per dir, published atomically (SideStores).
     */
   private def deltaDocTree(s: SparkSession, dir: String): String = {
-    val abs = new java.io.File(dir).getAbsolutePath
-    val md5d = java.security.MessageDigest.getInstance("MD5")
-      .digest(abs.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
-    val key = abs.replaceAll("[^A-Za-z0-9._-]", "_") + "_" + md5d
-    val out =
-      s"${System.getProperty("java.io.tmpdir")}/graft_idxdelta_docs_$key"
+    val out = SideStores.keyedTmpPath("graft_idxdelta_docs_", dir)
     SideStores.stagedTree(out) { stage =>
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 10 === 7)
@@ -915,29 +910,8 @@ object TextQueries {
           delta = if (delta == null) seg else delta.unionByName(seg)
           ()
         }
-        val shm = new java.io.File("/dev/shm")
-        val base = if (shm.isDirectory && shm.canWrite) shm.toPath
-          else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-        val ckpt = java.nio.file.Files.createTempDirectory(base, "graft_ckpt_")
-        val q = s.readStream
-          .schema("doc_id BIGINT, text STRING")
-          .option("maxFilesPerTrigger", 1)
-          .parquet(s"$tree/chunk*")
-          .writeStream
-          .foreachBatch(update)
-          .option("checkpointLocation", ckpt.toString)
-          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
-        try { q.awaitTermination(); () } finally {
-          q.stop()
-          try {
-            val walk = java.nio.file.Files.walk(ckpt)
-            try walk.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
-            finally walk.close()
-          } catch { case _: Throwable => () }
-          s.streams.resetTerminated()
-        }
+        graft.streaming.EventStreams.drainParquetFiles(s,
+          "doc_id BIGINT, text STRING", s"$tree/chunk*")(update)
       }
       val drained =
         if (delta != null) delta

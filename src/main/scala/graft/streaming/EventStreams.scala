@@ -342,4 +342,40 @@ object EventStreams {
     */
   def drainTuned[T](s: SparkSession, dir: String = "")(body: => T): T =
     withoutNoDataBatches(s)(withStatePartitions(s, statePartitions(s, dir))(body))
+
+  /** Drain a parquet file-stream over `pathGlob` — one file per
+    * micro-batch, `Trigger.AvailableNow` — through `update`, with the
+    * checkpoint on /dev/shm when available and recursively deleted
+    * afterwards. ONE recipe for the foreachBatch drains whose
+    * per-batch state the caller accretes itself (streamClusterDrain,
+    * q_stream_index_delta) — the r13 copy-paste lesson: a fix to the
+    * checkpoint hygiene or the shm fallback must not need replicating
+    * by hand.
+    */
+  def drainParquetFiles(s: SparkSession, schema: String, pathGlob: String)(
+      update: (DataFrame, Long) => Unit): Unit = {
+    val shm = new java.io.File("/dev/shm")
+    val base = if (shm.isDirectory && shm.canWrite) shm.toPath
+      else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val ckpt = java.nio.file.Files.createTempDirectory(base, "graft_ckpt_")
+    val q = s.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(pathGlob)
+      .writeStream
+      .foreachBatch(update)
+      .option("checkpointLocation", ckpt.toString)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try { q.awaitTermination(); () } finally {
+      q.stop()
+      try {
+        val walk = java.nio.file.Files.walk(ckpt)
+        try walk.sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      } catch { case _: Throwable => () }
+      s.streams.resetTerminated()
+    }
+  }
 }

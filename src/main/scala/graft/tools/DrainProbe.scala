@@ -41,7 +41,7 @@ object DrainProbe {
     println(s"[drainprobe] chunks=$chunks batches=${probe.size} " +
       s"ckptRows=${probe.map(_.ckptRows).mkString(",")}")
     println(s"[drainprobe] expected compaction batches (1-based mult of 32): " +
-      compactions.map(_._2).mkString(","))
+      compactions.map(_._2 + 1).mkString(","))
     val (assign6, _) =
       graft.queries.DedupQueries.streamClusterDrain(s, dir, 6)
     val a6 = assign6.groupBy("label")

@@ -52,12 +52,22 @@ object Scale10 {
     * order for 20..39 (r20, for the 40× probe) — and the consonants
     * "stnr" rotate independently by i mod 4. (i mod 5, i mod 4, i div
     * 20) is injective over 0..39, and a reversed 5-rotation never
-    * equals a forward one, so all 40 maps are pairwise distinct; the
-    * pairwise positional gap stays ≥ 4 of 9 (Scale10Spec pins both
-    * over the full 0..39 family), so a text identical across ANY two
-    * copies would have to lack an entire character block (the sf0.1
-    * corpus has zero such rows even for the s/t subset alone). i = 0
-    * is the identity.
+    * equals a forward one, so all 40 maps are pairwise distinct, and
+    * the pairwise positional gap stays ≥ 4 of 9 (Scale10Spec pins both
+    * over the full 0..39 family).
+    *
+    * The EXACT cross-copy-replication condition (corrected r20 — the
+    * earlier "must lack an entire character block" claim was too
+    * strong once the reversed-vowel half exists): enumerating all 780
+    * pairs, the per-pair agreement sets are exactly ∅, a single vowel,
+    * {aeiou}, {nrst}, or one vowel ∪ {nrst} (Scale10Spec pins the
+    * enumeration). A row is byte-identical across SOME pair iff its
+    * lowercase [[PermSrc]] usage fits inside one of the maximal sets —
+    * i.e. it uses NO lowercase s/t/n/r, or ≤ 1 DISTINCT lowercase
+    * vowel. [[replicableRows]] counts that class and [[build]] refuses
+    * a corpus containing any (all driver fixtures measure 0 for both
+    * translated columns); uppercase characters are not permuted, so
+    * the check is deliberately case-sensitive. i = 0 is the identity.
     */
   private[graft] def charPerm(i: Int): String = {
     val v = if (i / 20 == 0) "aeiou" else "uoiea"
@@ -68,6 +78,20 @@ object Scale10 {
 
   private def copies(n: Int, base: DataFrame)(tf: (DataFrame, Int) => DataFrame): DataFrame =
     (0 until n).map(i => if (i == 0) base else tf(base, i)).reduce(_ unionByName _)
+
+  /** Rows of `column` whose lowercase [[PermSrc]] usage fits inside a
+    * cross-copy agreement set (see [[charPerm]]): no lowercase
+    * s/t/n/r, or at most one distinct lowercase vowel. Any such row
+    * translates to ITSELF under some pair of copies — an unintended
+    * exact cross-copy duplicate that would contaminate every dedup and
+    * band-join number measured on the fixture.
+    */
+  private[graft] def replicableRows(df: DataFrame, column: String): Long =
+    df.filter(
+      !col(column).rlike("[stnr]") ||
+        expr(s"size(array_distinct(filter(split($column, ''), " +
+          "x -> x IN ('a','e','i','o','u')))) <= 1")
+    ).count()
 
   /** Per-copy deterministic ±1 sign-flip vector for the embedding
     * transform (identity at copy 0). Seeded, so re-runs produce the
@@ -94,6 +118,19 @@ object Scale10 {
     def src(t: String) = s.read.parquet(s"$srcDir/$t.parquet")
     def write(df: DataFrame, t: String): Unit =
       df.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+
+    // Data-level guard on the charPerm replication condition (see its
+    // scaladoc): measured 0/0 on every driver fixture, but a swapped
+    // or regenerated corpus must fail HERE, loudly, not as silently
+    // contaminated dedup numbers downstream (the PcmCoef ceiling
+    // discipline applied to text).
+    val badDocs = replicableRows(src("documents"), "text")
+    val badCust = replicableRows(src("customer"), "c_name")
+    require(badDocs == 0L && badCust == 0L,
+      s"source corpus has $badDocs documents.text / $badCust customer.c_name rows " +
+        "inside a cross-copy agreement class (no lowercase stnr, or <=1 distinct " +
+        "lowercase vowel) - such rows replicate byte-identical across copies; " +
+        "strengthen charPerm or clean the corpus before scaling it")
 
     write(copies(n, src("documents")) { (d, i) =>
       d.select((col("doc_id") + i * Offset).as("doc_id"),

@@ -201,13 +201,17 @@ class Round20OpsSpec extends SparkSpecBase {
       s"$out/z", graft.sinks.S3Sink.fsConfEntries(spark))
     val o = fs.create(new org.apache.hadoop.fs.Path(s"$out/z/a.txt"), true)
     try o.write("x".getBytes("UTF-8")) finally o.close()
-    val crcs = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
-      .iterator().asInstanceOf[java.util.Iterator[java.nio.file.Path]]
-    var found = List.empty[String]
-    while (crcs.hasNext) {
-      val p = crcs.next()
-      if (p.getFileName.toString.endsWith(".crc")) found ::= p.toString
-    }
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(out))
+    val found = try {
+      val it = walk.iterator()
+        .asInstanceOf[java.util.Iterator[java.nio.file.Path]]
+      var acc = List.empty[String]
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".crc")) acc ::= p.toString
+      }
+      acc
+    } finally walk.close() // leaks a dir handle otherwise (rmTree note)
     assert(found.isEmpty, s"unexpected .crc sidecars: $found")
     // and the data still reads back through the standard session path
     assert(spark.read.parquet(s"$out/t.parquet").count() === 100L)

@@ -28,13 +28,48 @@ class Scale10Spec extends SparkSpecBase {
     assert(perms.distinct.length == 40)
     perms.foreach(p => assert(p.sorted == Scale10.PermSrc.sorted, p))
     // rotations move whole blocks, so any two copies' maps disagree on
-    // ≥4 source chars (all 5 vowels, all 4 consonants, or both) — a
-    // cross-copy-identical text must lack an entire block. The first
-    // design's i/i+5 gap was only {s, t}: 2 chars.
+    // ≥4 source chars. The first design's i/i+5 gap was only {s, t}:
+    // 2 chars.
     for (i <- 0 until 40; j <- (i + 1) until 40) {
       val nDiff = Scale10.PermSrc.indices.count(x => perms(i)(x) != perms(j)(x))
       assert(nDiff >= 4, s"copies $i/$j differ on only $nDiff chars")
     }
+    // The exact agreement-set family (corrected r20): with the
+    // reversed-vowel half, forward×reversed pairs sharing a consonant
+    // rotation agree on 1 vowel + all 4 consonants — so "must lack an
+    // entire block" was too strong. Pin the full enumeration so any
+    // future extension that widens an agreement set (and therefore
+    // weakens build()'s replicableRows guard condition) fails here.
+    val allowed = Set("", "a", "e", "i", "o", "u", "nrst", "aeiou",
+      "anrst", "enrst", "inrst", "norst", "nrstu")
+    for (i <- 0 until 40; j <- (i + 1) until 40) {
+      val agree = Scale10.PermSrc.indices
+        .collect { case x if perms(i)(x) == perms(j)(x) => Scale10.PermSrc(x) }
+        .sorted.mkString
+      assert(allowed.contains(agree),
+        s"copies $i/$j agree on unpinned set '$agree'")
+    }
+  }
+
+  test("build refuses a corpus with rows inside a cross-copy agreement " +
+    "class (replicableRows guard, r20)") {
+    import spark.implicits._
+    // one distinct lowercase vowel + consonants ⊆ {nrst}: fixed point
+    // of the (0,24)-style mixed pairs — must be counted
+    val degenerate = Seq("TRANS ALARM bad dataA a na", "resolute xyz").toDF("text")
+    assert(Scale10.replicableRows(degenerate, "text") === 1L)
+    // no lowercase stnr at all (vowel-block-only usage): also counted
+    val vowelOnly = Seq("veo wee hid up").toDF("text")
+    assert(Scale10.replicableRows(vowelOnly, "text") === 1L)
+    // two distinct vowels AND a consonant: clean
+    val clean = Seq("stone age").toDF("text")
+    assert(Scale10.replicableRows(clean, "text") === 0L)
+    // and the real fixtures measure zero on both translated columns —
+    // the precondition build() now enforces at every scale-up
+    assert(Scale10.replicableRows(
+      spark.read.parquet(s"$sf/documents.parquet"), "text") === 0L)
+    assert(Scale10.replicableRows(
+      spark.read.parquet(s"$sf/customer.parquet"), "c_name") === 0L)
   }
 
   test("row counts double and keys are disjoint across copies") {
