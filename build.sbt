@@ -31,4 +31,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // extra JVM flags for A/B probes (GC choice, heap shape) without
+  // editing the build — e.g. SPARK_GRAFT_JVM_FLAGS="-XX:+UseParallelGC"
+  sys.env.get("SPARK_GRAFT_JVM_FLAGS").toSeq
+    .flatMap(_.split("\\s+").filter(_.nonEmpty))

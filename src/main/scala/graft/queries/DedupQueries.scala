@@ -260,6 +260,14 @@ object DedupQueries {
       .withColumn("sh", Corpus.shingles("text"))
       .select(col("doc_id"),
         posexplode(bandKeys(s)).as(Seq("band", "bkey"))))
+    // NOT cached (optimization r20 A/B): `verified` runs twice and
+    // joins this frame on both sides, so the shingle kernel evaluates
+    // 4× per query — but caching it measured parity-to-WORSE on the
+    // 3-pass bench subset (prod arm 1.46× vs a 1.17–1.32× sentinel
+    // window shift; see OPTIMIZATION_r20.md). Same verdict family as
+    // the q_freq_itemsets/q_rfm cache probes: a ~6k-row array-of-string
+    // materialization plus its GC debt costs more than re-running the
+    // codegen'd kernel over the page-cached scan.
     val sets = docs.select(col("doc_id"), Corpus.shingles("text").as("sh"))
     def verified(cands: DataFrame): DataFrame = cands
       .join(sets.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), "id_a")

@@ -694,17 +694,49 @@ object RelationalQueries {
       val freq = itemCnt.crossJoin(broadcast(bounds))
         .filter(col("ic") >= expr("n_baskets div 50")) // 2% support
         .select(col("item"), col("ic"))
-      val fb = bi.join(freq.select("item"), Seq("item"), "left_semi")
+      // SIZE-GATED broadcast of freq — optimization r20 (guide §3.1).
+      // freq is MATHEMATICALLY bounded at ≤ ⌈1/support⌉ = 50 rows (an
+      // item at 2% support implies ≤ 50 such items) at ANY corpus
+      // size, but its post-aggregate size ESTIMATE inherits the corpus
+      // scan's, so the frequent-item semi-join plans (and under AQE
+      // stays — PlanProbe-verified: AQE only sees the small side after
+      // the corpus side's item exchange has already materialized, at
+      // which point DynamicJoinSelection rightly declines) a
+      // SortMergeJoin that re-shuffles and sorts the corpus-sized
+      // basket-item frame by item for a ≤50-row probe. Above the gate
+      // the explicit hint removes that corpus exchange+sort (the
+      // 100 TB term: it grows linearly while the probe stays ≤50 rows);
+      // below it the plain join measured FASTER (3-pass bench-subset
+      // A/B at sf0.1: hinted 3.19 s vs plain 2.90 on a window whose
+      // sentinels moved −11..−20% — three ≤50-row broadcast-build jobs
+      // serialize against an item exchange that costs ~nothing at
+      // fixture scale), so fixture oracles keep the measured-faster
+      // plain plan — the q_cdc_chunk_dedup bigCorpus routing pattern,
+      // plan-pinned via spark.graft.freqitems.forceBroadcast.
+      // gate reads FS metadata (the statePartitions precedent), not a
+      // count job: ~1 GiB of basket-item input is where the exchange
+      // the hint removes stops being fixture-trivial
+      val bigCorpus = s.conf.getOption("spark.graft.freqitems.forceBroadcast")
+        .contains("true") || {
+          try {
+            val p = new org.apache.hadoop.fs.Path(s"$dir/lineitem.parquet")
+            p.getFileSystem(s.sparkContext.hadoopConfiguration)
+              .getContentSummary(p).getLength > (1L << 30)
+          } catch { case _: Throwable => false }
+        }
+      def maybeBcast(df: DataFrame): DataFrame =
+        if (bigCorpus) broadcast(df) else df
+      val fb = bi.join(maybeBcast(freq.select("item")), Seq("item"), "left_semi")
       val pairs = fb.as("a").join(fb.as("b"),
           col("a.basket") === col("b.basket") && col("a.item") < col("b.item"))
         .groupBy(col("a.item").as("item1"), col("b.item").as("item2"))
         .agg(count(lit(1)).as("pair_support"))
       pairs.crossJoin(broadcast(bounds))
         .filter(col("pair_support") >= expr("n_baskets div 50"))
-        .join(freq.withColumnRenamed("item", "item1")
-          .withColumnRenamed("ic", "ic1"), "item1")
-        .join(freq.withColumnRenamed("item", "item2")
-          .withColumnRenamed("ic", "ic2"), "item2")
+        .join(maybeBcast(freq.withColumnRenamed("item", "item1")
+          .withColumnRenamed("ic", "ic1")), "item1")
+        .join(maybeBcast(freq.withColumnRenamed("item", "item2")
+          .withColumnRenamed("ic", "ic2")), "item2")
         .select(col("item1"), col("item2"), col("pair_support"),
           // lift in DECIMAL(38,0) (int128-class) intermediates:
           // pair_support·n_baskets·10⁴ overflows int64 once

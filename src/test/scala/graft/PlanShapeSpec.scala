@@ -1079,6 +1079,33 @@ class PlanShapeSpec extends SparkSpecBase {
     }
   }
 
+  test("q_freq_itemsets large-corpus path: the bounded frequent-item " +
+      "frame broadcasts into the semi-join and the decode joins (r20)") {
+    val routed = {
+      var rows: Seq[org.apache.spark.sql.Row] = Seq.empty
+      withConf("spark.graft.freqitems.forceBroadcast" -> "true") {
+        val p = plan("q_freq_itemsets", RelationalQueries.queries)
+        // freq is ≤ ⌈1/support⌉ = 50 rows at ANY corpus size; above the
+        // size gate it must probe as a broadcast, never re-shuffle the
+        // corpus-sized basket-item frame by item
+        assert("BroadcastHashJoin.*LeftSemi".r.findFirstIn(p).isDefined,
+          s"frequent-item filter must broadcast into the semi-join:\n$p")
+        assert(!p.contains("SortMergeJoin LeftSemi"),
+          s"the corpus frame must not re-shuffle by item for a ≤50-row probe:\n$p")
+        rows = RelationalQueries.queries("q_freq_itemsets")(spark, sf)
+          .collect().toSeq
+      }
+      rows
+    }
+    // answer-preserving: a join-strategy hint cannot move rows — the
+    // routed result equals the default (plain, fixture-scale) path's,
+    // which the DuckDB oracle gates every round
+    val plain = RelationalQueries.queries("q_freq_itemsets")(spark, sf)
+      .collect().toSeq
+    assert(routed == plain,
+      "broadcast-routed q_freq_itemsets diverged from the plain path")
+  }
+
   test("q_audio_vad: per-clip totals broadcast back; windows are " +
       "doc-bounded (r15)") {
     val p = finalPlan("q_audio_vad", graft.queries.MultimodalQueries.queries)
