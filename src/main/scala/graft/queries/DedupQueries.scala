@@ -281,8 +281,18 @@ object DedupQueries {
       Seq("band", "bkey"), 0L, MultimodalQueries.CapForced(capAt)))
     val plainCands = QueryCaches.cache(bandSelfJoinCands(s, bands,
       Seq("band", "bkey"), 0L, MultimodalQueries.CapOff))
+    // The capped arm joins UNVERIFIED (optimization r20, guide §1.2
+    // "don't compute things you throw away"): capping only DROPS band
+    // keys, so cappedCands ⊆ plainCands, and for any pair already in
+    // verified(plainCands) membership in verified(cappedCands) is
+    // exactly membership in cappedCands (the verify predicate is a
+    // per-pair function, and these pairs all pass it). Joining the raw
+    // capped candidate set therefore marks the same `found` rows while
+    // skipping the capped arm's two sets-joins + shingle verify — the
+    // audit's single largest redundant computation. n_cand_capped
+    // below still counts the RAW capped candidates, as before.
     verified(plainCands)
-      .join(verified(cappedCands).withColumn("found", lit(1L)),
+      .join(cappedCands.withColumn("found", lit(1L)),
         Seq("id_a", "id_b"), "left_outer")
       .agg(count(lit(1)).as("n_true_pairs"),
         // outer coalesce: SUM over ZERO rows is NULL while the oracle's
@@ -1604,6 +1614,10 @@ object DedupQueries {
     // shuffle key and nothing is ever all-pairs. Key generation is a
     // pure HOF expression (sequence + transform + substring), no UDF.
     "q_fuzzy_join" -> ((s, dir) => {
+      // NOT spread (r20) — the explode feeds straight into the
+      // shuffle-hash join's exchange, so a pre-exchange only
+      // duplicates that shuffle (the valid-A/B family's losing
+      // pattern, OPTIMIZATION_r20.md §2).
       val names = s.read.parquet(s"$dir/customer.parquet")
         .select(col("c_name").as("name"))
       // array_distinct matters: deleting any char of an equal-char run
@@ -1764,6 +1778,10 @@ object DedupQueries {
       // — the standard trade published hash-based span-dedup
       // pipelines make; switch to a 128-bit pair of seeded xxhash64
       // if even that is unacceptable.
+      // NOT spread (r20: the one VALID same-session A/B read off
+      // 0.68×/0.73× — a Spread.ifNarrow here costs ~30%; the first
+      // A/Bs that suggested otherwise compared identical code through
+      // a conf-quoting bug, see OPTIMIZATION_r20.md §2).
       val sh = Corpus.withDuplicates(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("w"))
         .select(col("doc_id"), size(col("w")).cast("bigint").as("n_toks"),
@@ -1863,6 +1881,11 @@ object DedupQueries {
     // reducer as one pre-merged count per task, not 10⁶ rows.
     // Containment = |∩ capped| / |excerpt capped|.
     "q_containment" -> ((s, dir) => {
+      // NOT spread (r20) — both explodes fill CACHES, and a cached
+      // plan's partitioning is pinned, so a pre-exchange's 32 fixed
+      // partitions would propagate into every consumer stage
+      // (the valid-A/B family's biggest loss mode — q_passage_overlap
+      // read 0.40× under exactly this shape; OPTIMIZATION_r20.md §2).
       val docs = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), col("text"))
       val excerpts = docs.filter(col("doc_id") % 5 === 0)
@@ -2007,6 +2030,10 @@ object DedupQueries {
     "q_cdc_chunk_dedup" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("pos")
+      // NOT spread (r20: the one VALID same-session A/B — after the
+      // conf-quoting bug that made the first three A/Bs compare
+      // identical code — read off 0.70×/0.71×, i.e. a Spread.ifNarrow
+      // here costs ~40%; see OPTIMIZATION_r20.md §2 for the mechanism).
       val toks = Corpus.withDuplicates(s, dir)
         .select(col("doc_id"),
           posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))

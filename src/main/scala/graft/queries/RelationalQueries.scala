@@ -152,7 +152,16 @@ object RelationalQueries {
     // rows-only check.
     "q_approx_distinct" -> ((s, dir) => {
       val rsd = 0.05
-      t(s, dir, "lineitem")
+      // Spread (r20, two VALID same-session A/Bs: spread arm 1.28×/
+      // 1.18× then 1.31×/1.37× on min/med): the count-distinct rewrite
+      // Expands 2× and builds its partial-distinct hash state inside
+      // the scan stage — one task on the single-row-group fixture
+      // (probe: 1.37 s exec / 15 tasks). The ONLY adopted spread site:
+      // no cache and a one-row output, so the added exchange buys real
+      // parallelism without multiplying downstream stage counts
+      // (OPTIMIZATION_r20.md §2). Scale-adaptive: no-op on a wide scan.
+      Spread.ifNarrow(t(s, dir, "lineitem")
+          .select("l_orderkey", "l_partkey"), col("l_orderkey"))
         .agg(approx_count_distinct(col("l_orderkey"), rsd).as("a_orders"),
           approx_count_distinct(col("l_partkey"), rsd).as("a_parts"),
           countDistinct(col("l_orderkey")).as("n_orders_exact"),
@@ -212,6 +221,9 @@ object RelationalQueries {
         .cast("double") / 4294967296.0
       val kmv = udaf(new graft.functions.KmvAgg(k),
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Double]())
+      // NOT spread (r20 — the KMV partial state is k=64 doubles per
+      // group, cheap enough that an added exchange never pays; see
+      // OPTIMIZATION_r20.md §2 for the measured family verdict).
       val li = t(s, dir, "lineitem")
         .withColumn("mon", date_format(col("l_shipdate"), "yyyy-MM"))
       val sk = li.select(col("mon"), frac.as("h"))
@@ -426,6 +438,10 @@ object RelationalQueries {
         .limit(20)),
 
     // Exact interpolated percentiles (type-7, matching quantile_cont).
+    // NOT spread (r20): percentile's value buffer is array-append
+    // cheap; the extra exchange of every row costs more than the
+    // single-threaded buffer build it parallelizes (the valid-A/B
+    // family verdict, OPTIMIZATION_r20.md §2).
     "q_percentiles" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .groupBy("l_returnflag")
@@ -1101,6 +1117,11 @@ object RelationalQueries {
       // identical and thus output-invariant)
       val w = Window.partitionBy(col("l_returnflag"))
         .orderBy(h, col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      // NOT spread (r20): the rn<=5 filter already plans a PARTIAL
+      // WindowGroupLimit below the |flags|-way exchange, so only
+      // ≤5·parts rows ever shuffle; a pre-exchange of all rows to
+      // parallelize the local sort is the pattern the round's one
+      // VALID A/B family measured at 0.4–0.9× (OPTIMIZATION_r20.md §2).
       t(s, dir, "lineitem")
         .withColumn("rk", row_number().over(w).cast("bigint"))
         .filter(col("rk") <= 5)
@@ -1457,6 +1478,10 @@ object RelationalQueries {
     // mean sums exactly in decimal and divides once in double:
     // double-sum round-4 of a ~1e10 total is inside float noise,
     // decimal is not.
+    // NOT spread (r20) — the distinct-rewrite's first exchange on
+    // (col_name, value) already spreads the final distinct state;
+    // pre-exchanging the stacked rows just moves the same bytes twice
+    // (the valid-A/B family's losing pattern, OPTIMIZATION_r20.md §2).
     "q_profile_stats" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .select(expr(

@@ -431,7 +431,10 @@ object TextQueries {
     // to cache exploded corpora. No driver-side state, no all-pairs
     // anything.
     "q_boilerplate_lines" -> ((s, dir) => {
+      // NOT spread (r20: the one VALID same-session A/B read off
+      // 0.90×/0.85× — see OPTIMIZATION_r20.md §2).
       val segs = QueryCaches.cache(s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
         .select(col("doc_id"), posexplode(expr(
           """transform(
             |  sequence(0, CAST(ceil(size(split(text, ' ')) / 3.0) AS INT) - 1),
@@ -1327,6 +1330,9 @@ object TextQueries {
     // shingle join-back, never a doc×doc product (details below). The
     // ratio is per-myriad integer division — exactly portable.
     "q_ngram_novelty" -> ((s, dir) => {
+      // NOT spread (r20: the one VALID same-session A/B read off
+      // 0.58×/0.59× — a Spread.ifNarrow on this scan nearly doubles
+      // the query; see OPTIMIZATION_r20.md §2 for the mechanism).
       val sh = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), explode(Corpus.shingles("text")).as("shingle"))
         .transform(QueryCaches.cache(_))
@@ -1424,6 +1430,9 @@ object TextQueries {
     // only on doc_id. Docs sharing no query term score nothing —
     // retrieval semantics, not a scan of non-matches.
     "q_bm25" -> ((s, dir) => {
+      // NOT spread (r20) — a bare split/explode with no per-token
+      // hashing, feeding a CACHE: the valid-A/B family's losing shape
+      // (OPTIMIZATION_r20.md §2).
       val toks = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .transform(QueryCaches.cache(_))
@@ -2039,6 +2048,10 @@ object TextQueries {
     // were de-hinted with measured parity — see DedupQueries.)
     "q_passage_overlap" -> ((s, dir) => {
       graft.plans.TextKernels.register(s)
+      // NOT spread (r20: the one VALID same-session A/B read off
+      // 0.40×/0.36× — a Spread.ifNarrow here made the query 2.5×
+      // slower, the round's clearest counter-example; see
+      // OPTIMIZATION_r20.md §2 for the mechanism).
       val fps = QueryCaches.cache(
         Corpus.withDuplicates(s, dir)
           .select(col("doc_id"),
@@ -2318,6 +2331,10 @@ object TextQueries {
         .map { case (l, h) => (h.toLong, l) }.toDF("h", "ln_p12"))
       val weights = s.range(256).select(col("id").as("bucket"),
         (col("id") * 37 % 201).as("w"))
+      // NOT spread (r20) — the per-token kernel here is one md5 +
+      // broadcast join, and the doc_id partial agg combines map-side
+      // into a CACHED frame, the valid-A/B family's losing shape
+      // (OPTIMIZATION_r20.md §2); the exchange never pays.
       val scored = s.read.parquet(s"$dir/documents.parquet")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
         .select(col("doc_id"), expr(

@@ -16,7 +16,17 @@ import org.apache.spark.sql.functions._
   */
 object Corpus {
 
-  /** doc_id, text, with exact + near duplicates injected. */
+  /** doc_id, text, with exact + near duplicates injected.
+    *
+    * NOT spread here (optimization r20): a corpus-wide
+    * [[graft.queries.Spread.ifNarrow]] at this choke point was
+    * trialed and measured-rejected — the round's one VALID
+    * same-session A/B read the off arm 0.68–0.70× (i.e. the spread
+    * COSTS 30–40%) on the heaviest consumers (q_cdc_chunk_dedup,
+    * q_span_dedup), because most consumers cache derived frames and a
+    * cached plan's pinned 32-partition layout multiplies every
+    * downstream stage's task count (OPTIMIZATION_r20.md §2).
+    */
   def withDuplicates(spark: SparkSession, dir: String): DataFrame = {
     val docs = spark.read.parquet(s"$dir/documents.parquet")
       .select(col("doc_id"), col("text"))
