@@ -216,4 +216,14 @@ class Round20OpsSpec extends SparkSpecBase {
     // and the data still reads back through the standard session path
     assert(spark.read.parquet(s"$out/t.parquet").count() === 100L)
   }
+
+  test("q_random_projection: the vec_idot kernel shape is row-identical " +
+    "to the original nested-HOF shape (same exact int64 projection)") {
+    val fn = SparkEntry.queries("q_random_projection")
+    val idot = fn(spark, sf).collect().toSeq
+    assert(idot.nonEmpty, "fixture must produce audit pairs")
+    withConf("spark.graft.rp.shape" -> "hof") {
+      assert(fn(spark, sf).collect().toSeq === idot)
+    }
+  }
 }
