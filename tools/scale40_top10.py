@@ -61,12 +61,11 @@ def main() -> None:
         "canary_med": [c10, c20, c40],
         "load_ratio": d40.get("load_ratio"),
         "queries": per,
-        "note": ("10x/20x points are the committed FULL-suite artifacts "
-                 "(uncapped text LSH band joins, pre-r20); the 40x point "
-                 "runs the production capped path introduced in r20 — a "
-                 "step ratio UNDER the linear 2.0 on band-join-heavy "
-                 "queries partly reflects that cap, and the recall rows "
-                 "below price exactly what it dropped."),
+        "note": ("all three points (10x/20x FULL-suite artifacts, this "
+                 "40x subset) run the same current code, including the "
+                 "r20 production caps on the band joins and the r20 "
+                 "vec_idot q_random_projection shape; the recall rows "
+                 "below price exactly what the caps dropped at 40x."),
     }
     if len(sys.argv) > 2:
         vdir = sys.argv[2]
