@@ -209,16 +209,51 @@ object DedupQueries {
     val kept = effCap match {
       case None => bands
       case Some(c) =>
-        val hot = QueryCaches.cache(bands
-          .groupBy(keyCols.map(col): _*)
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n") > c)
-          .select(keyCols.map(col): _*))
-        val nHot = hot.count()
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"graft.textband: dropping $nHot hot band keys (cap=$c) " +
-            "from the LSH candidate self-join")
-        bands.join(hot, keyCols, "left_anti")
+        // Occupancy via ONE window over the band key (optimization r20,
+        // guide §2.1): the original port materialized the hot-key set
+        // with an EAGER count() — a separate job that re-ran the whole
+        // banded kernel (mbands is deliberately uncached) and its
+        // shuffle just to log the drop-set size, doubling the capped
+        // route's kernel cost at every engaged scale (ProbePhases @10×:
+        // q_dedup_consensus build 3.19 s / exec 4.10 s, flat 10×≈20×;
+        // a pre-repartition + agg + anti-join variant was tried first
+        // and measured ZERO net — the optimizer strips the bare
+        // repartition, so the kernel still ran twice). The window's
+        // required distribution IS the self-join's: `count over
+        // partitionBy(key)` plans one exchange on the band key, the
+        // filter `occupancy ≤ cap` is map-side above it (row set
+        // identical to the anti-join: every row of a hot key dropped),
+        // and both self-join sides consume the identical subtree, so
+        // ReuseExchange/AQE stage reuse computes kernel + shuffle once;
+        // the window's key-sort even pre-satisfies the SMJ ordering.
+        // Degenerate-corpus note: a pathological key buffers its run in
+        // the window (ExternalAppendOnlyUnsafeRowArray — spills, never
+        // OOMs) before the filter drops it; linear in the hot key,
+        // unlike the quadratic join it prevents.
+        //
+        // no-silent-caps (ADVICE r16): the dropped-ROW count rides the
+        // query's own materialization via observe() (zero extra
+        // passes); a daemon thread waits for the first action and emits
+        // the log line. The recall audits (q_textband_recall*) remain
+        // the quantified pricing of the drop.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(keyCols.map(col): _*)
+        val obs = org.apache.spark.sql.Observation(
+          s"graft.textband.cap.${java.util.UUID.randomUUID()}")
+        val counted = bands
+          .withColumn("_n", count(lit(1)).over(w))
+          .observe(obs,
+            sum(when(col("_n") > c, 1L).otherwise(0L)).as("n_dropped"))
+        val t = new Thread(() =>
+          try {
+            val n = obs.get("n_dropped")
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"graft.textband: dropping $n hot-key band rows (cap=$c) " +
+                "from the LSH candidate self-join")
+          } catch { case _: InterruptedException => () })
+        t.setDaemon(true)
+        t.start()
+        counted.filter(col("_n") <= c).drop("_n")
     }
     kept.as("a").join(kept.as("b"),
         keyCols.map(k => col(s"a.$k") === col(s"b.$k")).reduce(_ && _) &&

@@ -86,21 +86,40 @@ object MultimodalQueries {
     val bands = effCap match {
       case None => bandsRaw
       case Some(c) =>
-        val hot = QueryCaches.cache(bandsRaw
-          .groupBy("band_idx", "band_val")
-          .agg(count(lit(1)).as("n"))
-          .filter(col("n") > c)
-          .select("band_idx", "band_val"))
-        // ADVICE r16: the anti-join is answer-changing (a true pair whose
-        // every shared band is hot is dropped), so scale runs must be able
-        // to quantify the recall trade — count the drop-set and log it.
-        // The band domain is bounded (4 × 2¹⁶ keys), so this extra job is
-        // one tiny aggregate over the already-cached hot frame.
-        val nHot = hot.count()
-        org.slf4j.LoggerFactory.getLogger(getClass).warn(
-          s"graft.fpband: dropping $nHot hot band keys " +
-            s"(cap=$c) from the near-dup pair join")
-        bandsRaw.join(hot, Seq("band_idx", "band_val"), "left_anti")
+        // Occupancy via one window over the band key (optimization r20,
+        // the DedupQueries.bandSelfJoinCands shape — see the measured
+        // rationale there): `count over partitionBy(band)` plans the
+        // single exchange the pair self-join needs anyway, the
+        // occupancy filter is map-side above it, and both join sides
+        // reuse the identical subtree. Row set identical to the
+        // previous hot-key anti-join: every row of a key with
+        // occupancy > cap is dropped. Replaces an EAGER hot-set
+        // count() job + anti-join that re-scanned the cached
+        // fingerprint frame and paid a second counting shuffle.
+        //
+        // ADVICE r16 (no silent caps): the cap is answer-changing, so
+        // the dropped-row count still gets logged — via observe()
+        // riding the query's own materialization, a daemon thread
+        // emitting the line after the first action; the recall audits
+        // (q_fpband_recall*) remain the quantified pricing.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band_idx"), col("band_val"))
+        val obs = org.apache.spark.sql.Observation(
+          s"graft.fpband.cap.${java.util.UUID.randomUUID()}")
+        val counted = bandsRaw
+          .withColumn("_n", count(lit(1)).over(w))
+          .observe(obs,
+            sum(when(col("_n") > c, 1L).otherwise(0L)).as("n_dropped"))
+        val t = new Thread(() =>
+          try {
+            val n = obs.get("n_dropped")
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"graft.fpband: dropping $n hot-key band rows " +
+                s"(cap=$c) from the near-dup pair join")
+          } catch { case _: InterruptedException => () })
+        t.setDaemon(true)
+        t.start()
+        counted.filter(col("_n") <= c).drop("_n")
     }
     bandPairVerify(bands)
   }
